@@ -1,0 +1,182 @@
+"""Deduplication operators (SURVEY §2.6 X1/X2 + BASELINE.json north star):
+exact, fingerprint, n-gram Jaccard, MinHash-LSH, SimHash — over ``documents``.
+
+Scale posture (the whole point of these at 100 TB):
+- exact dedup: one hash shuffle on the full text — fine, but fingerprint
+  dedup (md5 first, group on the 16-byte digest) shuffles 16 bytes/row
+  instead of whole documents; that is the production variant.
+- n-gram Jaccard: exact pairwise similarity via a shingle inverted index —
+  the candidate join explodes quadratically on hot shingles, so at scale it
+  runs AFTER a banding/LSH filter; here it doubles as the exact oracle twin.
+- MinHash-LSH: sub-quadratic candidate generation (pyspark.ml MinHashLSH,
+  fixed seed), the scale path.
+- SimHash: 64-bit hamming sketch via xxhash64 — near-dup bucketing with one
+  bigint per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.registry import query
+
+
+@query(
+    "ext_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact dedup as deterministic keeper-selection (min doc_id per
+    identical text). dropDuplicates() picks an arbitrary survivor — fine in
+    production, not reproducible across engines, so the canonical form is
+    the groupBy."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+@query(
+    "ext_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1b — document fingerprinting: md5 over whitespace-normalized
+    lowercased text. The 100 TB dedup path groups on THIS (16 bytes) rather
+    than shuffling full documents."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fingerprint"),
+    )
+
+
+def shingles(col: str = "text", k: int = 3):
+    """Distinct k-word shingles of a text column (built-ins only: split +
+    transform over a sequence — no UDF)."""
+    words = F.split(F.lower(F.col(col)), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(-1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]),
+        )
+    )
+
+
+_NGRAM_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 0)),
+                i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+2]
+            ))) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.5
+"""
+
+
+@query("ext_dedup_ngram", oracle=_NGRAM_ORACLE)
+def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2a — exact n-gram Jaccard near-dup pairs (3-word shingles,
+    J >= 0.5) via shingle inverted index + self-join. Counts are integers →
+    jaccard is IEEE-deterministic → oracle-checkable. At 100 TB this exact
+    join runs only on LSH candidates (ext_dedup_minhash)."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@query("ext_dedup_minhash")  # rows-only: LSH model hashes aren't SQL-expressible
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b — MinHash-LSH near-dup candidate pairs (the sub-quadratic scale
+    path). Shingles → HashingTF sparse vectors → MinHashLSH (fixed seed) →
+    approxSimilarityJoin on Jaccard distance <= 0.5. Deterministic under the
+    fixed seed → stable row count for the driver's rows-only check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles().alias("sh")).where(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+    )
+
+
+@query("ext_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c — 64-bit SimHash: per-token xxhash64, signed bit-vote per bit
+    position, sign → sketch bits. One bigint per document; near-dups differ
+    in a few bits (hamming). Built-ins only (explode + bitwise ops), no UDF."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    h = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    votes = h.select(
+        "doc_id",
+        *[
+            (F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"b{b}"
+            )
+            for b in range(64)
+        ],
+    ).groupBy("doc_id").agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)])
+    sketch = votes.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long")) for b in range(64)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sketch

@@ -1,0 +1,174 @@
+"""Similarity search over embeddings (SURVEY §2.6 X3/X5).
+
+- ``ext_similarity_topk``: brute-force cosine top-k, the correctness
+  baseline. Embeddings are quantized to integer milli-units first so the
+  dot product is a sum of exact integers (order-independent — double
+  summation order would differ between Spark partitions and the oracle) and
+  the resulting cosine is IEEE-deterministic → hash-checkable vs DuckDB.
+- ``ext_similarity_lsh``: random-hyperplane (SimHash-for-cosine) bucketing —
+  the 100 TB path: candidates share a bucket, exact re-rank runs per bucket.
+  Hyperplanes are generated from deterministic modular arithmetic → the
+  bucket assignment itself is oracle-checkable.
+- ``ext_approx_distinct``: HyperLogLog++ approx_count_distinct beside its
+  exact twin (the 100 TB posture for cardinality, SURVEY §2 X5).
+
+Scale: the query side is broadcast (k query vectors), so brute force is one
+scan of the corpus, no shuffle until the per-query top-k (tiny). IVF/LSH
+bucketing turns the scan into a bucket-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.registry import query
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+def quantize(col):
+    """array<float> → array<bigint> milli-units; floor(x*1000+0.5) is the
+    tie-safe rounding shared with the oracle (functions/money.py rationale)."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * 1000 + 0.5))
+
+
+def int_dot(a, b):
+    """Exact dot product of two integer arrays (zip_with + aggregate —
+    higher-order built-ins, JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_TOPK_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                    i -> q.qv[i] * c.cv[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE)))
+                   AS cos_sim
+        FROM q CROSS JOIN c
+        WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+@query("ext_similarity_topk", oracle=_TOPK_ORACLE)
+def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — brute-force cosine top-10 neighbors for the first 5 vectors."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), quantize(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                int_dot(F.col("qv"), F.col("cv")).cast("double")
+                / (
+                    F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+                    * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= TOP_K)
+
+
+N_PLANES = 8
+
+_LSH_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS cv
+        FROM embeddings
+    ), buckets AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(0, {N_PLANES}), j ->
+                   CASE WHEN list_sum(list_transform(range(1, len(cv) + 1), i ->
+                            cv[CAST(i AS INT)] *
+                            (CAST((j * 64 + i - 1) * 2654435761 % 2001 AS BIGINT) - 1000)
+                        )) > 0
+                        THEN CAST(power(2, j) AS BIGINT) ELSE 0 END
+               )) AS bucket_id
+        FROM c
+    )
+    SELECT bucket_id, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM buckets GROUP BY bucket_id
+"""
+
+
+@query("ext_similarity_lsh", oracle=_LSH_ORACLE)
+def ext_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b — random-hyperplane LSH bucketing: 8 deterministic pseudo-random
+    hyperplanes (modular-arithmetic components, identical in the oracle);
+    bucket id = sign bits of the 8 projections. At scale, ANN = exact re-rank
+    within bucket ∪ neighboring buckets instead of full scan."""
+    e = load(spark, sf_dir, "embeddings")
+    c = e.select("vec_id", quantize(F.col("embedding")).alias("cv"))
+    dim = 64
+
+    def plane_component(j: int, i: int):
+        # component i of hyperplane j: ((j*64+i) * 2654435761) % 2001 - 1000
+        return F.lit(((j * dim + i) * 2654435761) % 2001 - 1000).cast("long")
+
+    def projection_sign_bit(j: int):
+        proj = F.aggregate(
+            F.transform(
+                F.col("cv"),
+                lambda x, i: x * F.element_at(
+                    F.array(*[plane_component(j, k) for k in range(dim)]), i + 1
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    bucket = sum([projection_sign_bit(j) for j in range(N_PLANES)], F.lit(0).cast("long"))
+    return (
+        c.select("vec_id", bucket.alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@query("ext_approx_distinct")  # rows-only: HLL estimate has no exact SQL twin
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — approx_count_distinct (HyperLogLog++) beside its exact twin.
+    At 100 TB the exact COUNT(DISTINCT) shuffles every distinct key; the HLL
+    sketch is constant-size per partition."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )

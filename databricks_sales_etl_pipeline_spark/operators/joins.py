@@ -1,0 +1,171 @@
+"""Join operators (SURVEY §2.6 J1–J5) — absent in the reference (it is a
+single-fact-table pipeline), required by the north star.
+
+Scale posture per join:
+- J1 broadcast: region (5 rows) / nation (25 rows) are bounded dimensions —
+  broadcast explicitly, no shuffle of the probe side, ever.
+- J2 shuffle join: lineitem⋈orders on orderkey — both sides huge at 100 TB,
+  sort-merge with AQE skew splitting; aggregate immediately after so the
+  shuffle output stays small.
+- J5 star join: broadcast the dimension chain, single shuffle on the fact
+  keys; Catalyst reorders the chain so fact rows are filtered by the
+  broadcasted dims *before* the fact⋈fact shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+_REV_CENTS = cents_sql("l_extendedprice * (1 - l_discount)")
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — broadcast hash join, equi inner, dim⋈dim."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    )
+
+
+@query(
+    "join_fact_fact",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           SUM({_REV_CENTS}) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — shuffle (sort-merge) join of the two big tables on orderkey,
+    aggregated immediately so only 5 rows leave the join stage."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — left outer join preserving customers with zero orders
+    (COUNT(col) counts non-null matches only)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — left semi join: customers with at least one order. Semi joins
+    ship no payload columns from the right side — at scale this is the
+    correct EXISTS plan, not an inner join + distinct."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — left anti join: customers with no orders (NOT EXISTS plan)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_star_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_items,
+           SUM({_REV_CENTS}) AS revenue_cents,
+           SUM({_REV_CENTS}) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_cents DESC
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — FLAGSHIP: multi-way star join, TPC-H Q5 shape (revenue per nation
+    for one region and date window). region/nation broadcast; the
+    customer⋈orders⋈lineitem chain shuffles on its keys with the date filter
+    pushed into the orders scan."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rc = F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rc.alias("revenue_cents"),
+            (rc / 100.0).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue_cents"))
+    )

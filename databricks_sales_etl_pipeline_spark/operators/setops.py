@@ -1,0 +1,70 @@
+"""Set operators (SURVEY §2.6 U1–U2) — north-star relational completeness.
+
+unionByName (not positional union) is the engine's canonical append — the
+same operator that powers the medallion Bronze append path (sinks.py), where
+positional union against an evolved schema silently corrupts columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.registry import query
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — UNION ALL via unionByName (bag semantics: F∩URGENT rows appear
+    twice, as in SQL)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return o.where(F.col("o_orderstatus") == "F").unionByName(
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+    )
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — INTERSECT (distinct): customers active both before and after the
+    1998 split."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = o.where(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.where(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.intersect(late)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — EXCEPT (distinct): customers who churned at the 1998 split."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = o.where(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.where(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.subtract(late)

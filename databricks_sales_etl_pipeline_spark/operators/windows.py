@@ -1,0 +1,82 @@
+"""Window operators (SURVEY §2.6 W1–W2) — north-star analytics.
+
+Scale posture: a window partitioned by a key shuffles once on that key and
+sorts within partitions — same cost shape as a groupBy. The hazard at 100 TB
+is a window with NO partitionBy (single-partition global sort); none of the
+operators here do that. Orderings always include a unique tiebreak column so
+results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+_ORDER_CENTS = cents_sql("o_totalprice")
+
+
+@query(
+    "window_topn_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — top-3 orders by value per priority class via row_number
+    (deterministic: o_orderkey tiebreak)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_total",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           SUM({_ORDER_CENTS}) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_cents,
+           LAG({_ORDER_CENTS}) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+           ) AS prev_cents
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — running total + lag per customer ordered by date (integer-cents
+    running sum → exact, order pinned by (date, orderkey))."""
+    o = load(spark, sf_dir, "orders")
+    ordering = [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*ordering)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = cents("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(c).over(run).alias("running_cents"),
+        F.lag(c).over(w).alias("prev_cents"),
+    )

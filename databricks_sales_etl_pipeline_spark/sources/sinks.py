@@ -1,0 +1,79 @@
+"""Sink operators as oracle-checkable queries (SURVEY §2.1 S4–S6).
+
+Each query performs a real write→read round-trip through io.py into a
+process-unique temp directory, then returns the read-back DataFrame — so the
+oracle (pure SELECT over the source tables) verifies the sink preserved the
+data exactly, which is a stronger check than rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.io import read_table, write_table
+from databricks_sales_etl_pipeline_spark.registry import query
+
+
+def _tmp_path(tag: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"dsep_sink_{tag}_{uuid.uuid4().hex}")
+
+
+@query(
+    "sink_overwrite",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — full-table replace (ref `01:122,208`, `02:69-71`): write twice in
+    overwrite mode; the second write fully replaces the first."""
+    n = load(spark, sf_dir, "nation")
+    path = _tmp_path("overwrite")
+    write_table(n.limit(5), path, mode="overwrite")  # stale content…
+    write_table(n, path, mode="overwrite")  # …fully replaced
+    return read_table(spark, path)
+
+
+@query(
+    "sink_append",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — incremental append (ref `03:90` Bronze daily ingest): overwrite
+    then append; read-back is exactly source×2."""
+    r = load(spark, sf_dir, "region")
+    path = _tmp_path("append")
+    write_table(r, path, mode="overwrite")
+    write_table(r, path, mode="append")
+    return read_table(spark, path)
+
+
+@query(
+    "sink_merge_schema",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS INT) AS n_extra
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, n_nationkey * 2 AS n_extra
+    FROM nation
+    """,
+)
+def sink_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — schema evolution on append (ref `03:123`
+    option("mergeSchema","true"), covering the fatturato_medio→ordine_medio
+    column drift): append a batch carrying a new column; merge-schema read
+    unions the schemas, old rows get NULL."""
+    n = load(spark, sf_dir, "nation")
+    path = _tmp_path("merge")
+    write_table(n, path, mode="overwrite")
+    evolved = n.withColumn("n_extra", (F.col("n_nationkey") * 2).cast("int"))
+    write_table(evolved, path, mode="append", merge_schema=True)
+    return read_table(spark, path, merge_schema=True)

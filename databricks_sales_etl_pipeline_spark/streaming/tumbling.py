@@ -1,0 +1,94 @@
+"""Event-time windowing (SURVEY §2.6 T1/T2).
+
+T1 runs the streaming-native tumbling-window operator (F.window) in batch
+mode — the exact groupBy(window(...)) expression is what a readStream would
+run, so the batch twin is hash-checkable against a date_trunc oracle while
+the streaming path (T2, stream_watermark_agg) reuses it verbatim under a
+watermark with Trigger.AvailableNow.
+
+Scale posture: windowed aggregation shuffles on (window, key) with map-side
+partial aggregation; watermark bounds streaming state — without it a 100 TB
+stream accumulates unbounded window state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import (
+    EVENTS_RAW_SCHEMA,
+    load,
+    nanos_to_ts,
+)
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window aggregation — shared by the batch twin and
+    the streaming query (identical logical expression)."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM({cents_sql('value')}) AS value_cents
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) AS events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — tumbling 1-hour counts per event type, batch twin."""
+    return tumbling_counts(load(spark, sf_dir, "events"))
+
+
+@query("stream_watermark_agg")  # no oracle: true streaming execution, rows-only
+def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — the same tumbling aggregation executed as a real Structured
+    Streaming query: readStream on the events parquet, 10-minute watermark
+    (bounded state / late-data discard), Trigger.AvailableNow, update-mode
+    memory sink. Single batch → one emission per window, so the row count is
+    deterministic and equals the batch twin's."""
+    # FileStreamSource needs a directory path; glob-filter down to the one
+    # events file (a production stream points at an arriving-files dir)
+    stream = nanos_to_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).withWatermark("ts", "10 minutes")
+    sink = f"wm_{uuid.uuid4().hex[:12]}"
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"dsep_ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
