@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = one representative per operator family (scan-agg, star join,
+fact-fact join, window, event-time window, sessionization, similarity, text,
+dedup fingerprint, medallion e2e). Each timing includes full plan execution
+to a count() action (materializes every row, no driver transfer bloat).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from databricks_sales_etl_pipeline_spark.registry import QUERIES, load_all
+from databricks_sales_etl_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "agg_group_category",
+    "agg_scalar_kpis",
+    "topk_recent_days",
+    "join_star_revenue",
+    "join_fact_fact",
+    "window_running_total",
+    "stream_tumbling_counts",
+    "stream_sessionize",
+    "ext_similarity_topk",
+    "ext_text_tokens",
+    "ext_fingerprint",
+    "pipeline_gold_category",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    load_all()
+    spark = get_spark("dsep-bench")
+
+    # warm the JVM + file listing once with a trivial action, outside timing
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

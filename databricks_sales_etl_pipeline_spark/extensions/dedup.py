@@ -63,13 +63,17 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingles(col: str = "text", k: int = 3):
     """Distinct k-word shingles of a text column (built-ins only: split +
-    transform over a sequence — no UDF)."""
+    transform over a sequence — no UDF). Texts with fewer than k words yield
+    an empty array (sequence() would step BACKWARD for start>stop, producing
+    bogus negative indices — hence the explicit guard)."""
     words = F.split(F.lower(F.col(col)), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(-1))),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]),
-        )
+    seq = F.sequence(F.lit(0), F.size(words) - k)
+    make = F.transform(
+        seq,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]),
+    )
+    return F.when(F.size(words) >= k, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -39,17 +39,22 @@ def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio per document."""
     d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), _WS), lambda x: x != "")
-    return (
+    # materialize the two counts once, derive ttr from the columns — the
+    # array_distinct pass is the expensive part, don't run it twice
+    counted = (
         d.select("doc_id", toks.alias("toks"))
         .where(F.size("toks") > 0)
         .select(
             "doc_id",
             F.size("toks").alias("n_tokens"),
             F.size(F.array_distinct("toks")).alias("n_distinct"),
-            (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
-                "ttr"
-            ),
         )
+    )
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("ttr"),
     )
 
 

@@ -1,0 +1,75 @@
+"""Physical-plan assertions (the 100 TB posture, SURVEY §4): broadcasts
+where intended, filters and column pruning pushed into the parquet scans,
+no driver-side anti-patterns. These guard against regressions that stay
+correct but stop scaling."""
+
+from __future__ import annotations
+
+import pytest
+
+from databricks_sales_etl_pipeline_spark.registry import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def _explain(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _explain(spark, "join_star_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation & region at minimum
+    assert "CartesianProduct" not in plan
+
+
+def test_star_join_prunes_lineitem_columns(spark):
+    plan = _explain(spark, "join_star_revenue")
+    # lineitem scan must read only the 3 referenced columns
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_star_join_pushes_date_filter(spark):
+    plan = _explain(spark, "join_star_revenue")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_filter_range_pushdown(spark):
+    plan = _explain(spark, "filter_range")
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "GreaterThan(o_totalprice,200000.0)" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _explain(spark, "topk_recent_days")
+    assert "TakeOrderedAndProject" in plan  # no global sort for ORDER BY+LIMIT
+
+
+def test_semi_join_is_semi(spark):
+    plan = _explain(spark, "join_semi")
+    assert "LeftSemi" in plan
+
+
+def test_group_agg_is_partial_final(spark):
+    plan = _explain(spark, "agg_group_category")
+    # partial (map-side) + final HashAggregate pairs
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_group_category", "join_star_revenue", "window_topn_per_group"],
+)
+def test_whole_stage_codegen_active(spark, name):
+    # under AQE the final plan exists only after execution; the executed
+    # plan marks fused pipelines with WholeStageCodegen nodes
+    df = QUERIES[name](spark, SF_DIR)
+    df.collect()  # count() would execute a DERIVED plan; AQE finalizes this one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # '*(N)' prefixes = operators fused into whole-stage-codegen pipelines
+    assert "*(" in plan
