@@ -1,0 +1,88 @@
+"""Vector math over the embeddings table (north star: the array-column
+compute layer under similarity search).
+
+All arithmetic on quantized integer milli-units (exact, order-independent)
+so per-label centroids — a SUM across rows per dimension — are reproducible
+in the oracle despite Spark's nondeterministic partition order.
+
+Scale shape: posexplode turns (n_vectors × dim) into n·d rows ONCE, then a
+single hash aggregation on (label, dim) — map-side combine keeps the shuffle
+at n_labels·dim rows regardless of corpus size. The alternative (array-level
+zip_with fold over collect_list) would buffer whole groups in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.extensions.similarity import int_dot, quantize
+from databricks_sales_etl_pipeline_spark.registry import query
+
+
+@query(
+    "ext_embedding_norms",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm_sq_milli,
+           sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) / 1000.0
+               AS l2_norm
+    FROM q
+    """,
+)
+def ext_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row vector math: exact squared norm on quantized ints + the
+    derived L2 norm (per-row IEEE, deterministic)."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = quantize(F.col("embedding"))
+    nsq = int_dot(qv, qv)
+    return e.select(
+        "vec_id",
+        "label",
+        nsq.alias("norm_sq_milli"),
+        (F.sqrt(nsq.cast("double")) / 1000.0).alias("l2_norm"),
+    )
+
+
+@query(
+    "ext_embedding_centroids",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               unnest(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS qval,
+               unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           COUNT(*) AS n_vectors,
+           SUM(qval) AS sum_milli,
+           (CAST(SUM(qval) AS DOUBLE) / COUNT(*)) / 1000.0 AS centroid
+    FROM q
+    GROUP BY label, dim
+    """,
+)
+def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long format (label, dim): posexplode +
+    hash-aggregate — the k-means-update / class-prototype dataflow."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(quantize(F.col("embedding"))).alias("pos", "qval")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("qval").alias("sum_milli"),
+        )
+        .withColumn(
+            "centroid", (F.col("sum_milli").cast("double") / F.col("n_vectors")) / 1000.0
+        )
+    )

@@ -82,6 +82,38 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_term_frequency",
+    oracle="""
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 20
+    """,
+)
+def ext_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4e — corpus term/document frequency top-20 (explode → groupBy; ties
+    broken by token so the top-k is deterministic). The TF-IDF building
+    block; at 100 TB the explode shuffles one row per token occurrence, so
+    production adds a per-partition pre-aggregation — which Catalyst's
+    partial HashAggregate already provides."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _WS), lambda x: x != "")
+    return (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(20)
+    )
+
+
 # shared stopword lists for quality + language-ID (tiny bounded dims —
 # inlined as literals, the SQL twin uses identical lists)
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]

@@ -1,0 +1,122 @@
+"""OLAP completions: cube, pivot, exact median, salted aggregation.
+
+The salted variant is the skew playbook made executable: pre-aggregate on
+(key, salt) — spreading a hot key over N reducers — then re-aggregate on the
+key. Counts and integer-cents sums are associative, so the result is
+IDENTICAL to the direct groupBy (the oracle is the plain GROUP BY), while
+the shuffle profile changes from 1 hot partition to N. At 100 TB with a
+skewed key this is the difference between a straggler task and an even
+stage; AQE's skew-join handles the join case, salting handles aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+_ORDER_CENTS = cents_sql("o_totalprice")
+_EXT_CENTS = cents_sql("l_extendedprice")
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+           COUNT(*) AS n_orders,
+           SUM({_ORDER_CENTS}) AS revenue_cents
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1b — full cube over (priority, status) with grouping_id."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("revenue_cents"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O' THEN {_EXT_CENTS} END) AS O_cents,
+           SUM(CASE WHEN l_linestatus = 'F' THEN {_EXT_CENTS} END) AS F_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus → columns. Values list passed explicitly — without
+    it Spark runs an extra distinct job AND the output schema becomes
+    data-dependent (schema drift at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(cents("l_extendedprice")))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("O_cents"),
+            F.col("F").alias("F_cents"),
+        )
+    )
+
+
+@query(
+    "agg_median_cents",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           quantile_cont({_ORDER_CENTS}, 0.5) AS median_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_median_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group, computed on integer cents:
+    midpoint interpolation on integers < 2^52 is exact in IEEE, so Spark's
+    percentile() and DuckDB's quantile_cont() agree bit-for-bit (they would
+    NOT on raw double inputs). At 100 TB prefer approx_percentile — exact
+    percentile materializes per-group value buffers."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            f"percentile(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT), 0.5)"
+        ).alias("median_cents"),
+    )
+
+
+@query(
+    "ext_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           SUM({_EXT_CENTS}) AS revenue_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: (key, salt) partial → key final.
+    Result is identical to the direct groupBy (associative measures), which
+    is exactly what the oracle checks."""
+    li = load(spark, sf_dir, "lineitem")
+    n_salts = 16
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(n_salts)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(cents("l_extendedprice")).alias("pc"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_items"),
+        F.sum("pc").alias("revenue_cents"),
+    )

@@ -29,17 +29,23 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.operators.joins",
     "databricks_sales_etl_pipeline_spark.operators.setops",
     "databricks_sales_etl_pipeline_spark.operators.windows",
+    "databricks_sales_etl_pipeline_spark.operators.olap",
+    "databricks_sales_etl_pipeline_spark.operators.asof",
     "databricks_sales_etl_pipeline_spark.sources.inline",
     "databricks_sales_etl_pipeline_spark.sources.generator",
     "databricks_sales_etl_pipeline_spark.sources.sinks",
+    "databricks_sales_etl_pipeline_spark.sources.catalog_ops",
     "databricks_sales_etl_pipeline_spark.functions.json_fns",
     "databricks_sales_etl_pipeline_spark.functions.udfs",
     "databricks_sales_etl_pipeline_spark.streaming.tumbling",
     "databricks_sales_etl_pipeline_spark.streaming.sessionize",
+    "databricks_sales_etl_pipeline_spark.streaming.stateful",
     "databricks_sales_etl_pipeline_spark.extensions.dedup",
     "databricks_sales_etl_pipeline_spark.extensions.similarity",
     "databricks_sales_etl_pipeline_spark.extensions.textstats",
     "databricks_sales_etl_pipeline_spark.extensions.multimodal",
+    "databricks_sales_etl_pipeline_spark.extensions.embedding_math",
+    "databricks_sales_etl_pipeline_spark.extensions.sampling",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
 ]
 

@@ -1,0 +1,89 @@
+"""Custom stateful streaming operator (SURVEY §2 T3 family / north star):
+``applyInPandasWithState`` — the sanctioned escape hatch when built-in
+windows/watermarks can't express the state machine.
+
+The demo operator keeps one state cell per user (event count, value-cents
+sum) and emits a summary row when the group is invoked — under
+Trigger.AvailableNow that is once per user. In production the same shape
+implements CDC dedup, per-entity rate limiting, online feature rollups.
+State is partitioned by key across executors; a watermark + timeout bounds
+it on unbounded streams.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from databricks_sales_etl_pipeline_spark.catalog import EVENTS_RAW_SCHEMA, nanos_to_ts
+from databricks_sales_etl_pipeline_spark.registry import query
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def _per_user_counter(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, cents_sum = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # per-row cents (floor(x*100+0.5)) — same money discipline as SQL side
+        cents_sum += int((pdf["value"] * 100 + 0.5).apply(int).sum())
+    state.update((n, cents_sum))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_cents": [cents_sum]}
+    )
+
+
+@query("stream_stateful_counter")  # rows-only: arbitrary-state op, no SQL twin
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful aggregation over the event stream via
+    applyInPandasWithState (update mode, AvailableNow → one summary row per
+    user; deterministic row count = n_users)."""
+    stream = nanos_to_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        _per_user_counter,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"state_{uuid.uuid4().hex[:12]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"dsep_ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
