@@ -22,6 +22,9 @@ from databricks_sales_etl_pipeline_spark.registry import QUERIES, load_all
 from databricks_sales_etl_pipeline_spark.session import get_spark
 
 HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
     "agg_group_category",
     "agg_scalar_kpis",
     "topk_recent_days",

@@ -1,0 +1,152 @@
+"""Classic TPC-H-shape analytical queries (Q1 / Q3 / Q6 adapted to the
+testdata's columns) — the standard proof that the engine's scan→filter→
+join→agg→topk pipeline composes correctly at benchmark-grade complexity.
+
+All money aggregates ride the integer-cents discipline; per-row composite
+expressions (price·(1−disc)·(1+tax)) stay in doubles until the final
+per-row cents conversion, identically parenthesized in the oracle.
+
+Scale notes: Q1 is one scan + tiny hash agg (map-side combine). Q6 is a
+pure pushed-filter scan aggregation — the fastest possible shape. Q3 joins
+two facts after dimension filtering; the customer filter reduces the orders
+side before the orders⋈lineitem shuffle, and top-10 is
+TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+_DISC_CENTS = cents_sql("l_extendedprice * (1 - l_discount)")
+_CHARGE_CENTS = cents_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+_EXT_CENTS = cents_sql("l_extendedprice")
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           SUM({_EXT_CENTS}) / 100.0 AS sum_base_price,
+           SUM({_DISC_CENTS}) / 100.0 AS sum_disc_price,
+           SUM({_CHARGE_CENTS}) / 100.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           (SUM({_EXT_CENTS}) / 100.0) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary report: one scan, 6 aggregates per (flag, status)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    ext = F.sum(cents("l_extendedprice"))
+    disc = F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    charge = F.sum(
+        cents(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        )
+    )
+    qty = F.sum(F.col("l_quantity").cast("bigint"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qty.alias("sum_qty"),
+            (ext / 100.0).alias("sum_base_price"),
+            (disc / 100.0).alias("sum_disc_price"),
+            (charge / 100.0).alias("sum_charge"),
+            (qty.cast("double") / n).alias("avg_qty"),
+            ((ext / 100.0) / n).alias("avg_price"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           SUM({_DISC_CENTS}) AS revenue_cents,
+           CAST(o.o_orderdate AS DATE) AS order_day,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue_cents DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: segment-filtered customers × unshipped orders,
+    top-10 by revenue (orderkey tiebreak → deterministic)."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("order_day"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle=f"""
+    SELECT SUM({cents_sql('l_extendedprice * l_discount')}) / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast revenue change: pure pushed-filter scan aggregation —
+    every predicate reaches the parquet reader."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -30,6 +30,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.operators.setops",
     "databricks_sales_etl_pipeline_spark.operators.windows",
     "databricks_sales_etl_pipeline_spark.operators.olap",
+    "databricks_sales_etl_pipeline_spark.operators.tpch",
     "databricks_sales_etl_pipeline_spark.operators.asof",
     "databricks_sales_etl_pipeline_spark.sources.inline",
     "databricks_sales_etl_pipeline_spark.sources.generator",
