@@ -1,0 +1,167 @@
+"""Date-part analytics + the remaining dimension tables (part, supplier).
+
+year()/month() are imported-but-unused in the reference
+(`01_project_setup_and_ingestion.py:26`) — SURVEY §2.5 says implement the
+period-rollup intent anyway. The part/supplier joins complete coverage of
+every testdata table; both dims are broadcast (bounded relative to the
+fact side; AQE confirms via size estimate at plan time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+_ORDER_CENTS = cents_sql("o_totalprice")
+_REV_CENTS = cents_sql("l_extendedprice * (1 - l_discount)")
+
+
+@query(
+    "agg_monthly_revenue",
+    oracle=f"""
+    SELECT date_part('year', o_orderdate) AS order_year,
+           date_part('month', o_orderdate) AS order_month,
+           COUNT(*) AS n_orders,
+           SUM({_ORDER_CENTS}) AS revenue_cents
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_year, order_month
+    """,
+)
+def agg_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period rollup via year()/month() — the monitoring-by-period intent of
+    the reference's unused imports. Low-cardinality keys → tiny shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+@query(
+    "agg_brand_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           SUM({_REV_CENTS}) AS revenue_cents,
+           COUNT(DISTINCT l.l_partkey) AS n_parts
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY revenue_cents DESC, p_brand
+    """,
+)
+def agg_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per part brand: fact ⋈ broadcast part dim → hash agg."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("p_brand"))
+    )
+
+
+@query(
+    "agg_supplier_revenue",
+    oracle=f"""
+    SELECT s.s_name, n.n_name AS nation,
+           COUNT(*) AS n_items,
+           SUM({_REV_CENTS}) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY s.s_name, n.n_name
+    ORDER BY revenue_cents DESC, s_name
+    """,
+)
+def agg_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier with nation attribution — double broadcast dim
+    chain onto the fact scan."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("s_name"))
+    )
+
+
+@query(
+    "window_rank_suite",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK()        OVER w AS rnk,
+           DENSE_RANK()  OVER w AS drnk,
+           NTILE(4)      OVER w AS quartile,
+           CUME_DIST()   OVER w AS cdist
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1b — the full ranking-function family over one window (unique
+    (price, partkey) ordering → deterministic)."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "dq_null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_discount, 0.0) AS disc_or_null,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_filled,
+           CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END AS was_zero
+    FROM lineitem
+    """,
+)
+def dq_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-surface operators: nullif / coalesce / flag — the na.fill
+    family expressed declaratively (na.fill compiles to the same coalesce)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_or_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_or_null.alias("disc_or_null"),
+        F.coalesce(disc_or_null, F.lit(-1.0)).alias("disc_filled"),
+        F.when(F.col("l_discount") == 0.0, 1).otherwise(0).alias("was_zero"),
+    )

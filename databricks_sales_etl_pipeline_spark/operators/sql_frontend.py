@@ -1,0 +1,76 @@
+"""SQL front-end queries (SURVEY §3.2): the reference mixes spark.sql()
+strings and DataFrame chains against one catalog
+(`01_project_setup_and_ingestion.py:231-240` vs
+`02_business_transformation_gold.py:56`) — front-end equivalence over a
+shared catalog is part of the capability surface. These queries run through
+``spark.sql`` over views registered by catalog.register_views; Catalyst
+produces the identical physical plan either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from databricks_sales_etl_pipeline_spark.catalog import register_views
+from databricks_sales_etl_pipeline_spark.functions.money import cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+_ORDER_CENTS = cents_sql("o_totalprice")
+_EXT_CENTS = cents_sql("l_extendedprice")
+
+_SQL_GROUP = f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM({_ORDER_CENTS}) / CAST(100 AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o_custkey) AS unique_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY revenue DESC
+"""
+
+
+@query(
+    "sql_frontend_group",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM({_ORDER_CENTS}) / 100.0 AS revenue,
+           COUNT(DISTINCT o_custkey) AS unique_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY revenue DESC
+    """,
+)
+def sql_frontend_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-entry-point twin of agg_group_city: the SQL-string form of the
+    reference's Gold query (`01:231-240`), same catalog, same plan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUP)
+
+
+_SQL_SUBQUERY = f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {_ORDER_CENTS} >
+          (SELECT CAST(SUM({_ORDER_CENTS}) AS DOUBLE) / COUNT(*) FROM orders)
+    ORDER BY o_orderkey
+"""
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {_ORDER_CENTS} >
+          (SELECT CAST(SUM({_ORDER_CENTS}) AS DOUBLE) / COUNT(*) FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the mean order value (computed on exact
+    cents; the bigint>double comparison is identical in both engines).
+    Catalyst plans the subquery as a one-row broadcast — one extra scan, no
+    per-row recomputation."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SUBQUERY)
