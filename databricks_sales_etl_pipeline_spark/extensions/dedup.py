@@ -61,11 +61,34 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_shingles(df: DataFrame, col: str = "text", k: int = 3, out: str = "sh") -> DataFrame:
+    """Add a distinct k-word-shingle array column (built-ins only, no UDF).
+
+    Construction is zip_with over k-1 shifted slices of the words array —
+    NOT element_at(words, i+j) inside a transform lambda: an outer
+    expression referenced from inside a higher-order lambda is re-evaluated
+    on every lambda invocation (and projection collapsing re-inlines any
+    intermediate column), so the indexed form costs O(len²) regex splits
+    per document — measured ~10× slower at sf0.1. zip_with's array
+    arguments are direct children, evaluated once per row; the lambda does
+    only cheap string concat. zip_with pads the shorter side with null; the
+    final slice drops the padded tail. Texts with fewer than k words yield
+    an empty array."""
+    w = F.split(F.lower(F.col(col)), r"\s+")
+    zipped = w
+    for j in range(1, k):
+        shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
+        zipped = F.zip_with(zipped, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    sh = F.when(
+        F.size(w) >= k,
+        F.array_distinct(F.slice(zipped, 1, F.size(w) - (k - 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn(out, sh)
+
+
 def shingles(col: str = "text", k: int = 3):
-    """Distinct k-word shingles of a text column (built-ins only: split +
-    transform over a sequence — no UDF). Texts with fewer than k words yield
-    an empty array (sequence() would step BACKWARD for start>stop, producing
-    bogus negative indices — hence the explicit guard)."""
+    """Column-expression form (tests / small frames). Prefer with_shingles
+    in data paths — see its docstring for the lambda-recompute hazard."""
     words = F.split(F.lower(F.col(col)), r"\s+")
     seq = F.sequence(F.lit(0), F.size(words) - k)
     make = F.transform(
@@ -105,30 +128,49 @@ _NGRAM_ORACLE = """
 
 @query("ext_dedup_ngram", oracle=_NGRAM_ORACLE)
 def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2a — exact n-gram Jaccard near-dup pairs (3-word shingles,
-    J >= 0.5) via shingle inverted index + self-join. Counts are integers →
-    jaccard is IEEE-deterministic → oracle-checkable. At 100 TB this exact
-    join runs only on LSH candidates (ext_dedup_minhash)."""
+    """X2a — EXACT n-gram Jaccard near-dup pairs (3-word shingles, J >= 0.5)
+    via shingle inverted-index self-join with a length-ratio filter
+    (J >= t is impossible unless t·|x| <= |y| <= |x|/t — pruned inside the
+    join). Join rows carry only (doc_id, n_sh, shingle); intersections are
+    COUNTED by the grouped join, so no arrays cross the shuffle. Integer
+    counts → IEEE-deterministic jaccard → oracle-checkable.
+
+    Scale note: cost ∝ Σ_shingle df². Fine while shingle document-frequency
+    is bounded (here max df=25 at sf0.1); with hot shingles, add PPJoin
+    prefix filtering (rare-first canonical order, join on each doc's first
+    n-⌈t·n⌉+1 shingles — still exact) or gate on ext_dedup_minhash_native
+    candidates. The exact join is the verifier; LSH is the 100 TB path."""
+    t = 0.5
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles()).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    docs = with_shingles(d).select("doc_id", "sh").where(F.size("sh") > 0)
+
+    # inverted index rows carry only (doc_id, n_sh, shingle) — two ints +
+    # one string through the join shuffle, never whole arrays
+    sh = docs.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length-ratio filter: J >= t impossible outside [t·n, n/t]
+            & (F.col("b.n_sh") * t <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * t <= F.col("b.n_sh")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("size_a"),
+            F.col("b.n_sh").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
     )
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.5)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= t
     )
 
 
@@ -141,7 +183,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles().alias("sh")).where(F.size("sh") > 0)
+    sh = with_shingles(d).select("doc_id", "sh").where(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
     feat = tf.transform(sh)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
@@ -154,6 +196,62 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             F.col("jaccard_dist"),
         )
+    )
+
+
+N_TABLES = 8
+
+
+@query("ext_dedup_minhash_native")  # rows-only: hash-based candidates, no SQL twin
+def ext_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b' — banded MinHash built from JVM built-ins only (no pyspark.ml):
+    8 independent min-hashes per doc (xxhash64 seeded by table index, one
+    aggregation pass), candidates = pairs sharing any minhash (r=1, b=8 →
+    P(candidate | J=0.5) = 1-(1-J)^8 ≈ 99.6%), then EXACT Jaccard verify via
+    array_intersect. Deterministic (xxhash64 is seed-stable) → stable row
+    count for the rows-only check. ~10× faster than the pyspark.ml
+    MinHashLSH route at sf0.1 and shuffles 8 longs per doc instead of
+    sparse vectors."""
+    t = 0.5
+    d = load(spark, sf_dir, "documents")
+    docs = with_shingles(d).select("doc_id", "sh").where(F.size("sh") > 0)
+    sh = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+            for j in range(N_TABLES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"h{j}").alias("h"))
+                    for j in range(N_TABLES)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    verified = candidates.join(da, "doc_a").join(db, "doc_b")
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= t
     )
 
 

@@ -56,6 +56,18 @@ def test_shingles_short_text_empty(spark):
     assert df.select(shingles("text").alias("sh")).first()["sh"] == []
 
 
+def test_with_shingles_matches_expression_form(spark):
+    from databricks_sales_etl_pipeline_spark.extensions.dedup import with_shingles
+
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps",), ("one two",), ("a b c d",), ("a a a a",)],
+        "text string",
+    )
+    fast = [r["sh"] for r in with_shingles(df).select("sh").collect()]
+    slow = [r["sh"] for r in df.select(shingles("text").alias("sh")).collect()]
+    assert fast == slow
+
+
 def test_generator_deterministic_and_in_domain(spark):
     a = gen_orders(spark, n=50).collect()
     b = gen_orders(spark, n=50).collect()
