@@ -112,6 +112,66 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(binary_df: DataFrame) -> DataFrame:
+    """Frame-sampling stage: treat the payload as fixed-size frames, keep
+    every FRAME_STRIDE-th, emit per-frame metadata + digest. mapInPandas →
+    rows out ≠ rows in (the flatMap shape a video pipeline needs)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    frame = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, FRAME_SCHEMA)
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i * {FRAME_STRIDE} AS INT) AS frame_idx,
+           CAST(length(substring(text, i * {FRAME_STRIDE} * {FRAME_BYTES} + 1,
+                                 {FRAME_BYTES})) AS INT) AS frame_len,
+           md5(substring(text, i * {FRAME_STRIDE} * {FRAME_BYTES} + 1,
+                         {FRAME_BYTES})) AS frame_md5
+    FROM documents,
+         unnest(range(0, (CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT)
+                          + {FRAME_STRIDE} - 1) // {FRAME_STRIDE})) AS t(i)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing 3 — frame sampling over an opaque binary column
+    (every {stride}-th 64-byte frame with its md5), executed as an
+    Arrow-batched mapInPandas flatMap. ASCII text payloads make the digest
+    oracle-checkable (bytes == chars); a real video decoder swaps into
+    sample_frames without touching the dataflow."""
+    d = load(spark, sf_dir, "documents")
+    bin_df = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(bin_df)
+
+
 @query(
     "mm_decode_stub",
     oracle="""

@@ -162,6 +162,168 @@ def ext_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DEDUP_THRESHOLD = 0.45
+
+_EMB_DEDUP_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                    i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE)))
+                   AS cos_sim
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {_EMB_DEDUP_THRESHOLD}
+"""
+
+
+@query("ext_dedup_embedding", oracle=_EMB_DEDUP_ORACLE)
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (north star's 5th dedup modality):
+    all pairs with cosine >= 0.45, exact quantized-integer math. Brute-force
+    O(n²) — correct at corpus sizes where it fits (oracle scale); the 100 TB
+    path gates this exact check on ext_similarity_lsh bucket collisions
+    (same bucket → candidate), identical verify expression."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(F.col("vec_id"), quantize(F.col("embedding")).alias("qv"))
+    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = (
+        int_dot(F.col("qa"), F.col("qb")).cast("double")
+        / (
+            F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
+            * F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
+        )
+    )
+    return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
+        F.col("cos_sim") >= _EMB_DEDUP_THRESHOLD
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings
+    ), sums AS (  -- integer centroid SUM vectors (same direction as the mean)
+        SELECT label, list(s ORDER BY dim) AS sv
+        FROM (
+            SELECT label, dim, SUM(qval) AS s
+            FROM (
+                SELECT label,
+                       unnest(qv) AS qval,
+                       unnest(range(1, len(qv) + 1)) AS dim
+                FROM q
+            )
+            GROUP BY label, dim
+        )
+        GROUP BY label
+    ), probes AS (   -- nearest centroid per query vector, all-integer dots
+        SELECT vec_id AS query_id, qv, label AS probe_label FROM (
+            SELECT q.vec_id, q.qv, s.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                    i -> q.qv[i] * s.sv[i])) AS DOUBLE)
+                                / sqrt(CAST(list_sum(list_transform(s.sv, x -> x * x))
+                                       AS DOUBLE)) DESC,
+                                s.label
+                   ) AS rn
+            FROM (SELECT * FROM q WHERE vec_id < {N_QUERIES}) q CROSS JOIN sums s
+        ) WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(p.qv) + 1),
+                    i -> p.qv[i] * c.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+                   AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, len(p.qv) + 1),
+                        i -> p.qv[i] * c.qv[i])) AS DOUBLE)
+                   / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+                      * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+                   DESC, c.vec_id) AS rank
+        FROM probes p JOIN q c ON c.label = p.probe_label
+        WHERE c.vec_id <> p.query_id
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+@query("ext_similarity_ivf", oracle=_IVF_ORACLE)
+def ext_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3c — IVF-style ANN: coarse quantizer = per-label centroids (the
+    labels stand in for k-means cells), probe the nearest centroid, exact
+    re-rank only within that cell — the scan shrinks by the cell count.
+    All-integer trick: rank centroids by cos(q, SUM-vector) — the integer
+    sum vector has the centroid's direction, so no float accumulation ever
+    happens (exact across engines). nprobe=1 here; production raises nprobe
+    for recall."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
+
+    sums = (
+        q.select("label", F.posexplode("qv").alias("dim", "qval"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qval").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda x: x.getField("s"),
+            ).alias("sv")
+        )
+    )
+
+    queries = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv")
+    )
+    probe_score = (
+        int_dot(F.col("qv"), F.col("sv")).cast("double")
+        / F.sqrt(int_dot(F.col("sv"), F.col("sv")).cast("double"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("label")
+    )
+    probes = (
+        queries.crossJoin(broadcast(sums))
+        .select("query_id", "qv", "label", probe_score.alias("score"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") == 1)
+        .select("query_id", "qv", F.col("label").alias("probe_label"))
+    )
+
+    c = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("probe_label"),
+        F.col("qv").alias("cv"),
+    )
+    cos = (
+        int_dot(F.col("qv"), F.col("cv")).cast("double")
+        / (
+            F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+            * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        c.join(broadcast(probes), "probe_label")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
 @query("ext_approx_distinct")  # rows-only: HLL estimate has no exact SQL twin
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — approx_count_distinct (HyperLogLog++) beside its exact twin.
