@@ -86,6 +86,33 @@ def with_shingles(df: DataFrame, col: str = "text", k: int = 3, out: str = "sh")
     return df.withColumn(out, sh)
 
 
+def shingle_rows(df: DataFrame, col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct (doc_id, n_sh, shingle) rows — the long-format shingle
+    pipeline used by the similarity joins. posexplode + lead-window +
+    concat_ws stays entirely inside whole-stage codegen (higher-order
+    functions are CodegenFallback: interpreted per element, measured 2.6×
+    slower warm); dedup + per-doc count ride the same doc_id shuffle."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        "doc_id", F.posexplode(F.split(F.lower(F.col(col)), r"\s+")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", j).over(win) for j in range(1, k)]
+    sh = (
+        words.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("w"), *leads).alias("shingle"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    return sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+
+
 def shingles(col: str = "text", k: int = 3):
     """Column-expression form (tests / small frames). Prefer with_shingles
     in data paths — see its docstring for the lambda-recompute hazard."""
@@ -143,15 +170,9 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = 0.5
     d = load(spark, sf_dir, "documents")
     # lazy localCheckpoint: the self-join consumes the shingle pipeline on
-    # both sides — materialize it once instead of recomputing per branch
-    docs = (
-        with_shingles(d).select("doc_id", "sh").where(F.size("sh") > 0)
-        .localCheckpoint(eager=False)
-    )
-
-    # inverted index rows carry only (doc_id, n_sh, shingle) — two ints +
-    # one string through the join shuffle, never whole arrays
-    sh = docs.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    # both sides — materialize it once instead of recomputing per branch.
+    # Rows carry only (doc_id, n_sh, shingle) — never whole arrays.
+    sh = shingle_rows(d).localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -220,12 +241,8 @@ def ext_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = 0.5
     d = load(spark, sf_dir, "documents")
     # shared by signature build + both sides of the verify join — checkpoint
-    # once (halves the query: 8.7s → 4.6s at sf0.1)
-    docs = (
-        with_shingles(d).select("doc_id", "sh").where(F.size("sh") > 0)
-        .localCheckpoint(eager=False)
-    )
-    sh = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    # the codegen'd long-format shingle pipeline once
+    sh = shingle_rows(d).localCheckpoint(eager=False)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
@@ -255,12 +272,24 @@ def ext_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    verified = candidates.join(da, "doc_a").join(db, "doc_b")
-    inter = F.size(F.array_intersect("sha", "shb"))
-    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
-    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+    # exact verify on the (small) candidate set via count-join — long-format
+    # rows, no arrays, no higher-order functions
+    ra = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"), "shingle"
+    )
+    rb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"), "shingle"
+    )
+    common = (
+        candidates.join(ra, "doc_a")
+        .join(rb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return common.select("doc_a", "doc_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= t
     )
 
