@@ -38,16 +38,16 @@ def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4a — whitespace tokenization: token count, vocabulary size,
     type-token ratio per document."""
     d = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), _WS), lambda x: x != "")
-    # materialize the two counts once, derive ttr from the columns — the
-    # array_distinct pass is the expensive part, don't run it twice
+    # long format: explode + count/countDistinct stays in whole-stage codegen
+    # (array_distinct is a CodegenFallback higher-order path — measured
+    # slower); the group key shuffle is on doc_id with map-side combine
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), _WS)).alias("token"))
     counted = (
-        d.select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") > 0)
-        .select(
-            "doc_id",
-            F.size("toks").alias("n_tokens"),
-            F.size(F.array_distinct("toks")).alias("n_distinct"),
+        toks.where(F.col("token") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct"),
         )
     )
     return counted.select(
@@ -111,6 +111,34 @@ def ext_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(20)
+    )
+
+
+@query(
+    "ext_edit_distance",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, substring(lower(text), 1, 24) AS head
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    """,
+)
+def ext_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4f — pairwise Levenshtein distance over document heads (both engines
+    implement the standard unit-cost edit distance). O(n²·m²) — strictly a
+    small-candidate-set verifier at scale, same role as the exact Jaccard."""
+    d = load(spark, sf_dir, "documents")
+    p = d.where(F.col("doc_id") < 20).select(
+        "doc_id", F.substring(F.lower("text"), 1, 24).alias("head")
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("ha"))
+    b = p.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.levenshtein("ha", "hb").alias("edit_dist"))
     )
 
 

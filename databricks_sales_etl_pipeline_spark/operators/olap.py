@@ -96,6 +96,31 @@ def agg_median_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) * 50000 AS bucket_lo,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via closed-form bucketing — O(n) scan + tiny
+    agg, the profile primitive behind CBO statistics and skew detection."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0)
+    return (
+        o.groupBy(
+            bucket.alias("bucket"), (bucket * 50000).alias("bucket_lo")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bucket")
+    )
+
+
+@query(
     "ext_salted_agg",
     oracle=f"""
     SELECT l_returnflag,

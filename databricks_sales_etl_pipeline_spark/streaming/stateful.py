@@ -56,6 +56,37 @@ def _per_user_counter(
     )
 
 
+@query("stream_dedup")  # rows-only: streaming-native op
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicatesWithinWatermark on
+    (user_id, event_type) — the CDC/at-least-once-ingest cleanup operator.
+    The watermark bounds dedup state (without it, state grows with every
+    distinct key forever). AvailableNow single batch → deterministic row
+    count = distinct (user_id, event_type) pairs."""
+    stream = nanos_to_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).withWatermark("ts", "10 minutes")
+    deduped = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    sink = f"dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"dsep_ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
 @query("stream_stateful_counter")  # rows-only: arbitrary-state op, no SQL twin
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful aggregation over the event stream via
