@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis): the cross-engine float-parity
+discipline holds for arbitrary inputs, not just the fixtures.
+
+Each example generates a batch of values and runs ONE Spark job over the
+batch (per-value jobs would be prohibitively slow), comparing against DuckDB
+and pure-Python evaluations of the same IEEE expression tree.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from databricks_sales_etl_pipeline_spark.functions.money import cents
+from databricks_sales_etl_pipeline_spark.plans.merge import merge_upsert
+
+MONEY = st.one_of(
+    st.floats(min_value=0, max_value=1e9, allow_nan=False, allow_infinity=False),
+    # adversarial: values engineered near .xx5 rounding boundaries
+    st.integers(min_value=0, max_value=10**7).map(lambda n: n / 100 + 0.005),
+    st.integers(min_value=0, max_value=10**7).map(lambda n: n / 1000),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(MONEY, min_size=1, max_size=300))
+def test_cents_matches_duckdb_and_python(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [r[0] for r in df.select(cents("x")).collect()]
+    py = [math.floor(v * 100 + 0.5) for v in values]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(FLOOR(x * 100 + 0.5) AS BIGINT) FROM t"
+        ).fetchall()
+    ]
+    assert got == py == duck
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(st.integers(0, 50), st.integers(-1000, 1000), max_size=30),
+    st.dictionaries(st.integers(0, 50), st.integers(-1000, 1000), max_size=30),
+)
+def test_merge_upsert_laws(spark, target, updates):
+    t = spark.createDataFrame([(k, v) for k, v in target.items()] or [(None, None)], "k int, v int").where("k IS NOT NULL")
+    u = spark.createDataFrame([(k, v) for k, v in updates.items()] or [(None, None)], "k int, v int").where("k IS NOT NULL")
+    merged = {r["k"]: r["v"] for r in merge_upsert(t, u, ["k"]).collect()}
+    expected = {**target, **updates}
+    assert merged == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=20))
+def test_shingle_rows_match_python_model(spark, texts):
+    from databricks_sales_etl_pipeline_spark.extensions.dedup import shingle_rows
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["shingle"]) for r in shingle_rows(df).collect()
+    }
+    expected = set()
+    for i, text in enumerate(texts):
+        # python model of the same semantics: split on \s+, 3-gram shingles,
+        # distinct. NB: split keeps empty tokens at the edges, like the SQL.
+        import re
+
+        words = re.split(r"\s+", text.lower())
+        for j in range(len(words) - 2):
+            expected.add((i, " ".join(words[j : j + 3])))
+    assert got == expected
