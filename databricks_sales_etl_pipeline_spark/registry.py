@@ -43,12 +43,14 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.streaming.tumbling",
     "databricks_sales_etl_pipeline_spark.streaming.sessionize",
     "databricks_sales_etl_pipeline_spark.streaming.stateful",
+    "databricks_sales_etl_pipeline_spark.streaming.join",
     "databricks_sales_etl_pipeline_spark.extensions.dedup",
     "databricks_sales_etl_pipeline_spark.extensions.similarity",
     "databricks_sales_etl_pipeline_spark.extensions.textstats",
     "databricks_sales_etl_pipeline_spark.extensions.multimodal",
     "databricks_sales_etl_pipeline_spark.extensions.embedding_math",
     "databricks_sales_etl_pipeline_spark.extensions.sampling",
+    "databricks_sales_etl_pipeline_spark.extensions.corpus",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
 ]
 

@@ -1,0 +1,74 @@
+"""Stream-stream join (north star streaming completeness): purchases ⋈
+signups as two watermarked streams with an interval condition.
+
+State posture: each side buffers rows until the watermark passes the join
+window (here: signup must precede the purchase by ≤ 7 days), after which
+state is evicted — the condition's time bound is what makes a stream-stream
+join feasible on unbounded input; without it state grows forever.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import EVENTS_RAW_SCHEMA, nanos_to_ts
+from databricks_sales_etl_pipeline_spark.registry import query
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nanos_to_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query("stream_stream_join")  # rows-only: streaming-native execution
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined to the same user's signups within the prior 7 days —
+    both sides are real streams with watermarks + an interval join condition
+    (bounded state). AvailableNow single batch → deterministic row count."""
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    signups = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("purchase_id", "user_id", "purchase_ts", "signup_ts")
+    sink = f"ssj_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"dsep_ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink)
