@@ -120,6 +120,102 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority check: correlated EXISTS → left-semi join (ships
+    no lineitem payload; the semi join short-circuits per order)."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle=f"""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-mode shape: join + conditional CASE aggregation (the
+    pivot-without-pivot pattern)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+    SELECT 100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                            THEN {_DISC_CENTS} ELSE 0 END)
+           / SUM({_DISC_CENTS}) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: conditional revenue share (exact cents in both
+    numerator and denominator → the division is IEEE-deterministic)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        (F.lit(100.0) * promo / F.sum(rev)).alias("promo_revenue_pct")
+    )
+
+
+@query(
     "tpch_q6",
     oracle=f"""
     SELECT SUM({cents_sql('l_extendedprice * l_discount')}) / 100.0 AS revenue,

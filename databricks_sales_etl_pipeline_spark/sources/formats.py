@@ -1,0 +1,51 @@
+"""File-format sources beyond parquet (engine completeness: CSV + JSON
+round-trips with explicit schemas — inference is allowed only at Bronze
+ingest per SURVEY §1.6, so both readers take the catalog StructType).
+
+Scale notes: CSV/JSON are row-oriented and splittable (uncompressed) but
+carry no column pruning or predicate pushdown — the engine treats them as
+INGEST formats whose first hop is a parquet/Delta Bronze write; analytics
+never run on them directly at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from databricks_sales_etl_pipeline_spark.catalog import SCHEMAS, load
+from databricks_sales_etl_pipeline_spark.registry import query
+
+
+def _tmp(tag: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"dsep_fmt_{tag}_{uuid.uuid4().hex}")
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source with explicit schema and header — the classic
+    ingest edge. Values survive exactly (ints + strings here; doubles would
+    round-trip via Spark's shortest-repr float formatting)."""
+    n = load(spark, sf_dir, "nation")
+    path = _tmp("csv")
+    n.write.option("header", "true").csv(path)
+    return spark.read.schema(SCHEMAS["nation"]).option("header", "true").csv(path)
+
+
+@query(
+    "src_json_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source with explicit schema (no sampling pass —
+    schema inference on JSON costs a full extra scan at scale)."""
+    r = load(spark, sf_dir, "region")
+    path = _tmp("json")
+    r.write.json(path)
+    return spark.read.schema(SCHEMAS["region"]).json(path)
