@@ -225,6 +225,47 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_W = 4
+
+
+@query("ext_fingerprint_winnow")  # rows-only: xxhash64 k-gram hashes, no SQL twin
+def ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1c — winnowing document fingerprints (the rolling-hash selection
+    scheme used by MOSS-style near-dup/plagiarism detection): hash every
+    3-word k-gram, slide a window of W consecutive positions, keep each
+    window's minimum hash, deduplicate. Guarantees: any shared run of
+    W+k-1 words between two documents yields at least one shared
+    fingerprint, while storing only ~2/(W+1) of all k-gram hashes.
+
+    Long-format dataflow: positional shingles → xxhash64 → min over a
+    sliding ROWS window per doc — all codegen'd, one doc_id shuffle."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w")
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    l1, l2 = F.lead("w", 1).over(seq), F.lead("w", 2).over(seq)
+    grams = (
+        words.select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.concat_ws(" ", F.col("w"), l1, l2)).alias("h"),
+            l2.isNotNull().alias("_full"),
+        )
+        .where("_full")
+    )
+    win = seq.rowsBetween(0, WINNOW_W - 1)
+    picked = grams.select(
+        "doc_id", F.min("h").over(win).alias("fingerprint")
+    ).dropDuplicates(["doc_id", "fingerprint"])
+    return picked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fingerprint"),
+    )
+
+
 N_TABLES = 8
 
 
