@@ -31,9 +31,14 @@ def ext_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_sample_bernoulli")  # rows-only: RNG not reproducible cross-engine
+@query("ext_sample_bernoulli")  # rows-only: xxhash64 has no DuckDB twin
 def ext_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (deterministic within Spark — stable row count
-    for the driver's rows-only check across runs)."""
+    """Hash-Bernoulli 5% sample: keep rows whose seeded key-hash falls in
+    the acceptance band. Unlike df.sample() — whose RNG is seeded PER
+    PARTITION, so results change with the split layout — this is a pure
+    function of the key: identical on any cluster, any partitioning, any
+    engine with the same hash. That reproducibility is what makes sampled
+    pipelines debuggable at 100 TB."""
     o = load(spark, sf_dir, "orders")
-    return o.sample(fraction=0.05, seed=42).select("o_orderkey", "o_totalprice")
+    accept = F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(42)), F.lit(100)) < 5
+    return o.where(accept).select("o_orderkey", "o_totalprice")
