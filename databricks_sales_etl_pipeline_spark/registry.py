@@ -41,6 +41,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.sources.formats",
     "databricks_sales_etl_pipeline_spark.functions.json_fns",
     "databricks_sales_etl_pipeline_spark.functions.udfs",
+    "databricks_sales_etl_pipeline_spark.functions.scalar_fns",
     "databricks_sales_etl_pipeline_spark.streaming.tumbling",
     "databricks_sales_etl_pipeline_spark.streaming.sessionize",
     "databricks_sales_etl_pipeline_spark.streaming.stateful",
