@@ -172,6 +172,65 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(bin_df)
 
 
+RESIZE_STRIDE = 2
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.IntegerType()),
+        T.StructField("resized_bytes", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_payloads(binary_df: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
+    """'Resize' stage stub: byte-stride downsampling (every stride-th byte) —
+    the shape of an image-resize / audio-downsample stage: payload in,
+    smaller payload out, per-row, Arrow-batched. A real resampler replaces
+    the slice; partitioning, schema, and batch flow are identical."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b[::stride]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["payload"].map(len),
+                    "resized_bytes": resized.map(len),
+                    "resized_md5": resized.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return binary_df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+@query(
+    "mm_resize_stub",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, strlen(text) AS orig_bytes,
+               array_to_string(list_transform(
+                   range(1, strlen(text) + 1, {RESIZE_STRIDE}),
+                   i -> substring(text, CAST(i AS INT), 1)), '') AS resized
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(orig_bytes AS INT) AS orig_bytes,
+           CAST(strlen(resized) AS INT) AS resized_bytes,
+           md5(resized) AS resized_md5
+    FROM r
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing 4 — the resize/downsample stage over binary
+    payloads (ASCII text bytes make the digest oracle-checkable)."""
+    d = load(spark, sf_dir, "documents")
+    bin_df = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return resize_payloads(bin_df)
+
+
 @query(
     "mm_decode_stub",
     oracle="""

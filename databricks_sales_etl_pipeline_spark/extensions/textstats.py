@@ -153,13 +153,15 @@ _SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
     oracle=f"""
     WITH t AS (
         SELECT doc_id,
-               length(text) AS n_chars_len,
+               length(text) AS n_chars_len, text,
                list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
                    AS toks
         FROM documents
     )
     SELECT doc_id, n_chars_len,
            len(toks) AS n_tokens,
+           CAST(n_chars_len - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                AS DOUBLE) / n_chars_len AS punct_ratio,
            CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
                / len(toks) AS stopword_ratio,
            CAST(n_chars_len AS DOUBLE) / len(toks) AS avg_token_len,
@@ -177,16 +179,21 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split(F.lower("text"), _WS), lambda x: x != "")
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     base = d.select(
-        "doc_id", F.length("text").alias("n_chars_len"), toks.alias("toks")
+        "doc_id", F.length("text").alias("n_chars_len"), "text", toks.alias("toks")
     ).where(F.size("toks") > 0)
     sw_ratio = (
         F.size(F.filter(F.col("toks"), lambda x: F.array_contains(sw, x))).cast("double")
         / F.size("toks")
     )
+    punct_ratio = (
+        F.col("n_chars_len")
+        - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    ).cast("double") / F.col("n_chars_len")
     return base.select(
         "doc_id",
         "n_chars_len",
         F.size("toks").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
         sw_ratio.alias("stopword_ratio"),
         (F.col("n_chars_len").cast("double") / F.size("toks")).alias("avg_token_len"),
         F.when((F.size("toks") >= 20) & (sw_ratio >= 0.05), 1).otherwise(0).alias(
