@@ -60,6 +60,56 @@ def test_group_agg_is_partial_final(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+# streaming / sink / eager queries excluded: side effects or no lazy plan
+_PLAN_AUDIT_SKIP = {
+    "stream_watermark_agg",
+    "stream_stateful_counter",
+    "stream_dedup",
+    "stream_stream_join",
+    "sink_overwrite",
+    "sink_append",
+    "sink_merge_schema",
+    "src_csv_roundtrip",
+    "src_json_roundtrip",
+    "ext_dedup_minhash",  # pyspark.ml fit() is eager
+}
+
+# queries where a broadcast nested-loop join is the INTENDED plan (tiny
+# broadcast side, non-equi or inequality condition)
+_NLJ_ALLOWED = {
+    "join_range_bands",
+    "ext_similarity_topk",
+    "ext_similarity_ivf",
+    "ext_dedup_embedding",
+    "ext_edit_distance",
+    "setop_union_all",
+}
+
+
+def test_plan_hygiene_all_queries(spark):
+    """Global guard: no unintended cartesian/nested-loop joins, bounded
+    shuffle count (true shuffles, not broadcasts) in every registered plan."""
+    offenders = []
+    for name in sorted(QUERIES):
+        if name in _PLAN_AUDIT_SKIP:
+            continue
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        nlj = plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin")
+        if shuffles > 8:
+            offenders.append((name, f"{shuffles} shuffles"))
+        if nlj and name not in _NLJ_ALLOWED:
+            offenders.append((name, "unintended nested-loop/cartesian join"))
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize(
     "name",
     ["agg_group_category", "join_star_revenue", "window_topn_per_group"],
