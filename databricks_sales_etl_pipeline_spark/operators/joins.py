@@ -124,6 +124,30 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy hints: force a shuffled hash join (no sort phase —
+    wins over sort-merge when one side is much smaller but too big to
+    broadcast; the planner won't always pick it because hash tables must
+    fit). The hint changes the physical strategy, never the result — which
+    is exactly what the oracle checks."""
+    c = load(spark, sf_dir, "customer").hint("shuffle_hash")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
     "join_star_revenue",
     oracle=f"""
     SELECT n.n_name AS nation,
