@@ -121,6 +121,49 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_collect_list",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           len(list_distinct(list(o_custkey))) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_set ≡ DuckDB list_distinct(list(...))),
+    SORTED so the array cells hash identically — collect_* output order is
+    nondeterministic by contract. Bounded domains only: collecting an
+    unbounded group into one array is the classic 100 TB OOM."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.size(F.collect_set("o_custkey")).alias("n_customers"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT NULLIF(l_linenumber % 3, 0) AS grp FROM lineitem
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b
+    FROM d a JOIN d b ON a.grp IS NOT DISTINCT FROM b.grp
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> ≡ IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantic trap in every SCD/merge
+    join on nullable keys."""
+    li = load(spark, sf_dir, "lineitem")
+    d = li.select(F.nullif(F.col("l_linenumber") % 3, F.lit(0)).alias("grp")).distinct()
+    a = d.select(F.col("grp").alias("grp_a"))
+    b = d.select(F.col("grp").alias("grp_b"))
+    return a.join(b, F.col("grp_a").eqNullSafe(F.col("grp_b")))
+
+
+@query(
     "ext_salted_agg",
     oracle=f"""
     SELECT l_returnflag,
