@@ -32,6 +32,43 @@ def fee_adjusted():
 
 
 @query(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, len(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')))) AS INT)
+               AS pos,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS token
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — Python UDTF (Spark 4 user-defined TABLE function): one input row
+    → many output rows, invoked via LATERAL join in SQL. The UDTF is the
+    escape hatch for per-row expansion logic too irregular for explode();
+    like row UDFs it is the slow path — this one is expressible as explode
+    (which is what the oracle does), proving the mechanism correct."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.lower().split()):
+                yield i, tok
+
+    spark.udtf.register("tokenize", Tokenize)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM udtf_docs d, LATERAL tokenize(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )
+
+
+@query(
     "udf_pandas_scalar",
     oracle="""
     SELECT event_id, value, value * 0.97 + 1.5 AS adjusted

@@ -80,6 +80,28 @@ def silver_quality_report(silver: DataFrame) -> dict:
     }
 
 
+def observed_silver_write(silver: DataFrame, path: str) -> dict:
+    """Silver write with DQ metrics OBSERVED during the write pass itself
+    (df.observe + accumulator-backed aggregates): row count, null counts,
+    amount range — captured at zero extra scans. At 100 TB this is the only
+    affordable DQ: the reference's post-write check suite re-reads the table
+    once per metric (`01:170-204`); even our batched report costs two extra
+    scans. Observation metrics ride the write job."""
+    from pyspark.sql import Observation
+
+    obs = Observation("silver_dq")
+    observed = silver.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("order_id").isNull(), 1)).alias("null_order_ids"),
+        F.count(F.when(F.col("total_amount").isNull(), 1)).alias("null_amounts"),
+        F.min("total_amount").alias("min_amount"),
+        F.max("total_amount").alias("max_amount"),
+    )
+    write_table(observed, path, mode="overwrite")
+    return obs.get
+
+
 def gold_group_analytics(silver: DataFrame, key: str) -> DataFrame:
     """Per-key analytics (ref `02:56,63`): orders, revenue, avg, unique
     customers — English column names (SURVEY do-not-do list drops the

@@ -71,3 +71,20 @@ def test_monitoring_last7(pipeline, spark):
     assert 0 < len(rows) <= 7
     days = [r["order_date"] for r in rows]
     assert days == sorted(days, reverse=True)
+
+
+def test_observed_silver_write_zero_extra_scans(spark, tmp_path):
+    from databricks_sales_etl_pipeline_spark.plans.medallion import (
+        observed_silver_write,
+        silver_transform,
+        to_bronze_format,
+    )
+    from databricks_sales_etl_pipeline_spark.sources.generator import gen_orders
+
+    silver = silver_transform(to_bronze_format(gen_orders(spark, n=250)))
+    metrics = observed_silver_write(silver, str(tmp_path / "silver_obs"))
+    assert metrics["n_rows"] == 250
+    assert metrics["null_order_ids"] == 0 and metrics["null_amounts"] == 0
+    assert 10.0 <= metrics["min_amount"] <= metrics["max_amount"]
+    # and the write really happened with the same rows
+    assert read_table(spark, str(tmp_path / "silver_obs")).count() == 250
