@@ -71,10 +71,12 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_WINDOW_ORACLE = """
     WITH flagged AS (
         SELECT user_id, ts, event_id,
-               -- session_window semantics: windows [ts, ts+gap) merge only on
-               -- OVERLAP, so a gap of exactly 30min starts a NEW session (>=),
-               -- unlike the islands operator above (>).
-               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+               -- session_window merge is INCLUSIVE at the boundary (verified
+               -- empirically, tests/test_semantics_edges.py): an event at
+               -- exactly prev_ts + gap still merges, so a new session starts
+               -- only when the gap is STRICTLY greater — same as the islands
+               -- operator above.
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) AS events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
