@@ -121,6 +121,33 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM({_ORDER_CENTS}) AS revenue_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1c — explicit GROUPING SETS (the general form rollup/cube compile
+    to): per-priority totals, per-status totals, and the grand total in one
+    Expand + HashAggregate pass instead of three scans + union."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
     "agg_collect_list",
     oracle="""
     SELECT o_orderpriority,
