@@ -1,0 +1,237 @@
+"""TPC-H shapes, second batch (Q7/Q10/Q13/Q18/Q19 adapted to the testdata's
+columns) — the harder relational patterns: two-role dimension joins,
+top-k revenue reporting, zero-preserving distribution histograms,
+having-gated semi joins, disjunctive multi-table predicates.
+
+Same discipline as tpch.py: integer-cents money, deterministic tiebreaks,
+broadcast bounded dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+_REV_CENTS = cents_sql("l_extendedprice * (1 - l_discount)")
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           date_part('year', l.l_shipdate) AS l_year,
+           SUM({_REV_CENTS}) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, date_part('year', l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping: the SAME dimension (nation) joined in two roles
+    (supplier side + customer side) with a symmetric pair predicate — the
+    double-alias join pattern."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           SUM({_REV_CENTS}) AS revenue_cents
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: top-20 customers by lost revenue in a
+    window (custkey tiebreak → deterministic top-k)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer distribution: two-level aggregation with the
+    zero-order customers preserved by the left join (COUNT(col) skips
+    nulls) — the histogram-of-a-groupBy pattern."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_day,
+           o.o_totalprice,
+           (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: HAVING-gated aggregate feeding an IN
+    (semi-join) filter, with the per-order quantity re-attached — the
+    aggregate-then-rejoin pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty")
+    )
+    big = qty.where(F.col("total_qty") > 150)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_day"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT SUM({_REV_CENTS}) AS revenue_cents, COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue: disjunction of conjunctive multi-table
+    predicates — Catalyst pushes the common join key through the OR and
+    evaluates the residual disjunction post-join in one pass."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (q >= 10) & (q <= 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (q >= 20) & (q <= 40))
+    )
+    return j.where(cond).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_cents"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )

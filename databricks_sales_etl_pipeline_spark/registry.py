@@ -31,6 +31,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.operators.windows",
     "databricks_sales_etl_pipeline_spark.operators.olap",
     "databricks_sales_etl_pipeline_spark.operators.tpch",
+    "databricks_sales_etl_pipeline_spark.operators.tpch_more",
     "databricks_sales_etl_pipeline_spark.operators.sql_frontend",
     "databricks_sales_etl_pipeline_spark.operators.dates_dims",
     "databricks_sales_etl_pipeline_spark.operators.asof",
