@@ -63,6 +63,48 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(load(spark, sf_dir, "events"))
 
 
+@query(
+    "stream_sliding_counts",
+    oracle=f"""
+    WITH starts AS (
+        SELECT event_type, {cents_sql('value')} AS vc,
+               unnest([
+                   time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+                   time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                       - INTERVAL 30 MINUTE
+               ]) AS win_start,
+               CAST(ts AS TIMESTAMP) AS tts
+        FROM events
+    )
+    SELECT win_start, event_type,
+           COUNT(*) AS n_events,
+           SUM(vc) AS value_cents
+    FROM starts
+    WHERE tts >= win_start AND tts < win_start + INTERVAL 1 HOUR
+    GROUP BY win_start, event_type
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1b — SLIDING event-time windows (1 h window, 30 min slide): every
+    event lands in duration/slide = 2 overlapping windows — the trend-
+    smoothing shape. The oracle expands each event to its two candidate
+    window starts and filters, which is exactly Spark's expansion."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 @query("stream_watermark_agg")  # no oracle: true streaming execution, rows-only
 def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 — the same tumbling aggregation executed as a real Structured
