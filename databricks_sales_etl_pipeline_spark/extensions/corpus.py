@@ -43,7 +43,7 @@ _PIPELINE_ORACLE = f"""
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens_per_doc
     FROM deduped WHERE rn = 1
     GROUP BY lang

@@ -63,7 +63,7 @@ def ext_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label, CAST(dim AS INT) AS dim,
            COUNT(*) AS n_vectors,
-           SUM(qval) AS sum_milli,
+           CAST(SUM(qval) AS BIGINT) AS sum_milli,
            (CAST(SUM(qval) AS DOUBLE) / COUNT(*)) / 1000.0 AS centroid
     FROM q
     GROUP BY label, dim

@@ -113,13 +113,13 @@ _LSH_ORACLE = f"""
         FROM embeddings
     ), buckets AS (
         SELECT vec_id,
-               list_sum(list_transform(range(0, {N_PLANES}), j ->
+               CAST(list_sum(list_transform(range(0, {N_PLANES}), j ->
                    CASE WHEN list_sum(list_transform(range(1, len(cv) + 1), i ->
                             cv[CAST(i AS INT)] *
                             (CAST((j * 64 + i - 1) * 2654435761 % 2001 AS BIGINT) - 1000)
                         )) > 0
                         THEN CAST(power(2, j) AS BIGINT) ELSE 0 END
-               )) AS bucket_id
+               )) AS BIGINT) AS bucket_id
         FROM c
     )
     SELECT bucket_id, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id

@@ -36,6 +36,18 @@ def cents_sql(expr: str) -> str:
     return f"CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)"
 
 
+def sum_bigint_sql(expr: str) -> str:
+    """DuckDB integer-SUM with driver-safe typing.
+
+    DuckDB ``SUM`` over ANY integer type returns HUGEINT, which the
+    driver's pandas canonicalizer (`.df()`) coerces to float64 ("6.0"),
+    while Spark's ``SUM(BIGINT)`` stays int64 ("6") — a guaranteed
+    value-hash mismatch (the round-1 systematic failure class). Every
+    integer-typed oracle aggregate that is emitted RAW (not divided into a
+    double) must go through this wrapper."""
+    return f"CAST(SUM({expr}) AS BIGINT)"
+
+
 def euros(cents_col: Column | str) -> Column:
     """bigint cents → 2-dp double euros."""
     c = F.col(cents_col) if isinstance(cents_col, str) else cents_col

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import load
-from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.functions.money import (
+    cents,
+    cents_sql,
+    sum_bigint_sql,
+)
 from databricks_sales_etl_pipeline_spark.registry import query
 
 _ORDER_CENTS = cents_sql("o_totalprice")
@@ -35,7 +39,7 @@ def agg_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_scalar_kpis",
     oracle=f"""
     SELECT COUNT(*) AS total_orders,
-           SUM({_ORDER_CENTS}) AS revenue_cents,
+           {sum_bigint_sql(_ORDER_CENTS)} AS revenue_cents,
            SUM({_ORDER_CENTS}) / 100.0 AS total_revenue,
            (SUM({_ORDER_CENTS}) / 100.0) / COUNT(*) AS avg_order_value,
            MIN(o_totalprice) AS min_order,
@@ -88,7 +92,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            COUNT(*) AS n_items,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           {sum_bigint_sql("CAST(l_quantity AS BIGINT)")} AS sum_qty,
            SUM({_EXT_CENTS}) / 100.0 AS revenue,
            (SUM({_EXT_CENTS}) / 100.0) / COUNT(*) AS avg_revenue,
            COUNT(DISTINCT l_suppkey) AS n_suppliers
@@ -211,7 +215,7 @@ def agg_kpi_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT CAST(o_orderdate AS DATE) AS order_day,
            COUNT(*) AS n_orders,
-           SUM({_ORDER_CENTS}) AS revenue_cents
+           {sum_bigint_sql(_ORDER_CENTS)} AS revenue_cents
     FROM orders
     GROUP BY CAST(o_orderdate AS DATE)
     ORDER BY order_day DESC
@@ -240,7 +244,7 @@ def topk_recent_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority, o_orderstatus,
            GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
            COUNT(*) AS n_orders,
-           SUM({_ORDER_CENTS}) AS revenue_cents
+           {sum_bigint_sql(_ORDER_CENTS)} AS revenue_cents
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,

@@ -27,7 +27,7 @@ _REV_CENTS = cents_sql("l_extendedprice * (1 - l_discount)")
     SELECT date_part('year', o_orderdate) AS order_year,
            date_part('month', o_orderdate) AS order_month,
            COUNT(*) AS n_orders,
-           SUM({_ORDER_CENTS}) AS revenue_cents
+           CAST(SUM({_ORDER_CENTS}) AS BIGINT) AS revenue_cents
     FROM orders
     GROUP BY 1, 2
     ORDER BY order_year, order_month
@@ -55,7 +55,7 @@ def agg_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT p.p_brand,
            COUNT(*) AS n_items,
-           SUM({_REV_CENTS}) AS revenue_cents,
+           CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents,
            COUNT(DISTINCT l.l_partkey) AS n_parts
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -85,7 +85,7 @@ def agg_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT s.s_name, n.n_name AS nation,
            COUNT(*) AS n_items,
-           SUM({_REV_CENTS}) AS revenue_cents
+           CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey

@@ -46,7 +46,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
-           SUM({_REV_CENTS}) AS revenue_cents
+           CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -152,7 +152,7 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n.n_name AS nation,
            COUNT(*) AS n_items,
-           SUM({_REV_CENTS}) AS revenue_cents,
+           CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents,
            SUM({_REV_CENTS}) / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey

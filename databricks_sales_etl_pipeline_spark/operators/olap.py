@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import load
-from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.functions.money import (
+    cents,
+    cents_sql,
+    sum_bigint_sql,
+)
 from databricks_sales_etl_pipeline_spark.registry import query
 
 _ORDER_CENTS = cents_sql("o_totalprice")
@@ -28,7 +32,7 @@ _EXT_CENTS = cents_sql("l_extendedprice")
     SELECT o_orderpriority, o_orderstatus,
            GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
            COUNT(*) AS n_orders,
-           SUM({_ORDER_CENTS}) AS revenue_cents
+           {sum_bigint_sql(_ORDER_CENTS)} AS revenue_cents
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
@@ -47,8 +51,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle=f"""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'O' THEN {_EXT_CENTS} END) AS O_cents,
-           SUM(CASE WHEN l_linestatus = 'F' THEN {_EXT_CENTS} END) AS F_cents
+           {sum_bigint_sql(f"CASE WHEN l_linestatus = 'O' THEN {_EXT_CENTS} END")} AS O_cents,
+           {sum_bigint_sql(f"CASE WHEN l_linestatus = 'F' THEN {_EXT_CENTS} END")} AS F_cents
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -125,7 +129,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderpriority, o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM({_ORDER_CENTS}) AS revenue_cents
+           {sum_bigint_sql(_ORDER_CENTS)} AS revenue_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """,
@@ -151,21 +155,26 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_list",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
-           len(list_distinct(list(o_custkey))) AS n_customers
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+               AS statuses,
+           CAST(len(list_distinct(list(o_custkey))) AS BIGINT) AS n_customers
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation (collect_set ≡ DuckDB list_distinct(list(...))),
-    SORTED so the array cells hash identically — collect_* output order is
-    nondeterministic by contract. Bounded domains only: collecting an
-    unbounded group into one array is the classic 100 TB OOM."""
+    SORTED then JOINED to a scalar string: the driver's pandas canonicalizer
+    crashes on list cells (unhashable), and collect_* output order is
+    nondeterministic by contract, so the stable contract surface is the
+    sorted CSV. Bounded domains only: collecting an unbounded group into one
+    array is the classic 100 TB OOM."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.size(F.collect_set("o_custkey")).alias("n_customers"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.size(F.collect_set("o_custkey")).cast("bigint").alias("n_customers"),
     )
 
 
@@ -195,7 +204,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            COUNT(*) AS n_items,
-           SUM({_EXT_CENTS}) AS revenue_cents
+           {sum_bigint_sql(_EXT_CENTS)} AS revenue_cents
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -31,7 +31,7 @@ _EXT_CENTS = cents_sql("l_extendedprice")
     "tpch_q1",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            SUM({_EXT_CENTS}) / 100.0 AS sum_base_price,
            SUM({_DISC_CENTS}) / 100.0 AS sum_disc_price,
            SUM({_CHARGE_CENTS}) / 100.0 AS sum_charge,
@@ -77,7 +77,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3",
     oracle=f"""
     SELECT l.l_orderkey,
-           SUM({_DISC_CENTS}) AS revenue_cents,
+           CAST(SUM({_DISC_CENTS}) AS BIGINT) AS revenue_cents,
            CAST(o.o_orderdate AS DATE) AS order_day,
            o.o_orderpriority
     FROM customer c
@@ -158,10 +158,10 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12",
     oracle=f"""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'

@@ -25,7 +25,7 @@ _REV_CENTS = cents_sql("l_extendedprice * (1 - l_discount)")
     oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            date_part('year', l.l_shipdate) AS l_year,
-           SUM({_REV_CENTS}) AS revenue_cents
+           CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -86,7 +86,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           SUM({_REV_CENTS}) AS revenue_cents
+           CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -167,8 +167,8 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            CAST(o.o_orderdate AS DATE) AS order_day,
            o.o_totalprice,
-           (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l
-            WHERE l.l_orderkey = o.o_orderkey) AS total_qty
+           CAST((SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS BIGINT) AS total_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
@@ -206,7 +206,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q19",
     oracle=f"""
-    SELECT SUM({_REV_CENTS}) AS revenue_cents, COUNT(*) AS n_items
+    SELECT CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents, COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity >= 1 AND l.l_quantity <= 20)

@@ -54,12 +54,12 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
-           SUM({_ORDER_CENTS}) OVER (
+           CAST(SUM({_ORDER_CENTS}) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_cents,
-           LAG({_ORDER_CENTS}) OVER (
+           ) AS BIGINT) AS running_cents,
+           LAG({_ORDER_CENTS}, 1, CAST(0 AS BIGINT)) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
            ) AS prev_cents
@@ -68,7 +68,12 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 — running total + lag per customer ordered by date (integer-cents
-    running sum → exact, order pinned by (date, orderkey))."""
+    running sum → exact, order pinned by (date, orderkey)).
+
+    Driver-typing notes: the windowed SUM is HUGEINT in DuckDB → CAST to
+    BIGINT; LAG takes an explicit 0 default so the column is non-nullable
+    int64 on both engines (a NULL-bearing bigint coerces to float64 in the
+    driver's pandas canonicalizer — avoid when semantics allow)."""
     o = load(spark, sf_dir, "orders")
     ordering = [F.asc("o_orderdate"), F.asc("o_orderkey")]
     w = Window.partitionBy("o_custkey").orderBy(*ordering)
@@ -78,5 +83,5 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.sum(c).over(run).alias("running_cents"),
-        F.lag(c).over(w).alias("prev_cents"),
+        F.lag(c, 1, 0).over(w).alias("prev_cents"),
     )

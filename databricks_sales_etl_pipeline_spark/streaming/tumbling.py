@@ -53,7 +53,7 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM({cents_sql('value')}) AS value_cents
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents
     FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) AS events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -78,7 +78,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT win_start, event_type,
            COUNT(*) AS n_events,
-           SUM(vc) AS value_cents
+           CAST(SUM(vc) AS BIGINT) AS value_cents
     FROM starts
     WHERE tts >= win_start AND tts < win_start + INTERVAL 1 HOUR
     GROUP BY win_start, event_type

@@ -2,17 +2,36 @@
 run every registered query on Spark AND its DuckDB oracle twin, compare
 row count, column names, and the full order-insensitive value multiset.
 
-Comparison is STRICT (exact equality, floats included): queries are designed
-so both engines compute bit-identical doubles (integer-cents aggregation,
-shared IEEE expression trees — functions/money.py). If a future query truly
-cannot be bit-exact, relax HERE deliberately, per query, with a comment.
+DRIVER-FAITHFUL since round 2: the real driver canonicalizes BOTH result
+sets through pandas (DuckDB via ``.df()``, Spark via ``toPandas()``), so
+type coercion is part of the contract:
+
+- DuckDB integer ``SUM`` returns HUGEINT -> pandas float64, while Spark's
+  ``SUM(BIGINT)`` stays int64.  Round 1 shipped 17 hash-fails because the
+  old gate compared ``fetchall()`` Python ints (6 == 6.0).  This gate keeps
+  int64 and float64 DISTINCT, so any oracle missing a ``CAST(... AS
+  BIGINT)`` goes red locally.
+- A nullable integer column coerces to float64 on BOTH sides (pandas has
+  no nullable int64 here) -> compares equal; NaN is normalized to None.
+- List/array and Decimal cells CRASH or mis-hash the driver's
+  canonicalizer -> the gate fails fast with a type-hazard error, so no
+  oracle-checked query may emit them (join arrays to strings instead).
+- Dates are lenient: Spark yields ``datetime.date`` objects, DuckDB
+  ``datetime64`` Timestamps; the driver demonstrably matches them
+  (``cast_to_date`` passed r01), so midnight timestamps equal dates here.
+
+Floats must still match bit-for-bit (integer-cents aggregation, shared
+IEEE expression trees — functions/money.py).
 """
 
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 
+import numpy as np
+import pandas as pd
 import pytest
 
 from databricks_sales_etl_pipeline_spark.registry import ORACLES, QUERIES, load_all
@@ -21,50 +40,70 @@ from tests.conftest import SF_DIR
 load_all()
 
 
-def _norm_cell(v):
+class TypeHazard(AssertionError):
+    """Cell type that the driver's pandas canonicalizer crashes or
+    silently mis-hashes on (lists -> TypeError unhashable; Decimal ->
+    object-dtype repr drift)."""
+
+
+def _norm_cell(v, col: str):
+    # NULL / NaN / NaT all collapse to None: pandas coerces NULL-bearing
+    # numeric columns to float64(NaN) on both engines identically.
+    if v is None:
+        return None
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise TypeHazard(
+            f"column {col!r}: array cell {type(v).__name__} — driver "
+            "canonicalizer crashes on unhashable cells; emit a joined "
+            "string (array_join / array_to_string) instead"
+        )
+    if not isinstance(v, (str, bytes, bytearray)) and pd.isna(v):
+        return None  # NaT / pandas NA
+    if isinstance(v, decimal.Decimal):
+        raise TypeHazard(
+            f"column {col!r}: Decimal cell — DuckDB/Spark decimal repr "
+            "drift; CAST to DOUBLE or BIGINT in both engines"
+        )
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return None
+        return ("f", repr(f + 0.0))  # -0.0 -> 0.0; int64 vs float64 DISTINCT
+    if isinstance(v, (np.bool_, bool)):
+        return ("b", bool(v))
+    if isinstance(v, (np.integer, int)):
+        return ("i", int(v))
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        if v.tzinfo is None and v.time() == datetime.time(0, 0):
+            return ("d", v.date().isoformat())  # midnight ts == date
+        return ("t", v.isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, float):
-        # exact: map -0.0 to 0.0, NaN to a sentinel so equality works
-        if math.isnan(v):
-            return "NaN"
-        return v + 0.0
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, bytes):
-        return v.hex()
-    return v
+        return ("d", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("x", bytes(v).hex())
+    if isinstance(v, str):
+        return ("s", v)
+    raise TypeHazard(f"column {col!r}: unhandled cell type {type(v).__name__}")
 
 
-def _sort_key(row: tuple):
-    # rows may mix types / contain None — order by (is-null, type, repr),
-    # deterministic and identical for identical value multisets
-    return tuple((v is None, type(v).__name__, repr(v)) for v in row)
-
-
-def _normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    named = sorted(cols)
-    out = sorted(
-        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=_sort_key
-    )
-    return named, out
+def _canon(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_norm_cell(row[c], c) for c in cols)
+        for row in pdf.to_dict("records")
+    ]
+    return cols, sorted(rows, key=repr)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(name, spark, duck):
-    sdf = QUERIES[name](spark, SF_DIR)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    d_pdf = duck.execute(ORACLES[name]).df()
 
-    res = duck.execute(ORACLES[name])
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
-
-    s_named, s_norm = _normalize(s_cols, s_rows)
-    d_named, d_norm = _normalize(d_cols, d_rows)
+    s_named, s_norm = _canon(s_pdf)
+    d_named, d_norm = _canon(d_pdf)
 
     assert s_named == d_named, f"{name}: column names differ"
     assert len(s_norm) == len(d_norm), (
