@@ -127,6 +127,33 @@ def shingles(col: str = "text", k: int = 3):
     )
 
 
+def exact_jaccard_on_candidates(candidates: DataFrame, sh: DataFrame, t: float) -> DataFrame:
+    """Exact Jaccard verify of (doc_a, doc_b) candidate pairs against the
+    long-format shingle relation (doc_id, n_sh, shingle): count common
+    shingles via two equi-joins (no arrays cross the shuffle), compute
+    |∩| / (|a| + |b| - |∩|), keep pairs >= t. Shared by the PPJoin-prefix
+    and banded-MinHash candidate generators — both are candidate filters
+    around this one exact verifier."""
+    ra = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"), "shingle"
+    )
+    rb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"), "shingle"
+    )
+    common = (
+        candidates.join(ra, "doc_a")
+        .join(rb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return common.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= t
+    )
+
+
 _NGRAM_ORACLE = """
     WITH sh AS (
         SELECT doc_id, unnest(list_distinct(
@@ -156,48 +183,51 @@ _NGRAM_ORACLE = """
 @query("ext_dedup_ngram", oracle=_NGRAM_ORACLE)
 def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2a — EXACT n-gram Jaccard near-dup pairs (3-word shingles, J >= 0.5)
-    via shingle inverted-index self-join with a length-ratio filter
-    (J >= t is impossible unless t·|x| <= |y| <= |x|/t — pruned inside the
-    join). Join rows carry only (doc_id, n_sh, shingle); intersections are
-    COUNTED by the grouped join, so no arrays cross the shuffle. Integer
-    counts → IEEE-deterministic jaccard → oracle-checkable.
+    with PPJoin-style PREFIX FILTERING: candidates join only on each doc's
+    first n − ⌈t·n⌉ + 1 shingles in a global rare-first canonical order
+    (ascending document frequency, shingle tiebreak). Prefix-filter theorem:
+    two sets with overlap ≥ α must share an element within their first
+    len − α + 1 elements of any common total order, and J ≥ t implies
+    overlap ≥ ⌈t·|x|⌉ — so the prefix join loses NO qualifying pair and the
+    plain inverted-index oracle still matches exactly. The exact verify then
+    counts ALL common shingles per candidate (exact_jaccard_on_candidates).
 
-    Scale note: cost ∝ Σ_shingle df². Fine while shingle document-frequency
-    is bounded (here max df=25 at sf0.1); with hot shingles, add PPJoin
-    prefix filtering (rare-first canonical order, join on each doc's first
-    n-⌈t·n⌉+1 shingles — still exact) or gate on ext_dedup_minhash_native
-    candidates. The exact join is the verifier; LSH is the 100 TB path."""
+    Scale: the naive inverted-index join costs Σ_shingle df² and blows up on
+    hot/stopword shingles; rare-first prefixes keep hot shingles out of the
+    index (they sort last), bounding the candidate join by the df of RARE
+    shingles. A length-ratio filter (J >= t impossible unless
+    t·|x| <= |y| <= |x|/t) prunes inside the join. Join rows carry only
+    (doc_id, n_sh, shingle); no arrays cross the shuffle; integer counts →
+    IEEE-deterministic jaccard → oracle-checkable."""
+    from pyspark.sql import Window
+
     t = 0.5
     d = load(spark, sf_dir, "documents")
-    # lazy localCheckpoint: the self-join consumes the shingle pipeline on
-    # both sides — materialize it once instead of recomputing per branch.
-    # Rows carry only (doc_id, n_sh, shingle) — never whole arrays.
+    # lazy localCheckpoint: prefix build + both verify sides consume the
+    # shingle pipeline — materialize it once instead of recomputing per branch
     sh = shingle_rows(d).localCheckpoint(eager=False)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
+    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare_first = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(doc_freq, "shingle")
+        .withColumn("rnk", F.row_number().over(rare_first))
+        .where(F.col("rnk") <= F.col("n_sh") - F.ceil(F.col("n_sh") * t) + 1)
+        .select("doc_id", "n_sh", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length-ratio filter: J >= t impossible outside [t·n, n/t]
             & (F.col("b.n_sh") * t <= F.col("a.n_sh"))
             & (F.col("a.n_sh") * t <= F.col("b.n_sh")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("size_a"),
-            F.col("b.n_sh").alias("size_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_common")
-    )
-    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= t
-    )
+    return exact_jaccard_on_candidates(candidates, sh, t)
 
 
 @query("ext_dedup_minhash")  # rows-only: LSH model hashes aren't SQL-expressible
@@ -315,24 +345,7 @@ def ext_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact verify on the (small) candidate set via count-join — long-format
     # rows, no arrays, no higher-order functions
-    ra = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"), "shingle"
-    )
-    rb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"), "shingle"
-    )
-    common = (
-        candidates.join(ra, "doc_a")
-        .join(rb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_common")
-    )
-    return common.select("doc_a", "doc_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= t
-    )
+    return exact_jaccard_on_candidates(candidates, sh, t)
 
 
 @query("ext_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin

@@ -105,6 +105,50 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_PLANES = 8
+_LSH_DIM = 64
+
+
+def lsh_bucket(cv_col):
+    """Random-hyperplane (SimHash-for-cosine) bucket id of an integer
+    vector column: sign bits of 8 deterministic pseudo-random hyperplane
+    projections. Hyperplane component i of plane j is
+    ((j*64+i) * 2654435761) % 2001 - 1000 — pure modular arithmetic so the
+    DuckDB twin (:func:`lsh_bucket_sql`) reproduces it exactly."""
+
+    def plane_component(j: int, i: int):
+        return F.lit(((j * _LSH_DIM + i) * 2654435761) % 2001 - 1000).cast("long")
+
+    def projection_sign_bit(j: int):
+        proj = F.aggregate(
+            F.transform(
+                cv_col,
+                lambda x, i: x * F.element_at(
+                    F.array(*[plane_component(j, k) for k in range(_LSH_DIM)]), i + 1
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    return sum(
+        [projection_sign_bit(j) for j in range(N_PLANES)], F.lit(0).cast("long")
+    )
+
+
+def lsh_bucket_sql(cv: str) -> str:
+    """DuckDB twin of :func:`lsh_bucket` (identical integer arithmetic;
+    outer CAST because list_sum returns HUGEINT → float64 in the driver)."""
+    return f"""CAST(list_sum(list_transform(range(0, {N_PLANES}), j ->
+        CASE WHEN list_sum(list_transform(range(1, len({cv}) + 1), i ->
+                 {cv}[CAST(i AS INT)] *
+                 (CAST((j * {_LSH_DIM} + i - 1) * 2654435761 % 2001 AS BIGINT) - 1000)
+             )) > 0
+             THEN CAST(power(2, j) AS BIGINT) ELSE 0 END
+    )) AS BIGINT)"""
+
 
 _LSH_ORACLE = f"""
     WITH c AS (
@@ -112,14 +156,7 @@ _LSH_ORACLE = f"""
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS cv
         FROM embeddings
     ), buckets AS (
-        SELECT vec_id,
-               CAST(list_sum(list_transform(range(0, {N_PLANES}), j ->
-                   CASE WHEN list_sum(list_transform(range(1, len(cv) + 1), i ->
-                            cv[CAST(i AS INT)] *
-                            (CAST((j * 64 + i - 1) * 2654435761 % 2001 AS BIGINT) - 1000)
-                        )) > 0
-                        THEN CAST(power(2, j) AS BIGINT) ELSE 0 END
-               )) AS BIGINT) AS bucket_id
+        SELECT vec_id, {lsh_bucket_sql("cv")} AS bucket_id
         FROM c
     )
     SELECT bucket_id, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
@@ -135,28 +172,8 @@ def ext_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     within bucket ∪ neighboring buckets instead of full scan."""
     e = load(spark, sf_dir, "embeddings")
     c = e.select("vec_id", quantize(F.col("embedding")).alias("cv"))
-    dim = 64
-
-    def plane_component(j: int, i: int):
-        # component i of hyperplane j: ((j*64+i) * 2654435761) % 2001 - 1000
-        return F.lit(((j * dim + i) * 2654435761) % 2001 - 1000).cast("long")
-
-    def projection_sign_bit(j: int):
-        proj = F.aggregate(
-            F.transform(
-                F.col("cv"),
-                lambda x, i: x * F.element_at(
-                    F.array(*[plane_component(j, k) for k in range(dim)]), i + 1
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        return F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    bucket = sum([projection_sign_bit(j) for j in range(N_PLANES)], F.lit(0).cast("long"))
     return (
-        c.select("vec_id", bucket.alias("bucket_id"))
+        c.select("vec_id", lsh_bucket(F.col("cv")).alias("bucket_id"))
         .groupBy("bucket_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -170,6 +187,8 @@ _EMB_DEDUP_ORACLE = f"""
                list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
         FROM embeddings
+    ), bucketed AS (
+        SELECT vec_id, qv, {lsh_bucket_sql("qv")} AS bucket_id FROM q
     ), scored AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
@@ -177,7 +196,8 @@ _EMB_DEDUP_ORACLE = f"""
                / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
                   * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE)))
                    AS cos_sim
-        FROM q a JOIN q b ON a.vec_id < b.vec_id
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {_EMB_DEDUP_THRESHOLD}
 """
@@ -185,16 +205,32 @@ _EMB_DEDUP_ORACLE = f"""
 
 @query("ext_dedup_embedding", oracle=_EMB_DEDUP_ORACLE)
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (north star's 5th dedup modality):
-    all pairs with cosine >= 0.45, exact quantized-integer math. Brute-force
-    O(n²) — correct at corpus sizes where it fits (oracle scale); the 100 TB
-    path gates this exact check on ext_similarity_lsh bucket collisions
-    (same bucket → candidate), identical verify expression."""
+    """Embedding-cosine near-dup pairs (north star's 5th dedup modality),
+    LSH-GATED: candidates are pairs sharing an ext_similarity_lsh bucket
+    (equi-join on bucket_id — a hash/sort-merge join, NOT an all-pairs
+    cross product), then the exact quantized-integer cosine verifies each
+    candidate at >= 0.45. Near-duplicate vectors agree on most hyperplane
+    signs, so bucket collision is the standard high-recall candidate
+    filter; at 100 TB the join shuffles each vector once on its bucket id
+    instead of materializing O(n²) pairs. The oracle reproduces the bucket
+    join bit-for-bit (same modular hyperplane arithmetic)."""
     e = load(spark, sf_dir, "embeddings")
     q = e.select(F.col("vec_id"), quantize(F.col("embedding")).alias("qv"))
-    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"))
-    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    b = q.select("vec_id", "qv", lsh_bucket(F.col("qv")).alias("bucket_id"))
+    a = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("bucket_id").alias("bucket_a"),
+    )
+    bb = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("bucket_id").alias("bucket_b"),
+    )
+    pairs = a.join(
+        bb,
+        (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
+    )
     cos = (
         int_dot(F.col("qa"), F.col("qb")).cast("double")
         / (

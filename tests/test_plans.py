@@ -69,6 +69,7 @@ _PLAN_AUDIT_SKIP = {
     "sink_overwrite",
     "sink_append",
     "sink_merge_schema",
+    "sink_schema_drift",
     "src_csv_roundtrip",
     "src_json_roundtrip",
     "ext_dedup_minhash",  # pyspark.ml fit() is eager
@@ -80,10 +81,38 @@ _NLJ_ALLOWED = {
     "join_range_bands",
     "ext_similarity_topk",
     "ext_similarity_ivf",
-    "ext_dedup_embedding",
     "ext_edit_distance",
     "setop_union_all",
 }
+
+
+def test_embedding_dedup_is_lsh_gated(spark):
+    """ext_dedup_embedding must join candidates on LSH bucket equality —
+    a hash-partitioned equi-join — never an all-pairs cross product
+    (the O(n²) plan is the 100 TB scale-killer the gate exists to avoid)."""
+    plan = (
+        QUERIES["ext_dedup_embedding"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket_a" in plan and "bucket_b" in plan  # equi-join keys
+
+
+def test_ngram_dedup_joins_on_prefix(spark):
+    """ext_dedup_ngram's candidate join must consume the PPJoin prefix
+    pipeline (row_number over rare-first order, rnk <= n - ceil(t*n) + 1),
+    not the full inverted index — hot shingles must never enter the join."""
+    plan = (
+        QUERIES["ext_dedup_ngram"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "row_number" in plan and "rnk" in plan
+    assert "CEIL" in plan or "ceil" in plan  # the prefix-length bound
 
 
 def test_plan_hygiene_all_queries(spark):
