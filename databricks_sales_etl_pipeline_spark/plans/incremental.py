@@ -20,6 +20,7 @@ from databricks_sales_etl_pipeline_spark.plans.medallion import (
     Medallion,
     silver_transform,
 )
+from databricks_sales_etl_pipeline_spark.streaming.util import await_finished
 
 
 def bronze_stream_schema(spark: SparkSession, m: Medallion):
@@ -46,4 +47,4 @@ def run_incremental_silver(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_finished(q, timeout_s)

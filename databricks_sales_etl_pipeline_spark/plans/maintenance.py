@@ -35,11 +35,9 @@ class SchemaDrift:
         return not (self.added or self.missing or self.retyped)
 
 
-def schema_drift(contract: T.StructType, batch: DataFrame) -> SchemaDrift:
-    """Diff an incoming (possibly inferred) batch against the registered
-    contract: added / missing columns and type changes."""
-    want = {f.name: f.dataType.simpleString() for f in contract.fields}
-    got = dict(batch.dtypes)
+def diff_schemas(want: dict[str, str], got: dict[str, str]) -> SchemaDrift:
+    """Pure diff of two {column: type} maps (shared by the ingest gate and
+    the sink_schema_drift report query)."""
     return SchemaDrift(
         added=sorted(set(got) - set(want)),
         missing=sorted(set(want) - set(got)),
@@ -47,6 +45,13 @@ def schema_drift(contract: T.StructType, batch: DataFrame) -> SchemaDrift:
             (c, want[c], got[c]) for c in set(want) & set(got) if want[c] != got[c]
         ),
     )
+
+
+def schema_drift(contract: T.StructType, batch: DataFrame) -> SchemaDrift:
+    """Diff an incoming (possibly inferred) batch against the registered
+    contract: added / missing columns and type changes."""
+    want = {f.name: f.dataType.simpleString() for f in contract.fields}
+    return diff_schemas(want, dict(batch.dtypes))
 
 
 def ingest_with_drift_check(

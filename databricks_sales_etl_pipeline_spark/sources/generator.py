@@ -28,6 +28,15 @@ PAYMENTS = ["Carta di credito", "Contanti", "PayPal"]
 ANCHOR_DATE = "2024-01-01"  # explicit parameter — never datetime.now() (SURVEY §5.2.5)
 
 
+def pad_id(col, width: int):
+    """Zero-pad WITHOUT truncating: lpad(x, w) silently truncates x to w
+    chars, so 'ORD_' || lpad(id, 4) collides beyond id 9999 and corrupts
+    daily_run's max-id parse. Wider ids pass through unchanged (the
+    reference's ORD_%04d printf pads without truncating too)."""
+    s = col.cast("string")
+    return F.when(F.length(s) >= width, s).otherwise(F.lpad(s, width, "0"))
+
+
 def gen_orders(
     spark: SparkSession,
     n: int = 1000,
@@ -41,12 +50,9 @@ def gen_orders(
     cat_idx = (i * 7) % len(CATEGORIES)
     price_cents = (i * 23456791) % 49001 + 1000  # 10.00 .. 500.00
     return spark.range(n).select(
-        F.concat(F.lit("ORD_"), F.lpad((i + start_id).cast("string"), 4, "0")).alias(
-            "order_id"
-        ),
+        F.concat(F.lit("ORD_"), pad_id(i + start_id, 4)).alias("order_id"),
         F.concat(
-            F.lit("CUST_"),
-            F.lpad(((i * 2654435761) % n_customers + 1).cast("string"), 3, "0"),
+            F.lit("CUST_"), pad_id((i * 2654435761) % n_customers + 1, 3)
         ).alias("customer_id"),
         F.element_at(F.array(*[F.lit(c) for c in CATEGORIES]), (cat_idx + 1).cast("int")).alias(
             "category"
@@ -73,7 +79,9 @@ _PAY_LIST = "[" + ", ".join(f"'{p}'" for p in PAYMENTS) + "]"
 @query(
     "src_generator",
     oracle=f"""
-    SELECT 'ORD_' || lpad(CAST(id + 1 AS VARCHAR), 4, '0') AS order_id,
+    SELECT 'ORD_' || CASE WHEN length(CAST(id + 1 AS VARCHAR)) >= 4
+                          THEN CAST(id + 1 AS VARCHAR)
+                          ELSE lpad(CAST(id + 1 AS VARCHAR), 4, '0') END AS order_id,
            'CUST_' || lpad(CAST((id * 2654435761) % 200 + 1 AS VARCHAR), 3, '0')
                AS customer_id,
            list_extract({_CAT_LIST}, CAST((id * 7) % 5 + 1 AS INT)) AS category,

@@ -56,6 +56,49 @@ def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, path)
 
 
+def schema_drift_report(spark: SparkSession, before, after) -> DataFrame:
+    """Bronze-ingest schema-drift report (SURVEY §1.6): diff two schemas
+    into (column_name, change, before_type, after_type) rows — 'added',
+    'removed', or 'type_changed'. Schema metadata is tiny driver-side
+    state (not data), so building the report locally is the right call;
+    the DataFrame output makes it sinkable/alertable like any other table."""
+    from databricks_sales_etl_pipeline_spark.plans.maintenance import diff_schemas
+
+    b = {f.name: f.dataType.simpleString() for f in before.fields}
+    a = {f.name: f.dataType.simpleString() for f in after.fields}
+    d = diff_schemas(b, a)
+    rows = (
+        [(n, "added", None, a[n]) for n in d.added]
+        + [(n, "removed", b[n], None) for n in d.missing]
+        + [(n, "type_changed", w, g) for n, w, g in d.retyped]
+    )
+    return spark.createDataFrame(
+        rows, "column_name string, change string, before_type string, after_type string"
+    )
+
+
+@query(
+    "sink_schema_drift",
+    oracle="""
+    SELECT 'n_extra' AS column_name, 'added' AS change,
+           CAST(NULL AS VARCHAR) AS before_type, 'int' AS after_type
+    """,
+)
+def sink_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6b — drift REPORT beside the mergeSchema sink: ingest a base batch,
+    append an evolved batch (new n_extra column), and report the observed
+    schema drift from the actual on-disk footers (not the intended write
+    schema — the report must witness what the sink really did)."""
+    n = load(spark, sf_dir, "nation")
+    path = _tmp_path("drift")
+    write_table(n, path, mode="overwrite")
+    before = read_table(spark, path).schema
+    evolved = n.withColumn("n_extra", (F.col("n_nationkey") * 2).cast("int"))
+    write_table(evolved, path, mode="append", merge_schema=True)
+    after = read_table(spark, path, merge_schema=True).schema
+    return schema_drift_report(spark, before, after)
+
+
 @query(
     "sink_merge_schema",
     oracle="""

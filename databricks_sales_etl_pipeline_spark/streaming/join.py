@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import EVENTS_RAW_SCHEMA, nanos_to_ts
 from databricks_sales_etl_pipeline_spark.registry import query
+from databricks_sales_etl_pipeline_spark.streaming.util import await_finished
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,5 +71,5 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_finished(q, 180)
     return spark.table(sink)

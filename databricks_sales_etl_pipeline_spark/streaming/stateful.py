@@ -25,6 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from databricks_sales_etl_pipeline_spark.catalog import EVENTS_RAW_SCHEMA, nanos_to_ts
 from databricks_sales_etl_pipeline_spark.registry import query
+from databricks_sales_etl_pipeline_spark.streaming.util import await_finished
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -83,7 +84,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.table(sink)
 
 
@@ -116,5 +117,5 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.table(sink)

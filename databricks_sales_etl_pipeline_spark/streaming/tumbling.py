@@ -27,6 +27,7 @@ from databricks_sales_etl_pipeline_spark.catalog import (
 )
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
+from databricks_sales_etl_pipeline_spark.streaming.util import await_finished
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -132,5 +133,5 @@ def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q, 120)
     return spark.table(sink)

@@ -36,6 +36,33 @@ def test_schema_drift_detects_all_kinds(spark):
     assert d.retyped == [("n_nationkey", "int", "bigint")]
 
 
+def test_schema_drift_report_rows(spark):
+    """The report query's core: an added column yields exactly the
+    ('n_extra', 'added', NULL, 'int') row; removed/retyped likewise."""
+    from pyspark.sql import types as T
+
+    from databricks_sales_etl_pipeline_spark.sources.sinks import schema_drift_report
+
+    before = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    after = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("n_extra", T.IntegerType()),
+        ]
+    )
+    rows = {tuple(r) for r in schema_drift_report(spark, before, after).collect()}
+    assert rows == {
+        ("n_extra", "added", None, "int"),
+        ("b", "removed", "string", None),
+        ("a", "type_changed", "int", "bigint"),
+    }
+
+
 def test_ingest_rejects_drift_unless_allowed(spark, tmp_path):
     path = str(tmp_path / "bronze")
     n = load(spark, SF_DIR, "nation")
