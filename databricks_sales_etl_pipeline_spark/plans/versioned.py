@@ -1,0 +1,265 @@
+"""Versioned parquet tables: the Delta-lake table contract (time travel,
+OPTIMIZE, VACUUM) rebuilt on a plain file-level commit log.
+
+The reference writes managed Delta tables (`01_project_setup_and_ingestion.py:
+122,208`, `02:69-71`, `03:90,99,117,123,127`); Delta isn't installed in this
+environment, so this module re-implements the *transaction-log idea* those
+writes rely on — the public Delta design (Armbrust et al., VLDB 2020
+"Delta Lake: High-Performance ACID Table Storage over Cloud Object Stores"):
+
+- a table = data files + an ordered log of commits, each commit a JSON file
+  ``_vlog/NNNNNNNN.json`` listing files ADDED and files REMOVED;
+- readers resolve a snapshot by replaying the log up to a version — so
+  **time travel** is just "stop replaying early";
+- **append** only adds files (no read-modify-write); **overwrite** adds new
+  files and removes all currently-live ones — old data files stay on disk,
+  which is what makes historical versions readable;
+- **OPTIMIZE** rewrites the live file set into ~target-size files and
+  commits the swap (adds compacted, removes small) — a metadata-only change
+  for readers, same rows;
+- **VACUUM** physically deletes files unreferenced by any retained version
+  and truncates history — after it, time travel before the horizon fails.
+
+Scale posture: commits are driver-side METADATA (a few KB per commit — the
+same posture as Delta's JSON log); data moves only through distributed
+``spark.read``/``df.write``. Snapshot reads hand Spark an explicit file
+list, so partition pruning and predicate pushdown work unchanged. This
+implementation assumes a single writer (the reference's scheduler model);
+multi-writer safety needs an atomic put-if-absent on the next log file —
+exactly Delta's optimistic-concurrency protocol — which object stores
+provide and local filesystems approximate with O_EXCL create.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from databricks_sales_etl_pipeline_spark.session import TARGET_PARTITION_BYTES
+
+_LOG_DIR = "_vlog"
+
+
+@dataclass
+class Commit:
+    version: int
+    adds: list[str]      # data-file paths relative to the table root
+    removes: list[str]
+    op: str              # WRITE | APPEND | OPTIMIZE | VACUUM
+
+
+class VersionedTable:
+    """A parquet table with a file-level commit log (single writer)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+
+    # ---- log plumbing (driver-side metadata only) ----
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.path, _LOG_DIR, f"{version:08d}.json")
+
+    def versions(self) -> list[int]:
+        names = os.listdir(os.path.join(self.path, _LOG_DIR))
+        return sorted(int(n.split(".")[0]) for n in names if n.endswith(".json"))
+
+    def _read_commit(self, version: int) -> Commit:
+        with open(self._log_path(version)) as f:
+            d = json.load(f)
+        return Commit(d["version"], d["adds"], d["removes"], d["op"])
+
+    def _commit(self, adds: list[str], removes: list[str], op: str) -> int:
+        vs = self.versions()
+        version = (vs[-1] + 1) if vs else 0
+        # O_EXCL create = put-if-absent: a concurrent second writer of the
+        # same version fails here instead of corrupting the log
+        fd = os.open(self._log_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {"version": version, "adds": adds, "removes": removes, "op": op}, f
+            )
+        return version
+
+    def live_files(self, version: int | None = None) -> list[str]:
+        """Replay the log up to ``version`` (inclusive) → live file set."""
+        vs = self.versions()
+        if not vs:
+            return []
+        target = vs[-1] if version is None else version
+        if target not in vs:
+            raise ValueError(
+                f"version {target} not in table history {vs} "
+                "(vacuumed or never written)"
+            )
+        live: list[str] = []
+        for v in vs:
+            if v > target:
+                break
+            c = self._read_commit(v)
+            if c.op == "VACUUM":
+                continue
+            removed = set(c.removes)
+            live = [f for f in live if f not in removed] + c.adds
+        return sorted(live)
+
+    # ---- write path ----
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Write df's partitions as parquet under a commit-unique subdir and
+        return the part-file paths (relative to the table root)."""
+        sub = f"data-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, sub)
+        df.write.mode("overwrite").parquet(out)
+        return sorted(
+            os.path.join(sub, n)
+            for n in os.listdir(out)
+            if n.startswith("part-") and n.endswith(".parquet")
+        )
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> int:
+        """S4/S5 with history: append adds files; overwrite adds files and
+        removes the previous snapshot's (old files stay readable via
+        time travel until VACUUM)."""
+        adds = self._write_data(df)
+        removes = self.live_files() if (mode == "overwrite" and self.versions()) else []
+        return self._commit(adds, removes, "WRITE" if mode == "overwrite" else "APPEND")
+
+    # ---- read path ----
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read, optionally AS OF a version (time travel). Hands
+        Spark the explicit live-file list — pushdown/pruning unchanged."""
+        files = self.live_files(version)
+        if not files:
+            raise ValueError(f"table at {self.path} has no data")
+        return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+
+    # ---- maintenance ----
+
+    def optimize(self) -> int:
+        """Compact the live file set to ~TARGET_PARTITION_BYTES files and
+        commit the swap — same rows, fewer files (Delta OPTIMIZE)."""
+        df = self.read()
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        n = max(1, math.ceil(int(size) / TARGET_PARTITION_BYTES))
+        old = self.live_files()
+        adds = self._write_data(df.repartition(n).localCheckpoint(eager=True))
+        return self._commit(adds, old, "OPTIMIZE")
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Physically delete files referenced ONLY by versions older than
+        the last ``retain_last`` snapshots, truncate their log entries, and
+        commit a VACUUM marker. Time travel before the horizon then raises —
+        the same contract as Delta VACUUM breaking time travel past the
+        retention window."""
+        vs = self.versions()
+        keep_versions = vs[-retain_last:]
+        needed: set[str] = set()
+        for v in keep_versions:
+            needed.update(self.live_files(v))
+        all_files = {
+            f
+            for v in vs
+            for c in [self._read_commit(v)]
+            for f in c.adds
+            if c.op != "VACUUM"
+        }
+        doomed = sorted(all_files - needed)
+        for f in doomed:
+            p = os.path.join(self.path, f)
+            if os.path.exists(p):
+                os.remove(p)
+        # CHECKPOINT the horizon version: its commit must carry the FULL
+        # live snapshot (earlier adds it references are about to lose their
+        # log entries) — the role Delta's checkpoint files play
+        horizon = keep_versions[0]
+        snapshot = self.live_files(horizon)
+        os.remove(self._log_path(horizon))
+        with open(self._log_path(horizon), "w") as f:
+            json.dump(
+                {
+                    "version": horizon,
+                    "adds": snapshot,
+                    "removes": [],
+                    "op": "CHECKPOINT",
+                },
+                f,
+            )
+        # drop pre-horizon log entries + empty data dirs
+        for v in vs:
+            if v < horizon:
+                os.remove(self._log_path(v))
+        for d in os.listdir(self.path):
+            full = os.path.join(self.path, d)
+            if d.startswith("data-") and os.path.isdir(full) and not os.listdir(full):
+                shutil.rmtree(full)
+        self._commit([], [], "VACUUM")
+        return doomed
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one dict per retained commit."""
+        return [
+            {
+                "version": c.version,
+                "operation": c.op,
+                "n_added": len(c.adds),
+                "n_removed": len(c.removes),
+            }
+            for v in self.versions()
+            for c in [self._read_commit(v)]
+        ]
+
+
+# ---- registered driver queries (real write→time-travel round-trips) ----
+
+import tempfile  # noqa: E402
+
+from databricks_sales_etl_pipeline_spark.catalog import load  # noqa: E402
+from databricks_sales_etl_pipeline_spark.registry import query  # noqa: E402
+
+
+def _tmp_table(tag: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"dsep_vtbl_{tag}_{uuid.uuid4().hex}")
+
+
+@query(
+    "tbl_time_travel",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def tbl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: write nation as v0, append more rows as v1, then read
+    AS OF v0 — the oracle checks the v0 snapshot is bit-identical to the
+    source even though the table has moved on."""
+    n = load(spark, sf_dir, "nation")
+    t = VersionedTable(spark, _tmp_table("tt"))
+    t.write(n, mode="overwrite")                 # v0
+    t.write(n.limit(7), mode="append")           # v1
+    return t.read(version=0)
+
+
+@query(
+    "tbl_optimize_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def tbl_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE preserves data exactly: two appended copies of nation,
+    fragmented into many small files, compacted, read back — the oracle is
+    the plain doubled source (file layout is invisible to readers)."""
+    n = load(spark, sf_dir, "nation")
+    t = VersionedTable(spark, _tmp_table("opt"))
+    t.write(n.repartition(8), mode="overwrite")
+    t.write(n.repartition(8), mode="append")
+    t.optimize()
+    return t.read()

@@ -55,6 +55,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.sampling",
     "databricks_sales_etl_pipeline_spark.extensions.corpus",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
+    "databricks_sales_etl_pipeline_spark.plans.versioned",
 ]
 
 

@@ -70,6 +70,8 @@ _PLAN_AUDIT_SKIP = {
     "sink_append",
     "sink_merge_schema",
     "sink_schema_drift",
+    "tbl_time_travel",
+    "tbl_optimize_roundtrip",
     "src_csv_roundtrip",
     "src_json_roundtrip",
     "ext_dedup_minhash",  # pyspark.ml fit() is eager

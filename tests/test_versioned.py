@@ -1,0 +1,105 @@
+"""Versioned-table (Delta-lite) contract: time travel, OPTIMIZE, VACUUM,
+checkpointed history truncation, single-writer commit guard."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.plans.versioned import VersionedTable
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture
+def nation(spark):
+    return load(spark, SF_DIR, "nation")
+
+
+def test_time_travel_snapshots(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    n = nation.count()
+    t.write(nation, mode="overwrite")            # v0
+    t.write(nation.limit(7), mode="append")      # v1
+    t.write(nation.limit(3), mode="overwrite")   # v2
+    assert t.read(version=0).count() == n
+    assert t.read(version=1).count() == n + 7
+    assert t.read(version=2).count() == 3
+    assert t.read().count() == 3                 # latest
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["WRITE", "APPEND", "WRITE"]
+
+
+def test_time_travel_values_exact(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(nation, mode="overwrite")
+    t.write(nation.withColumn("n_name", nation.n_name.substr(1, 1)), mode="overwrite")
+    v0 = {tuple(r) for r in t.read(version=0).collect()}
+    src = {tuple(r) for r in nation.collect()}
+    assert v0 == src                              # v0 unchanged by v1 overwrite
+
+
+def test_optimize_compacts_and_preserves(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(nation.repartition(16), mode="overwrite")
+    before = len(t.live_files())
+    assert before >= 16
+    v = t.optimize()
+    assert len(t.live_files()) < before
+    assert t.read().count() == nation.count()
+    # pre-OPTIMIZE snapshot still readable (files retained until VACUUM)
+    assert t.read(version=v - 1).count() == nation.count()
+
+
+def test_vacuum_deletes_and_breaks_old_time_travel(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(nation, mode="overwrite")            # v0
+    t.write(nation.limit(5), mode="overwrite")   # v1 (v0's files now dead)
+    doomed = t.vacuum(retain_last=1)
+    assert doomed                                 # v0's files physically gone
+    for f in doomed:
+        assert not os.path.exists(os.path.join(t.path, f))
+    assert t.read().count() == 5                  # current snapshot intact
+    with pytest.raises(ValueError, match="vacuumed or never written"):
+        t.read(version=0)
+
+
+def test_vacuum_checkpoint_preserves_append_chain(spark, nation, tmp_path):
+    """The horizon commit must be checkpointed: its snapshot references
+    files added in truncated earlier commits."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    n = nation.count()
+    t.write(nation, mode="overwrite")            # v0
+    t.write(nation, mode="append")               # v1 references v0's files
+    t.vacuum(retain_last=1)
+    assert t.read().count() == 2 * n              # v1 snapshot survives intact
+    assert t.read(version=1).count() == 2 * n
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["CHECKPOINT", "VACUUM"]
+
+
+def test_concurrent_commit_guard(spark, nation, tmp_path, monkeypatch):
+    """Two writers that both resolve next-version=1 (the lost-update race):
+    the second put-if-absent create must FAIL loudly, not clobber."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(nation, mode="overwrite")             # v0
+    t.write(nation, mode="append")                # v1 (writer A wins)
+    # writer B still believes history is [0] → targets version 1 again
+    monkeypatch.setattr(t, "versions", lambda: [0])
+    with pytest.raises(FileExistsError):
+        t.write(nation, mode="append")
+
+
+def test_read_gives_pushdown_pruned_scan(spark, nation, tmp_path):
+    """Snapshot reads are plain parquet scans — predicate pushdown and
+    column pruning must survive the explicit file list."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.write(nation, mode="overwrite")
+    df = t.read().where("n_regionkey = 2").select("n_name")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "EqualTo(n_regionkey,2)" in plan       # pushed filter
+    assert "ReadSchema" in plan and "n_comment" not in plan.split("ReadSchema")[1].split("\n")[0]
