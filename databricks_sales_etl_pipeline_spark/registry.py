@@ -32,6 +32,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.operators.olap",
     "databricks_sales_etl_pipeline_spark.operators.tpch",
     "databricks_sales_etl_pipeline_spark.operators.tpch_more",
+    "databricks_sales_etl_pipeline_spark.operators.tpch_extra",
     "databricks_sales_etl_pipeline_spark.operators.sql_frontend",
     "databricks_sales_etl_pipeline_spark.operators.dates_dims",
     "databricks_sales_etl_pipeline_spark.operators.asof",

@@ -85,6 +85,10 @@ _NLJ_ALLOWED = {
     "ext_similarity_ivf",
     "ext_edit_distance",
     "setop_union_all",
+    # scalar-subquery pattern: ONE-row global aggregate broadcast, compared
+    # by inequality — the nested-loop probe costs O(n)·1, the right plan
+    "tpch_q11",
+    "tpch_q22",
 }
 
 
