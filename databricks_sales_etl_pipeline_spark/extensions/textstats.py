@@ -272,3 +272,73 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "score_en", "score_de", "score_fr", "score_es",
         guess.alias("lang_guess"),
     )
+
+
+SHARD_BUDGET_TOKENS = 2000
+N_PACK_BUCKETS = 16
+
+
+@query(
+    "ext_token_shards",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {N_PACK_BUCKETS} AS bucket,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT bucket, n_tokens,
+               CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS DOUBLE) / {SHARD_BUDGET_TOKENS}) AS BIGINT)
+                   AS shard_ix
+        FROM toks
+    )
+    SELECT bucket, shard_ix,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY bucket, shard_ix
+    """,
+)
+def ext_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4f — fixed-token-budget shard assignment (training-data packing):
+    each document lands in the shard whose running token total (in doc_id
+    order) its PREDECESSORS filled — shard_ix = floor(exclusive-cumsum /
+    budget). Sequential-fill chunking, the deterministic cousin of greedy
+    bin packing (same shards any engine computes).
+
+    Scale posture: the cumulative sum runs per HASH BUCKET (doc_id % 16),
+    not globally — a global ordered window is a single-partition sort, the
+    classic 100 TB scale-killer; per-bucket packing parallelizes across
+    executors and training shards don't need a global order, only bounded
+    size. Budget overshoot per shard is < one document's tokens."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_BUCKETS).alias("bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+    run = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "bucket",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(run) - F.col("n_tokens")).cast("double")
+            / SHARD_BUDGET_TOKENS
+        ).alias("shard_ix"),
+    )
+    return packed.groupBy("bucket", "shard_ix").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -120,3 +120,28 @@ def sink_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     evolved = n.withColumn("n_extra", (F.col("n_nationkey") * 2).cast("int"))
     write_table(evolved, path, mode="append", merge_schema=True)
     return read_table(spark, path, merge_schema=True)
+
+
+@query(
+    "sink_partitioned_prune",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m') AS order_month
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+    """,
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4b — partitioned write + partition-pruned read: orders written
+    partitionBy(order_month), then one month read back. The month filter
+    must resolve at PLANNING time from directory names (PartitionFilters in
+    the scan, asserted in tests/test_plans.py) — at 100 TB this is the
+    difference between listing one directory and scanning every file.
+    Low-cardinality partition key (months), so no small-file explosion."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+    path = _tmp_path("part")
+    write_table(o, path, mode="overwrite", partition_by=["order_month"])
+    return read_table(spark, path).where(F.col("order_month") == "1996-03")

@@ -72,6 +72,7 @@ _PLAN_AUDIT_SKIP = {
     "sink_schema_drift",
     "tbl_time_travel",
     "tbl_optimize_roundtrip",
+    "sink_partitioned_prune",
     "src_csv_roundtrip",
     "src_json_roundtrip",
     "ext_dedup_minhash",  # pyspark.ml fit() is eager
@@ -105,6 +106,18 @@ def test_embedding_dedup_is_lsh_gated(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bucket_a" in plan and "bucket_b" in plan  # equi-join keys
+
+
+def test_partitioned_read_prunes_at_planning_time(spark):
+    """sink_partitioned_prune's month filter must land in PartitionFilters
+    (directory-level pruning), NOT PushedFilters (file-content filtering) —
+    and the scan must touch only the one matching partition."""
+    df = QUERIES["sink_partitioned_prune"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "order_month" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
 def test_ngram_dedup_joins_on_prefix(spark):
