@@ -375,3 +375,101 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simhash"),
     )
     return sketch
+
+
+_DECON_FP = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_DECON_ORACLE = f"""
+    WITH train AS (
+        SELECT doc_id, lang, {_DECON_FP} AS fp FROM documents WHERE doc_id % 10 <> 0
+    ), eval_fp AS (
+        SELECT DISTINCT {_DECON_FP} AS fp FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT t.lang,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(SUM(CASE WHEN e.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean
+    FROM train t LEFT JOIN eval_fp e ON t.fp = e.fp
+    GROUP BY t.lang
+"""
+
+
+@query("ext_decontaminate", oracle=_DECON_ORACLE)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1d — TEST-SET DECONTAMINATION, exact: drop training documents whose
+    normalized-text fingerprint appears in the held-out eval set (here:
+    doc_id % 10 == 0 plays the eval split). The per-language accounting
+    reports train/contaminated/clean counts — the report a data pipeline
+    publishes before a training run.
+
+    Scale posture: the eval fingerprint set is small (it's an eval set) →
+    broadcast left join against 16-byte digests; the train side shuffles
+    nothing. Same dataflow at 100 TB with the eval set broadcast to every
+    executor."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    train = d.where(F.col("doc_id") % 10 != 0).select("doc_id", "lang", fp.alias("fp"))
+    eval_fp = (
+        d.where(F.col("doc_id") % 10 == 0).select(fp.alias("efp")).distinct()
+    )
+    from pyspark.sql.functions import broadcast
+
+    joined = train.join(broadcast(eval_fp), train.fp == eval_fp.efp, "left")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("efp").isNotNull(), 1).otherwise(0)).alias("n_contaminated"),
+        F.sum(F.when(F.col("efp").isNull(), 1).otherwise(0)).alias("n_clean"),
+    )
+
+
+_DECON_NGRAM_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 0)),
+                i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+2]
+            ))) AS shingle
+        FROM documents
+    )
+    SELECT t.doc_id
+    FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 10 <> 0) t
+    WHERE EXISTS (
+        SELECT 1 FROM sh a
+        JOIN sh e ON a.shingle = e.shingle AND e.doc_id % 10 = 0
+        WHERE a.doc_id = t.doc_id
+    )
+"""
+
+
+@query("ext_decontaminate_ngram", oracle=_DECON_NGRAM_ORACLE)
+def ext_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1e — n-gram decontamination (the published LLM-eval hygiene rule:
+    a train doc is contaminated if it shares ANY n-gram with the eval set;
+    n=3 words here to suit the short synthetic docs). Returns the
+    contaminated train doc_ids.
+
+    Dataflow: long-format shingles, eval shingle set deduplicated, train
+    LEFT SEMI JOIN eval on the shingle — an inverted-index membership
+    probe, no pairwise comparison anywhere. At 100 TB the eval shingle set
+    broadcasts; the train side streams through one scan."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d).select("doc_id", "shingle")
+    train_sh = sh.where(F.col("doc_id") % 10 != 0)
+    eval_sh = (
+        sh.where(F.col("doc_id") % 10 == 0)
+        .select(F.col("shingle").alias("eshingle"))
+        .distinct()
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        train_sh.join(
+            broadcast(eval_sh), train_sh.shingle == eval_sh.eshingle, "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+    )
