@@ -104,3 +104,109 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("top_price"),
         F.min_by("o_orderkey", "o_totalprice").alias("bottom_orderkey"),
     )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    WITH t AS (
+        SELECT l_orderkey, l_linenumber,
+               range(1, l_linenumber + 1) AS seq
+        FROM lineitem WHERE l_orderkey < 60
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(len(seq) AS INT) AS n,
+           CAST(list_max(seq) AS BIGINT) AS mx,
+           list_contains(seq, 3) AS has3,
+           array_to_string(list_reverse(seq), ',') AS rev_csv,
+           array_to_string(list_transform(seq, x -> x * x), ',') AS sq_csv,
+           COALESCE(array_to_string(list_filter(seq, x -> x % 2 = 0), ','), '')
+               AS even_csv,
+           CAST(list_sum(seq) AS BIGINT) AS total
+    FROM t
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order-function family: sequence, size, array_max,
+    array_contains, reverse, transform, filter, aggregate — outputs
+    stringified (array cells crash the driver canonicalizer). HOFs are
+    CodegenFallback: fine on bounded per-row arrays like these; long-format
+    explode pipelines are the hot-path alternative (extensions/dedup.py)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 60)
+    seq = F.sequence(F.lit(1).cast("bigint"), F.col("l_linenumber").cast("bigint"))
+    t = li.select("l_orderkey", "l_linenumber", seq.alias("seq"))
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size("seq").alias("n"),
+        F.array_max("seq").alias("mx"),
+        F.array_contains("seq", F.lit(3).cast("bigint")).alias("has3"),
+        F.array_join(F.reverse("seq"), ",").alias("rev_csv"),
+        F.array_join(F.transform("seq", lambda x: x * x), ",").alias("sq_csv"),
+        F.array_join(F.filter("seq", lambda x: x % 2 == 0), ",").alias("even_csv"),
+        F.aggregate(
+            "seq", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 250000.0) AS dist_mid,
+           sqrt(o_totalprice) AS root,
+           power(CAST(o_orderkey % 10 AS DOUBLE), 2) AS key_sq,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS k_floor,
+           CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS k_ceil,
+           CAST(sign(o_totalprice - 250000.0) AS DOUBLE) AS side,
+           greatest(o_totalprice, 250000.0) AS hi,
+           least(o_totalprice, 250000.0) AS lo,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family — only IEEE-exactly-specified ops (abs, sqrt,
+    integer power, floor/ceil, sign, greatest/least, mod): libm-dependent
+    fns (ln/exp) are NOT oracle-checkable bit-for-bit across engines and
+    stay out of hash-compared outputs by design."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    mid = F.lit(250000.0)
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - mid).alias("dist_mid"),
+        F.sqrt("o_totalprice").alias("root"),
+        F.pow((F.col("o_orderkey") % 10).cast("double"), 2).alias("key_sq"),
+        F.floor(F.col("o_totalprice") / 1000.0).alias("k_floor"),
+        F.ceil(F.col("o_totalprice") / 1000.0).alias("k_ceil"),
+        F.signum(F.col("o_totalprice") - mid).alias("side"),
+        F.greatest(F.col("o_totalprice"), mid).alias("hi"),
+        F.least(F.col("o_totalprice"), mid).alias("lo"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "regex_functions",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '[0-9]+', 0) AS first_number,
+           regexp_matches(text, '[A-Z][a-z]+') AS has_capitalized,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS numbers_masked,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_words
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family: extract / match-test / global replace /
+    extract-all count. Patterns restricted to character-class constructs
+    that parse identically in Java regex and RE2-style engines."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"[0-9]+", 0).alias("first_number"),
+        F.col("text").rlike(r"[A-Z][a-z]+").alias("has_capitalized"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("numbers_masked"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0)).alias("n_words"),
+    )
