@@ -473,3 +473,75 @@ def ext_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+
+
+def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components of an undirected (doc_a, doc_b) pair graph via
+    iterative min-label propagation: (node, label) where label = smallest
+    node id in the component. localCheckpoint per round truncates the
+    growing lineage; converges in diameter rounds."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+@query("ext_dup_clusters")  # rows-only: iterative fixpoint, no single SQL twin
+def ext_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e — duplicate CLUSTERS: connected components over the near-dup
+    pair graph (banded-MinHash candidates verified at J >= 0.5), via
+    iterative min-label propagation — each doc adopts the smallest doc_id
+    reachable through dup edges, so transitive chains A~B~C collapse into
+    one cluster even when A and C are not directly similar (the standard
+    dedup-cluster semantics; pairwise keep-one-of-each-pair over-deletes).
+
+    Iterative pattern done Spark-style: label <- min(label, min over
+    neighbors' labels) as a JOIN + groupBy per round, localCheckpoint each
+    round to truncate the growing lineage (the classic iterative-algorithm
+    OOM), loop until no label changes. Rounds needed = graph diameter
+    (tiny for dup clusters); each round is one shuffle of (edge, label) —
+    at 100 TB this is GraphX/GraphFrames' large-star small-star dataflow
+    reduced to its DataFrame core.
+
+    Output: (cluster_id = min doc_id, n_members, keeper = cluster_id),
+    clusters of size >= 2 only. Deterministic given the pair graph →
+    stable row count for the rows-only check."""
+    pairs = ext_dedup_minhash_native(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") >= 2)
+        .select("cluster_id", "n_members", F.col("cluster_id").alias("keeper"))
+    )

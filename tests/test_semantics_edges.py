@@ -106,3 +106,19 @@ def test_catalog_describe_and_exists(spark):
     assert not table_exists(spark, "no_such_table")
     cols = {r["col_name"] for r in describe(spark, "orders").collect()}
     assert {"o_orderkey", "o_custkey", "o_totalprice"} <= cols
+
+
+def test_min_label_components_transitive_chain(spark):
+    """A~B, B~C, D~E: min-label propagation must collapse the A-B-C chain
+    into ONE component labeled A even though A and C share no edge."""
+    from databricks_sales_etl_pipeline_spark.extensions.dedup import (
+        min_label_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.node, r.label) for r in min_label_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
