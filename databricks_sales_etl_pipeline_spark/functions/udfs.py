@@ -79,3 +79,74 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 — scalar pandas UDF over events.value."""
     e = load(spark, sf_dir, "events")
     return e.select("event_id", "value", fee_adjusted()(F.col("value")).alias("adjusted"))
+
+
+@query(
+    "udf_grouped_regression",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+        FROM orders
+    ), sums AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+    FROM sums
+    """,
+)
+def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — GROUPED pandas UDF (applyInPandas): per-priority OLS slope of
+    order value (cents) against day index, each group handed to Python as
+    one pandas DataFrame. Completes the pandas-UDF family (scalar /
+    grouped-map / mapInPandas / applyInPandasWithState).
+
+    Exactness: the slope is computed from INTEGER sums (n·Σxy − Σx·Σy) /
+    (n·Σxx − Σx²) in int64 — magnitudes bounded by n·max(x)·max(y) ≈
+    1.5e5·900·5e7 < 2^62 — so the only float op is the final division,
+    identical in the oracle. numpy means/covariances would NOT hash-match.
+
+    Scale: applyInPandas shuffles once on the group key and requires each
+    GROUP to fit in one worker's memory — fine for bounded keys like these
+    5 priorities; unbounded keys use the two-phase salted form instead."""
+    import numpy as np
+
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("y"),
+    )
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype="int64")
+        y = pdf["y"].to_numpy(dtype="int64")
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "n": [n],
+                "slope_cents_per_day": [
+                    float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+                ],
+            }
+        )
+
+    return pts.groupBy("o_orderpriority").applyInPandas(
+        slope, "o_orderpriority string, n bigint, slope_cents_per_day double"
+    )
