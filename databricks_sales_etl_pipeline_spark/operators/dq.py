@@ -102,3 +102,73 @@ def dq_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").alias("n_priorities"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def expectations_report(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """DLT-style expectations runner: evaluate every (name, predicate) rule
+    in ONE aggregation pass — sum(CASE WHEN NOT pred) per rule — then
+    unpivot to a long (rule, n_violations, n_rows, pass_rate) report.
+    One scan regardless of rule count; the reference's per-check scan storm
+    (SURVEY §4.3.1) inverted."""
+    n = F.count(F.lit(1))
+    wide = df.agg(
+        n.alias("_n"),
+        *[
+            F.sum(F.when(~pred, 1).otherwise(0)).alias(f"v_{name}")
+            for name, pred in rules
+        ],
+    )
+    stack = ", ".join(f"'{name}', v_{name}" for name, _ in rules)
+    return wide.select(
+        F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)"),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        (1.0 - F.col("n_violations").cast("double") / F.col("n_rows")).alias(
+            "pass_rate"
+        ),
+    )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH agg AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_price_positive,
+               CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_status_domain,
+               CAST(SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1995-01-01') THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_date_floor,
+               CAST(SUM(CASE WHEN NOT (o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_custkey_present
+        FROM orders
+    )
+    SELECT rule, n_violations, n_rows,
+           1.0 - CAST(n_violations AS DOUBLE) / n_rows AS pass_rate
+    FROM (
+        SELECT 'price_positive' AS rule, v_price_positive AS n_violations, n_rows FROM agg
+        UNION ALL SELECT 'status_domain', v_status_domain, n_rows FROM agg
+        UNION ALL SELECT 'date_floor', v_date_floor, n_rows FROM agg
+        UNION ALL SELECT 'custkey_present', v_custkey_present, n_rows FROM agg
+    )
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6d — expectations suite over orders: four rules (positive price,
+    status domain, date floor, key presence) evaluated in one pass with a
+    long-format violations report."""
+    o = load(spark, sf_dir, "orders")
+    rules = [
+        ("price_positive", F.col("o_totalprice") > 0),
+        ("status_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+        (
+            "date_floor",
+            F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"),
+        ),
+        ("custkey_present", F.col("o_custkey").isNotNull()),
+    ]
+    return expectations_report(o, rules)
