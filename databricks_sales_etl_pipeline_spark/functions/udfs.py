@@ -150,3 +150,42 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("o_orderpriority").applyInPandas(
         slope, "o_orderpriority string, n bigint, slope_cents_per_day double"
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id, length(text) AS n_chars,
+           len(string_split_regex(text, '\\s+')) AS n_ws_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — mapInArrow: batch-level Python transform on raw pyarrow
+    RecordBatches (no pandas conversion — the zero-copy fast lane under
+    every pandas UDF). Computes per-doc char and whitespace-token counts
+    with pyarrow.compute kernels; expressible as built-ins (the oracle),
+    proving the mechanism exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+
+    def counts(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int32()),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern_regex(text, r"\s+")),
+                        pa.int32(),
+                    ),
+                ],
+                ["doc_id", "n_chars", "n_ws_tokens"],
+            )
+
+    return d.mapInArrow(counts, "doc_id long, n_chars int, n_ws_tokens int")

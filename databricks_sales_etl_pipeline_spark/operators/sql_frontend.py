@@ -74,3 +74,27 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row recomputation."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_SUBQUERY)
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice > 450000.0 AND o_orderpriority = '1-URGENT'
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2c — parameterized spark.sql (Spark 4 named-parameter binding):
+    values bind as typed literals, NOT string splicing — the injection-safe
+    front-end for templated dashboards/jobs. Catalyst still constant-folds
+    and pushes the bound predicates into the scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderpriority = :prio
+        """,
+        args={"min_price": 450000.0, "prio": "1-URGENT"},
+    )
