@@ -57,6 +57,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.corpus",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.versioned",
+    "databricks_sales_etl_pipeline_spark.plans.bucketed",
 ]
 
 
@@ -105,6 +106,8 @@ _DRIVER_PRIORITY = [
     "tpch_q18",
     # never-driver-checked TPC-H
     "tpch_q19",
+    # table-layout family: shuffle-free co-located join over bucketed tables
+    "tbl_bucketed_join",
     # one representative per already-green §2 family
     "project_select",
     "dq_duplicates",
@@ -114,7 +117,6 @@ _DRIVER_PRIORITY = [
     "date_arithmetic",
     "agg_max_by",
     "sql_scalar_subquery",
-    "agg_monthly_revenue",
     # custom join operators
     "ext_asof_join",
     "join_range_bands",

@@ -171,3 +171,12 @@ def test_whole_stage_codegen_active(spark, name):
     assert "isFinalPlan=true" in plan
     # '*(N)' prefixes = operators fused into whole-stage-codegen pipelines
     assert "*(" in plan
+
+
+def test_bucketed_join_zero_exchange(spark):
+    # the whole point of bucketing: scan -> SortMergeJoin -> HashAggregate
+    # on the bucket key with NO shuffle anywhere in the plan
+    plan = _explain(spark, "tbl_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert plan.count("Bucketed: true") == 2
