@@ -514,6 +514,16 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    else:
+        # fail loud (same posture as streaming/util.py await_finished):
+        # exhausting the round budget with labels still moving means the
+        # component diameter exceeds max_rounds and the returned clusters
+        # would be silently split
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing) — component diameter exceeds "
+            "the round budget; raise max_rounds"
+        )
     return labels
 
 

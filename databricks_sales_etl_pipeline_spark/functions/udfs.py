@@ -100,8 +100,9 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               AS slope_cents_per_day
     FROM sums
     """,
 )
@@ -112,9 +113,13 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-map / mapInPandas / applyInPandasWithState).
 
     Exactness: the slope is computed from INTEGER sums (n·Σxy − Σx·Σy) /
-    (n·Σxx − Σx²) in int64 — magnitudes bounded by n·max(x)·max(y) ≈
-    1.5e5·900·5e7 < 2^62 — so the only float op is the final division,
-    identical in the oracle. numpy means/covariances would NOT hash-match.
+    (n·Σxx − Σx²). The raw sums fit int64 (Σxy ≤ n·max(x)·max(y) < 2^62)
+    but the PRODUCTS n·Σxy and Σx·Σy reach ~1e19 at sf0.1 — beyond int64 —
+    so Python computes them in arbitrary-precision int and the oracle
+    widens to HUGEINT before the final double cast (round-2 advisor
+    finding: the BIGINT form overflowed DuckDB at sf0.1). The only float
+    op is the final division, identical on both sides. numpy
+    means/covariances would NOT hash-match.
 
     Scale: applyInPandas shuffles once on the group key and requires each
     GROUP to fit in one worker's memory — fine for bounded keys like these

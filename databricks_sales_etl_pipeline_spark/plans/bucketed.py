@@ -21,13 +21,14 @@ Layout discipline for scale:
   from the scan satisfies the aggregation too: scan → join → agg with zero
   shuffles end-to-end.
 
-The bucketed copies are written once per (process, sf_dir) into the Spark
-warehouse under process-unique names and reused across calls.
+The bucketed copies are written once per (session, sf_dir) into the Spark
+warehouse under deterministic sf_dir-derived names (mode overwrite, so
+repeated runs reuse the same paths) and reused across calls.
 """
 
 from __future__ import annotations
 
-import uuid
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,15 +39,21 @@ from databricks_sales_etl_pipeline_spark.functions.money import sum_bigint_sql
 from databricks_sales_etl_pipeline_spark.registry import query
 
 _N_BUCKETS = 8
-_CACHE: dict[str, tuple[str, str]] = {}
+#: keyed on (Spark application id, sf_dir): a fresh SparkSession in the same
+#: process gets a fresh catalog, so cached names from an old session would be
+#: stale (round-2 advisor). Table names are DETERMINISTIC per sf_dir and the
+#: write is mode("overwrite"), so repeated processes reuse the same warehouse
+#: paths instead of leaking uuid-named copies.
+_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
 
 def bucketize(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write orders + lineitem as co-bucketed tables (once per process) and
-    return their catalog names."""
-    if sf_dir in _CACHE:
-        return _CACHE[sf_dir]
-    token = uuid.uuid4().hex[:12]
+    """Write orders + lineitem as co-bucketed tables (once per session and
+    sf_dir) and return their catalog names."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    token = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     t_orders = f"dsep_buck_orders_{token}"
     t_lineitem = f"dsep_buck_lineitem_{token}"
     (
@@ -67,8 +74,8 @@ def bucketize(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .mode("overwrite")
         .saveAsTable(t_lineitem)
     )
-    _CACHE[sf_dir] = (t_orders, t_lineitem)
-    return _CACHE[sf_dir]
+    _CACHE[key] = (t_orders, t_lineitem)
+    return _CACHE[key]
 
 
 @query(

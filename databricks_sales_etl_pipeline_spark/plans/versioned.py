@@ -23,11 +23,13 @@ writes rely on — the public Delta design (Armbrust et al., VLDB 2020
 Scale posture: commits are driver-side METADATA (a few KB per commit — the
 same posture as Delta's JSON log); data moves only through distributed
 ``spark.read``/``df.write``. Snapshot reads hand Spark an explicit file
-list, so partition pruning and predicate pushdown work unchanged. This
-implementation assumes a single writer (the reference's scheduler model);
-multi-writer safety needs an atomic put-if-absent on the next log file —
-exactly Delta's optimistic-concurrency protocol — which object stores
-provide and local filesystems approximate with O_EXCL create.
+list, so partition pruning and predicate pushdown work unchanged.
+Multi-writer safety follows Delta's optimistic-concurrency protocol: a
+writer records the snapshot version it read at transaction start and
+commits by put-if-absent (O_EXCL create; object stores provide the same
+primitive) on ``base_version + 1`` — a concurrent writer that won the race
+makes the create fail and the loser raises :class:`ConcurrentWriteError`
+instead of corrupting the log (write-write conflict, Armbrust et al. §3.2).
 """
 
 from __future__ import annotations
@@ -44,6 +46,12 @@ from pyspark.sql import DataFrame, SparkSession
 from databricks_sales_etl_pipeline_spark.session import TARGET_PARTITION_BYTES
 
 _LOG_DIR = "_vlog"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a commit loses the put-if-absent race on its target log
+    version — the caller must re-read the snapshot and retry (Delta's
+    write-write conflict semantics)."""
 
 
 @dataclass
@@ -76,12 +84,33 @@ class VersionedTable:
             d = json.load(f)
         return Commit(d["version"], d["adds"], d["removes"], d["op"])
 
-    def _commit(self, adds: list[str], removes: list[str], op: str) -> int:
+    def snapshot_version(self) -> int:
+        """Latest committed version, or -1 for an empty table — the value a
+        transaction records at start and commits against."""
         vs = self.versions()
-        version = (vs[-1] + 1) if vs else 0
-        # O_EXCL create = put-if-absent: a concurrent second writer of the
-        # same version fails here instead of corrupting the log
-        fd = os.open(self._log_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        return vs[-1] if vs else -1
+
+    def _commit(
+        self, adds: list[str], removes: list[str], op: str,
+        base_version: int | None = None,
+    ) -> int:
+        """Attempt to commit ``base_version + 1`` (optimistic concurrency).
+        ``base_version`` defaults to the current snapshot — pass the version
+        read at transaction START to get true CAS semantics across a
+        multi-step transaction."""
+        base = self.snapshot_version() if base_version is None else base_version
+        version = base + 1
+        try:
+            # O_EXCL create = put-if-absent: a concurrent writer that already
+            # committed this version makes the create fail atomically
+            fd = os.open(
+                self._log_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"commit of version {version} at {self.path} lost the race: "
+                "a concurrent writer committed first — re-read and retry"
+            ) from None
         with os.fdopen(fd, "w") as f:
             json.dump(
                 {"version": version, "adds": adds, "removes": removes, "op": op}, f
@@ -124,13 +153,22 @@ class VersionedTable:
             if n.startswith("part-") and n.endswith(".parquet")
         )
 
-    def write(self, df: DataFrame, mode: str = "overwrite") -> int:
+    def write(
+        self, df: DataFrame, mode: str = "overwrite",
+        base_version: int | None = None,
+    ) -> int:
         """S4/S5 with history: append adds files; overwrite adds files and
         removes the previous snapshot's (old files stay readable via
-        time travel until VACUUM)."""
+        time travel until VACUUM). The snapshot version is pinned BEFORE the
+        data write — a concurrent commit in the window between data write
+        and log commit raises :class:`ConcurrentWriteError`."""
+        base = self.snapshot_version() if base_version is None else base_version
         adds = self._write_data(df)
-        removes = self.live_files() if (mode == "overwrite" and self.versions()) else []
-        return self._commit(adds, removes, "WRITE" if mode == "overwrite" else "APPEND")
+        removes = self.live_files(base) if (mode == "overwrite" and base >= 0) else []
+        return self._commit(
+            adds, removes, "WRITE" if mode == "overwrite" else "APPEND",
+            base_version=base,
+        )
 
     # ---- read path ----
 
@@ -227,7 +265,13 @@ from databricks_sales_etl_pipeline_spark.registry import query  # noqa: E402
 
 
 def _tmp_table(tag: str) -> str:
-    return os.path.join(tempfile.gettempdir(), f"dsep_vtbl_{tag}_{uuid.uuid4().hex}")
+    """Deterministic per-tag scratch path, wiped before reuse so repeated
+    bench/driver runs keep at most one copy on disk (round-2 advisor: the
+    uuid-per-invocation form leaked without bound)."""
+    path = os.path.join(tempfile.gettempdir(), f"dsep_vtbl_{tag}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    return path
 
 
 @query(

@@ -9,7 +9,10 @@ import os
 import pytest
 
 from databricks_sales_etl_pipeline_spark.catalog import load
-from databricks_sales_etl_pipeline_spark.plans.versioned import VersionedTable
+from databricks_sales_etl_pipeline_spark.plans.versioned import (
+    ConcurrentWriteError,
+    VersionedTable,
+)
 from tests.conftest import SF_DIR
 
 
@@ -88,8 +91,32 @@ def test_concurrent_commit_guard(spark, nation, tmp_path, monkeypatch):
     t.write(nation, mode="append")                # v1 (writer A wins)
     # writer B still believes history is [0] → targets version 1 again
     monkeypatch.setattr(t, "versions", lambda: [0])
-    with pytest.raises(FileExistsError):
+    with pytest.raises(ConcurrentWriteError):
         t.write(nation, mode="append")
+
+
+def test_write_write_conflict_and_retry(spark, nation, tmp_path):
+    """Delta's optimistic-concurrency protocol end-to-end: two handles read
+    the same snapshot, both attempt the next version; the loser raises
+    ConcurrentWriteError (its data files never enter the log) and a retry
+    from a fresh snapshot succeeds. The winner's committed rows are
+    unaffected by the failed commit."""
+    path = str(tmp_path / "t")
+    writer_a = VersionedTable(spark, path)
+    writer_b = VersionedTable(spark, path)
+    writer_a.write(nation, mode="overwrite")       # v0
+    base = writer_a.snapshot_version()
+    assert base == writer_b.snapshot_version() == 0
+    assert writer_b.write(nation, mode="append", base_version=base) == 1
+    with pytest.raises(ConcurrentWriteError):
+        writer_a.write(nation, mode="append", base_version=base)
+    # failed commit left no log entry; snapshot still reflects B's append
+    assert writer_a.versions() == [0, 1]
+    n = nation.count()
+    assert writer_a.read().count() == 2 * n
+    # standard recovery: re-read the snapshot and retry
+    assert writer_a.write(nation, mode="append") == 2
+    assert writer_a.read().count() == 3 * n
 
 
 def test_read_gives_pushdown_pruned_scan(spark, nation, tmp_path):
