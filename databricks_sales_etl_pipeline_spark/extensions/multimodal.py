@@ -1,11 +1,16 @@
 """Multimodal columns (BASELINE.json north star): image/audio/video as
 opaque ``binary`` columns with typed metadata.
 
-The container has no image/audio libraries, so the decode step is STUBBED
-(SURVEY brief): ``decode_image_batch`` raises NotImplementedError unless a
-real decoder import succeeds, and the tested path uses a deterministic fake
-derived from the bytes. What IS real and tested is all the Spark-side
-plumbing a 100 TB multimodal pipeline needs:
+Round 3: the decode step is REAL for the two classic dependency-free
+container formats — binary P6 PPM (netpbm) and RIFF/WAVE PCM — parsed
+byte-by-byte in pure Python inside the Arrow-batched ``mapInPandas`` stage
+(``decode_ppm`` / ``decode_wav``). ``decode_image_batch`` dispatches on the
+payload's magic bytes; only formats that genuinely need an external codec
+(JPEG/PNG/...) still hit the PIL-gated ``NotImplementedError`` branch. The
+older deterministic fake (``fake_decode`` / ``mm_decode_stub``) is kept as a
+plumbing demo.
+
+What the 100 TB pipeline shape exercises here:
 
 - binary payload column + typed metadata columns in one DataFrame,
 - Arrow-batched ``mapInPandas`` with an explicit output schema (the decode /
@@ -47,14 +52,114 @@ def _have_real_decoder() -> bool:
 
 
 def decode_image_batch(payload: bytes) -> tuple[int, int]:
-    """Real decoder entry point — STUB: no imaging library in this
-    container (SURVEY brief: stub the decode, keep the plumbing real)."""
+    """Decoder entry point, dispatching on magic bytes. PPM decodes for
+    real right here (pure Python, no deps); compressed formats genuinely
+    need an external codec and stay behind the PIL gate."""
+    if payload[:2] == b"P6":
+        meta = decode_ppm(payload)
+        return meta["width"], meta["height"]
     if not _have_real_decoder():
         raise NotImplementedError(
-            "image decoding requires an imaging library (e.g. Pillow); "
-            "this environment ships none — use fake_decode for tests"
+            "compressed-image decoding requires an imaging library (e.g. "
+            "Pillow); this environment ships none — PPM/WAV decode for real"
         )
-    raise NotImplementedError("real decoder wiring is cluster-specific")
+    raise NotImplementedError("real codec wiring is cluster-specific")
+
+
+# ---- real dependency-free decoders (round 3) ----
+
+
+def _ppm_token(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Read one whitespace-delimited header token, skipping '#' comment
+    lines (the netpbm spec allows them anywhere in the header)."""
+    while pos < len(buf):
+        c = buf[pos : pos + 1]
+        if c == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            break
+    start = pos
+    while pos < len(buf) and not buf[pos : pos + 1].isspace():
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated PPM header")
+    return buf[start:pos], pos
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL binary-PPM (netpbm P6) decoder: parse the header (magic, width,
+    height, maxval, comments allowed), validate the raster length, and
+    compute integer pixel statistics. Pure Python over bytes — no imaging
+    library — so it runs in any executor environment."""
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+    pos = 2
+    w_tok, pos = _ppm_token(payload, pos)
+    h_tok, pos = _ppm_token(payload, pos)
+    max_tok, pos = _ppm_token(payload, pos)
+    width, height, maxval = int(w_tok), int(h_tok), int(max_tok)
+    if not (0 < maxval < 65536):
+        raise ValueError(f"bad maxval {maxval}")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    bytes_per_sample = 1 if maxval < 256 else 2
+    raster = payload[pos:]
+    expect = width * height * 3 * bytes_per_sample
+    if len(raster) != expect:
+        raise ValueError(f"raster is {len(raster)} bytes, expected {expect}")
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixel_sum": sum(raster),
+        "pixel_min": min(raster) if raster else 0,
+        "pixel_max": max(raster) if raster else 0,
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL RIFF/WAVE decoder: walk the chunk list (fmt / data in any
+    order, odd-size padding per the RIFF spec), parse the PCM format
+    block, and compute integer sample statistics from the 16-bit LE data.
+    struct + bytes only — no audio library."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size + 8 != len(payload):
+        raise ValueError(f"RIFF size {riff_size} + 8 != {len(payload)}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM supported, got format {audio_fmt}")
+            fmt = (n_channels, sample_rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    n_channels, sample_rate, bits = fmt
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got {bits}")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "n_samples": n // n_channels,
+        "abs_sum": sum(abs(s) for s in samples),
+        "peak": max((abs(s) for s in samples), default=0),
+    }
 
 
 def fake_decode(payload: bytes) -> tuple[int, int, float]:
@@ -249,3 +354,175 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     bin_df = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return decode_features(bin_df).select("doc_id", "n_bytes", "width", "height")
+
+
+# ---- real-format fixtures + decode queries (round 3) ----
+#
+# The payloads are REAL files (any netpbm/audio tool can open them), built
+# deterministically from doc_id so the DuckDB oracle can recompute the
+# decoded statistics from first principles — proving the parser actually
+# read the header and raster rather than echoing the generator.
+
+MM_DOC_LIMIT = 1500
+
+
+def make_ppm(doc_id: int) -> bytes:
+    """Synthesize a valid binary-PPM (P6) image: header with a comment
+    line (exercises the spec's comment handling) + deterministic raster."""
+    w = doc_id % 16 + 1
+    h = (doc_id * 3) % 12 + 1
+    header = f"P6\n# synthetic fixture {doc_id}\n{w} {h}\n255\n".encode()
+    raster = bytes((doc_id * 31 + i * 7) % 256 for i in range(w * h * 3))
+    return header + raster
+
+
+def make_wav(doc_id: int) -> bytes:
+    """Synthesize a valid RIFF/WAVE file: PCM fmt chunk + 16-bit LE mono
+    samples from a deterministic ramp."""
+    import struct
+
+    sr = 8000 + (doc_id % 3) * 4000
+    n = (doc_id % 50 + 1) * 16
+    samples = [((doc_id * 13 + i * 5) % 4096) - 2048 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _gen_payloads(doc_ids: DataFrame, make) -> DataFrame:
+    """Distributed fixture stage: synthesize one binary payload per doc_id
+    (the stand-in for reading media blobs off object storage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: make(int(i))),
+                }
+            )
+
+    return doc_ids.mapInPandas(run, "doc_id long, payload binary")
+
+
+PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("maxval", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pixel_min", T.IntegerType()),
+        T.StructField("pixel_max", T.IntegerType()),
+    ]
+)
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("abs_sum", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+_PPM_COLS = [f.name for f in PPM_STATS_SCHEMA.fields]
+_WAV_COLS = [f.name for f in WAV_STATS_SCHEMA.fields]
+
+
+@query(
+    "mm_decode_real",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+               CAST((doc_id * 3) % 12 + 1 AS BIGINT) AS h
+        FROM documents WHERE doc_id < {MM_DOC_LIMIT}
+    ), px AS (
+        SELECT doc_id, w, h, (doc_id * 31 + i * 7) % 256 AS p
+        FROM dims, unnest(range(0, w * h * 3)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(255 AS INT) AS maxval,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(MIN(p) AS INT) AS pixel_min,
+           CAST(MAX(p) AS INT) AS pixel_max
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode, REAL: synthesize genuine binary P6 PPM images
+    (header + comment + raster) per doc_id, then PARSE them back in an
+    Arrow-batched mapInPandas stage — magic check, comment-skipping header
+    tokenizer, raster-length validation, integer pixel stats. The oracle
+    recomputes every stat from the generator arithmetic, so a parser that
+    misread the header or raster cannot hash-match. Replaces the round-2
+    NotImplementedError default path for decodable formats."""
+    d = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < MM_DOC_LIMIT
+    )
+    bin_df = _gen_payloads(d, make_ppm)
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"doc_id": int(did), **decode_ppm(bytes(p))}
+                for did, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=_PPM_COLS)
+
+    return bin_df.mapInPandas(dec, PPM_STATS_SCHEMA)
+
+
+@query(
+    "mm_decode_wav",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               8000 + (doc_id % 3) * 4000 AS sr,
+               CAST((doc_id % 50 + 1) * 16 AS BIGINT) AS n
+        FROM documents WHERE doc_id < {MM_DOC_LIMIT}
+    ), smp AS (
+        SELECT doc_id, sr, n,
+               ABS(((doc_id * 13 + i * 5) % 4096) - 2048) AS a
+        FROM dims, unnest(range(0, n)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(16 AS INT) AS bits,
+           CAST(n AS INT) AS n_samples,
+           CAST(SUM(a) AS BIGINT) AS abs_sum,
+           CAST(MAX(a) AS INT) AS peak
+    FROM smp GROUP BY doc_id, sr, n
+    """,
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of mm_decode_real: genuine RIFF/WAVE PCM files parsed by
+    a chunk-walking decoder (fmt + data in any order, word alignment,
+    PCM/16-bit validation), emitting integer sample stats the oracle
+    recomputes from the generator ramp."""
+    d = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < MM_DOC_LIMIT
+    )
+    bin_df = _gen_payloads(d, make_wav)
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"doc_id": int(did), **decode_wav(bytes(p))}
+                for did, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=_WAV_COLS)
+
+    return bin_df.mapInPandas(dec, WAV_STATS_SCHEMA)
