@@ -77,74 +77,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: The driver correctness-checks the FIRST 50 entries of ``queries()`` in
-#: registration order, so this list is the sampled contract surface: the 18
-#: round-1 failures lead (their fixes must land in CORRECTNESS_r02), then
-#: one-two representatives per SURVEY §2 family — joins, TPC-H, sources/
-#: sinks, streaming, dedup, similarity, text, multimodal, pipeline — so the
-#: sample covers every family instead of burning slots on near-duplicate
-#: basic variants. Everything not listed keeps module order after slot 50
-#: (rotate fresh names in here each round once the listed ones are green).
+#: registration order, so this list is the sampled contract surface.
+#: ROUND-3 ROTATION (top judge ask): rounds 1+2 left 78/137 queries with a
+#: green driver row and 0 failures; these 50 slots now hold exactly the
+#: oracle-backed queries that have NEVER been driver-sampled (the whole
+#: round-2 TPC-H batch, the textstats/decontaminate families, scalar-fn
+#: suites, sinks, versioned tables) plus this round's three new queries
+#: (mm_decode_real / mm_decode_wav / ext_dedup_minhash_verified). After r3,
+#: every oracle-backed query except mm_decode_stub has been sampled at
+#: least once; round 4 rotates in the stub + the rows-only streaming/dedup
+#: variants. Everything not listed keeps module order after slot 50.
 _DRIVER_PRIORITY = [
-    # r01 failures (17 hash + 1 err) — must show green
-    "join_star_revenue",
-    "join_fact_fact",
-    "agg_scalar_kpis",
-    "agg_group_category",
-    "topk_recent_days",
-    "agg_rollup",
-    "agg_cube",
-    "agg_pivot",
-    "agg_grouping_sets",
-    "agg_collect_list",
-    "ext_salted_agg",
-    "window_running_total",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q18",
-    # never-driver-checked TPC-H
-    "tpch_q19",
-    # table-layout family: shuffle-free co-located join over bucketed tables
-    "tbl_bucketed_join",
-    # one representative per already-green §2 family
-    "project_select",
-    "dq_duplicates",
-    "setop_union_all",
-    "window_rank_suite",
-    # §2.5 scalar-function suite (untested r01)
-    "date_arithmetic",
-    "agg_max_by",
-    "sql_scalar_subquery",
-    # custom join operators
-    "ext_asof_join",
-    "join_range_bands",
-    # sources / sinks / formats
-    "src_inline_rows",
-    "src_generator",
-    "sink_overwrite",
-    "sink_merge_schema",
-    "src_csv_roundtrip",
-    # functions surface
-    "json_extract_props",
-    "udf_pandas_scalar",
-    # streaming
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_sessionize",
-    # LLM-data-pipeline extensions
-    "ext_dedup_exact",
-    "ext_fingerprint",
-    "ext_dedup_ngram",
-    "ext_dedup_minhash_native",
-    "ext_similarity_topk",
-    "ext_similarity_ivf",
-    "ext_dedup_embedding",
-    "ext_embedding_centroids",
-    "ext_lang_id",
-    "mm_binary_meta",
-    "pipeline_llm_corpus",
+    # round-2 TPC-H batch (operators/tpch_extra.py) — never sampled
+    "tpch_q2",
+    "tpch_q5",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # X4 text-analysis family (judge ask #2)
+    "ext_text_tokens",
+    "ext_token_count",
+    "ext_quality_score",
+    "ext_term_frequency",
+    "ext_edit_distance",
+    "ext_token_shards",
+    # decontamination
+    "ext_decontaminate",
+    "ext_decontaminate_ngram",
+    # similarity / embedding / sampling stragglers
+    "ext_similarity_lsh",
+    "ext_embedding_norms",
+    "ext_sample_systematic",
+    # NEW this round: fully-oracled MinHash + real-format decoders
+    "ext_dedup_minhash_verified",
+    "mm_decode_real",
+    "mm_decode_wav",
+    # multimodal plumbing never sampled
+    "mm_frame_sample",
+    "mm_resize_stub",
+    # UDF/UDTF family
+    "udf_grouped_regression",
+    "udf_map_in_arrow",
+    "udtf_tokenize",
+    # §2.5 scalar-function suites (local-only until now)
+    "string_functions",
+    "array_functions",
+    "math_functions",
+    "regex_functions",
+    # SQL frontend
+    "sql_frontend_group",
+    "sql_parameterized",
+    # aggregation variants
+    "agg_monthly_revenue",
+    "agg_brand_revenue",
+    "agg_supplier_revenue",
+    # data quality
+    "dq_expectations",
+    "dq_null_handling",
+    # sources / sinks / catalog
+    "sink_append",
+    "sink_schema_drift",
+    "sink_partitioned_prune",
+    "src_json_roundtrip",
+    "src_catalog_tables",
+    # streaming (oracle-backed batch twin)
+    "stream_session_window",
+    # versioned-table (Delta-contract) round-trips
+    "tbl_time_travel",
+    "tbl_optimize_roundtrip",
+    # medallion pipeline
+    "pipeline_gold_category",
 ]
 
 

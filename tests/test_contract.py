@@ -1,0 +1,70 @@
+"""SURVEY §2.7 ↔ registry ↔ driver-sample lockstep (round-2 judge ask #8):
+the rotation of ``_DRIVER_PRIORITY`` must never silently drop a contract
+row, and every query name SURVEY claims must actually be registered with
+the oracle status it claims."""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+from databricks_sales_etl_pipeline_spark import registry
+
+registry.load_all()
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _survey_27_names() -> dict[str, bool]:
+    """Parse §2.7's `name` ✓ / `name` (r) markers → {name: has_oracle}."""
+    text = (REPO / "SURVEY.md").read_text()
+    start = text.index("### 2.7")
+    end = text.index("## 3.", start)
+    sec = text[start:end]
+    out: dict[str, bool] = {}
+    for name, mark in re.findall(r"`([a-z][a-z0-9_]+)`\s+(✓|\(r\))", sec):
+        out[name] = mark == "✓"
+    return out
+
+
+def test_survey_27_names_all_registered():
+    names = _survey_27_names()
+    assert len(names) > 80, "parser found suspiciously few §2.7 names"
+    missing = sorted(n for n in names if n not in registry.QUERIES)
+    assert not missing, f"SURVEY §2.7 claims unregistered queries: {missing}"
+
+
+def test_survey_27_oracle_marks_match_registry():
+    names = _survey_27_names()
+    wrong = sorted(
+        n
+        for n, has_oracle in names.items()
+        if n in registry.QUERIES and (n in registry.ORACLES) != has_oracle
+    )
+    assert not wrong, f"SURVEY §2.7 oracle marks disagree with registry: {wrong}"
+
+
+def test_driver_priority_is_exactly_the_sample():
+    pri = registry._DRIVER_PRIORITY
+    assert len(pri) == 50, "driver checks exactly the first 50 entries"
+    assert len(set(pri)) == len(pri), "duplicate names waste sample slots"
+    unknown = sorted(n for n in pri if n not in registry.QUERIES)
+    assert not unknown, f"priority names not registered: {unknown}"
+    assert list(registry.QUERIES)[:50] == pri, (
+        "load_all must put the priority sample first"
+    )
+
+
+def test_rotation_covers_never_checked_queries():
+    """Each round's 50 slots must be spent on queries without a green
+    CORRECTNESS row from a previous round (until all have one)."""
+    checked: set[str] = set()
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.loads(f.read_text()))
+    never = {n for n in registry.QUERIES if n not in checked}
+    wasted = [n for n in registry._DRIVER_PRIORITY if n in checked]
+    assert not never or not wasted, (
+        f"{len(never)} queries still lack a driver row but the sample "
+        f"re-checks already-green ones: {wasted[:10]}"
+    )
