@@ -56,6 +56,19 @@ def bucketize(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     token = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     t_orders = f"dsep_buck_orders_{token}"
     t_lineitem = f"dsep_buck_lineitem_{token}"
+    # a FRESH session's catalog doesn't know these names, but the warehouse
+    # directory may survive from a previous process — saveAsTable then fails
+    # with LOCATION_ALREADY_EXISTS; drop both the entry and the leftover dir
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (t_orders, t_lineitem):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        leftover = os.path.join(warehouse, t)
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderpriority")

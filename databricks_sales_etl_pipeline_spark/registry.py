@@ -54,6 +54,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.multimodal",
     "databricks_sales_etl_pipeline_spark.extensions.embedding_math",
     "databricks_sales_etl_pipeline_spark.extensions.sampling",
+    "databricks_sales_etl_pipeline_spark.extensions.chunking",
     "databricks_sales_etl_pipeline_spark.extensions.corpus",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.versioned",
