@@ -654,3 +654,46 @@ def ext_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_members") >= 2)
         .select("cluster_id", "n_members", F.col("cluster_id").alias("keeper"))
     )
+
+
+_DUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_VERIFIED_ORACLE}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lab FROM nodes
+        UNION
+        SELECT e.src AS node, r.lab
+        FROM reach r JOIN edges e ON e.dst = r.node
+    ),
+    labels AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id, COUNT(*) AS n_members, cluster_id AS keeper
+    FROM labels GROUP BY cluster_id HAVING COUNT(*) >= 2
+"""
+
+
+@query("ext_dup_clusters_verified", oracle=_DUP_CLUSTERS_ORACLE)
+def ext_dup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e' — ORACLE-CHECKED duplicate clustering (round-3 upgrade of the
+    rows-only ext_dup_clusters): the pair graph comes from the fully
+    md5-oracled banded MinHash (ext_dedup_minhash_verified), and the
+    DuckDB twin computes the same connected components via a WITH
+    RECURSIVE reachability closure + MIN label — so Spark's iterative
+    min-label-propagation loop is hash-verified end-to-end against an
+    independent fixpoint formulation, clusters, sizes and keepers alike.
+
+    Same scale shape as ext_dup_clusters: banded candidates (never
+    all-pairs), join+groupBy rounds bounded by component diameter with
+    localCheckpoint lineage truncation."""
+    pairs = ext_dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") >= 2)
+        .select("cluster_id", "n_members", F.col("cluster_id").alias("keeper"))
+    )

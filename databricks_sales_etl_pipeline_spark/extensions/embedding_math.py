@@ -86,3 +86,58 @@ def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid", (F.col("sum_milli").cast("double") / F.col("n_vectors")) / 1000.0
         )
     )
+
+
+@query(
+    "ext_embedding_quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x ->
+                   greatest(-127, least(127,
+                       CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))))
+                   AS q8
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(len(q8) AS INT) AS dim,
+           CAST(list_sum(q8) AS BIGINT) AS q8_sum,
+           CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS q8_sq_sum,
+           CAST(list_max(q8) AS BIGINT) AS q8_max,
+           CAST(list_min(q8) AS BIGINT) AS q8_min
+    FROM q
+    """,
+)
+def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 embedding quantization (the 4× storage/bandwidth compression
+    step before ANN indexing at 100 TB): symmetric fixed-scale mapping
+    x → clamp(round(127·x), ±127), with integer summary stats (checksum,
+    energy, range) that prove the quantized vectors identical across
+    engines — the tie-safe floor(+0.5) rounding shared with
+    functions/money.py.
+
+    Scale: per-row transform only, no shuffle; downstream int_dot over q8
+    pairs is exact int arithmetic (the ANN scoring path)."""
+    e = load(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x.cast("double") * 127 + 0.5),
+            ),
+        ),
+    )
+    sq = F.transform(q8, lambda v: v * v)
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(F.col("embedding")).alias("dim"),
+        F.aggregate(q8, F.lit(0).cast("long"), lambda a, x: a + x).alias("q8_sum"),
+        F.aggregate(sq, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q8_sq_sum"
+        ),
+        F.array_max(q8).alias("q8_max"),
+        F.array_min(q8).alias("q8_min"),
+    )

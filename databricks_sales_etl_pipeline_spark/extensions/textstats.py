@@ -342,3 +342,142 @@ def ext_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "ext_quality_gopher",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), w AS (
+        SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) > 0
+    ), s AS (
+        SELECT doc_id,
+               COUNT(*) AS n_words,
+               CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+               CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alpha
+        FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+           CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+               AS word_count_ok,
+           CASE WHEN CAST(sum_len AS DOUBLE) / n_words >= 3
+                 AND CAST(sum_len AS DOUBLE) / n_words <= 10
+                THEN 1 ELSE 0 END AS mean_len_ok,
+           CASE WHEN CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+                THEN 1 ELSE 0 END AS alpha_ok,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND CAST(sum_len AS DOUBLE) / n_words >= 3
+                 AND CAST(sum_len AS DOUBLE) / n_words <= 10
+                 AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+                THEN 1 ELSE 0 END AS passes_gopher
+    FROM s
+    """,
+)
+def ext_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4f — Gopher-style quality rule suite (the published repetition/
+    format heuristics from the Gopher/MassiveText filtering recipe, the
+    subset expressible over this corpus): word-count bounds [50, 100k],
+    mean word length in [3, 10], fraction of words containing an
+    alphabetic character >= 0.8, plus the conjunctive pass flag.
+
+    Long-format explode + one groupBy — all counters ride a single doc_id
+    shuffle with map-side combine; the only doubles are final per-row
+    divisions, identical in the oracle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), _WS)).alias("tok")
+    ).where(F.col("tok") != "")
+    s = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("tok")).alias("sum_len"),
+        F.sum(F.when(F.col("tok").rlike("[a-z]"), 1).otherwise(0)).alias(
+            "n_alpha"
+        ),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words")
+    alpha_frac = F.col("n_alpha").cast("double") / F.col("n_words")
+    word_count_ok = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    mean_len_ok = (mean_len >= 3) & (mean_len <= 10)
+    alpha_ok = alpha_frac >= 0.8
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return s.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        as_int(word_count_ok).alias("word_count_ok"),
+        as_int(mean_len_ok).alias("mean_len_ok"),
+        as_int(alpha_ok).alias("alpha_ok"),
+        as_int(word_count_ok & mean_len_ok & alpha_ok).alias("passes_gopher"),
+    )
+
+
+@query(
+    "ext_repetition_ratio",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[CAST(i AS INT)] || ' ' ||
+                           toks[CAST(i + 1 AS INT)])) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ), cnt AS (
+        SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           COUNT(*) AS n_distinct,
+           CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE) AS dup_fraction,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4g — repetition scoring (the Gopher/MassiveText duplicate-n-gram
+    signals): per-document bigram duplication fraction (how much of the
+    text is repeated 2-grams) and top-bigram share (how dominant the single
+    most frequent 2-gram is) — the two signals that catch boilerplate and
+    degenerate machine-generated text that plain length/stopword filters
+    miss.
+
+    Positional bigrams via posexplode + lead window (whole-stage codegen;
+    the list-transform form is CodegenFallback), counted with two
+    aggregations riding one doc_id-keyed shuffle."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), _WS)).alias("pos", "w")
+    ).where(F.col("w") != "")
+    nxt = F.lead("w", 1).over(Window.partitionBy("doc_id").orderBy("pos"))
+    bg = (
+        words.select(
+            "doc_id", F.concat_ws(" ", F.col("w"), nxt).alias("bigram"),
+            nxt.isNotNull().alias("_full"),
+        )
+        .where("_full")
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    distinct = F.count(F.lit(1))
+    return cnt.groupBy("doc_id").agg(
+        total.alias("n_bigrams"),
+        distinct.alias("n_distinct"),
+        ((total - distinct).cast("double") / total.cast("double")).alias(
+            "dup_fraction"
+        ),
+        (F.max("c").cast("double") / total.cast("double")).alias("top_share"),
+    )
