@@ -697,3 +697,153 @@ def ext_dup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_members") >= 2)
         .select("cluster_id", "n_members", F.col("cluster_id").alias("keeper"))
     )
+
+
+# ---- round 3: md5-bit-identical twins for the xxhash64 sketch ops ----
+#
+# Same trick as ext_dedup_minhash_verified: xxhash64 has no DuckDB twin, so
+# the production sketches (ext_dedup_simhash / ext_fingerprint_winnow) are
+# rows-only; these variants derive the hash from md5 — computable
+# bit-identically in both engines — so the ENTIRE sketch construction is
+# hash-checked, proving the algorithm (bit votes / rolling window minima)
+# exact, not just non-crashing.
+
+_H32_SQL = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5({expr}), CAST(i AS INT), 1)) - 1)"
+    " * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)"
+)
+
+
+def _h32(col):
+    """First 8 md5 hex chars of col as a bigint — Spark side of _H32_SQL."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    h = _H32_SQL.format(expr="'sh:' || tok")
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ), hh AS (
+        SELECT doc_id, {h} AS h FROM w
+    ), votes AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hh GROUP BY doc_id
+    )
+    SELECT doc_id, {sketch} AS simhash32
+    FROM votes
+    """
+
+
+@query("ext_dedup_simhash_verified", oracle=_simhash_oracle())
+def ext_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c' — ORACLE-CHECKED 32-bit SimHash: per-token hash =
+    int(md5('sh:'||token)[:8], 16), signed vote per bit position over every
+    token occurrence, sign → sketch bit, bits recomposed to one BIGINT.
+    DuckDB recomputes the identical sketch (bit extraction via integer
+    div/mod), so the full bit-vote construction is hash-verified — the
+    xxhash64 64-bit variant (ext_dedup_simhash) stays as the faster
+    production path.
+
+    Scale: long-format tokens → ONE groupBy(doc_id) carrying 32 integer
+    sums (map-side combined); no arrays, no HOFs in the hot path."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = _h32(F.concat(F.lit("sh:"), F.col("tok")))
+    hh = tok.select("doc_id", h.alias("h"))
+    votes = hh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
+    )
+    sketch = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sketch = term if sketch is None else sketch + term
+    return votes.select("doc_id", sketch.alias("simhash32"))
+
+
+_WINNOW_VERIFIED_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' ||
+                   toks[CAST(i + 2 AS INT)] AS gram
+        FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3
+    ), h AS (
+        SELECT doc_id, pos,
+               {_H32_SQL.format(expr="'wg:' || gram")} AS kh
+        FROM g
+    ), fp AS (
+        SELECT doc_id,
+               MIN(kh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                   AS fingerprint
+        FROM h
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT fingerprint) AS n_fingerprints,
+           MIN(fingerprint) AS min_fingerprint
+    FROM fp GROUP BY doc_id
+"""
+
+
+@query("ext_fingerprint_winnow_verified", oracle=_WINNOW_VERIFIED_ORACLE)
+def ext_fingerprint_winnow_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1c' — ORACLE-CHECKED winnowing: identical rolling-min fingerprint
+    selection to ext_fingerprint_winnow but with md5-derived 32-bit k-gram
+    hashes, so DuckDB recomputes the same window minima and the selection
+    scheme itself (every-window-min, dedup, per-doc accounting) is
+    hash-verified across engines."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w")
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    l1, l2 = F.lead("w", 1).over(seq), F.lead("w", 2).over(seq)
+    grams = (
+        words.select(
+            "doc_id",
+            "pos",
+            _h32(
+                F.concat(F.lit("wg:"), F.concat_ws(" ", F.col("w"), l1, l2))
+            ).alias("kh"),
+            l2.isNotNull().alias("_full"),
+        )
+        .where("_full")
+    )
+    win = seq.rowsBetween(0, WINNOW_W - 1)
+    picked = grams.select(
+        "doc_id", F.min("kh").over(win).alias("fingerprint")
+    )
+    return picked.groupBy("doc_id").agg(
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fingerprint"),
+    )

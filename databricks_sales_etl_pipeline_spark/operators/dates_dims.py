@@ -165,3 +165,46 @@ def dq_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(disc_or_null, F.lit(-1.0)).alias("disc_filled"),
         F.when(F.col("l_discount") == 0.0, 1).otherwise(0).alias("was_zero"),
     )
+
+
+@query(
+    "ext_scd2_intervals",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(o_orderdate AS DATE) AS valid_from,
+           LEAD(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+           ) AS valid_to,
+           CASE WHEN LEAD(o_orderkey) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM orders
+    WHERE o_custkey < 500
+    """,
+)
+def ext_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction (the dimension-history shape every
+    warehouse needs): each customer's orders become validity intervals
+    [valid_from, valid_to) via one LEAD window; the open-ended latest row
+    is flagged current. Fully-pinned ordering (date, orderkey tiebreak) —
+    CLAUDE.md's tie rule — makes the intervals engine-deterministic.
+
+    Scale: one window shuffle on the dimension key; interval assignment is
+    a single pass, no self-join (the naive SCD2 build joins each row to
+    its successor — O(n²) on hot keys)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
+    d = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(d, "o_orderkey")
+    nxt_key = F.lead("o_orderkey").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("valid_from"),
+        F.lead(d).over(w).alias("valid_to"),
+        F.when(nxt_key.isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -49,3 +49,18 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp("json")
     r.write.json(path)
     return spark.read.schema(SCHEMAS["region"]).json(path)
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (the other columnar format Spark ships natively).
+    Unlike CSV/JSON, ORC keeps column pruning and predicate pushdown, so it
+    IS a valid analytics-resident format; doubles round-trip bit-exactly
+    through its typed encoding (no string formatting involved)."""
+    s = load(spark, sf_dir, "supplier")
+    path = _tmp("orc")
+    s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").write.orc(path)
+    return spark.read.orc(path)
