@@ -42,6 +42,9 @@ HEADLINE = [
     "agg_median_cents",
     "agg_cube",
     "pipeline_gold_category",
+    # round-3 families: zero-shuffle chunking + real-format multimodal decode
+    "ext_chunk_sliding",
+    "mm_decode_real",
 ]
 
 

@@ -193,3 +193,59 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue_cents"))
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    WITH dim AS (
+        SELECT DISTINCT o_orderpriority,
+               length(o_orderpriority) AS prio_weight
+        FROM orders
+    )
+    SELECT o.o_orderpriority,
+           CAST(MIN(d.prio_weight) AS INT) AS prio_weight,
+           COUNT(*) AS n_orders,
+           CAST(SUM({cents_sql('o.o_totalprice')}) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN dim d ON d.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-SALTED shuffle join (the manual fix when AQE skew-split can't
+    apply, e.g. the skewed side feeds an aggregation on the same key): the
+    join key here is o_orderpriority — 5 hot values, so a plain shuffle
+    join lands the whole table on 5 reducers. Salting: the fact side gets
+    salt = hash(unique key) mod 8, the dim side is replicated ×8 via
+    explode(sequence), and the join key becomes (priority, salt) — 40
+    evenly-sized partitions instead of 5 hot ones. The salt never changes
+    the JOIN RESULT (every fact row still meets its dim row exactly once),
+    which is exactly what the unsalted oracle verifies. hint("merge")
+    forces the shuffle path so the demo can't silently broadcast.
+
+    At 100 TB: salt factor scales with observed skew (key-frequency sketch
+    → per-key salt fan-out); here fixed 8 keeps the plan assertable."""
+    n_salt = 8
+    o = load(spark, sf_dir, "orders")
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .select(
+            F.col("o_orderpriority").alias("d_priority"),
+            F.length("o_orderpriority").cast("int").alias("prio_weight"),
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    )
+    salted = o.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt)).cast("int")
+    )
+    j = salted.hint("merge").join(
+        dim,
+        (salted["o_orderpriority"] == dim["d_priority"])
+        & (salted["salt"] == dim["salt"]),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.min("prio_weight").alias("prio_weight"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+    )

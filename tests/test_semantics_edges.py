@@ -122,3 +122,20 @@ def test_min_label_components_transitive_chain(spark):
         (r.node, r.label) for r in min_label_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """X5 depth: the rows-only HLL query can't be hash-checked, but its
+    ACCURACY contract can — approx_count_distinct(rsd=0.02) must land
+    within a few standard deviations of the exact count (5×rsd covers
+    HLL++'s bias-corrected tail generously while still catching a broken
+    sketch merge, which is off by orders of magnitude)."""
+    from databricks_sales_etl_pipeline_spark.registry import QUERIES, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+
+    row = QUERIES["ext_approx_distinct"](spark, SF_DIR).collect()[0]
+    exact, approx = row["exact_orders"], row["approx_orders"]
+    assert exact > 0
+    assert abs(approx - exact) <= 0.10 * exact
