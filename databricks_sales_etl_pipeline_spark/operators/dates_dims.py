@@ -208,3 +208,88 @@ def ext_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(d).over(w).alias("valid_to"),
         F.when(nxt_key.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@query(
+    "ext_gapfill_locf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               CAST(SUM({cents_sql('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+    ), spine AS (
+        SELECT t.event_type, CAST(g.day AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM daily) t,
+             (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM bounds) g
+    ), joined AS (
+        SELECT s.event_type, s.day, d.v
+        FROM spine s LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.day = s.day
+    ), grp AS (
+        SELECT event_type, day, v,
+               SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM joined
+    )
+    SELECT event_type, day,
+           MAX(v) OVER (PARTITION BY event_type, g) AS value_cents,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM grp
+    """,
+)
+def ext_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward (the
+    resampling shape every metrics/feature pipeline needs): per event type,
+    a complete daily date spine (sequence + explode), left-joined daily
+    sums, gaps filled by LOCF. The fill uses the group-counter trick —
+    running count of non-null observations partitions each gap with its
+    preceding observation, then MAX within the group — identical window
+    algebra in both engines, avoiding IGNORE NULLS portability.
+
+    Scale: the spine is |types| × |days| (tiny) built with sequence() —
+    no driver loop; one join shuffle + one window shuffle on the same
+    (type) key; LOCF never materializes per-gap copies."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.sum(cents("value")).alias("v"))
+    )
+    # 1-row bounds fan-out: crossJoin(broadcast(1 row)) plans as a
+    # BroadcastNestedLoopJoin with a single-row build side — the correct
+    # plan here (a constant-key equi-join gets folded back to the same NLJ
+    # by Catalyst); allow-listed in tests/test_plans.py with this rationale
+    lo_hi = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(broadcast(lo_hi))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    seq = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grp = joined.withColumn(
+        "g", F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0)).over(seq)
+    )
+    fill = Window.partitionBy("event_type", "g")
+    return grp.select(
+        "event_type",
+        "day",
+        F.max("v").over(fill).alias("value_cents"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
+    )

@@ -86,6 +86,9 @@ _NLJ_ALLOWED = {
     "ext_similarity_ivf",
     "ext_edit_distance",
     "setop_union_all",
+    # 1-row global-bounds broadcast fanned out to the type spine: the NLJ
+    # build side is literally one row, O(|types|)·1 — the right plan
+    "ext_gapfill_locf",
     # scalar-subquery pattern: ONE-row global aggregate broadcast, compared
     # by inequality — the nested-loop probe costs O(n)·1, the right plan
     "tpch_q11",
