@@ -847,3 +847,57 @@ def ext_fingerprint_winnow_verified(spark: SparkSession, sf_dir: str) -> DataFra
         F.countDistinct("fingerprint").alias("n_fingerprints"),
         F.min("fingerprint").alias("min_fingerprint"),
     )
+
+
+_PAGERANK_ORACLE = f"""
+    WITH pairs AS ({_MINHASH_VERIFIED_ORACLE}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    contrib AS (
+        SELECT e.dst, 1000000 // g.d AS c
+        FROM edges e JOIN deg g ON g.src = e.src
+    ),
+    s AS (SELECT dst AS node, CAST(SUM(c) AS BIGINT) AS sc FROM contrib GROUP BY dst)
+    SELECT node, CAST(150000 + (sc * 85) // 100 AS BIGINT) AS rank_micro
+    FROM s
+"""
+
+
+@query("ext_pagerank_step", oracle=_PAGERANK_ORACLE)
+def ext_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-centrality dataflow, oracle-checked: one PageRank iteration
+    (damping 0.85) over the verified near-dup graph in INTEGER micro-units
+    with floor division — r₁(v) = 150000 + ⌊0.85·Σ_{u→v}⌊10⁶/deg(u)⌋⌋ —
+    so Spark and DuckDB agree bit-for-bit (float PageRank sums are
+    order-dependent and never would). Every node has out-degree ≥ 1 by
+    construction (edges are symmetrized pairs), so there's no dangling-mass
+    term to model.
+
+    Scale shape: the iteration is join(edges, degrees) → groupBy(dst) —
+    one shuffle per round on the edge relation, the same dataflow GraphX's
+    Pregel reduces to; iterate by looping with localCheckpoint exactly as
+    min_label_components does."""
+    # eager checkpoint: BOTH union branches below consume the pairs — without
+    # it the full minhash-verify pipeline executes twice and its lineage
+    # (≈8 shuffles) stacks onto the PageRank joins; iterating more rounds
+    # would re-checkpoint per round exactly like min_label_components
+    pairs = (
+        ext_dedup_minhash_verified(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    contrib = edges.join(deg, "src").select(
+        "dst", F.expr("CAST(1000000 DIV d AS BIGINT)").alias("c")
+    )
+    s = contrib.groupBy(F.col("dst").alias("node")).agg(F.sum("c").alias("sc"))
+    return s.select(
+        "node", F.expr("CAST(150000 + (sc * 85) DIV 100 AS BIGINT)").alias("rank_micro")
+    )

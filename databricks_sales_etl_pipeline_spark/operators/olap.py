@@ -224,3 +224,41 @@ def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_items"),
         F.sum("pc").alias("revenue_cents"),
     )
+
+
+@query(
+    "agg_percentile_bands",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           quantile_cont({_ORDER_CENTS}, 0.25) AS p25_cents,
+           quantile_cont({_ORDER_CENTS}, 0.50) AS p50_cents,
+           quantile_cont({_ORDER_CENTS}, 0.75) AS p75_cents,
+           quantile_cont({_ORDER_CENTS}, 0.90) AS p90_cents,
+           quantile_cont({_ORDER_CENTS}, 0.99) AS p99_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full percentile band (p25/p50/p75/p90/p99) per group on integer
+    cents — the latency/value-distribution report shape. Same exactness
+    argument as agg_median_cents: linear interpolation between integers
+    < 2^52 is exact IEEE on both engines. Emitted as separate columns (an
+    array cell would crash the driver canonicalizer, CLAUDE.md). At 100 TB
+    swap in approx_percentile(..., accuracy) — same shape, bounded state."""
+    cents_expr = "CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)"
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        *[
+            F.expr(f"percentile({cents_expr}, {p})").alias(name)
+            for p, name in [
+                (0.25, "p25_cents"),
+                (0.50, "p50_cents"),
+                (0.75, "p75_cents"),
+                (0.90, "p90_cents"),
+                (0.99, "p99_cents"),
+            ]
+        ],
+    )
