@@ -172,3 +172,62 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("custkey_present", F.col("o_custkey").isNotNull()),
     ]
     return expectations_report(o, rules)
+
+
+@query(
+    "ext_anomaly_zscore",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value) AS BIGINT) AS x
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM v GROUP BY event_type
+    )
+    SELECT v.event_id, v.event_type, v.x,
+           CAST(s.n * v.x - s.sx AS BIGINT) AS dev_n,
+           CAST(s.n * s.sxx - s.sx * s.sx AS BIGINT) AS var_n2
+    FROM v JOIN s ON s.event_type = v.event_type
+    WHERE (s.n * v.x - s.sx) * (s.n * v.x - s.sx)
+          > 9 * (s.n * s.sxx - s.sx * s.sx)
+    """,
+)
+def ext_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed z-score outlier detection with EXACT integer arithmetic:
+    |x − μ| > 3σ cross-multiplied to (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — no
+    float mean/variance anywhere, so partition order can't perturb who is
+    flagged (a real failure mode: the borderline point whose z ≈ 3.0000
+    flips with float summation order). Values are floor()'d to integer
+    units; magnitudes stay < 2^62 through ~sf100 on this schema (beyond
+    that, pre-aggregate per partition or widen units).
+
+    Scale: one groupBy over 5 types (map-side combined), stats broadcast
+    back over the scan — the second pass is shuffle-free."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_id", "event_type", F.floor("value").cast("bigint").alias("x")
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    j = v.join(broadcast(s), "event_type")
+    dev_n = F.col("n") * F.col("x") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        j.where(dev_n * dev_n > 9 * var_n2)
+        .select(
+            "event_id",
+            "event_type",
+            "x",
+            dev_n.cast("bigint").alias("dev_n"),
+            var_n2.cast("bigint").alias("var_n2"),
+        )
+    )
