@@ -370,3 +370,46 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+_KNN_ORACLE = f"""
+    WITH topk AS ({_TOPK_ORACLE}),
+    votes AS (
+        SELECT t.query_id, e.label, COUNT(*) AS votes
+        FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+        GROUP BY t.query_id, e.label
+    )
+    SELECT query_id, label AS predicted_label, votes FROM (
+        SELECT query_id, label, votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, label) AS rn
+        FROM votes
+    ) WHERE rn = 1
+"""
+
+
+@query("ext_knn_classify", oracle=_KNN_ORACLE)
+def ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3c — k-NN label prediction on top of the exact cosine top-k:
+    majority label among each query's 10 nearest neighbors, deterministic
+    tiebreak (most votes, then smallest label) — the consumer that turns
+    similarity search into classification (weak labeling / nearest-
+    neighbor eval at corpus scale). Fully oracle-checked through the same
+    quantized scoring as ext_similarity_topk.
+
+    Scale: the label join touches only k·|queries| rows; everything
+    upstream inherits the topk plan (broadcast queries, one corpus scan;
+    IVF/LSH swap in for the scan at 100 TB)."""
+    topk = ext_similarity_topk(spark, sf_dir)
+    lab = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    votes = topk.join(lab, "neighbor_id").groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )

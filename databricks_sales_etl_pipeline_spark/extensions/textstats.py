@@ -481,3 +481,74 @@ def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.max("c").cast("double") / total.cast("double")).alias("top_share"),
     )
+
+
+@query(
+    "ext_tfidf_relevance",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM w GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM w
+    ), scored AS (
+        SELECT t.doc_id, t.token,
+               CAST(t.tf AS BIGINT) AS tf,
+               CAST(d.df AS BIGINT) AS df,
+               CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS relevance
+        FROM tf t JOIN df d ON d.token = t.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, relevance, rank FROM (
+        SELECT doc_id, token, tf, df, relevance,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY relevance DESC, token) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ext_tfidf_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4h — TF-IDF term relevance, log-free: score = tf·N/df (the same
+    ordering as tf·log(N/df) for ranking within a document when comparing
+    per-term, and — unlike log — bit-portable across engines: tf·N is an
+    exact integer, one IEEE division by df). Top-5 terms per document with
+    deterministic tiebreak.
+
+    Scale: tf is one (doc, token) groupBy, df one token groupBy riding the
+    same long format; N broadcasts as a 1-row aggregate folded into the
+    join. No arrays, no HOFs."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), _WS)).alias("token")
+    ).where(F.col("token") != "")
+    tf = w.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # N as a 1-row broadcast fan-out (NOT a driver-side .count(): no
+    # collect/actions inside queries() paths) — same sanctioned 1-row
+    # BroadcastNestedLoopJoin as ext_gapfill_locf, allow-listed in
+    # tests/test_plans.py
+    from pyspark.sql.functions import broadcast
+
+    n = w.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = tf.join(df, "token").crossJoin(broadcast(n)).select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+            "relevance"
+        ),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("relevance"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "token", "tf", "df", "relevance", "rank")
+    )

@@ -262,3 +262,40 @@ def agg_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    SELECT l_returnflag, mode_quantity, n_at_mode FROM (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS mode_quantity,
+               COUNT(*) AS n_at_mode,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC,
+                                           CAST(l_quantity AS BIGINT)) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with deterministic tiebreak (highest count,
+    then smallest value) — mode() built-ins break ties arbitrarily across
+    engines, so the canonical form is count-then-rank. Two aggregations
+    ride one shuffle key prefix; the ranking window only sees one row per
+    distinct value."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("mode_quantity")
+    ).agg(F.count(F.lit(1)).alias("n_at_mode"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n_at_mode"), F.asc("mode_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", "mode_quantity", "n_at_mode")
+    )

@@ -89,6 +89,10 @@ _NLJ_ALLOWED = {
     # 1-row global-bounds broadcast fanned out to the type spine: the NLJ
     # build side is literally one row, O(|types|)·1 — the right plan
     "ext_gapfill_locf",
+    # same pattern: 1-row corpus-size aggregate broadcast into the scoring
+    "ext_tfidf_relevance",
+    # inherits ext_similarity_topk's sanctioned bounded-query-set NLJ
+    "ext_knn_classify",
     # scalar-subquery pattern: ONE-row global aggregate broadcast, compared
     # by inequality — the nested-loop probe costs O(n)·1, the right plan
     "tpch_q11",
