@@ -249,3 +249,50 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
     )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH hot AS (
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+    ), big AS (
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_totalprice > 400000
+    )
+    SELECT COALESCE(h.o_orderkey, b.o_orderkey) AS o_orderkey,
+           h.o_orderpriority,
+           b.price_cents,
+           CASE WHEN h.o_orderkey IS NULL THEN 'right_only'
+                WHEN b.o_orderkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS side
+    FROM hot h FULL OUTER JOIN big b ON b.o_orderkey = h.o_orderkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — FULL OUTER join (the reconciliation shape: rows exclusive to
+    either side survive with nulls; completes the join family beyond
+    inner/left/semi/anti). Full outer can never broadcast — both sides
+    must shuffle — so the plan is SortMergeJoin by construction; at 100 TB
+    that is also the only correct choice."""
+    o = load(spark, sf_dir, "orders")
+    hot = o.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 3 == 0)
+    ).select("o_orderkey", "o_orderpriority")
+    big = o.where(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    j = hot.alias("h").join(
+        big.alias("b"), F.col("h.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("h.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        "o_orderpriority",
+        "price_cents",
+        F.when(F.col("h.o_orderkey").isNull(), "right_only")
+        .when(F.col("b.o_orderkey").isNull(), "left_only")
+        .otherwise("both")
+        .alias("side"),
+    )

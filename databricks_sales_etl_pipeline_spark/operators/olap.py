@@ -299,3 +299,64 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("l_returnflag", "mode_quantity", "n_at_mode")
     )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(FLOOR(o_totalprice / 10) AS BIGINT) AS y
+        FROM orders
+    ), s AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pts GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+    FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from EXACT integer sums (built-in
+    corr() accumulates doubles in partition order — not reproducible).
+    All five sums are int64-exact (y in deci-dollars keeps Σy² < 2^53 so
+    its double image is exact through ~sf1; widen units beyond); the
+    final expression casts each sum to double BEFORE multiplying, the
+    identical tree on both engines (n·Σyy would overflow int64, and
+    DuckDB's HUGEINT path would diverge from Spark otherwise)."""
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("o_totalprice") / 10).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+        * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return s.select("o_orderpriority", "n", r.alias("pearson_r"))

@@ -68,3 +68,52 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     early = o.where(F.col("o_orderdate") < cut).select("o_custkey")
     late = o.where(F.col("o_orderdate") >= cut).select("o_custkey")
     return early.subtract(late)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+    WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+    WHERE l_linestatus = 'F'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2b — INTERSECT ALL (bag semantics: each row kept min(m, n) times,
+    unlike INTERSECT's set semantics). intersectAll compiles to a
+    count-matching aggregate join — one shuffle on the full row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    a = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "qty")
+    b = li.where(F.col("l_linestatus") == "F").select("l_orderkey", "qty")
+    return a.intersectAll(b)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+    WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+    WHERE l_linestatus = 'F'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2c — EXCEPT ALL (bag difference: each row kept max(m − n, 0)
+    times). Completes the set-operator family with multiset semantics."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    a = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "qty")
+    b = li.where(F.col("l_linestatus") == "F").select("l_orderkey", "qty")
+    return a.exceptAll(b)

@@ -85,3 +85,44 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c).over(run).alias("running_cents"),
         F.lag(c, 1, 0).over(w).alias("prev_cents"),
     )
+
+
+@query(
+    "window_moving_avg",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM({_ORDER_CENTS}) AS BIGINT) AS day_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day, day_cents,
+           CAST(CAST(SUM(day_cents) OVER w AS BIGINT) AS DOUBLE)
+               / COUNT(*) OVER w AS ma7_cents
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — 7-row moving average of daily revenue per priority, computed as
+    windowed-integer-SUM / windowed-COUNT (avg() over doubles would be
+    order-sensitive; the single final division is IEEE-identical in both
+    engines). Day keys are unique per partition, so the frame is fully
+    pinned (CLAUDE.md tie rule)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("day_cents"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "day_cents",
+        (F.sum("day_cents").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "ma7_cents"
+        ),
+    )
