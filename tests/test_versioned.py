@@ -130,3 +130,54 @@ def test_read_gives_pushdown_pruned_scan(spark, nation, tmp_path):
     )
     assert "EqualTo(n_regionkey,2)" in plan       # pushed filter
     assert "ReadSchema" in plan and "n_comment" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_streaming_foreachbatch_into_versioned_table(spark, tmp_path):
+    """Streaming sink → ACID table: a Structured Streaming query appends
+    each micro-batch into the commit log via foreachBatch (the Delta
+    streaming-sink shape). Two AvailableNow runs over one checkpoint: each
+    input file lands as exactly one APPEND commit, rows survive exactly,
+    and time travel can read the table as of the first batch."""
+    import glob
+    import os
+
+    from databricks_sales_etl_pipeline_spark.streaming.util import await_finished
+
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    table = VersionedTable(spark, str(tmp_path / "t"))
+    schema = "k bigint, v string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(indir)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, batch_id: table.write(batch_df, mode="append")
+                if batch_df.count()
+                else None
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 120)
+
+    feed([(1, "a"), (2, "b")])
+    run_once()
+    v_after_first = table.snapshot_version()
+    assert table.read().count() == 2
+    feed([(3, "c")])
+    run_once()
+    assert table.read().count() == 3
+    # exactly-once across restarts: batch 1 was not re-appended
+    ops = [h["operation"] for h in table.history()]
+    assert ops.count("APPEND") == len(
+        [p for p in glob.glob(os.path.join(indir, "part-*"))]
+    )
+    # time travel to the pre-second-batch snapshot
+    assert table.read(version=v_after_first).count() == 2

@@ -84,7 +84,40 @@ def main() -> None:
         ).alias("shard")).groupBy("bucket", "shard").count().count()
         t["token_shards"] = round(time.perf_counter() - t0, 2)
 
-        rec = {"docs": n, "candidates": n_cand, "timings_sec": t,
+        # round-3 shapes: zero-shuffle sliding chunking, md5-band split,
+        # and the md5 signature build (cost of the fully-oracled variant
+        # vs the xxhash64 production hash above)
+        t0 = time.perf_counter()
+        toks_arr = F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+        base3 = d.select("doc_id", toks_arr.alias("toks")).where(
+            F.size("toks") > 0
+        ).withColumn("n_chunks", F.expr("CAST((size(toks) + 15) DIV 16 AS INT)"))
+        chunk = F.slice(F.col("toks"), F.col("chunk_idx") * 16 + 1, 32)
+        n_chunks = base3.select(
+            "doc_id", "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        ).select(F.md5(F.array_join(chunk, " ")).alias("h")).count()
+        t["chunk_sliding"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        band = F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 100
+        d.select(
+            F.when(band < 80, "train").when(band < 90, "val").otherwise("test").alias("s")
+        ).groupBy("s").count().count()
+        t["md5_split"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        md5h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("0:"), F.col("shingle"))), 1, 8), 16, 10
+        ).cast("bigint")
+        sh.groupBy("doc_id").agg(F.min(md5h).alias("h0")).count()
+        t["md5_sig_1band"] = round(time.perf_counter() - t0, 2)
+
+        rec = {"docs": n, "candidates": n_cand, "n_chunks": n_chunks,
+               "timings_sec": t,
                "minhash_kdocs_per_sec": round(n / t["minhash_sig_candidates"] / 1e3, 1)}
         out.append(rec)
         print(json.dumps(rec))
