@@ -33,3 +33,39 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         parsed.getField("k").alias("k"),
     )
+
+
+@query(
+    "json_nested_roundtrip",
+    oracle="""
+    SELECT o_orderkey, CAST(0 AS INT) AS pos, o_orderpriority AS tag
+    FROM orders WHERE o_orderkey < 2000
+    UNION ALL
+    SELECT o_orderkey, CAST(1 AS INT) AS pos, o_orderstatus AS tag
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Js2 — NESTED JSON handling end-to-end: serialize a struct with an
+    array field to a JSON string (to_json), parse it back with an explicit
+    nested schema (from_json with ARRAY<STRING> — the production path for
+    semi-structured columns), then posexplode the array. The oracle states
+    the identity directly, so a parser that mangles nesting, ordering or
+    types cannot match. All JVM-side — JSON never reaches Python."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    j = o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("key"),
+                F.array("o_orderpriority", "o_orderstatus").alias("tags"),
+            )
+        ).alias("payload"),
+    )
+    parsed = j.select(
+        "o_orderkey",
+        F.from_json("payload", "key BIGINT, tags ARRAY<STRING>").alias("p"),
+    )
+    return parsed.select(
+        "o_orderkey", F.posexplode("p.tags").alias("pos", "tag")
+    )

@@ -258,3 +258,28 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents("o_totalprice")).alias("revenue_cents"),
     )
+
+
+@query(
+    "agg_boolean_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_high_disc,
+           bool_and(l_quantity >= 1) AS all_qty_positive,
+           bool_or(l_discount = 0) AS any_zero_disc,
+           CAST(count_if(l_tax > l_discount) AS BIGINT) AS n_tax_gt_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family: count_if, bool_and, bool_or —
+    predicate aggregation without CASE scaffolding (and with short-circuit
+    semantics at the partial-aggregate level: bool_and/bool_or combine as
+    min/max over booleans, so the shuffle carries one bit per group)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") == 0).alias("any_zero_disc"),
+        F.count_if(F.col("l_tax") > F.col("l_discount")).alias("n_tax_gt_disc"),
+    )
