@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import EVENTS_RAW_SCHEMA, nanos_to_ts
 from databricks_sales_etl_pipeline_spark.registry import query
-from databricks_sales_etl_pipeline_spark.streaming.util import await_finished
+from databricks_sales_etl_pipeline_spark.streaming.util import (
+    await_finished,
+    scratch_checkpoint,
+)
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +69,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"dsep_ckpt_{sink}"),
+            scratch_checkpoint(sink.split("_")[0]),
         )
         .trigger(availableNow=True)
         .start()

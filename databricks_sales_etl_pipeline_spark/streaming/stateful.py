@@ -25,7 +25,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from databricks_sales_etl_pipeline_spark.catalog import EVENTS_RAW_SCHEMA, nanos_to_ts
 from databricks_sales_etl_pipeline_spark.registry import query
-from databricks_sales_etl_pipeline_spark.streaming.util import await_finished
+from databricks_sales_etl_pipeline_spark.streaming.util import (
+    await_finished,
+    scratch_checkpoint,
+)
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -79,7 +82,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"dsep_ckpt_{sink}"),
+            scratch_checkpoint(sink.split("_")[0]),
         )
         .trigger(availableNow=True)
         .start()
@@ -112,7 +115,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("update")
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"dsep_ckpt_{sink}"),
+            scratch_checkpoint(sink.split("_")[0]),
         )
         .trigger(availableNow=True)
         .start()

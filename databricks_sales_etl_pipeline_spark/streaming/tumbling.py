@@ -27,7 +27,10 @@ from databricks_sales_etl_pipeline_spark.catalog import (
 )
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
-from databricks_sales_etl_pipeline_spark.streaming.util import await_finished
+from databricks_sales_etl_pipeline_spark.streaming.util import (
+    await_finished,
+    scratch_checkpoint,
+)
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -128,7 +131,7 @@ def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("update")
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"dsep_ckpt_{sink}"),
+            scratch_checkpoint(sink.split("_")[0]),
         )
         .trigger(availableNow=True)
         .start()

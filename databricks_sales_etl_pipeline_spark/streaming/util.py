@@ -18,3 +18,19 @@ def await_finished(q: StreamingQuery, timeout_s: int) -> None:
             f"streaming query {q.name or q.id} did not finish its "
             f"AvailableNow batch within {timeout_s}s"
         )
+
+
+def scratch_checkpoint(tag: str) -> str:
+    """Deterministic per-tag checkpoint dir, wiped before reuse — memory-sink
+    demo queries re-process everything each invocation anyway, and the
+    uuid-per-invocation form leaked tempdir without bound (the round-2
+    advisor's versioned-table finding, same class). Durable pipelines pass
+    their own stable checkpoint path instead (plans/incremental.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"dsep_ckpt_{tag}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    return path
