@@ -96,3 +96,30 @@ def test_pagerank_step_two_node_fixpoint(spark):
     }
     assert got == {1: 1000000, 2: 1000000}
     assert dedup.ext_pagerank_step is not None  # query registered
+
+
+def test_md5_band_matches_reference_hashlib(spark):
+    """The md5-band primitive underpins every round-3 verified sketch —
+    pin its exact semantics against an independent implementation
+    (hashlib): band(x) == int(md5(salt||x)[:8], 16) % mod for hostile
+    strings (unicode, quotes, backslashes, whitespace)."""
+    import hashlib
+
+    vals = [
+        "", "a", "hello world", "naïve café", "…", "\\", "'", '"',
+        "tab\there", "0123456789abcdef", "x" * 300, "emoji 🎉",
+        "line\nbreak", "percent%s", "null\x01ish",
+    ] + [f"doc{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["band"]
+        for r in df.select(
+            "s", md5_band(F.col("s"), 1000, "salt:").alias("band")
+        ).collect()
+    }
+    for v in vals:
+        expect = (
+            int(hashlib.md5(("salt:" + v).encode("utf-8")).hexdigest()[:8], 16)
+            % 1000
+        )
+        assert got[v] == expect, f"band mismatch for {v!r}"
