@@ -552,3 +552,107 @@ def ext_tfidf_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("doc_id", "token", "tf", "df", "relevance", "rank")
     )
+
+
+@query(
+    "ext_pack_offsets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {N_PACK_BUCKETS} AS bucket,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CAST(SUM(n_tokens + 1) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - (n_tokens + 1) AS BIGINT) AS offset_start,
+           n_tokens
+    FROM toks
+    """,
+)
+def ext_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4i — sequence-packing OFFSETS: when documents are concatenated
+    (with one separator token each) into a training stream per bucket,
+    where does each document start? offset = exclusive cumsum of
+    (n_tokens + 1) in doc_id order — the index a dataloader needs to slice
+    documents back out of packed shards. Same per-bucket parallel window
+    as ext_token_shards: no global sort anywhere."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_BUCKETS).alias("bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+    run = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select(
+        "doc_id",
+        "bucket",
+        (
+            F.sum(F.col("n_tokens") + 1).over(run) - (F.col("n_tokens") + 1)
+        ).alias("offset_start"),
+        "n_tokens",
+    )
+
+
+@query(
+    "ext_langmix_report",
+    oracle="""
+    WITH b AS (
+        SELECT lang,
+               CASE WHEN (CAST(list_sum(list_transform(range(1, 9), i ->
+                     (strpos('0123456789abcdef',
+                              substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                        CAST(i AS INT), 1)) - 1)
+                     * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100) < 80
+                    THEN 'train'
+                    WHEN (CAST(list_sum(list_transform(range(1, 9), i ->
+                     (strpos('0123456789abcdef',
+                              substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                        CAST(i AS INT), 1)) - 1)
+                     * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100) < 90
+                    THEN 'val' ELSE 'test' END AS split,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM b GROUP BY split, lang
+    """,
+)
+def ext_langmix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4j — corpus-mixing report: token totals per (split, language) —
+    the accounting table every training-mix decision reads (does val hold
+    ~10% of each language's tokens? is a language underrepresented?).
+    Composes the deterministic md5 split with token counting in one scan +
+    one small groupBy."""
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band
+
+    d = load(spark, sf_dir, "documents")
+    band = md5_band(F.col("doc_id"), 100, "split:")
+    split = (
+        F.when(band < 80, "train").when(band < 90, "val").otherwise("test")
+    )
+    n_tokens = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    return (
+        d.select(split.alias("split"), "lang", n_tokens.alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

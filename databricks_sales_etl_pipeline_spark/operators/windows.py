@@ -126,3 +126,50 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ma7_cents"
         ),
     )
+
+
+@query(
+    "window_value_suite",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM({_ORDER_CENTS}) AS BIGINT) AS day_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day, day_cents,
+           first_value(day_cents) OVER w AS first_cents,
+           last_value(day_cents) OVER w AS last_cents,
+           nth_value(day_cents, 2) OVER w AS second_cents,
+           lag(day_cents, 1, 0) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY day) AS prev_cents
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — value-window family: first_value / last_value / nth_value over
+    the full partition frame plus lag with default (non-null, per the
+    CLAUDE.md null-coercion note). last_value needs the explicit UNBOUNDED
+    FOLLOWING frame — the default frame stops at CURRENT ROW, a classic
+    silent-wrong-answer; day keys are unique per partition so every value
+    is pinned."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("day_cents"))
+    full = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("o_orderpriority").orderBy("day")
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "day_cents",
+        F.first("day_cents").over(full).alias("first_cents"),
+        F.last("day_cents").over(full).alias("last_cents"),
+        F.nth_value("day_cents", 2).over(full).alias("second_cents"),
+        F.lag("day_cents", 1, 0).over(seq).alias("prev_cents"),
+    )
