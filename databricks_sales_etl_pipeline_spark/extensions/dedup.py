@@ -901,3 +901,51 @@ def ext_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "node", F.expr("CAST(150000 + (sc * 85) DIV 100 AS BIGINT)").alias("rank_micro")
     )
+
+
+@query(
+    "ext_dedup_incremental",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    ), idx AS (
+        SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0
+    ), batch AS (
+        SELECT doc_id, fingerprint FROM fp WHERE doc_id % 5 = 0
+    )
+    SELECT b.doc_id, b.fingerprint,
+           CASE WHEN i.fingerprint IS NULL THEN 1 ELSE 0 END AS is_new
+    FROM batch b LEFT JOIN idx i ON i.fingerprint = b.fingerprint
+    """,
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1d — INCREMENTAL dedup: a new batch (doc_id % 5 = 0 here) checked
+    against the historical corpus's fingerprint index instead of
+    re-deduplicating everything — the only shape that works at 100 TB,
+    where the index is a 16-byte-per-doc table maintained across runs and
+    the daily batch probes it with one join. Flags rather than drops, so
+    downstream policy (keep-first vs quarantine) stays separate.
+
+    Scale: the probe is a left join on the digest — broadcastable while
+    the DAILY batch is small even when the INDEX is huge, since Spark can
+    shuffle the index once and bucket it for every future batch
+    (plans/bucketed.py is that layout)."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fingerprint"),
+    )
+    idx = (
+        fp.where(F.col("doc_id") % 5 != 0)
+        .select(F.col("fingerprint").alias("idx_fp"))
+        .distinct()
+    )
+    batch = fp.where(F.col("doc_id") % 5 == 0)
+    j = batch.join(idx, batch.fingerprint == idx.idx_fp, "left")
+    return j.select(
+        "doc_id",
+        "fingerprint",
+        F.when(F.col("idx_fp").isNull(), 1).otherwise(0).alias("is_new"),
+    )

@@ -360,3 +360,46 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
     )
     return s.select("o_orderpriority", "n", r.alias("pearson_r"))
+
+
+@query(
+    "agg_mad_robust",
+    oracle=f"""
+    WITH v AS (
+        SELECT o_orderpriority, {_ORDER_CENTS} AS cents FROM orders
+    ), med AS (
+        SELECT o_orderpriority, quantile_cont(cents, 0.5) AS med_cents
+        FROM v GROUP BY o_orderpriority
+    )
+    SELECT v.o_orderpriority,
+           COUNT(*) AS n_orders,
+           MIN(m.med_cents) AS med_cents,
+           quantile_cont(abs(v.cents - m.med_cents), 0.5) AS mad_cents
+    FROM v JOIN med m ON m.o_orderpriority = v.o_orderpriority
+    GROUP BY v.o_orderpriority
+    """,
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the ROBUST spread statistic
+    (unlike stddev, one corrupt row can't blow it up; the MAD-based
+    outlier rule complements ext_anomaly_zscore). Two exact interpolated
+    percentile passes on integer cents: the per-group medians broadcast
+    back over the scan, then the median of absolute deviations. abs(x−med)
+    mixes int with the interpolated double — per-row IEEE, identical tree
+    in the oracle."""
+    o = load(spark, sf_dir, "orders")
+    cents_expr = "CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)"
+    v = o.select(
+        "o_orderpriority", F.expr(cents_expr).alias("cents")
+    )
+    med = v.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    from pyspark.sql.functions import broadcast
+
+    j = v.join(broadcast(med), "o_orderpriority")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("med_cents").alias("med_cents"),
+        F.expr("percentile(abs(cents - med_cents), 0.5)").alias("mad_cents"),
+    )
