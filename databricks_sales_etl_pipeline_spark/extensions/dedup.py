@@ -949,3 +949,69 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint",
         F.when(F.col("idx_fp").isNull(), 1).otherwise(0).alias("is_new"),
     )
+
+
+@query(
+    "ext_contamination_score",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 0)),
+                i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+2]
+            ))) AS shingle
+        FROM documents
+    ), eval_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+    ), train AS (
+        SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0
+    ), hits AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(count_if(e.shingle IS NOT NULL) AS BIGINT) AS n_contaminated
+        FROM train t LEFT JOIN eval_sh e ON e.shingle = t.shingle
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination_frac
+    FROM hits WHERE n_contaminated > 0
+    """,
+)
+def ext_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1f — GRADED decontamination: instead of the boolean any-shared-
+    n-gram rule (ext_decontaminate_ngram), score each train doc by the
+    FRACTION of its 3-gram shingles that appear in the eval split — the
+    signal that separates verbatim leakage (frac ≈ 1) from incidental
+    phrase overlap (frac ≈ 0.05), which boolean rules over-delete on.
+    Returns contaminated docs with their overlap fraction.
+
+    Scale: identical inverted-index probe as the boolean rule — the eval
+    shingle set broadcasts, one left join per train shingle, per-doc
+    counts ride the doc_id shuffle. No pairwise comparison anywhere."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d).select("doc_id", "shingle")
+    eval_sh = (
+        sh.where(F.col("doc_id") % 10 == 0)
+        .select(F.col("shingle").alias("eshingle"))
+        .distinct()
+    )
+    train = sh.where(F.col("doc_id") % 10 != 0)
+    from pyspark.sql.functions import broadcast
+
+    j = train.join(
+        broadcast(eval_sh), train.shingle == eval_sh.eshingle, "left"
+    )
+    hits = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count_if(F.col("eshingle").isNotNull()).alias("n_contaminated"),
+    )
+    return hits.where(F.col("n_contaminated") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated").cast("double") / F.col("n_shingles")).alias(
+            "contamination_frac"
+        ),
+    )

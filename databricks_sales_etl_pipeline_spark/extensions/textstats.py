@@ -656,3 +656,58 @@ def ext_langmix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+VOCAB_TOP_K = 50
+
+
+@query(
+    "ext_vocab_coverage",
+    oracle=f"""
+    WITH w AS (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT lang, token, COUNT(*) AS tf FROM w GROUP BY lang, token
+    ), ranked AS (
+        SELECT lang, token, tf,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY tf DESC, token) AS rnk
+        FROM tf
+    )
+    SELECT lang,
+           CAST(SUM(tf) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN rnk <= {VOCAB_TOP_K} THEN tf ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           CAST(SUM(CASE WHEN rnk <= {VOCAB_TOP_K} THEN tf ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS coverage
+    FROM ranked GROUP BY lang
+    """,
+)
+def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4k — vocabulary coverage: what fraction of each language's token
+    OCCURRENCES does a top-{VOCAB_TOP_K} vocabulary capture? The number a
+    tokenizer-budget decision reads (coverage curves flatten where
+    subword splitting must take over). Deterministic top-k via
+    (tf, token) rank; one explode, two groupBys riding the lang shuffle."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "lang", F.explode(F.split(F.lower("text"), _WS)).alias("token")
+    ).where(F.col("token") != "")
+    tf = w.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("tf"), F.asc("token"))
+    )
+    ranked = tf.withColumn("rnk", rnk)
+    covered = F.sum(F.when(F.col("rnk") <= VOCAB_TOP_K, F.col("tf")).otherwise(0))
+    return ranked.groupBy("lang").agg(
+        F.sum("tf").alias("total_tokens"),
+        covered.alias("covered_tokens"),
+        (covered.cast("double") / F.sum("tf").cast("bigint").cast("double")).alias(
+            "coverage"
+        ),
+    )
