@@ -1,0 +1,328 @@
+"""Corpus-curation operators (north star: the governance ops a 100 TB
+LLM data pipeline runs between raw crawl and tokenizer):
+
+- PII redaction (emails / phone numbers / IPv4) — pure regexp_replace,
+  whole-stage-codegen'd, zero shuffle: runs at scan speed;
+- CCNet-style per-language quality buckets (head / middle / tail by
+  in-language quantile) — one token-count shuffle + one window;
+- a curation-funnel report — per-stage survival counts for the whole
+  filter chain in ONE pass over the corpus (flags, not five scans).
+
+Cross-engine discipline: every regex uses only character classes,
+literal chars, and {n,m} quantifiers — a subset on which Java regex
+(Spark) and RE2 (DuckDB) agree byte-for-byte, with ``[.]`` instead of
+an escaped dot so no engine-specific backslash parsing is involved.
+Quality scores are integer permille (1000·stop/total with floor
+division), never floats, so bucket boundaries cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.registry import query
+
+_WS = r"\s+"
+
+# Java-regex / RE2 common-subset patterns (char classes + {n,m} only).
+_RE_EMAIL = "[a-z0-9._]+@[a-z0-9]+[.][a-z][a-z]+"
+_RE_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_RE_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+# Stopword set for the quality permille (shared with the oracle SQL).
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# The synthetic-PII suffix appended to every document (both engines build
+# the identical string from doc_id, so redaction has real work to do on
+# every row and the result is still fully deterministic).
+_PII_SQL_SUFFIX = (
+    "' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.com tel 555-' || "
+    "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+)
+
+
+def _with_pii(d: DataFrame) -> DataFrame:
+    """documents + a deterministic synthetic-PII tail built from doc_id
+    (email, US-style phone, IPv4) — the redaction fixture."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ).alias("txt"),
+    )
+
+
+@query(
+    "ext_pii_redact",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text || {_PII_SQL_SUFFIX} AS txt
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(txt, '{_RE_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(txt, '{_RE_PHONE}')) AS n_phones,
+           len(regexp_extract_all(txt, '{_RE_IPV4}'))  AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+                   '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                   '{_RE_PHONE}', '<PHONE>', 'g'),
+                   '{_RE_IPV4}', '<IP>', 'g')) AS redacted_md5,
+           length(regexp_replace(regexp_replace(regexp_replace(txt,
+                   '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                   '{_RE_PHONE}', '<PHONE>', 'g'),
+                   '{_RE_IPV4}', '<IP>', 'g')) AS redacted_len
+    FROM t
+    """,
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the pre-training privacy gate: find-and-mask
+    emails, phone numbers, and IPv4 addresses with chained
+    ``regexp_replace``.
+
+    Deterministic synthetic PII is first appended to every document from
+    ``doc_id`` (identically in the oracle), so the scrub provably fires
+    on every row; the md5 of the redacted text pins the exact output.
+
+    Scale posture: pure per-row string expressions — map-side only, no
+    shuffle, stays in whole-stage codegen. At 100 TB this is a
+    scan-speed pass that composes with any downstream filter. Spark
+    ``regexp_replace`` replaces all occurrences by default (DuckDB needs
+    the explicit 'g' flag — matched in the oracle).
+    """
+    t = _with_pii(load(spark, sf_dir, "documents"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE,
+            "<PHONE>",
+        ),
+        _RE_IPV4,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("txt", F.lit(_RE_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("txt", F.lit(_RE_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all("txt", F.lit(_RE_IPV4), 0)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document integer quality score: stopword permille =
+    (1000 · stopword-tokens) DIV tokens — the CCNet 'looks like fluent
+    language' proxy, in exact integer arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), _WS)).alias("token")
+    ).where(F.col("token") != "")
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_if(F.col("token").isin(*_STOPWORDS)).alias("n_stop"),
+    )
+    return d.join(stats, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        F.expr("(1000 * n_stop) DIV n_tokens").alias("score_permille"),
+    )
+
+
+_QUALITY_SQL = f"""
+    SELECT d.doc_id, d.lang, d.n_chars, d.text,
+           (1000 * s.n_stop) // s.n_tokens AS score_permille
+    FROM documents d
+    JOIN (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, x -> x IN {_STOPWORDS!r})) AS n_stop
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        )
+        WHERE len(toks) > 0
+    ) s ON d.doc_id = s.doc_id
+"""
+
+
+@query(
+    "ext_quality_buckets",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    b AS (
+        SELECT lang, score_permille,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY score_permille DESC, doc_id) AS tile
+        FROM q
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(score_permille) AS score_min,
+           MAX(score_permille) AS score_max,
+           CAST(SUM(score_permille) AS BIGINT) AS score_sum
+    FROM b
+    GROUP BY lang, tile
+    ORDER BY lang, tile
+    """,
+)
+def ext_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: within each language, rank
+    documents by quality and cut into head / middle / tail terciles —
+    the standard way to keep per-language quality comparable instead of
+    letting high-resource languages crowd out the tail.
+
+    Exactness: the score is integer permille; ``ntile(3)`` ordering is
+    fully pinned by (score DESC, doc_id), so bucket assignment is
+    engine- and partition-layout-independent.
+
+    Scale posture: one explode+groupBy token pass (map-side combine on
+    doc_id), one window partitioned BY LANGUAGE — the window shuffle key
+    is low-cardinality but each partition is processed in parallel only
+    per-lang; at 100 TB you'd sub-bucket the window key (lang, salt)
+    and merge tercile boundaries, or use approx per-lang quantile cuts.
+    The tercile REPORT here aggregates immediately, so the window's sort
+    is the only super-linear step.
+    """
+    q = _doc_quality(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_permille").desc(), F.col("doc_id")
+    )
+    b = q.select("lang", "score_permille", F.ntile(3).over(w).alias("tile"))
+    return (
+        b.groupBy("lang", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score_permille").alias("score_min"),
+            F.max("score_permille").alias("score_max"),
+            F.sum("score_permille").cast("bigint").alias("score_sum"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "score_min",
+            "score_max",
+            "score_sum",
+        )
+        .orderBy("lang", "tile")
+    )
+
+
+# Funnel gates (shared constants so Spark and oracle can't drift).
+_LEN_LO, _LEN_HI = 60, 400
+_FUNNEL_LANGS = ("en", "de", "fr")
+_MIN_SCORE = 40
+
+
+@query(
+    "ext_curation_funnel",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    f AS (
+        SELECT doc_id,
+               (n_chars BETWEEN {_LEN_LO} AND {_LEN_HI}) AS f1,
+               (n_chars BETWEEN {_LEN_LO} AND {_LEN_HI}
+                AND lang IN {_FUNNEL_LANGS!r}) AS f2,
+               (n_chars BETWEEN {_LEN_LO} AND {_LEN_HI}
+                AND lang IN {_FUNNEL_LANGS!r}
+                AND score_permille >= {_MIN_SCORE}) AS f3,
+               md5(text) AS fp
+        FROM q
+    ),
+    k AS (
+        SELECT f1, f2, f3,
+               doc_id = MIN(CASE WHEN f3 THEN doc_id END)
+                            OVER (PARTITION BY fp) AS keeper
+        FROM f
+    ),
+    agg AS (
+        SELECT COUNT(*) AS s0,
+               COUNT(*) FILTER (WHERE f1) AS s1,
+               COUNT(*) FILTER (WHERE f2) AS s2,
+               COUNT(*) FILTER (WHERE f3) AS s3,
+               COUNT(*) FILTER (WHERE f3 AND keeper) AS s4
+        FROM k
+    )
+    SELECT 0 AS stage_id, 'total' AS stage, s0 AS n_docs FROM agg
+    UNION ALL SELECT 1, 'length_gate', s1 FROM agg
+    UNION ALL SELECT 2, 'lang_gate', s2 FROM agg
+    UNION ALL SELECT 3, 'quality_gate', s3 FROM agg
+    UNION ALL SELECT 4, 'dedup_keeper', s4 FROM agg
+    """,
+)
+def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel report: how many documents survive each
+    successive gate (length → language → quality → exact-dedup keeper)
+    — the observability table every corpus pipeline publishes per run.
+
+    All five stage counts come from ONE pass: per-doc boolean flags,
+    a fingerprint window to elect the dedup keeper among quality
+    survivors, then conditional counts unpivoted to long format.
+    Five filters never re-scan the corpus.
+
+    Scale posture: one token shuffle (doc_id), one window shuffle
+    (fingerprint — high-cardinality, well-spread), one scalar
+    aggregate. The final stack is a 1-row driver-free fan-out.
+    """
+    q = _doc_quality(spark, sf_dir)
+    f = q.select(
+        "doc_id",
+        F.col("n_chars").between(_LEN_LO, _LEN_HI).alias("f1"),
+        (
+            F.col("n_chars").between(_LEN_LO, _LEN_HI)
+            & F.col("lang").isin(*_FUNNEL_LANGS)
+        ).alias("f2"),
+        (
+            F.col("n_chars").between(_LEN_LO, _LEN_HI)
+            & F.col("lang").isin(*_FUNNEL_LANGS)
+            & (F.col("score_permille") >= _MIN_SCORE)
+        ).alias("f3"),
+        F.md5("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    k = f.select(
+        "f1",
+        "f2",
+        "f3",
+        (
+            F.col("doc_id")
+            == F.min(F.when(F.col("f3"), F.col("doc_id"))).over(w)
+        ).alias("keeper"),
+    )
+    agg = k.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.count_if("f1").alias("s1"),
+        F.count_if("f2").alias("s2"),
+        F.count_if("f3").alias("s3"),
+        F.count_if(F.col("f3") & F.col("keeper")).alias("s4"),
+    )
+    return agg.selectExpr(
+        "stack(5, 0, 'total', s0, 1, 'length_gate', s1, 2, 'lang_gate', s2, "
+        "3, 'quality_gate', s3, 4, 'dedup_keeper', s4) "
+        "AS (stage_id, stage, n_docs)"
+    )

@@ -1,0 +1,125 @@
+"""Z-order (Morton-curve) data layout — the multi-dimensional clustering
+behind Delta's ``OPTIMIZE ... ZORDER BY`` (reference writes Delta tables
+throughout, 01_project_setup_and_ingestion.py:122), rebuilt Spark-first:
+
+1. interleave the bits of the clustering columns into a single Morton
+   value — pure JVM integer ops (``shiftright`` + ``bitwiseAND``),
+   whole-stage-codegen'd, zero shuffle;
+2. ``repartitionByRange`` on that value (one range-exchange — the same
+   shuffle a plain sort-write would cost) and sort within partitions;
+3. every written file then covers a TIGHT rectangle in (x, y) space, so
+   file-level min/max statistics prune scans on EITHER column — the
+   data-skipping property linear sorting only gives you on the leading
+   column.
+
+``ext_zorder_layout`` quantifies exactly that property as an
+oracle-checked report: per contiguous z-range bucket, the x/y bounding
+box. A z-range of length 4^b is an aligned 2^b × 2^b tile, so with 12-bit
+keys and 64 buckets every bucket spans ≤ 1/8 of each key domain — the
+measurable reason z-ordered files skip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.registry import query
+
+BITS = 12                     # per-key bits → zval < 4^12 = 2^24
+_MASK = (1 << BITS) - 1       # 4095
+_BUCKETS = 64                 # report granularity: zval >> 18 → 64 tiles
+
+
+def zorder_value(x: Column, y: Column, bits: int = BITS) -> Column:
+    """Morton-interleave two non-negative integer columns (``bits`` low
+    bits each) into one BIGINT: x's bit k lands at position 2k, y's at
+    2k+1. Pure shift/and/add — stays in whole-stage codegen."""
+    x = x.cast("bigint")
+    y = y.cast("bigint")
+    z: Column = F.lit(0).cast("bigint")
+    for k in range(bits):
+        z = (
+            z
+            + F.shiftright(x, k).bitwiseAND(F.lit(1)) * F.lit(4**k)
+            + F.shiftright(y, k).bitwiseAND(F.lit(1)) * F.lit(2 * 4**k)
+        )
+    return z
+
+
+def zorder_value_sql(x: str, y: str, bits: int = BITS) -> str:
+    """DuckDB twin of :func:`zorder_value` via floor-div/mod bit
+    extraction — exact BIGINT arithmetic, no engine-specific bit ops."""
+    terms = " + ".join(
+        f"(({x} // {1 << k}) % 2) * {4**k} + (({y} // {1 << k}) % 2) * {2 * 4**k}"
+        for k in range(bits)
+    )
+    return f"({terms})"
+
+
+def zorder_layout(
+    df: DataFrame, xcol: str, ycol: str, n_partitions: int = _BUCKETS
+) -> DataFrame:
+    """Re-layout ``df`` along the Morton curve of (xcol, ycol): range-
+    partition + sort by z-value, so a partitioned write produces files
+    with tight per-file min/max on BOTH columns. One range exchange —
+    the same cost as any global sort-write."""
+    z = df.withColumn(
+        "_zval", zorder_value(F.col(xcol).bitwiseAND(_MASK), F.col(ycol).bitwiseAND(_MASK))
+    )
+    return z.repartitionByRange(n_partitions, "_zval").sortWithinPartitions("_zval")
+
+
+@query(
+    "ext_zorder_layout",
+    oracle=f"""
+    WITH t AS (
+        SELECT l_partkey % {_MASK + 1} AS x, l_suppkey % {_MASK + 1} AS y
+        FROM lineitem
+    ),
+    z AS (
+        SELECT x, y, {zorder_value_sql("x", "y")} AS zval FROM t
+    )
+    SELECT zval // {4**BITS // _BUCKETS} AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM z
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering report over lineitem (l_partkey × l_suppkey):
+    Morton value per row, then per contiguous z-range bucket the row
+    count and the (x, y) bounding box — the file-statistics view a
+    z-ordered write would publish for data skipping.
+
+    The oracle recomputes the interleave with floor-div/mod arithmetic,
+    pinning every bit of the curve; tests assert the locality guarantee
+    (bucket spans ≤ 2^(BITS - log4 BUCKETS) per axis).
+
+    Scale posture: the z-value is a per-row integer expression (no
+    shuffle); the report is one groupBy on a 64-value key with map-side
+    combine. The production write path (:func:`zorder_layout`) costs
+    exactly one range exchange. At 100 TB this replaces a multi-pass
+    clustering job with a single sort-shuffle whose output files prune
+    on both join/filter dimensions.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % (_MASK + 1)).alias("x"),
+        (F.col("l_suppkey") % (_MASK + 1)).alias("y"),
+    )
+    z = li.withColumn("zval", zorder_value(F.col("x"), F.col("y")))
+    return (
+        z.groupBy(F.shiftright("zval", 18).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy("zbucket")
+    )

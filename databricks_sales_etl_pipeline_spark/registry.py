@@ -55,11 +55,13 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.embedding_math",
     "databricks_sales_etl_pipeline_spark.extensions.sampling",
     "databricks_sales_etl_pipeline_spark.extensions.chunking",
+    "databricks_sales_etl_pipeline_spark.extensions.curation",
     "databricks_sales_etl_pipeline_spark.extensions.corpus",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.merge",
     "databricks_sales_etl_pipeline_spark.plans.versioned",
     "databricks_sales_etl_pipeline_spark.plans.bucketed",
+    "databricks_sales_etl_pipeline_spark.plans.layout",
 ]
 
 
