@@ -45,6 +45,8 @@ HEADLINE = [
     # round-3 families: zero-shuffle chunking + real-format multimodal decode
     "ext_chunk_sliding",
     "mm_decode_real",
+    # round-4: Lloyd-trained IVF coarse quantizer (train + probe + re-rank)
+    "ext_similarity_kmeans",
 ]
 
 

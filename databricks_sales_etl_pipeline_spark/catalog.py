@@ -129,8 +129,12 @@ SCHEMAS: dict[str, T.StructType] = {
 BROADCAST_ALWAYS = {"region", "nation"}
 
 
-# events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong (session.py) it
-# arrives as LongType nanos. This is the raw schema a readStream must declare.
+# The on-disk type of events.ts has CHANGED across testdata generations:
+# TIMESTAMP(NANOS) (read as bigint under nanosAsLong), then timestamp[us]
+# naive (read as TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default).
+# NEVER assume one shape — detect from the dtype actually read and normalize
+# to session-UTC TIMESTAMP, which is value-identical under a UTC session TZ
+# and matches DuckDB's naive-TIMESTAMP view of the same file.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -149,6 +153,41 @@ def nanos_to_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     from pyspark.sql import functions as F
 
     return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+
+
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to session-UTC ``TIMESTAMP``
+    regardless of which on-disk shape the testdata generation produced:
+
+    - ``bigint``        → legacy TIMESTAMP(NANOS) under nanosAsLong → ns÷1000
+    - ``timestamp_ntz`` → naive timestamp[us] → cast (identical under UTC)
+    - ``timestamp``     → already LTZ → pass through
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return nanos_to_ts(df, col)
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def events_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the on-disk schema DETECTED
+    from a batch read (a FileStreamSource cannot infer it), then normalized
+    through the same :func:`normalize_events_ts` as the batch path — so the
+    stream and its batch twin always agree, whatever the testdata vintage.
+    FileStreamSource needs a directory path; glob-filter to the events file
+    (a production stream points at an arriving-files dir)."""
+    ensure_runtime_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_events_ts(stream)
 
 
 def ensure_runtime_conf(spark: SparkSession) -> None:
@@ -174,8 +213,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = nanos_to_ts(df)
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -16,7 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from databricks_sales_etl_pipeline_spark.catalog import EVENTS_RAW_SCHEMA, nanos_to_ts
+from databricks_sales_etl_pipeline_spark.catalog import events_readstream
 from databricks_sales_etl_pipeline_spark.registry import query
 from databricks_sales_etl_pipeline_spark.streaming.util import (
     await_finished,
@@ -25,11 +25,7 @@ from databricks_sales_etl_pipeline_spark.streaming.util import (
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return nanos_to_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    return events_readstream(spark, sf_dir)
 
 
 @query("stream_stream_join")  # rows-only: streaming-native execution

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from databricks_sales_etl_pipeline_spark.catalog import EVENTS_RAW_SCHEMA, nanos_to_ts
+from databricks_sales_etl_pipeline_spark.catalog import events_readstream
 from databricks_sales_etl_pipeline_spark.registry import query
 from databricks_sales_etl_pipeline_spark.streaming.util import (
     await_finished,
@@ -67,11 +67,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The watermark bounds dedup state (without it, state grows with every
     distinct key forever). AvailableNow single batch → deterministic row
     count = distinct (user_id, event_type) pairs."""
-    stream = nanos_to_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    ).withWatermark("ts", "10 minutes")
+    stream = events_readstream(spark, sf_dir).withWatermark("ts", "10 minutes")
     deduped = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
@@ -96,11 +92,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful aggregation over the event stream via
     applyInPandasWithState (update mode, AvailableNow → one summary row per
     user; deterministic row count = n_users)."""
-    stream = nanos_to_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_readstream(spark, sf_dir)
     counted = stream.groupBy("user_id").applyInPandasWithState(
         _per_user_counter,
         outputStructType=OUTPUT_SCHEMA,

@@ -20,11 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from databricks_sales_etl_pipeline_spark.catalog import (
-    EVENTS_RAW_SCHEMA,
-    load,
-    nanos_to_ts,
-)
+from databricks_sales_etl_pipeline_spark.catalog import events_readstream, load
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
 from databricks_sales_etl_pipeline_spark.streaming.util import (
@@ -116,13 +112,7 @@ def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded state / late-data discard), Trigger.AvailableNow, update-mode
     memory sink. Single batch → one emission per window, so the row count is
     deterministic and equals the batch twin's."""
-    # FileStreamSource needs a directory path; glob-filter down to the one
-    # events file (a production stream points at an arriving-files dir)
-    stream = nanos_to_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    ).withWatermark("ts", "10 minutes")
+    stream = events_readstream(spark, sf_dir).withWatermark("ts", "10 minutes")
     sink = f"wm_{uuid.uuid4().hex[:12]}"
     q = (
         tumbling_counts(stream)

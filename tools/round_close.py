@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Round-end checklist in one command (round-3 lesson: a green round must
+not end with stale bookkeeping). Runs, in order:
+
+1. rotation check — every ``_DRIVER_PRIORITY`` slot is spent on a query
+   without a prior driver row (mirrors tests/test_contract.py);
+2. PLANS.md regeneration (tools/dump_plans.py);
+3. the full bench (bench.py) and rc check.
+
+Usage:  PYTHONPATH=. python tools/round_close.py [--skip-bench]
+Exit code 0 = everything green and regenerated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def check_rotation() -> int:
+    from databricks_sales_etl_pipeline_spark import registry
+
+    registry.load_all()
+    checked: set[str] = set()
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.loads(f.read_text()))
+    never = [n for n in registry.QUERIES if n not in checked]
+    wasted = [n for n in registry._DRIVER_PRIORITY if n in checked]
+    if never and wasted:
+        print(f"ROTATION STALE: {len(never)} queries lack a driver row but "
+              f"the sample re-checks green ones: {wasted[:10]}")
+        return 1
+    print(f"rotation ok: {len(never)} never-checked, {len(wasted)} re-checked "
+          f"(sample slots: {len(registry._DRIVER_PRIORITY)})")
+    return 0
+
+
+def regen_plans() -> int:
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "dump_plans.py")],
+        cwd=REPO, env={**os.environ, "PYTHONPATH": str(REPO)},
+    )
+    print(f"PLANS.md regen rc={r.returncode}")
+    return r.returncode
+
+
+def run_bench() -> int:
+    r = subprocess.run([sys.executable, str(REPO / "bench.py")], cwd=REPO)
+    print(f"bench rc={r.returncode}")
+    return r.returncode
+
+
+def main() -> None:
+    rc = check_rotation()
+    rc |= regen_plans()
+    if "--skip-bench" not in sys.argv:
+        rc |= run_bench()
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
