@@ -432,13 +432,17 @@ def ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXECUTION SHAPE (the MLlib-style iterative pattern, and why there is a
 # driver collect here): centroids are K·D integers — bounded, tiny, and
 # needed by EVERY task — so each Lloyd iteration collects them to the
-# driver and re-broadcasts them as literal expressions. Assignment is then
-# a ZERO-SHUFFLE codegen'd map over the corpus (K×D subtract-square terms
-# inlined per row, no crossJoin, no window), and the update is ONE
-# groupBy(cid) shuffle carrying K rows of D column-sums per partition
-# (map-side partial agg). Per 100-TB scan: 1 shuffle of K·D longs per
-# iteration — the optimal distributed Lloyd. A first window-based draft
-# cost 15 shuffles; this is the plan you'd actually run.
+# driver and ships them inside a VECTORIZED Arrow pandas UDF closure.
+# Assignment is then a ZERO-SHUFFLE numpy map over the corpus
+# ((n×K×D) int64 broadcast-subtract per Arrow batch — exact integers, no
+# floats), and the update is ONE groupBy(cid) shuffle carrying K rows of D
+# column-sums per partition (map-side partial agg, JVM-side). Per 100-TB
+# scan: 1 shuffle of K·D longs per iteration — the optimal distributed
+# Lloyd. Two rejected drafts, for the record: window-over-crossJoin cost 15
+# shuffles; inlining K×D literal subtract-square terms as Spark expressions
+# produced a 5 MiB task binary and 30 s of codegen at sf0.1. Dense-vector
+# distance is exactly the case the guide's "Arrow-batched pandas UDF, never
+# per-row" rule is about.
 
 K_CELLS = 8
 LLOYD_ITERS = 2
@@ -447,40 +451,61 @@ NPROBE = 2
 Centroid = tuple[int, list[int]]
 
 
-def _sqdist_lit(vcol, cv: list[int]):
-    """Exact ∑(v[d]-c_d)² against a LITERAL centroid — plain arithmetic on
-    array elements (whole-stage codegen), no higher-order functions (those
-    are CodegenFallback and re-evaluate outer refs per element)."""
-    terms = [
-        (vcol.getItem(d) - F.lit(c)) * (vcol.getItem(d) - F.lit(c))
-        for d, c in enumerate(cv)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+def _centroid_mats(centroids: list[Centroid]):
+    import numpy as np
+
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([cv for _, cv in centroids], dtype=np.int64)
+    return cids, C
 
 
-def _dist_structs(vcol, centroids: list[Centroid]):
-    """array<struct<d,cid>> of distances to every centroid; lexicographic
-    struct ordering = (distance ASC, cid ASC) — the deterministic tiebreak."""
-    return F.array(
-        *[
-            F.struct(
-                _sqdist_lit(vcol, cv).alias("d"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, cv in centroids
-        ]
-    )
+def _sqdists(v_series, C):
+    """(n×K) exact int64 squared-L2 distances for one Arrow batch."""
+    import numpy as np
+
+    V = np.stack(v_series.to_numpy()).astype(np.int64, copy=False)
+    diff = V[:, None, :] - C[None, :, :]
+    return (diff * diff).sum(axis=2)
 
 
 def _assign_cells(vectors: DataFrame, centroids: list[Centroid]) -> DataFrame:
-    """Nearest-centroid assignment as a zero-shuffle map (array_min over the
-    literal distance structs)."""
-    return vectors.withColumn(
-        "cid", F.array_min(_dist_structs(F.col("v"), centroids)).getField("cid")
-    )
+    """Nearest-centroid assignment as a zero-shuffle vectorized map.
+    ``centroids`` is sorted by cid, so numpy argmin's first-minimum rule IS
+    the (distance ASC, cid ASC) tiebreak of the oracle. UDF built lazily —
+    pandas_udf needs an active session (CLAUDE.md discipline)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids, C = _centroid_mats(centroids)
+
+    # no type hints: under `from __future__ import annotations` the locally
+    # imported pd isn't resolvable by pandas_udf's hint inference — the
+    # hint-less form defaults to SCALAR eval, which is what this is
+    @pandas_udf("long")
+    def nearest(v):
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        return pd.Series(cids[_sqdists(v, C).argmin(axis=1)])
+
+    return vectors.withColumn("cid", nearest("v"))
+
+
+def _probe_cells(vectors: DataFrame, centroids: list[Centroid]) -> DataFrame:
+    """Top-NPROBE nearest cells per query vector (stable argsort on the
+    cid-sorted centroid matrix = (distance ASC, cid ASC) order)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids, C = _centroid_mats(centroids)
+
+    @pandas_udf("array<long>")
+    def probe(v):
+        if v.empty:
+            return pd.Series([], dtype="object")
+        order = _sqdists(v, C).argsort(axis=1, kind="stable")[:, :NPROBE]
+        return pd.Series([cids[o] for o in order])
+
+    return vectors.withColumn("probe_cids", probe("v"))
 
 
 def train_kmeans(
@@ -614,19 +639,12 @@ def ext_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = _assign_cells(vecs, centroids)
 
-    probes = (
-        vecs.where(F.col("vec_id") < N_QUERIES)
-        .withColumn(
-            "p",
-            F.explode(
-                F.slice(F.array_sort(_dist_structs(F.col("v"), centroids)), 1, NPROBE)
-            ),
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("p").getField("cid").alias("cid"),
-        )
+    probes = _probe_cells(
+        vecs.where(F.col("vec_id") < N_QUERIES), centroids
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("probe_cids").alias("cid"),
     )
 
     cos = (
