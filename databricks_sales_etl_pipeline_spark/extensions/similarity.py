@@ -537,21 +537,25 @@ def train_kmeans(
     return centroids
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd iterations as CTEs — the DuckDB twin of the Spark
-    loop, exact integer arithmetic at every step."""
+_SQD = (
+    "list_sum(list_transform(range(1, len(v.v) + 1),"
+    " i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])))"
+)
+
+
+def _kmeans_cte_prefix() -> str:
+    """Shared DuckDB CTE chain: quantize → seed → unrolled Lloyd iterations
+    → final_assign (vec_id, v, cid). Both the IVF probe oracle and the
+    SemDeDup oracle build on this exact index, so the clustering itself is
+    cross-checked twice."""
     qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
-    sqd = (
-        "list_sum(list_transform(range(1, len(v.v) + 1),"
-        " i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])))"
-    )
 
     def assign(src_c: str, out: str) -> str:
         return f"""{out} AS (
         SELECT vec_id, v, cid FROM (
             SELECT v.vec_id, v.v, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                      ORDER BY {sqd} ASC, c.cid ASC) AS rn
+                                      ORDER BY {_SQD} ASC, c.cid ASC) AS rn
             FROM vecs v CROSS JOIN {src_c} c
         ) WHERE rn = 1
     )"""
@@ -584,20 +588,26 @@ def _kmeans_oracle() -> str:
         ctes.append(assign(src, f"a{it}"))
         ctes.append(update(f"a{it}", f"c{it}"))
         src = f"c{it}"
-    final_c = src
-    body = f"""final_assign AS (
+    ctes.append(f"""final_assign AS (
         SELECT vec_id, v, cid FROM (
             SELECT v.vec_id, v.v, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                      ORDER BY {sqd} ASC, c.cid ASC) AS rn
-            FROM vecs v CROSS JOIN {final_c} c
+                                      ORDER BY {_SQD} ASC, c.cid ASC) AS rn
+            FROM vecs v CROSS JOIN {src} c
         ) WHERE rn = 1
-    ),
-    probes AS (
+    )""")
+    return ",\n    ".join(ctes)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as CTEs — the DuckDB twin of the Spark
+    loop, exact integer arithmetic at every step."""
+    final_c = f"c{LLOYD_ITERS}"
+    body = f"""probes AS (
         SELECT query_id, qv, cid FROM (
             SELECT v.vec_id AS query_id, v.v AS qv, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                      ORDER BY {sqd} ASC, c.cid ASC) AS rn
+                                      ORDER BY {_SQD} ASC, c.cid ASC) AS rn
             FROM vecs v CROSS JOIN {final_c} c
             WHERE v.vec_id < {N_QUERIES}
         ) WHERE rn <= {NPROBE}
@@ -618,7 +628,7 @@ def _kmeans_oracle() -> str:
                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
         FROM scored
     ) WHERE rank <= {TOP_K}"""
-    return "WITH " + ",\n    ".join(ctes) + ",\n    " + body
+    return "WITH " + _kmeans_cte_prefix() + ",\n    " + body
 
 
 @query("ext_similarity_kmeans", oracle=_kmeans_oracle())
@@ -668,4 +678,81 @@ def ext_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", cos.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= TOP_K)
+    )
+
+
+# --- X3e: SemDeDup — semantic deduplication over the k-means cells ----------
+
+SEMDEDUP_TAU = 0.45
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin: same Lloyd index (shared CTE prefix), then within-cell
+    pairwise cosine with precomputed integer norms; a vector is pruned when
+    a SMALLER-id cell-mate is at least τ-similar."""
+    return f"""WITH {_kmeans_cte_prefix()},
+    norms AS (
+        SELECT vec_id, v, cid,
+               CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) AS nsq
+        FROM final_assign
+    ),
+    pruned AS (
+        SELECT DISTINCT a.vec_id
+        FROM norms a JOIN norms b
+          ON b.cid = a.cid AND b.vec_id < a.vec_id
+        WHERE CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                   i -> a.v[i] * b.v[i])) AS DOUBLE)
+              / (sqrt(a.nsq) * sqrt(b.nsq)) >= {SEMDEDUP_TAU}
+    )
+    SELECT n.vec_id, n.cid,
+           p.vec_id IS NULL AS is_kept
+    FROM norms n LEFT JOIN pruned p ON p.vec_id = n.vec_id
+"""
+
+
+@query("ext_semdedup", oracle=_semdedup_oracle())
+def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3e — SemDeDup (semantic near-dup pruning, per Abbas et al. 2023's
+    cluster-then-prune shape): reuse the Lloyd-trained cells as the
+    candidate blocker, compare each vector ONLY against its cell-mates, and
+    prune a vector when a smaller-id cell-mate has cosine ≥ τ. Keeps one
+    deterministic representative (the smallest vec_id) per semantic group.
+
+    Scale: the quadratic compare is confined within cells (K scales with
+    corpus size so cell population stays bounded); norms are precomputed
+    once per vector, so a pair costs one dot product. One shuffle on cid
+    for the self-join, one broadcast-back of the (tiny) pruned id set."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", quantize(F.col("embedding")).alias("v"))
+    centroids = train_kmeans(vecs)
+    cells = _assign_cells(vecs, centroids).withColumn(
+        "nsq", int_dot(F.col("v"), F.col("v")).cast("double")
+    )
+
+    a = cells.select(
+        F.col("vec_id"), F.col("v"), F.col("cid"), F.col("nsq")
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("v").alias("b_v"),
+        F.col("cid").alias("b_cid"),
+        F.col("nsq").alias("b_nsq"),
+    )
+    cos = int_dot(F.col("v"), F.col("b_v")).cast("double") / (
+        F.sqrt(F.col("nsq")) * F.sqrt(F.col("b_nsq"))
+    )
+    pruned = (
+        a.join(b, (F.col("b_cid") == F.col("cid")) & (F.col("b_vec_id") < F.col("vec_id")))
+        .where(cos >= SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        cells.join(broadcast(pruned), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(~F.col("is_pruned"), F.lit(True)).alias("is_kept"),
+        )
     )

@@ -56,6 +56,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.sampling",
     "databricks_sales_etl_pipeline_spark.extensions.chunking",
     "databricks_sales_etl_pipeline_spark.extensions.curation",
+    "databricks_sales_etl_pipeline_spark.extensions.curriculum",
     "databricks_sales_etl_pipeline_spark.extensions.corpus",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.merge",

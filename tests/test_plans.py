@@ -96,6 +96,8 @@ _NLJ_ALLOWED = {
     # scalar-subquery pattern: ONE-row global aggregate broadcast, compared
     # by inequality — the nested-loop probe costs O(n)·1, the right plan
     "tpch_q11",
+    # 1-row global aggregate × 1-row top-lang: the dataset-card join is 1×1
+    "ext_dataset_card",
     "tpch_q22",
 }
 
