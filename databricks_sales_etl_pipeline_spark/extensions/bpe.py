@@ -1,0 +1,124 @@
+"""BPE vocabulary induction (byte-pair encoding, Sennrich et al. 2016) —
+the tokenizer-training step of an LLM data pipeline, in its distributed
+shape:
+
+1. ONE corpus scan reduces documents to the DISTINCT-WORD frequency table
+   (the classic BPE efficiency trick — merge statistics only ever need
+   (word, count), and distinct words ≪ corpus size, so every subsequent
+   iteration runs on a table that is tiny relative to 100 TB of text).
+2. Each merge step: explode adjacent symbol pairs weighted by word count,
+   groupBy(pair) with map-side partial aggregation, take the global top-1
+   (count DESC, pair ASC — deterministic), then apply the merge with a
+   left-to-right non-overlapping fold over each word's symbol array
+   (F.aggregate; the array fold IS Sennrich's replacement semantics).
+
+The learned merge table is the model artifact (N_MERGES rows) — built on
+the driver like any trained model. No DuckDB oracle: the iterative
+argmax+rewrite isn't SQL-expressible (list folds aren't available in
+recursive CTEs); instead tests/test_round4_ops.py checks the result against
+an independent pure-Python reference implementation on the same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.registry import query
+
+_WS = r"\s+"
+N_MERGES = 5
+EOW = "</w>"
+
+
+def word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, count) over lowercased whitespace tokens — the only
+    corpus-sized scan in the whole algorithm."""
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), _WS)).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def to_symbols(words: DataFrame) -> DataFrame:
+    """word → initial symbol array: characters + end-of-word marker."""
+    return words.select(
+        F.concat(
+            F.split(F.col("w"), "(?!$)"), F.array(F.lit(EOW))
+        ).alias("syms"),
+        "n",
+    )
+
+
+def pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies weighted by word count (pair key is the
+    two symbols joined by a space — symbols never contain whitespace)."""
+    pairs = F.zip_with(
+        F.expr("slice(syms, 1, size(syms) - 1)"),
+        F.expr("slice(syms, 2, size(syms) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        syms.select(F.explode(pairs).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("pair_count"))
+    )
+
+
+def apply_merge(syms_col, a: str, b: str):
+    """Left-to-right non-overlapping replacement of the adjacent pair
+    (a, b) with the fused symbol — an array fold: if the accumulator's last
+    element is `a` and the current symbol is `b`, fuse; else append. This
+    reproduces Sennrich's scan exactly (e.g. 'aaa' under merge (a,a)
+    becomes [aa, a], not [a, aa])."""
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(docs: DataFrame, n_merges: int = N_MERGES):
+    """Learn ``n_merges`` BPE merges; returns [(step, left, right, merged,
+    pair_count)]. Each iteration is one groupBy over the distinct-word
+    table + a 1-row driver pull (the argmax — a model parameter, same
+    pattern as the k-means centroids)."""
+    syms = to_symbols(word_freqs(docs))
+    merges = []
+    for step in range(1, n_merges + 1):
+        top = (
+            pair_counts(syms)
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ")
+        merges.append((step, a, b, a + b, int(top[0]["pair_count"])))
+        syms = syms.select(apply_merge(F.col("syms"), a, b).alias("syms"), "n")
+        # truncate lineage so iteration depth never compounds plan size
+        syms = syms.localCheckpoint(eager=False)
+    return merges
+
+
+@query("ext_bpe_train")  # rows-only: iterative argmax+rewrite has no SQL twin
+def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training surface: the first 5 BPE merges learned from the
+    documents corpus, with deterministic tiebreaks (count DESC, pair ASC).
+    Verified against a pure-Python BPE reference in tests."""
+    d = load(spark, sf_dir, "documents")
+    return spark.createDataFrame(
+        train_bpe(d),
+        "step int, left string, right string, merged string, pair_count bigint",
+    )

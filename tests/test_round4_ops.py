@@ -132,3 +132,53 @@ def test_events_readstream_ts_is_ltz_for_all_shapes(spark, ts_shape_dirs):
     for shape, d in ts_shape_dirs.items():
         stream = events_readstream(spark, d)
         assert dict(stream.dtypes)["ts"] == "timestamp", shape
+
+
+# --- BPE trainer vs pure-Python reference -----------------------------------
+
+
+def _python_bpe(texts, n_merges):
+    """Independent reference: Sennrich-style BPE with (count DESC, pair ASC)
+    tiebreak, left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    freqs = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            freqs[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, n))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet").column("text").to_pylist()
+    expected = _python_bpe(texts, 5)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in registry.QUERIES["ext_bpe_train"](spark, SF_DIR)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == expected
