@@ -460,12 +460,22 @@ def _centroid_mats(centroids: list[Centroid]):
 
 
 def _sqdists(v_series, C):
-    """(n×K) exact int64 squared-L2 distances for one Arrow batch."""
+    """(n×K) exact int64 squared-L2 distances for one Arrow batch, in the
+    ‖v‖² − 2v·c + ‖c‖² matmul form: O(nKD) with one n×K intermediate
+    instead of the n×K×D broadcast-subtract tensor (which at K=2000,
+    batch=10k, D=64 would materialize 10 GB)."""
     import numpy as np
 
-    V = np.stack(v_series.to_numpy()).astype(np.int64, copy=False)
-    diff = V[:, None, :] - C[None, :, :]
-    return (diff * diff).sum(axis=2)
+    V = np.stack(v_series.to_numpy()).astype(np.float64)
+    Cf = C.astype(np.float64)
+    # float64 BLAS here is EXACT, not approximate: every product and every
+    # partial sum is an integer ≤ D·(milli-unit max)² ≈ 2e7 ≪ 2^53, so each
+    # flop is exactly representable regardless of summation order — and
+    # dgemm is ~30× numpy's non-BLAS int64 matmul
+    vn = (V * V).sum(axis=1)
+    cn = (Cf * Cf).sum(axis=1)
+    d = vn[:, None] - 2.0 * (V @ Cf.T) + cn[None, :]
+    return d.astype(np.int64)
 
 
 def _assign_cells(vectors: DataFrame, centroids: list[Centroid]) -> DataFrame:
@@ -710,6 +720,43 @@ def _semdedup_oracle() -> str:
 """
 
 
+def _semdedup_prune_fn():
+    """Per-cell prune as a vectorized applyInPandas: one int64 Gram matrix
+    per cell (block-wise against earlier members, so memory is
+    O(block·cell) not O(cell²)), cosine = dot/(√nsq·√nsq) in EXACTLY the
+    oracle's operation order — int dot is exact below 2⁵³, float64 sqrt and
+    division are IEEE-correctly-rounded in both numpy and DuckDB, so the
+    booleans are bit-identical. ~1000× the per-pair interpreted HOF dot."""
+    import numpy as np
+    import pandas as pd
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        # float64 BLAS Gram matrix is exact for these magnitudes (products
+        # and partial sums are integers ≪ 2^53 — see _sqdists)
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        m = len(pdf)
+        pruned = np.zeros(m, dtype=bool)
+        block = 1024
+        for lo in range(1, m, block):
+            hi = min(lo + block, m)
+            g = V[lo:hi] @ V[:hi].T
+            cos = g / np.outer(nrm[lo:hi], nrm[:hi])
+            tri = np.tril(cos >= SEMDEDUP_TAU, k=lo - 1)
+            pruned[lo:hi] |= tri.any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cid": pdf["cid"].to_numpy(),
+                "is_kept": ~pruned,
+            }
+        )
+
+    return prune
+
+
 @query("ext_semdedup", oracle=_semdedup_oracle())
 def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3e — SemDeDup (semantic near-dup pruning, per Abbas et al. 2023's
@@ -719,40 +766,21 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic representative (the smallest vec_id) per semantic group.
 
     Scale: the quadratic compare is confined within cells (K scales with
-    corpus size so cell population stays bounded); norms are precomputed
-    once per vector, so a pair costs one dot product. One shuffle on cid
-    for the self-join, one broadcast-back of the (tiny) pruned id set."""
+    corpus size so cell population stays bounded — measured in SCALE.md);
+    ONE shuffle on cid, then each cell is pruned by a single vectorized
+    Gram-matrix pass inside applyInPandas."""
+    from pyspark.sql import types as T
+
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", quantize(F.col("embedding")).alias("v"))
     centroids = train_kmeans(vecs)
-    cells = _assign_cells(vecs, centroids).withColumn(
-        "nsq", int_dot(F.col("v"), F.col("v")).cast("double")
-    )
+    cells = _assign_cells(vecs, centroids)
 
-    a = cells.select(
-        F.col("vec_id"), F.col("v"), F.col("cid"), F.col("nsq")
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("is_kept", T.BooleanType()),
+        ]
     )
-    b = cells.select(
-        F.col("vec_id").alias("b_vec_id"),
-        F.col("v").alias("b_v"),
-        F.col("cid").alias("b_cid"),
-        F.col("nsq").alias("b_nsq"),
-    )
-    cos = int_dot(F.col("v"), F.col("b_v")).cast("double") / (
-        F.sqrt(F.col("nsq")) * F.sqrt(F.col("b_nsq"))
-    )
-    pruned = (
-        a.join(b, (F.col("b_cid") == F.col("cid")) & (F.col("b_vec_id") < F.col("vec_id")))
-        .where(cos >= SEMDEDUP_TAU)
-        .select("vec_id")
-        .distinct()
-        .withColumn("is_pruned", F.lit(True))
-    )
-    return (
-        cells.join(broadcast(pruned), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cid",
-            F.coalesce(~F.col("is_pruned"), F.lit(True)).alias("is_kept"),
-        )
-    )
+    return cells.groupBy("cid").applyInPandas(_semdedup_prune_fn(), out_schema)
