@@ -28,7 +28,25 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_readstream(spark, sf_dir)
 
 
-@query("stream_stream_join")  # rows-only: streaming-native execution
+# Oracle-able: a single AvailableNow batch delivers both sides in full before
+# watermark-based state eviction, so the inner interval join emits exactly the
+# batch join's matches (asserted by
+# tests/test_streaming.py::test_stream_stream_join_matches_batch_join).
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(s.ts AS TIMESTAMP) AS signup_ts
+    FROM events p JOIN events s
+      ON s.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND s.event_type = 'signup'
+     AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(s.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 7 DAY
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases joined to the same user's signups within the prior 7 days —
     both sides are real streams with watermarks + an interval join condition

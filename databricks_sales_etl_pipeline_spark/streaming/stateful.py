@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from databricks_sales_etl_pipeline_spark.catalog import events_readstream
+from databricks_sales_etl_pipeline_spark.functions.money import cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
 from databricks_sales_etl_pipeline_spark.streaming.util import (
     await_finished,
@@ -60,7 +61,14 @@ def _per_user_counter(
     )
 
 
-@query("stream_dedup")  # rows-only: streaming-native op
+# Oracle-able despite streaming-native execution: one AvailableNow batch over
+# one immutable file means dropDuplicatesWithinWatermark sees every row before
+# any state eviction, so the output IS the batch distinct (asserted by
+# tests/test_streaming.py::test_stream_dedup_matches_batch_distinct).
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: dropDuplicatesWithinWatermark on
     (user_id, event_type) — the CDC/at-least-once-ingest cleanup operator.
@@ -87,7 +95,18 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-@query("stream_stateful_counter")  # rows-only: arbitrary-state op, no SQL twin
+# Oracle-able: single-batch AvailableNow -> update mode emits exactly one
+# summary row per user equal to the batch aggregate (asserted by
+# tests/test_streaming.py::test_stateful_counter_matches_batch_agg).
+@query(
+    "stream_stateful_counter",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful aggregation over the event stream via
     applyInPandasWithState (update mode, AvailableNow → one summary row per

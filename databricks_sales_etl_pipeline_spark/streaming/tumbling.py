@@ -105,7 +105,22 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_agg")  # no oracle: true streaming execution, rows-only
+_TUMBLING_ORACLE = f"""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS value_cents
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) AS events
+    GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# Oracle-able even though it's true streaming execution: AvailableNow over a
+# single immutable file = ONE batch, so update mode emits each window exactly
+# once and the result set EQUALS the batch twin (asserted by
+# tests/test_streaming.py::test_watermark_stream_matches_batch_twin) — which
+# is what the hash-checked SQL computes.
+@query("stream_watermark_agg", oracle=_TUMBLING_ORACLE)
 def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 — the same tumbling aggregation executed as a real Structured
     Streaming query: readStream on the events parquet, 10-minute watermark
