@@ -58,6 +58,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.curation",
     "databricks_sales_etl_pipeline_spark.extensions.curriculum",
     "databricks_sales_etl_pipeline_spark.extensions.bpe",
+    "databricks_sales_etl_pipeline_spark.extensions.analytics",
     "databricks_sales_etl_pipeline_spark.extensions.corpus",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.merge",
