@@ -553,11 +553,13 @@ _SQD = (
 )
 
 
-def _kmeans_cte_prefix() -> str:
-    """Shared DuckDB CTE chain: quantize → seed → unrolled Lloyd iterations
-    → final_assign (vec_id, v, cid). Both the IVF probe oracle and the
-    SemDeDup oracle build on this exact index, so the clustering itself is
-    cross-checked twice."""
+def _kmeans_cte_prefix(vecs_cte: str | None = None) -> str:
+    """Shared DuckDB CTE chain: (vec_id, v) source → seed → unrolled Lloyd
+    iterations → final_assign (vec_id, v, cid). The IVF probe oracle, the
+    SemDeDup oracle, and the topic-clustering oracle all build on this
+    exact index, so the clustering itself is cross-checked three ways.
+    ``vecs_cte`` overrides the vector source (default: quantized
+    embeddings); it must yield columns (vec_id, v bigint list)."""
     qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
     def assign(src_c: str, out: str) -> str:
@@ -590,7 +592,7 @@ def _kmeans_cte_prefix() -> str:
     )"""
 
     ctes = [
-        f"vecs AS (SELECT vec_id, {qv} AS v FROM embeddings)",
+        vecs_cte or f"vecs AS (SELECT vec_id, {qv} AS v FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {K_CELLS})",
     ]
     src = "c0"
@@ -784,3 +786,93 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return cells.groupBy("cid").applyInPandas(_semdedup_prune_fn(), out_schema)
+
+
+# --- X3f: topic clustering over hashed text features ------------------------
+
+_TOPIC_DIM = 64
+
+
+def _topic_vecs_cte() -> str:
+    """(doc_id → 64-dim hashed-token-count vector) as a DuckDB CTE chain —
+    the hashing-trick featurizer, exact integers throughout."""
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+        md5_band_sql,
+    )
+
+    band = md5_band_sql("x", _TOPIC_DIM, "topic:")
+    return f"""tok AS (
+        SELECT doc_id, {band} AS dim FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                          x -> x <> '')) AS x
+            FROM documents
+        ) words
+    ), cnt AS (
+        SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, dim
+    ), grid AS (
+        SELECT d.doc_id, dims.dim
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range(0, {_TOPIC_DIM})) AS dim) dims
+    ), vecs AS (
+        SELECT g.doc_id AS vec_id, list(COALESCE(c.c, 0) ORDER BY g.dim) AS v
+        FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.dim = g.dim
+        GROUP BY g.doc_id
+    )"""
+
+
+def _topic_oracle() -> str:
+    return (
+        "WITH "
+        + _kmeans_cte_prefix(vecs_cte=_topic_vecs_cte())
+        + "\n    SELECT vec_id AS doc_id, cid AS topic FROM final_assign"
+    )
+
+
+@query("ext_cluster_topics", oracle=_topic_oracle())
+def ext_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3f — unsupervised topic assignment: hashing-trick featurizer
+    (token → md5 band → 64-dim count vector, no vocabulary to build or
+    broadcast — the standard trick for text clustering at corpus scale)
+    feeding the SAME Lloyd trainer as the embedding index. Demonstrates the
+    k-means machinery is a reusable engine component, and the whole
+    pipeline — featurize, train, assign — is hash-checked against DuckDB.
+
+    Scale: featurize is one explode+groupBy scan (counts, not text, leave
+    the node); training cost is the bounded K·D loop of train_kmeans."""
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("x"),
+    )
+    cnt = (
+        toks.select("doc_id", md5_band(F.col("x"), _TOPIC_DIM, "topic:").alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vecs = (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("dim"), F.collect_list("c")
+            ).alias("m")
+        )
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_TOPIC_DIM - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("bigint")), F.lit(0)
+                ).cast("long"),
+            ).alias("v"),
+        )
+    )
+    centroids = train_kmeans(vecs)
+    return _assign_cells(vecs, centroids).select(
+        F.col("vec_id").alias("doc_id"), F.col("cid").alias("topic")
+    )
