@@ -45,8 +45,11 @@ HEADLINE = [
     # round-3 families: zero-shuffle chunking + real-format multimodal decode
     "ext_chunk_sliding",
     "mm_decode_real",
-    # round-4: Lloyd-trained IVF coarse quantizer (train + probe + re-rank)
+    # round-4: Lloyd-trained IVF coarse quantizer (train + probe + re-rank),
+    # cluster-then-prune semantic dedup, event-funnel analytics
     "ext_similarity_kmeans",
+    "ext_semdedup",
+    "ext_event_funnel",
 ]
 
 
