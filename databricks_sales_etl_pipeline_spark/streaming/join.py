@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import events_readstream
+from databricks_sales_etl_pipeline_spark.functions.money import cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
 from databricks_sales_etl_pipeline_spark.streaming.util import (
     await_finished,
@@ -89,4 +90,54 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     await_finished(q, 180)
+    return spark.table(sink)
+
+
+# Oracle-able: stream-static joins re-read the static side per micro-batch;
+# with one AvailableNow batch the result is exactly the batch join+agg.
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM({cents_sql('e.value')}) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (the side-input pattern): the purchase
+    stream joins a BROADCAST static customer dim — no stream-side state at
+    all (unlike stream-stream), the dim is re-resolvable per micro-batch —
+    then aggregates revenue per market segment in complete mode (bounded
+    key cardinality). At 100 TB the static side stays a broadcast as long
+    as the dim is bounded; an unbounded dim becomes a stream-stream join."""
+    from pyspark.sql.functions import broadcast
+
+    from databricks_sales_etl_pipeline_spark.catalog import load
+    from databricks_sales_etl_pipeline_spark.functions.money import cents
+
+    stream = _event_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+    sink = f"ssj2_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_checkpoint(sink.split("_")[0]))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 120)
     return spark.table(sink)

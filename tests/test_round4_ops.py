@@ -182,3 +182,65 @@ def test_bpe_train_matches_python_reference(spark):
         .collect()
     ]
     assert got == expected
+
+
+# --- invariants for the curriculum / analytics ops --------------------------
+
+
+def test_mix_epochs_budget_invariants(spark):
+    """Per source: every doc gets >= full_epochs repeats; total planned
+    tokens covers the budget and overshoots by at most one doc's tokens."""
+    from databricks_sales_etl_pipeline_spark.extensions.curriculum import (
+        TARGET_TOKENS,
+    )
+
+    rows = registry.QUERIES["ext_mix_epochs"](spark, SF_DIR).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, docs in by_source.items():
+        src_tokens = sum(d.n_tokens for d in docs)
+        full = TARGET_TOKENS // src_tokens
+        assert all(d.n_repeats in (full, full + 1) for d in docs), source
+        planned = sum(d.n_repeats * d.n_tokens for d in docs)
+        if TARGET_TOKENS % src_tokens:
+            assert planned >= TARGET_TOKENS - max(d.n_tokens for d in docs), source
+            assert planned <= TARGET_TOKENS + max(d.n_tokens for d in docs), source
+
+
+def test_event_funnel_is_monotone(spark):
+    rows = {
+        r.stage_name: r.n_users
+        for r in registry.QUERIES["ext_event_funnel"](spark, SF_DIR).collect()
+    }
+    assert rows["signup"] >= rows["view"] >= rows["purchase"] > 0
+
+
+def test_retention_cohort_week0_equals_cohort_size(spark):
+    """Every user is active in their own first week, so week_k=0 rows must
+    count the full cohort."""
+    from databricks_sales_etl_pipeline_spark.catalog import load
+
+    rows = registry.QUERIES["ext_retention_cohorts"](spark, SF_DIR).collect()
+    week0 = {r.cohort_week: r.n_active for r in rows if r.week_k == 0}
+    e = load(spark, SF_DIR, "events")
+    cohorts = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+        .groupBy("cohort_week")
+        .count()
+        .collect()
+    )
+    assert week0 == {r.cohort_week: r["count"] for r in cohorts}
+
+
+def test_semdedup_keeps_smallest_id_per_group(spark):
+    """Within every cell the smallest vec_id must survive (it has no
+    smaller cell-mate to prune it)."""
+    rows = registry.QUERIES["ext_semdedup"](spark, SF_DIR).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cid, []).append(r)
+    for cid, members in by_cell.items():
+        smallest = min(members, key=lambda r: r.vec_id)
+        assert smallest.is_kept, f"cell {cid}: smallest id pruned"
