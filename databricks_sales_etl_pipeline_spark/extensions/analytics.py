@@ -120,3 +120,76 @@ def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_k")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+ATTRIB_WINDOW_H = 24
+
+
+@query(
+    "ext_attribution_last_touch",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ), attributed AS (
+        SELECT p.value,
+               (SELECT t.event_type FROM t
+                WHERE t.user_id = p.user_id
+                  AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+                  AND t.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_H} HOUR
+                ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS channel
+        FROM p
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM attributed GROUP BY COALESCE(channel, 'direct')
+    """,
+)
+def ext_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent click/view within the preceding 24 h (total order pinned by
+    (ts, event_id) so equal timestamps are deterministic); purchases with
+    no qualifying touch are 'direct'. The oracle's correlated top-1
+    subquery is re-expressed as ONE window pass over the unioned event
+    stream — last_value(ignore nulls) over rows preceding — i.e. the as-of
+    join shape: one shuffle on user_id, no per-purchase probe."""
+    from pyspark.sql import Window
+
+    from databricks_sales_etl_pipeline_spark.functions.money import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    tagged = e.where(
+        F.col("event_type").isin("purchase", "click", "view")
+    ).withColumn("is_purchase", F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ts = F.when(~F.col("is_purchase"), F.col("ts"))
+    touch_type = F.when(~F.col("is_purchase"), F.col("event_type"))
+    enriched = tagged.select(
+        "*",
+        F.last(touch_ts, ignorenulls=True).over(w).alias("lt_ts"),
+        F.last(touch_type, ignorenulls=True).over(w).alias("lt_type"),
+    )
+    channel = F.when(
+        F.col("lt_ts") >= F.col("ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_H} HOURS"),
+        F.col("lt_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        enriched.where("is_purchase")
+        .select(F.coalesce(channel, F.lit("direct")).alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
