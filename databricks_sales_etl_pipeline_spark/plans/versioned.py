@@ -42,6 +42,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.session import TARGET_PARTITION_BYTES
 
@@ -307,3 +308,107 @@ def tbl_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.write(n.repartition(8), mode="append")
     t.optimize()
     return t.read()
+
+
+def change_feed(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Change-data-feed between two snapshots (the Delta CDF contract
+    rebuilt on the versioned-parquet table): full outer join on the key,
+    classify insert / delete / update, emit post-image values (pre-image
+    for deletes). Null-safe value compare so NULL→value edits register.
+
+    Scale: one shuffle join on the key; at 100 TB real CDF readers consume
+    per-commit file-level deltas instead — this is the semantic fallback
+    that works on any two readable versions."""
+    value_cols = [c for c in old.columns if c not in keys]
+    a = old.select(
+        *[F.col(k).alias(f"a_{k}") for k in keys],
+        *[F.col(c).alias(f"a_{c}") for c in value_cols],
+    )
+    b = new.select(
+        *[F.col(k).alias(f"b_{k}") for k in keys],
+        *[F.col(c).alias(f"b_{c}") for c in value_cols],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"a_{k}") == F.col(f"b_{k}")
+        cond = c if cond is None else cond & c
+    joined = a.join(b, cond, "full_outer")
+    in_old = F.col(f"a_{keys[0]}").isNotNull()
+    in_new = F.col(f"b_{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+    change_type = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        joined.where(~in_old | ~in_new | changed)
+        .select(
+            *[
+                F.coalesce(F.col(f"a_{k}"), F.col(f"b_{k}")).alias(k)
+                for k in keys
+            ],
+            change_type.alias("change_type"),
+            *[
+                F.coalesce(F.col(f"b_{c}"), F.col(f"a_{c}")).alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+
+
+@query(
+    "tbl_change_feed",
+    oracle="""
+    WITH v0 AS (
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ), v1 AS (
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_nationkey % 7 = 1 THEN n_regionkey + 10
+                    ELSE n_regionkey END AS n_regionkey
+        FROM nation WHERE n_nationkey % 7 <> 3
+        UNION ALL
+        SELECT n_nationkey + 100, n_name, n_regionkey
+        FROM nation WHERE n_nationkey < 3
+    )
+    SELECT COALESCE(a.n_nationkey, b.n_nationkey) AS n_nationkey,
+           CASE WHEN a.n_nationkey IS NULL THEN 'insert'
+                WHEN b.n_nationkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           COALESCE(b.n_name, a.n_name) AS n_name,
+           COALESCE(b.n_regionkey, a.n_regionkey) AS n_regionkey
+    FROM v0 a FULL OUTER JOIN v1 b ON a.n_nationkey = b.n_nationkey
+    WHERE a.n_nationkey IS NULL OR b.n_nationkey IS NULL
+       OR a.n_name <> b.n_name OR a.n_regionkey <> b.n_regionkey
+    """,
+)
+def tbl_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF round-trip: nation as v0; v1 deletes keys ≡3 (mod 7), bumps the
+    region of keys ≡1 (mod 7), and inserts three new keys; the feed between
+    the two STORED versions must equal the diff computed straight from the
+    source (storage is invisible to the change semantics)."""
+    n = load(spark, sf_dir, "nation")
+    t = VersionedTable(spark, _tmp_table("cdf"))
+    t.write(n, mode="overwrite")  # v0
+    v1 = (
+        n.where(F.col("n_nationkey") % 7 != 3)
+        .withColumn(
+            "n_regionkey",
+            F.when(
+                F.col("n_nationkey") % 7 == 1, F.col("n_regionkey") + 10
+            ).otherwise(F.col("n_regionkey")),
+        )
+        .unionAll(
+            n.where(F.col("n_nationkey") < 3).select(
+                (F.col("n_nationkey") + 100).alias("n_nationkey"),
+                "n_name",
+                "n_regionkey",
+            )
+        )
+    )
+    t.write(v1, mode="overwrite")  # v1
+    return change_feed(t.read(version=0), t.read(version=1), ["n_nationkey"])
