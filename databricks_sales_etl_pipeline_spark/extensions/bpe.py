@@ -122,3 +122,40 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bpe(d),
         "step int, left string, right string, merged string, pair_count bigint",
     )
+
+
+def to_symbols_keyed(words: DataFrame) -> DataFrame:
+    """Like :func:`to_symbols` but keeps the word key for joining back."""
+    return words.select(
+        "w",
+        F.concat(F.split(F.col("w"), "(?!$)"), F.array(F.lit(EOW))).alias("syms"),
+    )
+
+
+@query("ext_bpe_encode")  # rows-only: depends on the learned merge sequence
+def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the part that actually runs at 100 TB:
+    train the merges (bounded work, see ext_bpe_train), apply them to the
+    DISTINCT-WORD table only (vocab ≪ corpus), then broadcast-join the
+    word → token-count map back onto the exploded corpus and sum per doc.
+    The corpus-sized path is one explode + one broadcast join + one
+    groupBy — no per-document merge loops ever touch full text.
+
+    Output: (doc_id, n_bpe_tokens) after the 5 learned merges; verified
+    against the pure-Python reference in tests."""
+    d = load(spark, sf_dir, "documents")
+    merges = train_bpe(d)
+    wf = word_freqs(d)
+    syms = to_symbols_keyed(wf)
+    for _, a, b, _, _ in merges:
+        syms = syms.select("w", apply_merge(F.col("syms"), a, b).alias("syms"))
+        syms = syms.localCheckpoint(eager=False)
+    word_tokens = syms.select("w", F.size("syms").cast("long").alias("n_tok"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), _WS)).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        toks.join(F.broadcast(word_tokens), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").alias("n_bpe_tokens"))
+    )

@@ -244,3 +244,35 @@ def test_semdedup_keeps_smallest_id_per_group(spark):
     for cid, members in by_cell.items():
         smallest = min(members, key=lambda r: r.vec_id)
         assert smallest.is_kept, f"cell {cid}: smallest id pruned"
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet")
+    texts = tbl.column("text").to_pylist()
+    doc_ids = tbl.column("doc_id").to_pylist()
+    merges = _python_bpe(texts, 5)
+
+    def encode(word):
+        syms = list(word) + ["</w>"]
+        for _, a, b, _, _ in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    expected = {}
+    for did, t in zip(doc_ids, texts):
+        words = t.lower().split()
+        if words:
+            expected[did] = sum(encode(w) for w in words)
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in registry.QUERIES["ext_bpe_encode"](spark, SF_DIR).collect()
+    }
+    assert got == expected
