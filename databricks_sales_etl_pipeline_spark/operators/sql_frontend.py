@@ -98,3 +98,36 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 450000.0, "prio": "1-URGENT"},
     )
+
+
+_SQL_RECURSIVE = """
+    WITH RECURSIVE months(m) AS (
+        SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS m
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < date_trunc('month', (SELECT MAX(o_orderdate) FROM orders))
+    )
+    SELECT months.m AS month_start,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN orders o
+      ON date_trunc('month', o.o_orderdate) = months.m
+    GROUP BY months.m
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_SQL_RECURSIVE,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4's recursive-CTE support): generate the
+    month calendar spine between the first and last order date by
+    recursion, then left-join order counts onto it — the gap-preserving
+    monthly report (months with zero orders still appear). The oracle is
+    the IDENTICAL recursive SQL in DuckDB.
+
+    Scale: the recursion materializes only the spine (bounded by calendar
+    length — dozens of rows), never data; the join is spine-broadcast
+    against one scan of orders."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE)
