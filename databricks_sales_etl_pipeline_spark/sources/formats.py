@@ -15,6 +15,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import SCHEMAS, load
 from databricks_sales_etl_pipeline_spark.registry import query
@@ -64,3 +65,26 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp("orc")
     s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").write.orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "src_xml_parse",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def src_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip via Spark 4's native XML expressions: serialize each
+    region row to an XML string (to_xml over a struct), parse it back with
+    an explicit schema (from_xml — no inference scan), and re-emit the
+    typed columns. The oracle is the untouched source: serialization
+    must be lossless. Per-row expressions, zero shuffle."""
+    r = load(spark, sf_dir, "region")
+    xml = r.select(
+        F.to_xml(F.struct("r_regionkey", "r_name")).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "r_regionkey INT, r_name STRING").alias("s")
+    )
+    return parsed.select(
+        F.col("s.r_regionkey").alias("r_regionkey"),
+        F.col("s.r_name").alias("r_name"),
+    )
