@@ -231,3 +231,46 @@ def ext_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             var_n2.cast("bigint").alias("var_n2"),
         )
     )
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), g AS (SELECT MAX(ts) AS global_max FROM e)
+    SELECT e.event_type,
+           MAX(e.ts) AS latest_ts,
+           CAST(date_diff('second', MAX(e.ts), g.global_max) AS BIGINT)
+               AS lag_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e CROSS JOIN g
+    GROUP BY e.event_type, g.global_max
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ freshness monitor: per event type, the latest event time and its
+    lag (whole seconds) behind the stream's global high-water mark — the
+    stuck-producer detector every ingestion pipeline runs. Second
+    granularity is exact integer arithmetic in both engines (truncated
+    epoch difference).
+
+    Scale: one map-side-combined groupBy over ≤|types| rows plus a 1-row
+    global max broadcast — two passes over the scan, no wide shuffle."""
+    from pyspark.sql.functions import broadcast
+
+    e = load(spark, sf_dir, "events").select("event_type", "ts")
+    g = e.agg(F.max("ts").alias("global_max"))
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    lag = (
+        F.unix_timestamp("global_max") - F.unix_timestamp("latest_ts")
+    ).cast("long")
+    return per_type.crossJoin(broadcast(g)).select(
+        "event_type",
+        "latest_ts",
+        lag.alias("lag_seconds"),
+        "n_events",
+    )

@@ -98,6 +98,8 @@ _NLJ_ALLOWED = {
     "tpch_q11",
     # 1-row global aggregate × 1-row top-lang: the dataset-card join is 1×1
     "ext_dataset_card",
+    # 1-row global high-water-mark broadcast onto the per-type rows
+    "dq_freshness",
     "tpch_q22",
 }
 

@@ -1,5 +1,7 @@
-"""Round-4 additions: the real k-means coarse quantizer (ext_similarity_kmeans)
-and the events.ts ingestion-shape neutrality contract."""
+"""Round-4 additions: the Lloyd-trained k-means quantizer and its consumers
+(SemDeDup, topics), the BPE trainer/encoder vs a pure-Python reference, the
+curriculum/analytics invariants, and the events.ts ingestion-shape
+neutrality contract (the round-3 regression class)."""
 
 from __future__ import annotations
 
