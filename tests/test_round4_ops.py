@@ -278,3 +278,59 @@ def test_bpe_encode_matches_python_reference(spark):
         for r in registry.QUERIES["ext_bpe_encode"](spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_change_feed_reconstructs_new_version(spark):
+    """Applying the CDF to the old snapshot must reproduce the new one:
+    drop deleted/updated keys, add inserted/updated post-images."""
+    from databricks_sales_etl_pipeline_spark.catalog import load
+    from databricks_sales_etl_pipeline_spark.plans.versioned import change_feed
+
+    old = load(spark, SF_DIR, "nation")
+    new = (
+        old.where(F.col("n_nationkey") % 3 != 0)
+        .withColumn(
+            "n_name",
+            F.when(
+                F.col("n_nationkey") % 3 == 1, F.upper("n_name")
+            ).otherwise(F.col("n_name")),
+        )
+        .unionAll(
+            old.where(F.col("n_nationkey") < 2).select(
+                (F.col("n_nationkey") + 500).alias("n_nationkey"),
+                "n_name",
+                "n_regionkey",
+            )
+        )
+    )
+    feed = change_feed(old, new, ["n_nationkey"]).collect()
+    touched = {r.n_nationkey for r in feed}
+    rebuilt = sorted(
+        [tuple(r) for r in old.collect() if r.n_nationkey not in touched]
+        + [
+            (r.n_nationkey, r.n_name, r.n_regionkey)
+            for r in feed
+            if r.change_type in ("insert", "update")
+        ]
+    )
+    assert rebuilt == sorted(map(tuple, new.collect()))
+
+
+def test_sample_weighted_rates_track_weights(spark):
+    """Acceptance frequency must track the length weight: long docs
+    (weight ~1) accepted at a much higher rate than the overall corpus
+    average, matching a binomial expectation loosely."""
+    from databricks_sales_etl_pipeline_spark.catalog import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    sampled = {
+        r.doc_id
+        for r in registry.QUERIES["ext_sample_weighted"](spark, SF_DIR).collect()
+    }
+    rows = d.collect()
+    heavy = [r for r in rows if r.n_chars >= 500]
+    light = [r for r in rows if r.n_chars < 250]
+    rate_heavy = sum(1 for r in heavy if r.doc_id in sampled) / max(len(heavy), 1)
+    rate_light = sum(1 for r in light if r.doc_id in sampled) / max(len(light), 1)
+    assert rate_heavy == 1.0, "weight-1 docs must always be accepted"
+    assert rate_light < 0.6, "sub-half-weight docs must be thinned"
