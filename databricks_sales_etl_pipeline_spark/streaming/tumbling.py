@@ -143,3 +143,43 @@ def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_finished(q, 120)
     return spark.table(sink)
+
+
+# Oracle-able state introspection: with NO watermark nothing is ever
+# evicted, so after one AvailableNow batch the state store holds exactly
+# one row per (window, event_type) with the final aggregates — the batch
+# twin's result, readable via Spark 4's statestore data source.
+@query("stream_state_inspect", oracle=_TUMBLING_ORACLE)
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2b — streaming-state OBSERVABILITY: run the tumbling aggregation as
+    a real stream, then read the checkpoint's state store back as a
+    DataFrame (`spark.read.format("statestore")`) and project the
+    aggregation state into the batch twin's shape. This is the debugging
+    path for production streams (inspect what the operator is holding);
+    hash-checking it against the SQL oracle proves the state itself is
+    correct, not just the emitted rows.
+
+    Scale: the state read is partitioned like the operator (one state file
+    per shuffle partition); no full-stream replay."""
+    stream = events_readstream(spark, sf_dir)  # no watermark → no eviction
+    sink = f"sti_{uuid.uuid4().hex[:12]}"
+    ckpt = scratch_checkpoint(sink)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 120)
+    st = spark.read.format("statestore").load(ckpt)
+    key_fields = st.schema["key"].dataType.names
+    val_fields = st.schema["value"].dataType.names
+    return st.select(
+        F.col(f"key.{key_fields[0]}.start").alias("hour_start"),
+        F.col(f"key.{key_fields[1]}").alias("event_type"),
+        F.col(f"value.`{val_fields[0]}`").alias("n_events"),
+        F.col(f"value.`{val_fields[1]}`").alias("value_cents"),
+    )
