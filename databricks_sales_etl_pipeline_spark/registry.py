@@ -41,6 +41,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.sources.sinks",
     "databricks_sales_etl_pipeline_spark.sources.catalog_ops",
     "databricks_sales_etl_pipeline_spark.sources.formats",
+    "databricks_sales_etl_pipeline_spark.sources.pysource",
     "databricks_sales_etl_pipeline_spark.functions.json_fns",
     "databricks_sales_etl_pipeline_spark.functions.udfs",
     "databricks_sales_etl_pipeline_spark.functions.scalar_fns",
