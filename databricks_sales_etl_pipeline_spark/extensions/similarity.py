@@ -656,7 +656,10 @@ def ext_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one window shuffle for the per-query rank — re-rank touches only the
     probed cells' members (~NPROBE/K of the corpus) instead of everything."""
     e = load(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", quantize(F.col("embedding")).alias("v"))
+    # cache the quantized vectors once: training takes ITERS+1 actions over
+    # them and the final plan re-reads them — one materialization, K·D longs
+    # per row, beats re-scanning + re-quantizing parquet per action
+    vecs = e.select("vec_id", quantize(F.col("embedding")).alias("v")).localCheckpoint()
     centroids = train_kmeans(vecs)
 
     cells = _assign_cells(vecs, centroids)
@@ -774,7 +777,7 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     e = load(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", quantize(F.col("embedding")).alias("v"))
+    vecs = e.select("vec_id", quantize(F.col("embedding")).alias("v")).localCheckpoint()
     centroids = train_kmeans(vecs)
     cells = _assign_cells(vecs, centroids)
 
@@ -872,6 +875,7 @@ def ext_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     )
+    vecs = vecs.localCheckpoint()  # featurization is the expensive scan here
     centroids = train_kmeans(vecs)
     return _assign_cells(vecs, centroids).select(
         F.col("vec_id").alias("doc_id"), F.col("cid").alias("topic")
