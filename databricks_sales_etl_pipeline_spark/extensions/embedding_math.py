@@ -141,3 +141,58 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(q8).alias("q8_max"),
         F.array_min(q8).alias("q8_min"),
     )
+
+
+_PROJ_IN = 64
+_PROJ_OUT = 16
+
+
+def _proj_component(j: int, i: int) -> int:
+    """Deterministic pseudo-random projection matrix entry in [-1000, 1000]
+    — the same modular-arithmetic generator as the LSH hyperplanes, so the
+    DuckDB twin reproduces it exactly."""
+    return ((j * _PROJ_IN + i) * 2654435761) % 2001 - 1000
+
+
+@query(
+    "ext_embedding_project",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(j.range AS BIGINT) AS dim,
+           CAST(list_sum(list_transform(range(1, {_PROJ_IN} + 1),
+               i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                    * (CAST((j.range * {_PROJ_IN} + i - 1) * 2654435761 % 2001 AS BIGINT) - 1000)
+           )) AS BIGINT) AS value
+    FROM embeddings, range(0, {_PROJ_OUT}) j
+    """,
+)
+def ext_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    64-d milli-unit vectors × a deterministic integer 16×64 projection
+    matrix → 16-d sketches, emitted long-format (vec_id, dim, value) so
+    the driver canonicalizer never sees array cells. The JL sketch is the
+    cheap pre-filter in front of exact re-ranking (distances are roughly
+    preserved at 1/4 the bytes); integer arithmetic end-to-end makes every
+    projected coordinate hash-checkable.
+
+    Scale: a zero-shuffle scan — each output row is a 64-term dot product
+    against literal matrix entries, fused into codegen (16×64 terms is two
+    orders below the K·D blow-up that forced the k-means path to numpy)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize(F.col("embedding"))
+    rows = []
+    for j in range(_PROJ_OUT):
+        terms = [
+            q.getItem(i) * F.lit(_proj_component(j, i)) for i in range(_PROJ_IN)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        rows.append(F.struct(F.lit(j).cast("long").alias("dim"), acc.alias("value")))
+    return e.select(
+        "vec_id", F.explode(F.array(*rows)).alias("p")
+    ).select(
+        "vec_id",
+        F.col("p").getField("dim").alias("dim"),
+        F.col("p").getField("value").alias("value"),
+    )
