@@ -334,3 +334,38 @@ def test_sample_weighted_rates_track_weights(spark):
     rate_light = sum(1 for r in light if r.doc_id in sampled) / max(len(light), 1)
     assert rate_heavy == 1.0, "weight-1 docs must always be accepted"
     assert rate_light < 0.6, "sub-half-weight docs must be thinned"
+
+
+def test_embedding_project_bounded_distortion(spark):
+    """The JL sketch must preserve distances up to bounded distortion —
+    generous bounds (k=16 on near-uniform data is coarse); this guards
+    against scale/sign/indexing errors in the projection, not tight ε."""
+    import numpy as np
+
+    rows = registry.QUERIES["ext_embedding_project"](spark, SF_DIR).collect()
+    sk: dict[int, dict[int, int]] = {}
+    for r in rows:
+        sk.setdefault(r.vec_id, {})[r.dim] = r.value
+    assert all(len(d) == 16 for d in sk.values())
+    from databricks_sales_etl_pipeline_spark.catalog import load
+    from databricks_sales_etl_pipeline_spark.extensions.similarity import quantize
+
+    vec_rows = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", quantize(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    V = {r.vec_id: np.array(r.v, dtype=np.float64) for r in vec_rows}
+    S = {k: np.array([d[j] for j in range(16)], dtype=np.float64) for k, d in sk.items()}
+    ids = sorted(V)[:60]
+    ratios = []
+    for a_i in range(0, len(ids), 3):
+        for b_i in range(a_i + 1, len(ids), 7):
+            a, b = ids[a_i], ids[b_i]
+            de = ((V[a] - V[b]) ** 2).sum()
+            dp = ((S[a] - S[b]) ** 2).sum()
+            if de > 0:
+                ratios.append(dp / de)
+    med = float(np.median(ratios))
+    assert med > 0
+    assert all(0.01 * med <= r <= 100 * med for r in ratios), "unbounded distortion"
