@@ -1015,3 +1015,142 @@ def ext_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination_frac"
         ),
     )
+
+
+_MINHASH_CALIBRATION_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 0)),
+                i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+2]
+            ))) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id, b,
+               MIN(CAST(list_sum(list_transform(range(1, 9),
+                   i -> (strpos('0123456789abcdef',
+                                substring(md5(CAST(b AS VARCHAR) || ':' || shingle),
+                                          CAST(i AS INT), 1)) - 1)
+                        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)) AS h
+        FROM sh, unnest(range(0, 8)) AS t(b)
+        GROUP BY doc_id, b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM sig a JOIN sig c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
+    ), matches AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands_match
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.doc_a
+        JOIN sig y ON y.doc_id = c.doc_b AND y.b = x.b AND y.h = x.h
+        GROUP BY c.doc_a, c.doc_b
+    ), common AS (
+        SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_common
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.doc_a
+        JOIN sh y ON y.doc_id = cand.doc_b AND y.shingle = x.shingle
+        GROUP BY cand.doc_a, cand.doc_b
+    )
+    SELECT m.doc_a, m.doc_b, m.n_bands_match,
+           CAST(m.n_bands_match AS DOUBLE) / 8 AS est_jaccard,
+           CAST(co.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - co.n_common)
+               AS exact_jaccard
+    FROM matches m
+    JOIN common co ON co.doc_a = m.doc_a AND co.doc_b = m.doc_b
+    JOIN sizes sa ON m.doc_a = sa.doc_id
+    JOIN sizes sb ON m.doc_b = sb.doc_id
+"""
+
+
+@query("ext_minhash_calibration", oracle=_MINHASH_CALIBRATION_ORACLE)
+def ext_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b''' — index CALIBRATION report: for every banded-MinHash candidate
+    pair, the MinHash estimate of Jaccard (matching bands / 8) next to the
+    exact Jaccard — the table you read before trusting an LSH index's
+    threshold at corpus scale (is est ≈ exact? where does banding
+    over-recall?). Same md5 band hash as the fully-oracled dedup variant,
+    so estimate AND ground truth are hash-checked.
+
+    Scale: signatures in one aggregation pass; candidates band-bucketed;
+    the exact side touches candidates only (same bound as the dedup path).
+    """
+    n_bands = 8
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d).localCheckpoint(eager=False)
+
+    def band_hash(j: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(band_hash(j)).alias(f"h{j}") for j in range(n_bands)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"h{j}").alias("h"))
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(n_bands)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(n_bands)],
+    )
+    n_match = sum(
+        [
+            F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+            for j in range(n_bands)
+        ],
+        F.lit(0),
+    ).cast("long")
+    est = candidates.join(sig_a, "doc_a").join(sig_b, "doc_b").select(
+        "doc_a", "doc_b", n_match.alias("n_bands_match")
+    )
+    ra = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"), "shingle"
+    )
+    rb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"), "shingle"
+    )
+    common = (
+        candidates.join(ra, "doc_a")
+        .join(rb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return est.join(common, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "n_bands_match",
+        (F.col("n_bands_match").cast("double") / 8).alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+    )
