@@ -1,0 +1,392 @@
+"""Round-5 dedup additions (north star; no reference counterpart — the
+reference's 3 notebooks contain no dedup at all):
+
+- **exact substring-level dedup** (`ext_dedup_substring`): the one dedup
+  modality the suite lacked — finding long VERBATIM token spans repeated
+  across documents (the suffix-array family of Lee et al., "Deduplicating
+  Training Data Makes Language Models Better", re-expressed as a Spark
+  dataflow). Doc-level exact/MinHash/SimHash dedup cannot see a 40-token
+  boilerplate paragraph pasted into otherwise-distinct documents; this one
+  does, and reports the maximal repeated spans with positions so a
+  downstream pass can cut them.
+
+- **hot-band guarded MinHash** (`ext_dedup_minhash_guarded`): banded
+  MinHash with a band-bucket population cap. On boilerplate-heavy corpora
+  (shared headers/footers) a single band bucket can hold millions of docs
+  and the candidate self-join explodes quadratically — the one
+  100×-credibility hole in the unguarded pipeline (SCALE.md measured the
+  affine-generator variant of this trap). Buckets above the cap are
+  EXCLUDED from candidate generation and REPORTED in the output (no
+  silent truncation).
+
+- **Bloom-filter decontamination** (`ext_bloom_decontaminate`): Spark's
+  `bloom_filter_agg` / `might_contain` as the 100 TB posture for eval-set
+  decontamination — the filter is a few MB broadcast to every executor
+  instead of a broadcast join against the full digest set. Bloom bit
+  layout is engine-specific → rows-only driver check; the exact
+  broadcast-digest twin (`ext_decontaminate`) is the oracle-of-record and
+  the false-positive-rate unit test bounds the approximation.
+
+Scale posture of the substring pipeline: token k-grams are built with
+posexplode + lead windows (whole-stage codegen, no higher-order lambdas);
+grams travel as 32-char md5 fingerprints (128-bit — collision-negligible),
+never as raw text; the gram self-join is bounded by the per-gram document
+cap, so candidate volume is ∝ true duplication, not corpus²; span merging
+is one window over (doc pair, diagonal) — gaps-and-islands, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.extensions.dedup import (
+    exact_jaccard_on_candidates,
+    shingle_rows,
+)
+from databricks_sales_etl_pipeline_spark.registry import query
+
+#: token k-gram length for substring matching: a repeated span must be at
+#: least this many tokens long to be detected (13 tokens ≈ 50+ chars, the
+#: Lee-et-al. threshold neighborhood).
+SUB_K = 13
+#: grams present in more than this many distinct documents are dropped
+#: before the pair join (ubiquitous boilerplate — at 100 TB a single hot
+#: gram would otherwise contribute |docs|² candidate hits).
+MAX_GRAM_DF = 32
+
+_SUBSTRING_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               md5(array_to_string(
+                   list_slice(t, CAST(i AS INT), CAST(i + {SUB_K} - 1 AS INT)),
+                   ' ')) AS gid
+        FROM toks, unnest(range(1, greatest(len(t) - {SUB_K} + 2, 1))) AS u(i)
+    ), elig AS (
+        SELECT gid FROM grams
+        GROUP BY gid
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {MAX_GRAM_DF}
+    ), kept AS (
+        SELECT g.* FROM grams g JOIN elig USING (gid)
+    ), hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        FROM kept a JOIN kept b
+          ON a.gid = b.gid AND a.doc_id < b.doc_id
+    ), diag AS (
+        SELECT doc_a, doc_b, pa, pb,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+        FROM hits
+    )
+    SELECT doc_a, doc_b,
+           MIN(pa) AS start_a, MIN(pb) AS start_b,
+           CAST(COUNT(*) + {SUB_K} - 1 AS BIGINT) AS len_tokens
+    FROM diag
+    GROUP BY doc_a, doc_b, pa - pb, isl
+"""
+
+
+@query("ext_dedup_substring", oracle=_SUBSTRING_ORACLE)
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e — exact substring-level dedup: every maximal cross-document
+    verbatim token span of length >= SUB_K, as (doc_a, doc_b, start_a,
+    start_b, len_tokens) with 0-based token positions.
+
+    Dataflow: token k-grams at EVERY position (posexplode + lead window —
+    stays in whole-stage codegen), fingerprinted with md5; grams repeated
+    across 2..MAX_GRAM_DF documents survive; the gram self-join yields
+    per-position hits; hits on the same (doc pair, pa-pb diagonal) with
+    consecutive positions are one repeated span, merged with the
+    gaps-and-islands row_number trick — a span of L tokens produces
+    L - K + 1 consecutive diagonal hits, so len_tokens = hits + K - 1.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", j).over(win) for j in range(1, SUB_K)]
+    grams = (
+        words.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.md5(F.concat_ws(" ", F.col("w"), *leads)).alias("gid"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .drop("_full")
+    )
+    elig = (
+        grams.groupBy("gid")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df").between(2, MAX_GRAM_DF))
+        .select("gid")
+    )
+    kept = grams.join(elig, "gid")
+    a = kept.select(
+        F.col("gid"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = kept.select(
+        F.col("gid"), F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    hits = a.join(b, "gid").where(F.col("doc_a") < F.col("doc_b"))
+    dwin = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pa") - F.col("pb")
+    ).orderBy("pa")
+    islands = hits.select(
+        "doc_a",
+        "doc_b",
+        "pa",
+        "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(dwin)).alias("isl"),
+    )
+    return islands.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        F.min("pa").alias("start_a"),
+        F.min("pb").alias("start_b"),
+        (F.count(F.lit(1)) + SUB_K - 1).cast("bigint").alias("len_tokens"),
+    ).select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+
+
+#: band buckets holding more than this many documents are dropped from
+#: candidate generation and reported instead.
+HOT_BAND_CAP = 16
+_N_BANDS = 8
+
+_GUARDED_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 0)),
+                i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+2]
+            ))) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id, b,
+               MIN(CAST(list_sum(list_transform(range(1, 9),
+                   i -> (strpos('0123456789abcdef',
+                                substring(md5(CAST(b AS VARCHAR) || ':' || shingle),
+                                          CAST(i AS INT), 1)) - 1)
+                        * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)) AS h
+        FROM sh, unnest(range(0, {_N_BANDS})) AS t(b)
+        GROUP BY doc_id, b
+    ), pop AS (
+        SELECT b, h, CAST(COUNT(*) AS BIGINT) AS bucket_pop
+        FROM sig GROUP BY b, h
+    ), hot AS (
+        SELECT b, h, bucket_pop FROM pop WHERE bucket_pop > {HOT_BAND_CAP}
+    ), kept AS (
+        SELECT sig.* FROM sig
+        LEFT JOIN hot ON sig.b = hot.b AND sig.h = hot.h
+        WHERE hot.b IS NULL
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM kept a JOIN kept c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
+    ), common AS (
+        SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_common
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.doc_a
+        JOIN sh y ON y.doc_id = cand.doc_b AND y.shingle = x.shingle
+        GROUP BY cand.doc_a, cand.doc_b
+    ), pairs AS (
+        SELECT m.doc_a, m.doc_b,
+               CAST(m.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - m.n_common) AS jaccard
+        FROM common m
+        JOIN sizes sa ON m.doc_a = sa.doc_id
+        JOIN sizes sb ON m.doc_b = sb.doc_id
+        WHERE CAST(m.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - m.n_common) >= 0.5
+    )
+    SELECT 'pair' AS kind, doc_a, doc_b, jaccard,
+           CAST(NULL AS BIGINT) AS band, CAST(NULL AS BIGINT) AS bucket_pop
+    FROM pairs
+    UNION ALL
+    SELECT 'hot_band' AS kind, CAST(NULL AS BIGINT) AS doc_a,
+           CAST(NULL AS BIGINT) AS doc_b, CAST(NULL AS DOUBLE) AS jaccard,
+           CAST(b AS BIGINT) AS band, bucket_pop
+    FROM hot
+"""
+
+
+@query("ext_dedup_minhash_guarded", oracle=_GUARDED_ORACLE)
+def ext_dedup_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b''' — banded MinHash with a HOT-BAND GUARD: identical signature /
+    banding / exact-verify pipeline to `ext_dedup_minhash_verified`
+    (md5-band hash, bit-identical in Spark and DuckDB), but band buckets
+    with more than HOT_BAND_CAP documents are excluded from the candidate
+    self-join and emitted as `kind='hot_band'` report rows beside the
+    `kind='pair'` results. On a boilerplate-heavy corpus the unguarded
+    join is quadratic in the hottest bucket's population; the guarded one
+    is bounded by cap² per bucket — the difference between a 100 TB run
+    finishing and not. tests/test_round5_ops.py engineers exactly that
+    corpus and asserts bounded candidates + a non-empty report."""
+    t = 0.5
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d).localCheckpoint(eager=False)
+
+    def band_hash(j: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(band_hash(j)).alias(f"h{j}") for j in range(_N_BANDS)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("bigint").alias("band"),
+                        F.col(f"h{j}").alias("h"),
+                    )
+                    for j in range(_N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    pop = bands.groupBy("band", "h").agg(
+        F.count(F.lit(1)).alias("bucket_pop")
+    )
+    hot = pop.where(F.col("bucket_pop") > HOT_BAND_CAP)
+    kept = bands.join(hot.select("band", "h"), ["band", "h"], "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = exact_jaccard_on_candidates(candidates, sh, t).select(
+        F.lit("pair").alias("kind"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(None).cast("bigint").alias("band"),
+        F.lit(None).cast("bigint").alias("bucket_pop"),
+    )
+    report = hot.select(
+        F.lit("hot_band").alias("kind"),
+        F.lit(None).cast("bigint").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        "band",
+        "bucket_pop",
+    )
+    return pairs.unionByName(report)
+
+
+#: Bloom geometry: m bits (stored as 64-bit words) and k hash functions.
+#: At driver scale (held set ~50-500 docs) kn/m stays <= 0.6 → FPR <= ~2%.
+BLOOM_BITS = 4096
+BLOOM_K = 5
+
+
+def _bloom_pos(col, j: int):
+    """Bit position of hash function j — md5_band is bit-identical in
+    Spark and DuckDB, so the whole filter is cross-engine deterministic."""
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band
+
+    return md5_band(col, BLOOM_BITS, f"bloom{j}:")
+
+
+def _bloom_pos_sql(expr: str, j: int) -> str:
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+        md5_band_sql,
+    )
+
+    return md5_band_sql(expr, BLOOM_BITS, f"bloom{j}:")
+
+
+_NORM_SQL = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+_HELD_POS = " UNION ".join(
+    f"SELECT {_bloom_pos_sql('norm', j)} AS pos FROM held" for j in range(BLOOM_K)
+)
+_PROBE_POS = " UNION ALL ".join(
+    f"SELECT doc_id, {_bloom_pos_sql('norm', j)} AS pos FROM probe"
+    for j in range(BLOOM_K)
+)
+_BLOOM_ORACLE = f"""
+    WITH held AS (
+        SELECT {_NORM_SQL} AS norm FROM documents WHERE doc_id % 10 = 3
+    ), held_pos AS (
+        {_HELD_POS}
+    ), probe AS (
+        SELECT doc_id, {_NORM_SQL} AS norm FROM documents WHERE doc_id % 10 <> 3
+    ), probe_pos AS (
+        {_PROBE_POS}
+    )
+    SELECT p.doc_id FROM probe_pos p
+    LEFT JOIN held_pos h USING (pos)
+    GROUP BY p.doc_id
+    HAVING COUNT(*) - COUNT(h.pos) = 0
+"""
+
+
+@query("ext_bloom_decontaminate", oracle=_BLOOM_ORACLE)
+def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2f — Bloom-filter eval-set decontamination, the 100 TB posture:
+    hash every held-out (eval) document's normalized text to BLOOM_K bit
+    positions, OR them into an m-bit filter (a BOUNDED driver artifact —
+    64 longs here, a few MB at production geometry), and probe every
+    corpus document with pure JVM bit tests against the broadcast words.
+    vs the exact broadcast-digest join (`ext_decontaminate`): the filter's
+    size depends only on m, never on eval-set cardinality or row width,
+    and the probe is a zero-shuffle scan. Flagged docs are decontamination
+    *candidates* (a deterministic superset of true hits — Bloom filters
+    have no false negatives); production re-checks them exactly.
+
+    Oracle-checked end-to-end: positions use the md5_band cross-engine
+    hash, and bitmap membership == membership in the distinct held-set
+    position set, which DuckDB computes relationally (same bits, proved by
+    the HAVING all-k-positions-present twin). The FPR unit test in
+    tests/test_round5_ops.py bounds the approximation on a disjoint
+    corpus."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    held = d.where(F.col("doc_id") % 10 == 3).select(norm.alias("norm"))
+    positions = held.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("norm"), j) for j in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    # bounded model artifact: <= BLOOM_BITS distinct ints (the MLlib
+    # collect-and-rebroadcast pattern, same discipline as train_kmeans)
+    words = [0] * (BLOOM_BITS // 64)
+    for r in positions.distinct().collect():
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w).cast("bigint") for w in signed])
+    corpus = d.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id", norm.alias("norm")
+    )
+    probed = corpus.withColumn("bf", bitmap)
+    hit = None
+    for j in range(BLOOM_K):
+        p = _bloom_pos(F.col("norm"), j)
+        word = F.element_at("bf", (p / 64).cast("int") + 1)
+        # bit_get takes a COLUMN position (shiftright needs a literal)
+        c = F.bit_get(word, (p % 64).cast("int")) == 1
+        hit = c if hit is None else hit & c
+    return probed.where(hit).select("doc_id")

@@ -529,6 +529,11 @@ def train_kmeans(
     centroids: list[Centroid] = sorted(
         (int(r["vec_id"]), [int(x) for x in r["v"]]) for r in seeds
     )
+    if not centroids:
+        raise ValueError(
+            f"train_kmeans: no seed vectors with vec_id < {k}; the seeding "
+            "contract requires ids starting at 0 (regenerate ids or remap)"
+        )
     dim = len(centroids[0][1])
     for _ in range(iters):
         stats = (
@@ -874,6 +879,16 @@ def ext_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long"),
             ).alias("v"),
         )
+    )
+    # Left-join onto the full doc_id spine so zero-token docs (NULL/empty/
+    # whitespace-only text) get a zero vector, mirroring the oracle's grid
+    # CTE which cross-joins every doc_id (round-4 ADVICE: latent hash-fail
+    # if regenerated testdata grows an empty document).
+    zero_vec = F.array(*[F.lit(0).cast("long") for _ in range(_TOPIC_DIM)])
+    vecs = (
+        d.select(F.col("doc_id").alias("vec_id"))
+        .join(vecs, "vec_id", "left")
+        .select("vec_id", F.coalesce(F.col("v"), zero_vec).alias("v"))
     )
     vecs = vecs.localCheckpoint()  # featurization is the expensive scan here
     centroids = train_kmeans(vecs)

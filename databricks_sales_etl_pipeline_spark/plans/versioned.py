@@ -383,7 +383,8 @@ def change_feed(
            COALESCE(b.n_regionkey, a.n_regionkey) AS n_regionkey
     FROM v0 a FULL OUTER JOIN v1 b ON a.n_nationkey = b.n_nationkey
     WHERE a.n_nationkey IS NULL OR b.n_nationkey IS NULL
-       OR a.n_name <> b.n_name OR a.n_regionkey <> b.n_regionkey
+       OR a.n_name IS DISTINCT FROM b.n_name
+       OR a.n_regionkey IS DISTINCT FROM b.n_regionkey
     """,
 )
 def tbl_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:

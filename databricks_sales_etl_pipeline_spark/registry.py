@@ -50,6 +50,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.streaming.stateful",
     "databricks_sales_etl_pipeline_spark.streaming.join",
     "databricks_sales_etl_pipeline_spark.extensions.dedup",
+    "databricks_sales_etl_pipeline_spark.extensions.dedup_substring",
     "databricks_sales_etl_pipeline_spark.extensions.similarity",
     "databricks_sales_etl_pipeline_spark.extensions.textstats",
     "databricks_sales_etl_pipeline_spark.extensions.multimodal",
@@ -92,57 +93,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: rows-only streaming/dedup variants). All 49 fill these slots, plus this
 #: round's new ext_similarity_kmeans (real Lloyd coarse quantizer) in slot
 #: 50 — no slot re-checks an already-green name.
+# Round-5 rotation: the 20 round-4 additions that have never had a driver row,
+# followed by the round-5 new operators (appended as they are built). The driver
+# correctness-checks only the first 50 names, so never re-list already-green ones.
 _DRIVER_PRIORITY = [
-    "agg_boolean_aggregates",
-    "ext_anomaly_zscore",
-    "join_salted_skew",
-    "join_full_outer",
-    "setop_intersect_all",
-    "setop_except_all",
-    "window_moving_avg",
-    "window_value_suite",
-    "agg_percentile_bands",
-    "agg_mode_exact",
-    "agg_corr_exact",
-    "agg_mad_robust",
-    "ext_scd2_intervals",
-    "ext_gapfill_locf",
-    "src_orc_roundtrip",
-    "json_nested_roundtrip",
-    "stream_watermark_agg",
-    "stream_dedup",
-    "stream_stateful_counter",
-    "stream_stream_join",
-    "ext_dedup_minhash",
-    "ext_fingerprint_winnow",
-    "ext_dedup_simhash",
-    "ext_dup_clusters",
-    "ext_dup_clusters_verified",
-    "ext_dedup_simhash_verified",
-    "ext_fingerprint_winnow_verified",
-    "ext_pagerank_step",
-    "ext_dedup_incremental",
-    "ext_contamination_score",
-    "ext_approx_distinct",
-    "ext_knn_classify",
-    "ext_quality_gopher",
-    "ext_repetition_ratio",
-    "ext_tfidf_relevance",
-    "ext_pack_offsets",
-    "ext_langmix_report",
-    "ext_vocab_coverage",
-    "mm_decode_stub",
-    "ext_embedding_quantize",
-    "ext_sample_bernoulli",
-    "ext_chunk_sliding",
-    "ext_split_stratified",
-    "ext_sample_stratified",
-    "ext_pii_redact",
-    "ext_quality_buckets",
-    "ext_curation_funnel",
-    "tbl_merge_upsert",
-    "ext_zorder_layout",
-    "ext_similarity_kmeans",
+    "dq_freshness",
+    "sql_recursive_cte",
+    "src_xml_parse",
+    "src_python_datasource",
+    "json_variant_extract",
+    "stream_state_inspect",
+    "stream_static_join",
+    "ext_minhash_calibration",
+    "ext_semdedup",
+    "ext_cluster_topics",
+    "ext_embedding_project",
+    "ext_sample_weighted",
+    "ext_mix_epochs",
+    "ext_dataset_card",
+    "ext_bpe_train",
+    "ext_bpe_encode",
+    "ext_event_funnel",
+    "ext_retention_cohorts",
+    "ext_attribution_last_touch",
+    "tbl_change_feed",
+    # --- round-5 new operators ---
+    "ext_dedup_substring",
+    "ext_dedup_minhash_guarded",
+    "ext_bloom_decontaminate",
 ]
 
 

@@ -177,9 +177,32 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = spark.read.format("statestore").load(ckpt)
     key_fields = st.schema["key"].dataType.names
     val_fields = st.schema["value"].dataType.names
+    # Resolve state buffers by NAME, not position: the streaming-agg state
+    # layout is a Spark internal, so a silent reorder must fail loudly here
+    # instead of surfacing as an opaque driver hash mismatch.
+    from pyspark.sql.types import StructType as _ST
+
+    key_type = st.schema["key"].dataType
+    window_key = next(
+        (
+            f.name
+            for f in key_type.fields
+            if isinstance(f.dataType, _ST) and "start" in f.dataType.names
+        ),
+        key_fields[0],
+    )
+    other_keys = [k for k in key_fields if k != window_key]
+    count_fields = [f for f in val_fields if f.lower().startswith("count")]
+    sum_fields = [f for f in val_fields if f.lower().startswith("sum")]
+    if len(other_keys) != 1 or len(count_fields) != 1 or len(sum_fields) != 1:
+        raise RuntimeError(
+            "statestore layout changed: keys="
+            f"{key_fields} values={val_fields}; expected one window key, one "
+            "grouping key, one count buffer and one sum buffer"
+        )
     return st.select(
-        F.col(f"key.{key_fields[0]}.start").alias("hour_start"),
-        F.col(f"key.{key_fields[1]}").alias("event_type"),
-        F.col(f"value.`{val_fields[0]}`").alias("n_events"),
-        F.col(f"value.`{val_fields[1]}`").alias("value_cents"),
+        F.col(f"key.`{window_key}`.start").alias("hour_start"),
+        F.col(f"key.`{other_keys[0]}`").alias("event_type"),
+        F.col(f"value.`{count_fields[0]}`").alias("n_events"),
+        F.col(f"value.`{sum_fields[0]}`").alias("value_cents"),
     )
