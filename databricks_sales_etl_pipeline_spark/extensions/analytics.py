@@ -193,3 +193,292 @@ def ext_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 event-analytics additions: Markov transitions, A/B lift,
+# conversion lag, position-based attribution, OHLC resampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_markov_transitions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
+    ), seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM e
+    ), pairs AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n * 1000 // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_milli
+    FROM pairs
+    """,
+)
+def ext_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov chain: event-type transition counts per user
+    session stream (LEAD over the pinned (ts, event_id) ordering) and the
+    per-source transition probability in exact integer milli-units (floor
+    division — hash-portable where a double ratio of windowed sums would
+    not be, since SUM OVER returns HUGEINT in DuckDB). One user_id shuffle
+    for the sequence, one tiny |types|² aggregate."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tw = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000").cast("bigint").alias("_num"),
+        F.sum("n").over(tw).alias("_den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("_num DIV _den").cast("bigint").alias("p_milli"),
+    )
+
+
+from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+    md5_band_sql as _md5_band_sql,
+)
+
+_AB_VARIANT_SQL = (
+    "CASE WHEN " + _md5_band_sql("user_id", 2, "ab:")
+    + " = 0 THEN 'control' ELSE 'treatment' END"
+)
+
+
+@query(
+    "ext_ab_lift",
+    oracle=f"""
+    WITH assign AS (
+        SELECT DISTINCT user_id,
+               {_AB_VARIANT_SQL} AS variant
+        FROM events
+    ), conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_converted,
+           CAST(COUNT(c.user_id) * 10000 // COUNT(*) AS BIGINT) AS cvr_bp
+    FROM assign a LEFT JOIN conv c USING (user_id)
+    GROUP BY a.variant
+    """,
+)
+def ext_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic 50/50 user assignment via the
+    cross-engine md5 hash (layout- and engine-independent — the same trick
+    as the split/sample family; df.sample would be partition-seeded and
+    unreproducible), conversion = any purchase event, conversion rate in
+    integer basis points. One distinct-user pass + one broadcast-size
+    join."""
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band
+
+    e = load(spark, sf_dir, "events")
+    assign = e.select(
+        "user_id",
+        F.when(md5_band(F.col("user_id"), 2, "ab:") == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+    ).distinct()
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    joined = assign.join(conv, "user_id", "left")
+    return joined.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("converted").alias("n_converted"),
+        F.expr("count(converted) * 10000 DIV count(1)")
+        .cast("bigint")
+        .alias("cvr_bp"),
+    )
+
+
+@query(
+    "ext_conversion_lag",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), first_signup AS (
+        SELECT user_id, MIN(ts) AS t0 FROM e
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), first_purchase AS (
+        SELECT e.user_id, MIN(e.ts) AS t1
+        FROM e JOIN first_signup s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+        GROUP BY e.user_id
+    ), lags AS (
+        SELECT s.user_id,
+               CAST(date_diff('second', s.t0, p.t1) AS BIGINT) AS lag_s
+        FROM first_signup s JOIN first_purchase p ON p.user_id = s.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+           CAST(MAX(lag_s) AS BIGINT) AS max_lag_s,
+           CAST(SUM(lag_s) AS BIGINT) AS total_lag_s,
+           CAST(SUM(lag_s) AS DOUBLE) / COUNT(*) AS avg_lag_s
+    FROM lags
+    """,
+)
+def ext_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, seconds from first signup to the first
+    purchase at-or-after it; aggregated to count/min/max/total/mean. The
+    mean is an exact IEEE division of two exact integers (< 2^53), so the
+    double hashes identically. Same one-key shuffle shape as the funnel."""
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.join(s, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    lags = s.join(p, "user_id").select(
+        (F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+        .cast("bigint")
+        .alias("lag_s")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+        F.sum("lag_s").cast("bigint").alias("total_lag_s"),
+        (F.sum("lag_s").cast("double") / F.count(F.lit(1))).alias("avg_lag_s"),
+    )
+
+
+@query(
+    "ext_attribution_position",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
+    ), touches AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM e
+    ), credit AS (
+        SELECT user_id, event_type,
+               CASE
+                   WHEN n = 1 THEN 10000
+                   WHEN n = 2 THEN 5000
+                   WHEN pos = 1 OR pos = n THEN 4000
+                   ELSE CAST(2000 // (n - 2) AS BIGINT)
+                       + CASE WHEN pos = n - 1
+                              THEN 2000 - CAST(2000 // (n - 2) AS BIGINT) * (n - 2)
+                              ELSE 0 END
+               END AS bp
+        FROM touches
+    )
+    SELECT event_type, CAST(SUM(bp) AS BIGINT) AS credit_bp
+    FROM credit GROUP BY event_type
+    """,
+)
+def ext_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) attribution: per user journey,
+    first and last touches get 40% each, middle touches split the
+    remaining 20% by integer floor division with the remainder assigned
+    deterministically to the last middle touch — every journey's credits
+    sum to exactly 10000 bp (asserted in tests), with no float allocation
+    to drift across engines. Complements ext_attribution_last_touch; same
+    single user_id shuffle."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cw = Window.partitionBy("user_id")
+    touches = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    mid_share = F.expr("2000 DIV (n - 2)").cast("bigint")
+    mid_rem = F.lit(2000) - mid_share * (F.col("n") - 2)
+    bp = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(4000))
+        .otherwise(
+            mid_share
+            + F.when(F.col("pos") == F.col("n") - 1, mid_rem).otherwise(F.lit(0))
+        )
+    )
+    return (
+        touches.select("event_type", bp.cast("bigint").alias("bp"))
+        .groupBy("event_type")
+        .agg(F.sum("bp").cast("bigint").alias("credit_bp"))
+    )
+
+
+@query(
+    "ext_resample_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, hour_start,
+           CAST(FIRST(cents ORDER BY ts, event_id) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(LAST(cents ORDER BY ts, event_id) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e GROUP BY user_id, hour_start
+    """,
+)
+def ext_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC resampling: per (user, hour) bucket, the opening /
+    high / low / closing value in integer cents. Open/close use
+    min_by/max_by over the (ts, event_id) struct — a fully-pinned ordering
+    (event_id unique), so ties can never flip the survivor across engines
+    or partition layouts. One groupBy shuffle; map-side partial min/max."""
+    e = load(spark, sf_dir, "events")
+    cents_col = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    prep = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        cents_col.alias("cents"),
+    )
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return prep.groupBy("user_id", "hour_start").agg(
+        F.min_by("cents", order_key).cast("bigint").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max_by("cents", order_key).cast("bigint").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -75,3 +75,120 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(band * _W_CAP < w_int * F.lit(_W_MOD)).select(
         "doc_id", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: per-group capping, deterministic corpus shuffle, k-fold
+# ---------------------------------------------------------------------------
+
+#: RefinedWeb-style frequency cap: keep at most this many docs per
+#: (lang, source) cell.
+CAP_PER_GROUP = 40
+
+
+@query(
+    "ext_cap_per_group",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source ORDER BY doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE rk <= {CAP_PER_GROUP}) AS BIGINT)
+               AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rk > {CAP_PER_GROUP}) AS BIGINT)
+               AS n_dropped
+    FROM ranked
+    GROUP BY lang, source
+    """,
+)
+def ext_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group frequency capping (the RefinedWeb/C4 anti-boilerplate
+    move: no single domain/source may dominate the corpus): rank docs
+    within each (lang, source) cell by the deterministic doc_id order, cap
+    at CAP_PER_GROUP, report kept/dropped per cell. At 100 TB the rank is
+    the same one-key window the dedup keeper-selection uses; the output
+    report is |cells| rows."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    ranked = d.select(
+        "lang", "source", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    return ranked.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("rk") <= CAP_PER_GROUP, 1)).alias("n_kept"),
+        F.count(F.when(F.col("rk") > CAP_PER_GROUP, 1)).alias("n_dropped"),
+    )
+
+
+@query(
+    "ext_shuffle_order",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               {md5_band_sql("doc_id", 64, "shard:")} AS shard,
+               {md5_band_sql("doc_id", 1048576, "ord:")} AS sort_key
+        FROM documents
+    )
+    SELECT doc_id, shard, sort_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) - 1 AS BIGINT)
+               AS global_pos
+    FROM keyed
+    """,
+)
+def ext_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every doc gets a
+    layout-independent pseudorandom sort key (md5 of the doc_id — same
+    order on any cluster, any engine, any partition count; df.orderBy(rand())
+    is none of those), a shard assignment for the writer, and its global
+    position. The global row_number is a range-partitioned sort at scale —
+    exactly what a tokenizer-shard writer runs once per epoch; doc_id
+    tiebreak pins hash collisions."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        md5_band(F.col("doc_id"), 64, "shard:").alias("shard"),
+        md5_band(F.col("doc_id"), 1048576, "ord:").alias("sort_key"),
+    )
+    w = Window.orderBy("sort_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        "sort_key",
+        (F.row_number().over(w) - 1).cast("bigint").alias("global_pos"),
+    )
+
+
+N_FOLDS = 5
+
+
+@query(
+    "ext_kfold_split",
+    oracle=f"""
+    WITH folded AS (
+        SELECT lang, {md5_band_sql("doc_id", N_FOLDS, "fold:")} AS fold
+        FROM documents
+    )
+    SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM folded GROUP BY lang, fold
+    """,
+)
+def ext_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment: deterministic hash fold per doc
+    (train fold k = everything except fold k — reproducible on any engine
+    without materializing k copies), reported as the per-(lang, fold)
+    balance matrix the experimenter checks before trusting the split."""
+    d = load(spark, sf_dir, "documents")
+    folded = d.select(
+        "lang", md5_band(F.col("doc_id"), N_FOLDS, "fold:").alias("fold")
+    )
+    return folded.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

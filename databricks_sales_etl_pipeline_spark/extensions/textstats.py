@@ -711,3 +711,168 @@ def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: log2 length histogram, co-occurrence lift, entity
+# blocking with edit-distance verify
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_length_hist_log2",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(length(format('{:b}', GREATEST(n_chars, 1))) AS BIGINT)
+                   AS log2_bucket,
+               n_chars
+        FROM documents
+    )
+    SELECT log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY log2_bucket
+    """,
+)
+def ext_length_hist_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 document-length histogram — the corpus profile plot behind
+    every truncation/packing decision. The bucket is floor(log2(n))+1
+    computed EXACTLY as the bit-length of the integer (length of its
+    binary rendering) — no libm log2, whose last-bit behavior differs
+    across platforms. Zero shuffle until the |buckets|-row aggregate."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.length(F.bin(F.greatest("n_chars", F.lit(1)))).cast("bigint")
+    return d.select(bucket.alias("log2_bucket"), "n_chars").groupBy(
+        "log2_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+#: only token pairs with enough document support to matter
+_COOC_MIN_DF = 5
+
+
+@query(
+    "ext_cooccurrence_lift",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+        FROM documents
+    ), df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY tok
+    ), total AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+    ), pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+        HAVING COUNT(*) >= {_COOC_MIN_DF}
+    )
+    SELECT p.tok_a, p.tok_b, p.n_ab, fa.n AS n_a, fb.n AS n_b,
+           CAST(p.n_ab * t.n_docs * 1000 // (fa.n * fb.n) AS BIGINT)
+               AS lift_milli
+    FROM pairs p
+    JOIN df fa ON fa.tok = p.tok_a
+    JOIN df fb ON fb.tok = p.tok_b
+    CROSS JOIN total t
+    """,
+)
+def ext_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (PMI's exact-integer cousin): for token
+    pairs sharing >= {MIN_DF} documents, lift = P(a,b)/(P(a)P(b)) =
+    n_ab·N/(n_a·n_b), emitted in floor-divided milli-units (log-PMI would
+    drag libm into the hashed output). The pair join is per-document
+    (bounded by the distinct-tokens-per-doc², with the vocabulary-sized
+    token space of the corpus keeping the result tiny); document ids,
+    never text, cross the shuffle. Feeds collocation detection and
+    tokenizer-merge audits."""
+    d = load(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            )
+        ).alias("tok"),
+    )
+    df_tok = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    a = dt.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+    b = dt.select(F.col("doc_id"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _COOC_MIN_DF)
+    )
+    fa = df_tok.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    fb = df_tok.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(fa, "tok_a")
+        .join(fb, "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    return out.select(
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr("n_ab * n_docs * 1000 DIV (n_a * n_b)")
+        .cast("bigint")
+        .alias("lift_milli"),
+    )
+
+
+#: phone-typo entity resolution: same (nation, name-prefix) block, edit
+#: distance at most this
+_ENTITY_MAX_DIST = 2
+
+
+@query(
+    "ext_entity_blocking",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer)
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND substring(a.c_name, 1, 10) = substring(b.c_name, 1, 10)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {_ENTITY_MAX_DIST}
+    """,
+)
+def ext_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution, the blocking-then-verify shape: candidate pairs
+    must share a cheap blocking key (nation + 10-char name prefix — an
+    equi-join, so it SHUFFLES instead of cross-joining), then the
+    expensive edit-distance verify runs only inside blocks. This is the
+    MinHash-LSH pattern applied to record linkage; levenshtein is
+    integer-exact in both engines (proved by the ext_text_edit_distance
+    row). At 100 TB the block key cardinality bounds every reducer."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 10).alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 10).alias("blk"),
+    )
+    pairs = a.join(b, ["nk", "blk"]).where(F.col("cust_a") < F.col("cust_b"))
+    dist = F.levenshtein("name_a", "name_b").cast("bigint")
+    return pairs.select(
+        "cust_a", "cust_b", dist.alias("name_dist")
+    ).where(F.col("name_dist") <= _ENTITY_MAX_DIST)

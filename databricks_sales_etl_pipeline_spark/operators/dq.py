@@ -274,3 +274,127 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_seconds"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 DQ additions: expectations report, quarantine split, row checksums
+# ---------------------------------------------------------------------------
+
+#: Delta-Live-Tables-style expectations over lineitem: (rule name, SQL
+#: predicate) — the predicate strings are valid in BOTH engines, so the
+#: Spark side evaluates exactly what the oracle evaluates.
+_EXPECTATIONS = [
+    ("qty_in_range", "l_quantity BETWEEN 1 AND 50"),
+    ("shipdate_in_window", "l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'"),
+    ("discount_in_policy", "l_discount <= 0.08"),
+    ("price_positive", "l_extendedprice > 0"),
+]
+
+_EXPECT_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{name}' AS rule,
+           CAST(COUNT(*) FILTER (WHERE {pred}) AS BIGINT) AS n_pass,
+           CAST(COUNT(*) FILTER (WHERE NOT ({pred})) AS BIGINT) AS n_fail,
+           CAST(COUNT(*) FILTER (WHERE NOT ({pred})) * 10000
+                // COUNT(*) AS BIGINT) AS fail_bp
+    FROM lineitem
+    """
+    for name, pred in _EXPECTATIONS
+)
+
+
+@query("dq_expectations_report", oracle=_EXPECT_ORACLE)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ expectations report (the DLT `EXPECT` contract as an operator):
+    each rule's pass/fail counts and failure rate in basis points, all
+    rules evaluated in ONE scan (conditional aggregation — no per-rule scan
+    storm, the classic mistake at 100 TB). Integer basis points via floor
+    division keep the rate hash-portable."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for name, pred in _EXPECTATIONS:
+        p = F.expr(pred)
+        aggs.append(F.count(F.when(p, 1)).alias(f"{name}__pass"))
+        aggs.append(F.count(F.when(~p, 1)).alias(f"{name}__fail"))
+    one = li.agg(*aggs)
+    per_rule = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"{name}__pass").alias("n_pass"),
+                        F.col(f"{name}__fail").alias("n_fail"),
+                    )
+                    for name, _ in _EXPECTATIONS
+                ]
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_pass", "r.n_fail")
+    return per_rule.withColumn(
+        "fail_bp",
+        F.expr("n_fail * 10000 DIV (n_pass + n_fail)"),
+    )
+
+
+_QUARANTINE_RULES = [
+    ("high_discount", "l_discount > 0.08"),
+    ("qty_at_cap", "l_quantity >= 49"),
+]
+
+_QUARANTINE_ORACLE = f"""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN {_QUARANTINE_RULES[0][1]} THEN '{_QUARANTINE_RULES[0][0]}'
+                ELSE '{_QUARANTINE_RULES[1][0]}' END AS reason
+    FROM lineitem
+    WHERE ({_QUARANTINE_RULES[0][1]}) OR ({_QUARANTINE_RULES[1][1]})
+"""
+
+
+@query("dq_quarantine", oracle=_QUARANTINE_ORACLE)
+def dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ quarantine split: rows violating any rule are diverted to a
+    quarantine relation tagged with the FIRST failing rule (deterministic
+    rule order — no arbitrary reason selection). The clean side is the
+    complement; production writes both to separate sinks in one pass
+    (here the quarantine side is returned for the hash check). Zero
+    shuffle: a scan with a predicate and a CASE."""
+    li = load(spark, sf_dir, "lineitem")
+    reason = F.when(
+        F.expr(_QUARANTINE_RULES[0][1]), F.lit(_QUARANTINE_RULES[0][0])
+    ).otherwise(F.lit(_QUARANTINE_RULES[1][0]))
+    bad = F.expr(_QUARANTINE_RULES[0][1]) | F.expr(_QUARANTINE_RULES[1][1])
+    return li.where(bad).select(
+        "l_orderkey", "l_linenumber", reason.alias("reason")
+    )
+
+
+@query(
+    "dq_row_checksum",
+    oracle="""
+    SELECT s_suppkey,
+           md5(concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name,
+                         CAST(s_nationkey AS VARCHAR),
+                         CAST(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR))) AS row_md5
+    FROM supplier
+    """,
+)
+def dq_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ row-integrity checksums: md5 over a canonical '|'-joined string
+    of each row's columns — the replication/migration verification
+    primitive (compare per-row digests across two copies of a table
+    without moving the rows). Doubles are canonicalized to integer cents
+    BEFORE stringification: float-to-string formatting differs across
+    engines (1e7 prints '1.0E7' in the JVM), integer strings never do.
+    Zero shuffle; at 100 TB the digests feed an EXCEPT/anti-join between
+    replicas."""
+    s = load(spark, sf_dir, "supplier")
+    canon = F.concat_ws(
+        "|",
+        F.col("s_suppkey").cast("string"),
+        F.col("s_name"),
+        F.col("s_nationkey").cast("string"),
+        F.floor(F.col("s_acctbal") * 100 + 0.5).cast("bigint").cast("string"),
+    )
+    return s.select("s_suppkey", F.md5(canon).alias("row_md5"))

@@ -403,3 +403,33 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("med_cents").alias("med_cents"),
         F.expr("percentile(abs(cents - med_cents), 0.5)").alias("mad_cents"),
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(l_quantity * {cents_sql('l_extendedprice')}) AS BIGINT)
+               AS weighted_cents,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+           CAST(SUM(l_quantity * {cents_sql('l_extendedprice')}) AS BIGINT)
+               // CAST(SUM(l_quantity) AS BIGINT) AS wavg_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the BI staple that
+    a naive AVG(price) gets wrong. Computed entirely in exact integers:
+    Σ(qty·cents) stays < 2^53 at any realistic scale factor (qty ≤ 50,
+    cents ≤ 10⁷ → 5·10⁸ per row), and the final weighted mean is a floor
+    division, so every column hash-matches the oracle. Single map-side
+    combined groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    w = (F.col("l_quantity") * cents(F.col("l_extendedprice"))).cast("bigint")
+    out = li.groupBy("l_returnflag").agg(
+        F.sum(w).cast("bigint").alias("weighted_cents"),
+        F.sum("l_quantity").cast("bigint").alias("total_qty"),
+    )
+    return out.withColumn(
+        "wavg_cents", F.expr("weighted_cents DIV total_qty").cast("bigint")
+    )

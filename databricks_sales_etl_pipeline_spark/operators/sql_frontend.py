@@ -131,3 +131,32 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     against one scan of orders."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_RECURSIVE)
+
+
+_SQL_LATERAL = """
+    SELECT r.r_name, t.n_name, t.n_nationkey, t.nation_customers
+    FROM region r,
+    LATERAL (
+        SELECT n.n_name, n.n_nationkey,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey) AS nation_customers
+        FROM nation n
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY n.n_nationkey
+        LIMIT 2
+    ) t
+"""
+
+
+@query("sql_lateral_join", oracle=_SQL_LATERAL)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2e — correlated LATERAL subquery (SQL:2016 / Spark 3.4+): for
+    each region, the two lowest-keyed nations plus a correlated scalar
+    count — the per-row-top-N idiom SQL users reach for before learning
+    window functions, now first-class in both engines. Catalyst rewrites
+    the lateral to a ranked join (DecorrelateInnerQuery), so the physical
+    plan is the same shuffle-join + window shape as W1, not a per-row
+    re-execution. ORDER BY n_nationkey (unique) pins the LIMIT
+    deterministically; identical SQL text runs on DuckDB."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL)

@@ -173,3 +173,94 @@ def window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("day_cents", 2).over(full).alias("second_cents"),
         F.lag("day_cents", 1, 0).over(seq).alias("prev_cents"),
     )
+
+
+@query(
+    "window_distribution_suite",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, total_cents,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY total_cents, o_orderkey)
+    """,
+)
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — distribution window functions: ntile / percent_rank /
+    cume_dist per order-priority partition. percent_rank = (rank-1)/(n-1)
+    and cume_dist = peers/n are exact IEEE ratios of small integers, so
+    the doubles hash identically across engines; the ordering is pinned
+    with the unique o_orderkey tiebreak (the ntile boundary would
+    otherwise be layout-dependent). One hash shuffle on the partition key."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("total_cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("total_cents", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "total_cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS day_no,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events
+        GROUP BY user_id, day_no
+    )
+    SELECT user_id, day_no, day_cents,
+           CAST(SUM(day_cents) OVER (
+               PARTITION BY user_id ORDER BY day_no
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_7d
+    FROM daily
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — RANGE frame by VALUE (not row count): trailing-7-day spend per
+    user over integer day numbers. RANGE frames bound by the ORDER BY
+    value handle gaps correctly (a user with no events for 5 days still
+    gets a true calendar window) — the rows-frame moving average
+    (window_moving_avg) cannot express this. Day numbers are exact integer
+    epoch-day diffs; the sum is integer cents; one user_id shuffle
+    shared by the daily rollup and the window."""
+    from databricks_sales_etl_pipeline_spark.functions.money import cents
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_no"),
+    ).agg(F.sum(cents(F.col("value"))).alias("day_cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_no")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day_no",
+        "day_cents",
+        F.sum("day_cents").over(w).cast("bigint").alias("cents_7d"),
+    )

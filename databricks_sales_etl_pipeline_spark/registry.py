@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.streaming.sessionize",
     "databricks_sales_etl_pipeline_spark.streaming.stateful",
     "databricks_sales_etl_pipeline_spark.streaming.join",
+    "databricks_sales_etl_pipeline_spark.streaming.foreachbatch",
     "databricks_sales_etl_pipeline_spark.extensions.dedup",
     "databricks_sales_etl_pipeline_spark.extensions.dedup_substring",
     "databricks_sales_etl_pipeline_spark.extensions.similarity",
@@ -121,6 +122,28 @@ _DRIVER_PRIORITY = [
     "ext_dedup_substring",
     "ext_dedup_minhash_guarded",
     "ext_bloom_decontaminate",
+    "stream_transform_state",
+    "stream_foreachbatch_upsert",
+    "dq_expectations_report",
+    "dq_quarantine",
+    "dq_row_checksum",
+    "sql_lateral_join",
+    "window_distribution_suite",
+    "window_range_frame",
+    "ext_markov_transitions",
+    "ext_ab_lift",
+    "ext_conversion_lag",
+    "ext_attribution_position",
+    "ext_resample_ohlc",
+    "ext_cap_per_group",
+    "ext_shuffle_order",
+    "ext_kfold_split",
+    "src_binaryfile_scan",
+    "src_lines_roundtrip",
+    "agg_weighted_avg",
+    "ext_length_hist_log2",
+    "ext_cooccurrence_lift",
+    "ext_entity_blocking",
 ]
 
 

@@ -88,3 +88,65 @@ def src_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.r_regionkey").alias("r_regionkey"),
         F.col("s.r_name").alias("r_name"),
     )
+
+
+@query(
+    "src_binaryfile_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def src_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file source (`spark.read.format("binaryFile")`): the ingest
+    path for opaque blobs (images/audio/model shards) — each file becomes
+    one row (path, modificationTime, length, content). The demo round-trips
+    100 documents through UTF-8 files and verifies byte count + md5 digest
+    against the source text (lossless by construction, so the oracle is
+    the untouched table — same discipline as the ORC/CSV round-trips).
+
+    Scale: binaryFile parallelizes per file with
+    spark.sql.files.maxPartitionBytes batching; content never leaves the
+    executor (digests do)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    path = _tmp("binfiles")
+    os.makedirs(path)
+    # bounded materialization: 100 docs, driver writes the fixture files
+    for r in d.select("doc_id", "text").collect():
+        with open(os.path.join(path, f"{r['doc_id']:06d}.bin"), "wb") as f:
+            f.write((r["text"] or "").encode("utf-8"))
+    scan = spark.read.format("binaryFile").load(path)
+    return scan.select(
+        F.regexp_extract(F.col("path"), r"(\d{6})\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@query(
+    "src_lines_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def src_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source/sink (`spark.read.text` — the log-file
+    ingest path): serialize documents as '<doc_id>\\t<text>' lines, read
+    the directory back as raw lines, split on the first tab. Lossless for
+    single-line text (the synthetic corpus; production escapes newlines
+    first), so the oracle is the untouched table."""
+    d = load(spark, sf_dir, "documents")
+    path = _tmp("lines")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+            "value"
+        )
+    ).write.text(path)
+    lines = spark.read.text(path)
+    tab = F.instr(F.col("value"), "\t")
+    return lines.select(
+        F.substring(F.col("value"), 1, tab - 1).cast("bigint").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
