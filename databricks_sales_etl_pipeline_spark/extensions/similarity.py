@@ -895,3 +895,43 @@ def ext_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assign_cells(vecs, centroids).select(
         F.col("vec_id").alias("doc_id"), F.col("cid").alias("topic")
     )
+
+
+@query(
+    "ext_ann_recall_report",
+    oracle=f"""
+    SELECT bf.query_id,
+           CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hits,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(ivf.neighbor_id) * 1000 // {TOP_K} AS BIGINT)
+               AS recall_milli
+    FROM ({_TOPK_ORACLE}) bf
+    LEFT JOIN ({_IVF_ORACLE}) ivf
+      ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def ext_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3g — ANN index EVALUATION as a first-class operator: recall@k of
+    the IVF probe result against the brute-force exact top-k, per query,
+    in integer milli-units. This is the report that decides nprobe/K
+    trade-offs before anyone trusts the index; at 100 TB it runs on a
+    sampled query set while the index serves the rest. Composes the two
+    existing pipelines (and their oracles), so the metric itself is
+    hash-checked end-to-end."""
+    bf = ext_similarity_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    approx = ext_similarity_ivf(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("bf_neighbor"),
+        F.lit(1).alias("hit"),
+    )
+    joined = bf.join(approx, ["query_id", "bf_neighbor"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count("hit").alias("n_hits"),
+        F.lit(TOP_K).cast("bigint").alias("k"),
+        F.expr(f"count(hit) * 1000 DIV {TOP_K}").cast("bigint").alias(
+            "recall_milli"
+        ),
+    )

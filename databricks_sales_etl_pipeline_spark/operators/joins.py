@@ -296,3 +296,143 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("side"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: interval-overlap join, dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+#: coarse time-bucket width (days) for the interval join's equi-join key
+_IV_BUCKET_DAYS = 7
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_orderdate AS a_start,
+               o_orderdate + INTERVAL 14 DAY AS a_end
+        FROM orders WHERE o_orderkey % 97 = 0
+    ), b AS (
+        SELECT l_orderkey, l_linenumber, l_shipdate AS b_start,
+               l_shipdate + INTERVAL 7 DAY AS b_end
+        FROM lineitem WHERE l_orderkey % 89 = 0 AND l_linenumber = 1
+    )
+    SELECT a.o_orderkey, b.l_orderkey, b.l_linenumber,
+           CAST(date_diff('day',
+                GREATEST(a.a_start, CAST(b.b_start AS DATE)),
+                LEAST(CAST(a.a_end AS DATE), CAST(b.b_end AS DATE)))
+                + 1 AS BIGINT) AS overlap_days
+    FROM a JOIN b
+      ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — interval-overlap join (range join): order activity windows
+    [orderdate, +14d] against shipment windows [shipdate, +7d]. A naive
+    theta join is a cross product; the scalable plan expands each A
+    interval into its coarse week buckets (≤ 3 rows — bounded by
+    interval/bucket width), EQUI-joins on the bucket, refines with the
+    exact overlap predicate, and dedups. That turns O(|A|·|B|) into a hash
+    join whose fan-out is the bucket occupancy — the standard time-bucket
+    trick behind every production range-join accelerator. The oracle is
+    the plain theta join."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    a = o.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("a_start"),
+        F.date_add("o_orderdate", 14).alias("a_end"),
+    )
+    b = li.where((F.col("l_orderkey") % 89 == 0) & (F.col("l_linenumber") == 1)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").alias("b_start"),
+        F.date_add("l_shipdate", 7).alias("b_end"),
+    )
+    day = lambda c: F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+    a_buck = a.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (day("a_start") / _IV_BUCKET_DAYS).cast("int"),
+                (day("a_end") / _IV_BUCKET_DAYS).cast("int"),
+            )
+        ),
+    )
+    b_buck = b.withColumn(
+        "bucket", (day("b_start") / _IV_BUCKET_DAYS).cast("int")
+    )
+    # B intervals are 7 days = bucket width: they touch <= 2 buckets, so we
+    # also probe the next bucket from the B side (cheaper than exploding B)
+    b_both = b_buck.unionByName(
+        b_buck.withColumn("bucket", F.col("bucket") + 1)
+    ).dropDuplicates(["l_orderkey", "l_linenumber", "bucket"])
+    hits = (
+        a_buck.join(b_both, "bucket")
+        .where(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .dropDuplicates(["o_orderkey", "l_orderkey", "l_linenumber"])
+    )
+    overlap = (
+        F.datediff(
+            F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+        )
+        + 1
+    ).cast("bigint")
+    return hits.select(
+        "o_orderkey", "l_orderkey", "l_linenumber", overlap.alias("overlap_days")
+    )
+
+
+@query(
+    "join_dpp_prune",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1996-06')
+    GROUP BY order_month
+    """,
+)
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — dynamic partition pruning: the fact table is stored
+    PARTITIONED BY month; the month filter lives only on a small dim that
+    the fact joins to, so static pruning can't fire — Spark's DPP builds
+    the dim's key set at runtime and prunes fact partitions before the
+    scan (tests/test_plans.py asserts `dynamicpruning` in the plan). At
+    100 TB this is the difference between scanning 2 months and 84. The
+    oracle recomputes from the unpartitioned source with the fused filter."""
+    import os
+    import shutil
+    import tempfile
+
+    from databricks_sales_etl_pipeline_spark.functions.money import cents
+
+    o = load(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), "dsep_dpp_orders")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    o.withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    ).write.partitionBy("order_month").parquet(path)
+    fact = spark.read.parquet(path)
+    # the dim must carry a SELECTIVE FILTER over a real scan — DPP's
+    # PartitionPruning rule only injects the runtime subquery when the
+    # build side filters something (a bare literal relation doesn't count)
+    dim = (
+        o.select(F.date_format("o_orderdate", "yyyy-MM").alias("sel_month"))
+        .where(F.col("sel_month").isin("1995-03", "1996-06"))
+        .distinct()
+    )
+    joined = fact.join(
+        broadcast(dim), fact["order_month"] == dim["sel_month"]
+    )
+    return joined.groupBy("order_month").agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

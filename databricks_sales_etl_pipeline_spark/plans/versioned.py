@@ -193,6 +193,27 @@ class VersionedTable:
         adds = self._write_data(df.repartition(n).localCheckpoint(eager=True))
         return self._commit(adds, old, "OPTIMIZE")
 
+    def clone_to(self, dest_path: str) -> "VersionedTable":
+        """SHALLOW CLONE: a new table whose first commit references the
+        source's current live data files by absolute path — zero bytes
+        copied (Delta's CLONE contract). Subsequent writes to the clone add
+        its own files; the source is never mutated through the clone.
+        Caveat shared with Delta: VACUUM on the source can invalidate a
+        shallow clone — production deep-clones before source retention."""
+        clone = VersionedTable(self.spark, dest_path)
+        adds = [os.path.join(self.path, f) for f in self.live_files()]
+        clone._commit(adds, [], "CLONE")
+        return clone
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF: commit a swap that removes
+        the current live set and re-adds the target version's — history is
+        preserved (the restore is itself a new version, so it can be
+        restored away again)."""
+        target = self.live_files(version)
+        current = self.live_files()
+        return self._commit(target, current, "RESTORE")
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Physically delete files referenced ONLY by versions older than
         the last ``retain_last`` snapshots, truncate their log entries, and
@@ -413,3 +434,43 @@ def tbl_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.write(v1, mode="overwrite")  # v1
     return change_feed(t.read(version=0), t.read(version=1), ["n_nationkey"])
+
+
+@query(
+    "tbl_clone_shallow",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey % 3 <> 0
+    """,
+)
+def tbl_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone: write nation v0, overwrite with a filtered v1, clone
+    → the clone reads v1's content without copying a byte (its log
+    references the source's files; tests assert the clone dir holds no
+    data files). Then the SOURCE moves on to v2 — the clone must still
+    read v1. This is the dev/test-against-prod-data workflow Delta CLONE
+    exists for."""
+    n = load(spark, sf_dir, "nation")
+    src = VersionedTable(spark, _tmp_table("clsrc"))
+    src.write(n, mode="overwrite")  # v0
+    src.write(n.where(F.col("n_nationkey") % 3 != 0), mode="overwrite")  # v1
+    clone = src.clone_to(_tmp_table("clone"))
+    src.write(n.where(F.col("n_nationkey") < 2), mode="overwrite")  # v2
+    return clone.read()
+
+
+@query(
+    "tbl_restore",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def tbl_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE to a previous version: nation as v0, a destructive filtered
+    overwrite as v1, RESTORE(0) as v2 — reading the table now returns the
+    original rows, while the botched v1 stays in history (a restore is a
+    new commit, not a rewrite). The one-command answer to a bad deploy."""
+    n = load(spark, sf_dir, "nation")
+    t = VersionedTable(spark, _tmp_table("restore"))
+    t.write(n, mode="overwrite")  # v0
+    t.write(n.where(F.col("n_nationkey") % 2 == 0), mode="overwrite")  # v1 (bad)
+    t.restore(0)  # v2
+    return t.read()

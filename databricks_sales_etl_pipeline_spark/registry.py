@@ -144,6 +144,11 @@ _DRIVER_PRIORITY = [
     "ext_length_hist_log2",
     "ext_cooccurrence_lift",
     "ext_entity_blocking",
+    "join_interval_overlap",
+    "join_dpp_prune",
+    "tbl_clone_shallow",
+    "tbl_restore",
+    "ext_ann_recall_report",
 ]
 
 

@@ -175,3 +175,114 @@ class TestBloomDecontaminate:
         fpr = len(flagged & clean) / len(clean)
         # geometry: k=5, n=400, m=4096 -> theoretical FPR ~3.7%; allow 3x
         assert fpr < 0.12, f"false positive rate {fpr:.3f} out of bounds"
+
+
+class TestRound5Plans:
+    def test_dpp_prunes_fact_partitions(self, spark):
+        """join_dpp_prune must carry a dynamic-partition-pruning subquery on
+        the fact scan — without it the partitioned fact is read in full."""
+        from tests.conftest import SF_DIR
+
+        df = QUERIES["join_dpp_prune"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    def test_shallow_clone_copies_no_data(self, spark, tmp_path):
+        """clone_to writes only a commit log — zero data files in the clone
+        directory; reads still serve the pinned source version."""
+        from databricks_sales_etl_pipeline_spark.plans.versioned import (
+            VersionedTable,
+        )
+
+        n = spark.range(100).withColumnRenamed("id", "k")
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.write(n, mode="overwrite")
+        clone = src.clone_to(str(tmp_path / "clone"))
+        data_files = [
+            f
+            for f in (tmp_path / "clone").rglob("*")
+            if f.is_file() and f.suffix == ".parquet"
+        ]
+        assert data_files == [], "shallow clone must not copy data files"
+        # source moves on; clone still reads the pinned snapshot
+        src.write(n.where("k < 10"), mode="overwrite")
+        assert clone.read().count() == 100
+        assert src.read().count() == 10
+
+
+class TestRound5Semantics:
+    def test_attribution_credits_sum_to_10000_per_user(self, spark):
+        """Every user journey's position-based credits must total exactly
+        10000 bp — the integer remainder allocation may not leak credit."""
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.catalog import load
+        import pyspark.sql.functions as F
+
+        total_bp = (
+            QUERIES["ext_attribution_position"](spark, SF_DIR)
+            .agg(F.sum("credit_bp"))
+            .collect()[0][0]
+        )
+        n_users = (
+            load(spark, SF_DIR, "events").select("user_id").distinct().count()
+        )
+        assert total_bp == 10000 * n_users
+
+    def test_interval_overlap_matches_theta_join(self, spark):
+        """The bucketed equi-join must produce exactly the rows of the
+        naive theta join (the buckets are an optimization, not a filter)."""
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.catalog import load
+        import pyspark.sql.functions as F
+
+        got = sorted(
+            map(
+                tuple,
+                QUERIES["join_interval_overlap"](spark, SF_DIR)
+                .toPandas()
+                .values.tolist(),
+            )
+        )
+        o = load(spark, SF_DIR, "orders")
+        li = load(spark, SF_DIR, "lineitem")
+        a = o.where(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("a_start"),
+            F.date_add("o_orderdate", 14).alias("a_end"),
+        )
+        b = li.where(
+            (F.col("l_orderkey") % 89 == 0) & (F.col("l_linenumber") == 1)
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").alias("b_start"),
+            F.date_add("l_shipdate", 7).alias("b_end"),
+        )
+        theta = a.crossJoin(b).where(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        want = sorted(
+            map(
+                tuple,
+                theta.select(
+                    "o_orderkey",
+                    "l_orderkey",
+                    "l_linenumber",
+                    (
+                        F.datediff(
+                            F.least("a_end", "b_end"),
+                            F.greatest("a_start", "b_start"),
+                        )
+                        + 1
+                    ).cast("bigint").alias("overlap_days"),
+                )
+                .toPandas()
+                .values.tolist(),
+            )
+        )
+        assert got == want
