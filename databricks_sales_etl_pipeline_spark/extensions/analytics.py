@@ -482,3 +482,77 @@ def ext_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("cents", order_key).cast("bigint").alias("close_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- exponentially weighted moving revenue ----------------------------------
+
+#: EWMS window length and dyadic scale: weights 2^(W-1-k) / 2^(W-1) for lags
+#: k = 0..W-1 — i.e. alpha = 1/2 truncated at W terms. Everything stays in
+#: int64 (max daily cents ~2^27 × 2^15 scale × 16 terms ≪ 2^63), so the
+#: smoothed series is hash-exact cross-engine; the descaled double is a
+#: single exact dyadic division.
+_EWMS_W = 16
+_EWMS_SCALE = 2 ** (_EWMS_W - 1)
+
+
+def _ewms_terms_sql() -> str:
+    terms = []
+    for k in range(_EWMS_W):
+        w = 2 ** (_EWMS_W - 1 - k)
+        x = f"COALESCE(lag(rev_c, {k}) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate), 0)"
+        terms.append(f"{x} * {w}")
+    return " + ".join(terms)
+
+
+@query(
+    "ext_ewma_smooth",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority, o_orderdate,
+               CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders
+        GROUP BY o_orderpriority, o_orderdate
+    )
+    SELECT o_orderpriority, o_orderdate, rev_c,
+           CAST({_ewms_terms_sql()} AS BIGINT) AS ewms_scaled,
+           CAST({_ewms_terms_sql()} AS DOUBLE) / {float(_EWMS_SCALE)}
+               AS ewms
+    FROM daily
+    """,
+)
+def ext_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An5 — exponentially weighted moving sum over the daily revenue
+    series per order priority: alpha = 1/2 dyadic weights truncated at
+    {W} observations, computed as an integer lag-chain inside ONE ordered
+    window so the smoothed series is exact (no float accumulation order
+    to diverge). The descaled double is a single dyadic division —
+    bit-identical cross-engine.
+
+    Scale: one groupBy(priority, date) shuffle + one window shuffle on the
+    same key; the lag chain is {W} pointer reads per row inside
+    whole-stage codegen, not {W} self-joins."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        ).cast("long").alias("rev_c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    terms = [
+        F.coalesce(F.lag("rev_c", k).over(w), F.lit(0))
+        * F.lit(2 ** (_EWMS_W - 1 - k))
+        for k in range(_EWMS_W)
+    ]
+    ewms_scaled = terms[0]
+    for t in terms[1:]:
+        ewms_scaled = ewms_scaled + t
+    return daily.select(
+        "o_orderpriority",
+        "o_orderdate",
+        "rev_c",
+        ewms_scaled.cast("long").alias("ewms_scaled"),
+        (ewms_scaled.cast("double") / F.lit(float(_EWMS_SCALE))).alias("ewms"),
+    )

@@ -326,3 +326,91 @@ def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "3, 'quality_gate', s3, 4, 'dedup_keeper', s4) "
         "AS (stage_id, stage, n_docs)"
     )
+
+
+# --- k-anonymity generalization --------------------------------------------
+
+K_ANON = 10  # minimum equivalence-class size
+
+
+@query(
+    "ext_k_anonymity",
+    oracle=f"""
+    WITH base AS (
+        SELECT c.c_custkey, n.n_name, n.n_regionkey, c.c_mktsegment
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    l0 AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY n_name, c_mktsegment) AS c0
+        FROM base
+    ),
+    l1 AS (
+        SELECT l0.*, r.r_name,
+               SUM(CASE WHEN c0 < {K_ANON} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY r.r_name, c_mktsegment) AS c1
+        FROM l0 JOIN region r ON r.r_regionkey = l0.n_regionkey
+    )
+    SELECT c_custkey,
+           CASE WHEN c0 >= {K_ANON} THEN n_name
+                WHEN c1 >= {K_ANON} THEN r_name
+                ELSE '*' END AS qi_geo,
+           CASE WHEN c0 >= {K_ANON} OR c1 >= {K_ANON} THEN c_mktsegment
+                ELSE '*' END AS qi_segment,
+           CAST(CASE WHEN c0 >= {K_ANON} THEN 0
+                     WHEN c1 >= {K_ANON} THEN 1
+                     ELSE 2 END AS BIGINT) AS anon_level,
+           CASE WHEN c0 >= {K_ANON} THEN CAST(c0 AS BIGINT)
+                WHEN c1 >= {K_ANON} THEN CAST(c1 AS BIGINT)
+                ELSE NULL END AS class_size
+    FROM l1
+    """,
+)
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu4 — k-anonymity via a bounded generalization ladder over the
+    quasi-identifier (geo, segment): classes of ≥ k keep (nation, segment);
+    smaller ones promote their members to (region, segment), whose class
+    population counts ONLY promoted rows; still-small classes are fully
+    suppressed ('*', '*'). This is the publish-side privacy gate a training
+    corpus with user-linked metadata needs before the tokenizer.
+
+    Scale: two window shuffles on low-cardinality QI keys + two broadcast
+    dim joins — no global window, no skew (class keys are the QI values
+    themselves, bounded by the dim tables)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .select("c_custkey", "n_name", "r_name", "c_mktsegment")
+    )
+    w0 = Window.partitionBy("n_name", "c_mktsegment")
+    w1 = Window.partitionBy("r_name", "c_mktsegment")
+    k = F.lit(K_ANON)
+    with_counts = base.withColumn(
+        "c0", F.count(F.lit(1)).over(w0)
+    ).withColumn(
+        "c1", F.sum(F.when(F.col("c0") < k, 1).otherwise(0)).over(w1)
+    )
+    return with_counts.select(
+        "c_custkey",
+        F.when(F.col("c0") >= k, F.col("n_name"))
+        .when(F.col("c1") >= k, F.col("r_name"))
+        .otherwise(F.lit("*"))
+        .alias("qi_geo"),
+        F.when(
+            (F.col("c0") >= k) | (F.col("c1") >= k), F.col("c_mktsegment")
+        )
+        .otherwise(F.lit("*"))
+        .alias("qi_segment"),
+        F.when(F.col("c0") >= k, F.lit(0))
+        .when(F.col("c1") >= k, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("anon_level"),
+        F.when(F.col("c0") >= k, F.col("c0"))
+        .when(F.col("c1") >= k, F.col("c1"))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("class_size"),
+    )

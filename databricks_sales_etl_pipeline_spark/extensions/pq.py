@@ -1,0 +1,187 @@
+"""Product quantization (PQ) — the ANN compression component (north-star
+LLM-pipeline item; no reference twin — the reference's notebooks do plain
+sales ETL, see REFERENCE_MAP.md).
+
+PQ is how a 100 TB embedding corpus actually fits an ANN index: split each
+D-dim vector into S subspaces, k-means each subspace independently, and
+store S small codes (here 4 × 3 bits) instead of D floats — a 64-dim
+float32 vector (256 B) compresses to 4 codes (≤ 4 B), with search done via
+per-subspace lookup tables. The index-build dataflow reuses
+``similarity.train_kmeans`` (one groupBy shuffle of K·subdim longs per
+Lloyd iteration, bounded driver artifact) once per subspace; the final
+encode is a single zero-shuffle Arrow pandas UDF over the corpus.
+
+Everything is integer-exact (milli-unit quantized vectors, floor-mean
+centroids, int64 squared distances), so the WHOLE pipeline — all four
+per-subspace Lloyd trainings AND the final codes + reconstruction error —
+is hash-checked against a DuckDB twin that unrolls the same iterations as
+namespaced CTE chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from .similarity import LLOYD_ITERS, quantize, train_kmeans
+
+PQ_SUB = 4  # subspaces
+PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-dim)
+PQ_K = 8  # codes per subspace
+
+
+def _pq_encode_fn(cent_sets):
+    """One Arrow batch pass: per subspace, exact int-in-float64 squared
+    distances to that subspace's centroids (same matmul form and exactness
+    argument as ``similarity._sqdists`` — every product/partial sum is an
+    integer ≪ 2^53), argmin code (first-minimum on cid-sorted rows = the
+    oracle's dist ASC, cid ASC tiebreak), plus the summed reconstruction
+    error. Returns [code_0..code_{S-1}, recon_err] per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [
+        (
+            np.array([c for c, _ in cents], dtype=np.int64),
+            np.array([cv for _, cv in cents], dtype=np.float64),
+        )
+        for cents in cent_sets
+    ]
+
+    @pandas_udf("array<long>")
+    def encode(v):
+        if v.empty:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        n = len(V)
+        codes = np.empty((n, PQ_SUB), dtype=np.int64)
+        err = np.zeros(n, dtype=np.int64)
+        for si, (cids, C) in enumerate(mats):
+            Vs = V[:, si * PQ_SUBDIM : (si + 1) * PQ_SUBDIM]
+            vn = (Vs * Vs).sum(axis=1)
+            cn = (C * C).sum(axis=1)
+            d = (vn[:, None] - 2.0 * (Vs @ C.T) + cn[None, :]).astype(np.int64)
+            idx = d.argmin(axis=1)
+            codes[:, si] = cids[idx]
+            err += d[np.arange(n), idx]
+        return pd.Series(
+            [list(codes[i]) + [int(err[i])] for i in range(n)]
+        )
+
+    return encode
+
+
+_SQD_NS = (
+    "list_sum(list_transform(range(1, len(v.v) + 1),"
+    " i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])))"
+)
+
+
+def _pq_chain(si: int) -> str:
+    """Namespaced DuckDB Lloyd chain for subspace ``si``: slice → seed →
+    unrolled iterations (same floor-mean and tiebreak shapes as
+    ``similarity._kmeans_cte_prefix``) → final (vec_id, cid, d)."""
+    ns = f"p{si}"
+    lo, hi = si * PQ_SUBDIM + 1, (si + 1) * PQ_SUBDIM
+
+    def assign(src_c: str, out: str, keep_d: bool = False) -> str:
+        d_col = f", CAST({_SQD_NS} AS BIGINT) AS d" if keep_d else ""
+        d_keep = ", d" if keep_d else ""
+        return f"""{out} AS (
+        SELECT vec_id, v, cid{d_keep} FROM (
+            SELECT v.vec_id, v.v, c.cid{d_col},
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_SQD_NS} ASC, c.cid ASC) AS rn
+            FROM {ns}v v CROSS JOIN {src_c} c
+        ) WHERE rn = 1
+    )"""
+
+    def update(src_a: str, out: str) -> str:
+        return f"""{out} AS (
+        SELECT cid, list(m ORDER BY dim) AS cv FROM (
+            SELECT cid, dim, (s - ((s % n) + n) % n) // n AS m
+            FROM (
+                SELECT cid, dim, SUM(val) AS s, COUNT(*) AS n
+                FROM (
+                    SELECT cid, unnest(range(1, len(v) + 1)) AS dim,
+                           unnest(v) AS val
+                    FROM {src_a}
+                ) exploded
+                GROUP BY cid, dim
+            ) sums
+        ) means
+        GROUP BY cid
+    )"""
+
+    ctes = [
+        f"{ns}v AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM qvecs)",
+        f"{ns}c0 AS (SELECT vec_id AS cid, v AS cv FROM {ns}v WHERE vec_id < {PQ_K})",
+    ]
+    src = f"{ns}c0"
+    for it in range(1, LLOYD_ITERS + 1):
+        ctes.append(assign(src, f"{ns}a{it}"))
+        ctes.append(update(f"{ns}a{it}", f"{ns}c{it}"))
+        src = f"{ns}c{it}"
+    ctes.append(assign(src, f"{ns}fin", keep_d=True))
+    return ",\n    ".join(ctes)
+
+
+def _pq_oracle() -> str:
+    qv = (
+        "list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+    )
+    chains = ",\n    ".join(_pq_chain(si) for si in range(PQ_SUB))
+    code_cols = ", ".join(f"p{si}fin.cid AS code_{si}" for si in range(PQ_SUB))
+    err = " + ".join(f"p{si}fin.d" for si in range(PQ_SUB))
+    joins = " ".join(
+        f"JOIN p{si}fin ON p{si}fin.vec_id = p0fin.vec_id"
+        for si in range(1, PQ_SUB)
+    )
+    return f"""WITH qvecs AS (SELECT vec_id, {qv} AS v FROM embeddings),
+    {chains}
+    SELECT p0fin.vec_id AS vec_id, {code_cols},
+           CAST({err} AS BIGINT) AS recon_err
+    FROM p0fin {joins}
+    ORDER BY vec_id"""
+
+
+@query("ext_pq_encode", oracle=_pq_oracle())
+def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3f — product-quantize the embedding corpus: 4 independent 16-dim
+    k-means codebooks (K=8, 2 Lloyd iterations each, seeded by the first K
+    vectors — same contract as ``ext_similarity_kmeans``), then one
+    zero-shuffle Arrow encode pass emitting the 4 codes + integer
+    reconstruction error per vector.
+
+    Scale: codebook training is S × ITERS bounded-artifact shuffles
+    (K·subdim longs each); the encode scan is embarrassingly parallel and
+    the output is ~60× smaller than the input vectors — this is the write
+    path of a disk-backed IVF-PQ index at 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", quantize(F.col("embedding")).alias("v")
+    ).localCheckpoint()
+    cent_sets = [
+        train_kmeans(
+            vecs.select(
+                "vec_id",
+                F.slice("v", si * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v"),
+            ),
+            k=PQ_K,
+        )
+        for si in range(PQ_SUB)
+    ]
+    enc = _pq_encode_fn(cent_sets)
+    out = vecs.select("vec_id", enc("v").alias("ce"))
+    cols = [
+        F.element_at("ce", si + 1).alias(f"code_{si}") for si in range(PQ_SUB)
+    ]
+    return out.select(
+        "vec_id",
+        *cols,
+        F.element_at("ce", PQ_SUB + 1).alias("recon_err"),
+    ).orderBy("vec_id")

@@ -56,6 +56,9 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.textstats",
     "databricks_sales_etl_pipeline_spark.extensions.multimodal",
     "databricks_sales_etl_pipeline_spark.extensions.embedding_math",
+    "databricks_sales_etl_pipeline_spark.extensions.pq",
+    "databricks_sales_etl_pipeline_spark.extensions.sketches",
+    "databricks_sales_etl_pipeline_spark.extensions.graph",
     "databricks_sales_etl_pipeline_spark.extensions.sampling",
     "databricks_sales_etl_pipeline_spark.extensions.chunking",
     "databricks_sales_etl_pipeline_spark.extensions.curation",

@@ -101,6 +101,15 @@ _NLJ_ALLOWED = {
     # 1-row global high-water-mark broadcast onto the per-type rows
     "dq_freshness",
     "tpch_q22",
+    # composes ext_similarity_topk + _ivf, inheriting their sanctioned
+    # 1-row norm-sums broadcast (similarity.py:334)
+    "ext_ann_recall_report",
+    # 1-row corpus-size aggregate broadcast into the lift denominator
+    "ext_cooccurrence_lift",
+    # 1-row total-token-count aggregate broadcast into the HH threshold
+    "ext_heavy_hitters",
+    # chain of 1-row census aggregates (vertices/edges/wedges/triangles)
+    "ext_graph_triangles",
 }
 
 

@@ -286,3 +286,121 @@ class TestRound5Semantics:
             )
         )
         assert got == want
+
+
+class TestRound5BatchB:
+    """Second round-5 operator batch: PQ, sketches, graph, privacy, EWMA."""
+
+    def test_graph_triangles_on_planted_graph(self, spark, tmp_path):
+        """Engineered co-purchase graph: order 1 = parts {1,2,3} (one
+        triangle), order 2 = parts {3,4} (a dangling edge). Census is
+        computable by hand: 4 vertices, 4 edges, 5 wedges, 1 triangle."""
+        d = tmp_path / "sf_g"
+        d.mkdir()
+        rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)]
+        spark.createDataFrame(
+            rows, "l_orderkey bigint, l_partkey bigint"
+        ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+        out = QUERIES["ext_graph_triangles"](spark, str(d)).collect()[0]
+        assert (
+            out["n_vertices"],
+            out["n_edges"],
+            out["n_wedges"],
+            out["n_triangles"],
+        ) == (4, 4, 5, 1)
+
+    def test_heavy_hitters_layout_independent(self, spark, tmp_path):
+        """The pigeonhole guarantee: the final heavy-hitter set must be
+        identical whether the corpus is 1 file or 8 (different partition
+        layouts produce different CANDIDATE sets, never different output)."""
+        rows = []
+        for i in range(120):
+            # 'hot' is ~1/3 of all tokens; the tail is all-distinct
+            rows.append((i, "hot " + f"u{i}a u{i}b", "en", "c"))
+        d1 = tmp_path / "one"
+        d8 = tmp_path / "eight"
+        for dd, nfiles in ((d1, 1), (d8, 8)):
+            dd.mkdir()
+            spark.createDataFrame(
+                rows, "doc_id bigint, text string, lang string, source string"
+            ).repartition(nfiles).write.parquet(str(dd / "documents.parquet"))
+        r1 = sorted(
+            map(tuple, QUERIES["ext_heavy_hitters"](spark, str(d1)).collect())
+        )
+        r8 = sorted(
+            map(tuple, QUERIES["ext_heavy_hitters"](spark, str(d8)).collect())
+        )
+        assert r1 == r8
+        assert [t for t, *_ in r1] == ["hot"]
+
+    def test_pq_codes_bounded_and_deterministic(self, spark):
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.extensions.pq import PQ_K
+
+        rows = QUERIES["ext_pq_encode"](spark, SF_DIR).collect()
+        assert rows, "empty PQ output"
+        for r in rows:
+            for si in range(4):
+                assert 0 <= r[f"code_{si}"] < PQ_K
+            assert r["recon_err"] >= 0
+        again = QUERIES["ext_pq_encode"](spark, SF_DIR).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_k_anonymity_no_small_published_class(self, spark):
+        """Every published (non-suppressed) equivalence class in the OUTPUT
+        must have >= K members — the definition of k-anonymity."""
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.extensions.curation import (
+            K_ANON,
+        )
+
+        out = QUERIES["ext_k_anonymity"](spark, SF_DIR)
+        sizes = (
+            out.where(F.col("anon_level") < 2)
+            .groupBy("qi_geo", "qi_segment")
+            .count()
+            .collect()
+        )
+        for r in sizes:
+            assert r["count"] >= K_ANON, (r["qi_geo"], r["qi_segment"])
+        # reported class_size must equal the actual published class size
+        rep = (
+            out.where(F.col("anon_level") < 2)
+            .groupBy("qi_geo", "qi_segment", "class_size")
+            .count()
+            .collect()
+        )
+        for r in rep:
+            assert r["class_size"] == r["count"]
+
+    def test_ngram_novelty_internal_consistency(self, spark):
+        from tests.conftest import SF_DIR
+
+        for r in QUERIES["ext_ngram_novelty"](spark, SF_DIR).collect():
+            assert 0 <= r["n_novel"] <= r["n_bigrams"]
+            assert r["novel_bp"] == r["n_novel"] * 10000 // r["n_bigrams"]
+
+    def test_ewma_matches_pandas_recurrence(self, spark):
+        """ewms_scaled must equal the truncated dyadic convolution of the
+        rev_c series, recomputed independently in plain Python."""
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.extensions.analytics import (
+            _EWMS_W,
+            _EWMS_SCALE,
+        )
+
+        pdf = (
+            QUERIES["ext_ewma_smooth"](spark, SF_DIR)
+            .orderBy("o_orderpriority", "o_orderdate")
+            .toPandas()
+        )
+        for _, g in pdf.groupby("o_orderpriority"):
+            xs = list(g["rev_c"])
+            for t, want in enumerate(g["ewms_scaled"]):
+                got = sum(
+                    xs[t - k] * (2 ** (_EWMS_W - 1 - k))
+                    for k in range(_EWMS_W)
+                    if t - k >= 0
+                )
+                assert got == want
+                assert g["ewms"].iloc[t] == want / _EWMS_SCALE

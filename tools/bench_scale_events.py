@@ -130,14 +130,34 @@ def shapes(e):
 
 
 def main() -> None:
+    """Env knobs:
+
+    SCALE_EVENTS_PARTITIONS  override shuffle-partition count (the round-5
+                             spill experiment: does the 100 M window-sort
+                             superlinearity flatten with more, smaller
+                             partitions — the cluster mitigation — instead of
+                             the ~32 the byte heuristic picks for 4 GB input?)
+    SCALE_EVENTS_SHAPES      comma list to run a subset (e.g. "sessionize,attribution")
+    """
+    import os
+
     sizes = [int(x) for x in sys.argv[1:]] or [10_000_000, 100_000_000]
+    only = os.environ.get("SCALE_EVENTS_SHAPES")
+    only = set(only.split(",")) if only else None
+    override = os.environ.get("SCALE_EVENTS_PARTITIONS")
     spark = get_spark("bench-scale-events")
     results = []
     for n in sizes:
-        tune_shuffle_partitions(spark, n * 40)
+        if override:
+            spark.conf.set("spark.sql.shuffle.partitions", override)
+        else:
+            tune_shuffle_partitions(spark, n * 40)
+        parts = spark.conf.get("spark.sql.shuffle.partitions")
         e = gen_events(spark, n).localCheckpoint()
-        row = {"n_events": n}
+        row = {"n_events": n, "shuffle_partitions": int(parts)}
         for name, fn in shapes(e):
+            if only and name not in only:
+                continue
             t0 = time.time()
             out = fn()
             row[f"{name}_s"] = round(time.time() - t0, 2)
