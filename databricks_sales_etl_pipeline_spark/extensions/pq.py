@@ -30,6 +30,24 @@ from .similarity import LLOYD_ITERS, quantize, train_kmeans
 PQ_SUB = 4  # subspaces
 PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-dim)
 PQ_K = 8  # codes per subspace
+PQ_QUERIES = 10  # ADC search: first N vectors double as the query set
+PQ_TOPK = 5
+
+
+def _train_codebooks(vecs):
+    """One codebook per subspace: slice the quantized vectors and run the
+    shared distributed Lloyd trainer (similarity.train_kmeans) on each
+    16-dim sub-table. S × ITERS bounded-artifact shuffles total."""
+    return [
+        train_kmeans(
+            vecs.select(
+                "vec_id",
+                F.slice("v", si * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v"),
+            ),
+            k=PQ_K,
+        )
+        for si in range(PQ_SUB)
+    ]
 
 
 def _pq_encode_fn(cent_sets):
@@ -165,16 +183,7 @@ def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.select(
         "vec_id", quantize(F.col("embedding")).alias("v")
     ).localCheckpoint()
-    cent_sets = [
-        train_kmeans(
-            vecs.select(
-                "vec_id",
-                F.slice("v", si * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v"),
-            ),
-            k=PQ_K,
-        )
-        for si in range(PQ_SUB)
-    ]
+    cent_sets = _train_codebooks(vecs)
     enc = _pq_encode_fn(cent_sets)
     out = vecs.select("vec_id", enc("v").alias("ce"))
     cols = [
@@ -185,3 +194,138 @@ def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         *cols,
         F.element_at("ce", PQ_SUB + 1).alias("recon_err"),
     ).orderBy("vec_id")
+
+
+# --- ADC search over the compressed codes -----------------------------------
+
+
+def _adc_scan_fn(cent_sets, queries):
+    """The FAISS-style ADC kernel: per query, precompute the S×K lookup
+    table of exact int64 squared distances from the query's subvectors to
+    every codebook centroid; scanning the corpus then costs S table
+    gathers + adds per (query, vector) pair — the compressed codes never
+    decompress. All integers, so the scan is hash-exact.
+
+    ``queries`` is the bounded collected query set [(qid, vec)] — the
+    sanctioned small-artifact driver collect (MLlib pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    # LUT[q, s, cid] — dense over cid (codes only reference live cids)
+    n_q = len(queries)
+    lut = np.zeros((n_q, PQ_SUB, PQ_K), dtype=np.int64)
+    qids = np.array([q for q, _ in queries], dtype=np.int64)
+    for qi, (_, qv) in enumerate(queries):
+        qarr = np.array(qv, dtype=np.int64)
+        for si, cents in enumerate(cent_sets):
+            qs = qarr[si * PQ_SUBDIM : (si + 1) * PQ_SUBDIM]
+            for cid, cv in cents:
+                d = qs - np.array(cv, dtype=np.int64)
+                lut[qi, si, cid] = int((d * d).sum())
+
+    def scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vec_ids = pdf["vec_id"].to_numpy()
+            codes = np.stack(
+                [pdf[f"code_{si}"].to_numpy() for si in range(PQ_SUB)], axis=1
+            )
+            n = len(pdf)
+            # dists[q, row] = sum_s LUT[q, s, codes[row, s]]
+            dists = np.zeros((n_q, n), dtype=np.int64)
+            for si in range(PQ_SUB):
+                dists += lut[:, si, codes[:, si]]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(vec_ids, n_q),
+                    "adc_dist": dists.reshape(-1),
+                }
+            )
+
+    return scan
+
+
+def _pq_search_oracle() -> str:
+    qv = (
+        "list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+    )
+    chains = ",\n    ".join(_pq_chain(si) for si in range(PQ_SUB))
+    # per-subspace ADC term: squared distance from the query's subvector to
+    # the centroid the neighbor's code points at
+    joins, terms = [], []
+    for si in range(PQ_SUB):
+        lo = si * PQ_SUBDIM
+        joins.append(
+            f"JOIN p{si}fin f{si} ON f{si}.vec_id = n.vec_id "
+            f"JOIN p{si}c{LLOYD_ITERS} cb{si} ON cb{si}.cid = f{si}.cid"
+        )
+        terms.append(
+            f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),"
+            f" i -> (q.v[{lo} + i] - cb{si}.cv[i])"
+            f" * (q.v[{lo} + i] - cb{si}.cv[i])))"
+        )
+    return f"""WITH qvecs AS (SELECT vec_id, {qv} AS v FROM embeddings),
+    {chains},
+    adc AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               CAST({" + ".join(terms)} AS BIGINT) AS adc_dist
+        FROM qvecs q
+        JOIN qvecs n ON n.vec_id <> q.vec_id
+        {" ".join(joins)}
+        WHERE q.vec_id < {PQ_QUERIES}
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, neighbor_id ASC)
+                   AS rank
+        FROM adc
+    ) WHERE rank <= {PQ_TOPK}"""
+
+
+@query("ext_pq_search", oracle=_pq_search_oracle())
+def ext_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3h — ANN search over the PQ-compressed corpus via asymmetric
+    distance computation: train the 4 codebooks, encode the corpus once,
+    collect the bounded query set (first {Q} vectors), precompute each
+    query's S×K distance lookup table, and scan the CODES (4 small ints
+    per vector — the raw vectors never reload) with table gathers. Top-k
+    per query by (adc_dist ASC, neighbor_id ASC).
+
+    Scale: the serving read path of an IVF-PQ index — the scan touches
+    ~60× less data than the raw vectors, is embarrassingly parallel, and
+    the only shuffle is the per-query top-k window."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", quantize(F.col("embedding")).alias("v")
+    ).localCheckpoint()
+    cent_sets = _train_codebooks(vecs)
+    enc = _pq_encode_fn(cent_sets)
+    codes = vecs.select("vec_id", enc("v").alias("ce")).select(
+        "vec_id",
+        *[
+            F.element_at("ce", si + 1).alias(f"code_{si}")
+            for si in range(PQ_SUB)
+        ],
+    )
+    queries = [
+        (int(r["vec_id"]), [int(x) for x in r["v"]])
+        for r in vecs.where(F.col("vec_id") < PQ_QUERIES)
+        .select("vec_id", "v")
+        .collect()
+    ]
+    scanned = codes.mapInPandas(
+        _adc_scan_fn(cent_sets, queries),
+        "query_id long, neighbor_id long, adc_dist long",
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scanned.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= PQ_TOPK
+    )

@@ -876,3 +876,71 @@ def ext_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "cust_a", "cust_b", dist.alias("name_dist")
     ).where(F.col("name_dist") <= _ENTITY_MAX_DIST)
+
+
+# --- log-line parsing -------------------------------------------------------
+
+
+@query(
+    "ext_log_parse",
+    oracle="""
+    SELECT event_id,
+           '10.' || (user_id % 200) || '.' || ((user_id // 200) % 200)
+               || '.' || (user_id % 250) AS ip,
+           CASE WHEN event_type IN ('view', 'click') THEN 'GET'
+                ELSE 'POST' END AS method,
+           '/' || event_type AS path,
+           CAST(200 + (event_id % 2) * 204 AS BIGINT) AS status_code,
+           CAST(event_id % 10000 AS BIGINT) AS n_bytes
+    FROM events
+    """,
+)
+def ext_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access-log ETL: render each event as a combined-log-format line,
+    then recover every field with regexp_extract — the parse side is the
+    operator under test; the oracle computes the fields straight from the
+    source, so a regex that mis-captures ANY line hash-fails. Patterns
+    stay in the Java-regex/RE2 common subset (char classes, {n,m}, [.]
+    for the literal dot — curation.py discipline), and the whole
+    render+parse pipeline is zero-shuffle scan-speed codegen."""
+    e = load(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 200).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") / 200).cast("long") % 200).cast("string"),
+        F.lit("."),
+        (F.col("user_id") % 250).cast("string"),
+    )
+    method = F.when(
+        F.col("event_type").isin("view", "click"), F.lit("GET")
+    ).otherwise(F.lit("POST"))
+    status = (200 + (F.col("event_id") % 2) * 204).cast("string")
+    nbytes = (F.col("event_id") % 10000).cast("string")
+    line = F.concat(
+        ip,
+        F.lit(' - - "'),
+        method,
+        F.lit(" /"),
+        F.col("event_type"),
+        F.lit(' HTTP/1.1" '),
+        status,
+        F.lit(" "),
+        nbytes,
+    )
+    rendered = e.select("event_id", line.alias("line"))
+    rx_ip = "^([0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}) "
+    rx_method = '"([A-Z]{3,4}) '
+    rx_path = '"[A-Z]{3,4} (/[a-z]+) '
+    rx_status = '" ([0-9]{3}) '
+    rx_bytes = " ([0-9]{1,5})$"
+    return rendered.select(
+        "event_id",
+        F.regexp_extract("line", rx_ip, 1).alias("ip"),
+        F.regexp_extract("line", rx_method, 1).alias("method"),
+        F.regexp_extract("line", rx_path, 1).alias("path"),
+        F.regexp_extract("line", rx_status, 1).cast("long").alias(
+            "status_code"
+        ),
+        F.regexp_extract("line", rx_bytes, 1).cast("long").alias("n_bytes"),
+    )

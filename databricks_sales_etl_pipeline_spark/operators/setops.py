@@ -117,3 +117,39 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "qty")
     b = li.where(F.col("l_linestatus") == "F").select("l_orderkey", "qty")
     return a.exceptAll(b)
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT o_orderkey, 'recent' AS src,
+           CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS total_cents,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    UNION ALL
+    SELECT o_orderkey, 'urgent' AS src,
+           CAST(NULL AS BIGINT) AS total_cents,
+           o_orderpriority
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — unionByName with allowMissingColumns: two feeds with different
+    column sets align BY NAME (not position — positional unionAll would
+    silently mis-zip them) and each side's missing columns become NULL.
+    The schema-drift-tolerant append every multi-source ingest needs."""
+    from databricks_sales_etl_pipeline_spark.functions.money import cents
+
+    o = load(spark, sf_dir, "orders")
+    recent = o.where(F.col("o_orderdate") >= "1997-01-01").select(
+        "o_orderkey",
+        F.lit("recent").alias("src"),
+        cents("o_totalprice").alias("total_cents"),
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        F.lit("urgent").alias("src"),
+        "o_orderpriority",
+    )
+    return recent.unionByName(urgent, allowMissingColumns=True)

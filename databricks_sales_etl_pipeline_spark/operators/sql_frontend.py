@@ -160,3 +160,42 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically; identical SQL text runs on DuckDB."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL)
+
+
+_SQL_LV_OUTER = """
+    SELECT doc_id, tok
+    FROM documents
+    LATERAL VIEW OUTER explode(
+        filter(split(lower(text), '\\\\s+'), x -> x != '')
+    ) t AS tok
+    WHERE doc_id < 50
+"""
+
+_LV_OUTER_ORACLE = """
+    SELECT doc_id,
+           unnest(CASE WHEN lt IS NULL OR len(lt) = 0
+                       THEN [CAST(NULL AS VARCHAR)] ELSE lt END) AS tok
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS lt
+        FROM documents
+        WHERE doc_id < 50
+    )
+"""
+
+
+@query("sql_lateral_view_outer", oracle=_LV_OUTER_ORACLE)
+def sql_lateral_view_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2f — LATERAL VIEW OUTER explode: the null-preserving flatten.
+    A document whose token list is NULL or empty still yields ONE row with
+    a NULL token — the outer-join semantics of explode_outer, which plain
+    explode (inner) silently drops. The DuckDB twin emulates OUTER by
+    substituting a [NULL] list before unnest. Row-less-input preservation
+    is exactly what keeps corpus accounting joins complete downstream."""
+    from databricks_sales_etl_pipeline_spark.catalog import load
+
+    # only the documents view is needed — keeps the query runnable against
+    # partial fixture dirs (unit tests plant documents-only corpora)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SQL_LV_OUTER)

@@ -264,3 +264,56 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_cents",
         F.sum("day_cents").over(w).cast("bigint").alias("cents_7d"),
     )
+
+
+@query(
+    "window_distinct_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(first_seen) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+           ) AS BIGINT) AS distinct_priorities_so_far
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey, o_orderpriority
+                   ORDER BY o_orderdate, o_orderkey
+               ) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM orders
+    )
+    """,
+)
+def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — running COUNT(DISTINCT) over an ordered window, which Spark
+    does not support natively (``count(distinct x) OVER (... ORDER BY)``
+    raises): the standard first-occurrence-flag rewrite — row_number = 1
+    within (key, value) marks each value's first sighting, and a running
+    SUM of the flags IS the running distinct count. Two windows riding the
+    SAME o_custkey shuffle; orderings fully pinned by (date, orderkey)."""
+    o = load(spark, sf_dir, "orders")
+    w_first = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return flagged.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum("first_seen")
+        .over(w_run)
+        .cast("long")
+        .alias("distinct_priorities_so_far"),
+    )

@@ -404,3 +404,84 @@ class TestRound5BatchB:
                 )
                 assert got == want
                 assert g["ewms"].iloc[t] == want / _EWMS_SCALE
+
+
+class TestRound5BatchC:
+    """Third round-5 batch: ADC search, window/SQL/setop surface, log parse."""
+
+    def test_lateral_view_outer_preserves_empty_docs(self, spark, tmp_path):
+        rows = [(0, "alpha beta", "en", "c"), (1, "", "en", "c"),
+                (2, None, "en", "c"), (3, "   ", "en", "c")]
+        d = _mini_docs_dir(tmp_path, spark, rows)
+        out = QUERIES["sql_lateral_view_outer"](spark, d).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r["tok"])
+        assert by_doc[0] == ["alpha", "beta"]
+        # empty, NULL and whitespace-only docs each keep ONE NULL-token row
+        for did in (1, 2, 3):
+            assert by_doc[did] == [None]
+
+    def test_window_distinct_running_final_equals_count_distinct(self, spark):
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = QUERIES["window_distinct_running"](spark, SF_DIR)
+        final = out.groupBy("o_custkey").agg(
+            F.max("distinct_priorities_so_far").alias("got")
+        )
+        want = (
+            load(spark, SF_DIR, "orders")
+            .groupBy("o_custkey")
+            .agg(F.countDistinct("o_orderpriority").alias("want"))
+        )
+        diff = final.join(want, "o_custkey").where(
+            F.col("got") != F.col("want")
+        )
+        assert diff.count() == 0
+
+    def test_union_by_name_null_fill(self, spark):
+        from tests.conftest import SF_DIR
+
+        out = QUERIES["setop_union_by_name"](spark, SF_DIR)
+        assert set(out.columns) == {
+            "o_orderkey", "src", "total_cents", "o_orderpriority"
+        }
+        assert out.where(
+            (F.col("src") == "recent") & F.col("o_orderpriority").isNotNull()
+        ).count() == 0
+        assert out.where(
+            (F.col("src") == "urgent") & F.col("total_cents").isNotNull()
+        ).count() == 0
+
+    def test_log_parse_recovers_every_field(self, spark):
+        from tests.conftest import SF_DIR
+
+        out = QUERIES["ext_log_parse"](spark, SF_DIR)
+        bad = out.where(
+            (~F.col("status_code").isin(200, 404))
+            | (F.col("ip") == "")
+            | (~F.col("method").isin("GET", "POST"))
+            | (~F.col("path").rlike("^/[a-z]+$"))
+            | F.col("n_bytes").isNull()
+        )
+        assert bad.count() == 0
+
+    def test_pq_search_monotone_ranks(self, spark):
+        """Per query: ranks are 1..k, distances non-decreasing with rank,
+        and the query itself never appears as its own neighbor."""
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.extensions.pq import PQ_TOPK
+
+        rows = QUERIES["ext_pq_search"](spark, SF_DIR).collect()
+        per_q = {}
+        for r in rows:
+            assert r["neighbor_id"] != r["query_id"]
+            per_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["adc_dist"])
+            )
+        for q, rs in per_q.items():
+            rs.sort()
+            assert [r for r, _ in rs] == list(range(1, PQ_TOPK + 1))
+            dists = [d for _, d in rs]
+            assert dists == sorted(dists)
