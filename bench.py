@@ -50,6 +50,12 @@ HEADLINE = [
     "ext_similarity_kmeans",
     "ext_semdedup",
     "ext_event_funnel",
+    # round-5: exact substring-span dedup (the Lee-et-al modality), PQ
+    # codebook train + encode + ADC top-k search, bounded-shuffle exact
+    # heavy hitters
+    "ext_dedup_substring",
+    "ext_pq_search",
+    "ext_heavy_hitters",
 ]
 
 

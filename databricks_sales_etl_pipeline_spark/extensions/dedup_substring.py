@@ -124,6 +124,11 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where("_full")
         .drop("_full")
+        # materialize the gram table once: it feeds the eligibility count
+        # AND both sides of the pair join — without truncation the 13-lead
+        # window + md5 re-runs three times (this is the Spark analogue of
+        # materializing the suffix/gram table in Lee et al.'s pipeline)
+        .localCheckpoint()
     )
     elig = (
         grams.groupBy("gid")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
-from .similarity import LLOYD_ITERS, quantize, train_kmeans
+from .similarity import LLOYD_ITERS, quantize
 
 PQ_SUB = 4  # subspaces
 PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-dim)
@@ -34,20 +34,97 @@ PQ_QUERIES = 10  # ADC search: first N vectors double as the query set
 PQ_TOPK = 5
 
 
+def _assign_all_fn(cent_sets):
+    """Nearest codebook centroid for ALL subspaces in one Arrow pass —
+    returns [cid_0..cid_{S-1}] per row. Same exact int-in-float64 distance
+    math and first-minimum (= dist ASC, cid ASC) tiebreak as the encoder."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [
+        (
+            np.array([c for c, _ in cents], dtype=np.int64),
+            np.array([cv for _, cv in cents], dtype=np.float64),
+        )
+        for cents in cent_sets
+    ]
+
+    @pandas_udf("array<long>")
+    def assign_all(v):
+        if v.empty:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        n = len(V)
+        out = np.empty((n, PQ_SUB), dtype=np.int64)
+        for si, (cids, C) in enumerate(mats):
+            Vs = V[:, si * PQ_SUBDIM : (si + 1) * PQ_SUBDIM]
+            vn = (Vs * Vs).sum(axis=1)
+            cn = (C * C).sum(axis=1)
+            d = vn[:, None] - 2.0 * (Vs @ C.T) + cn[None, :]
+            out[:, si] = cids[d.argmin(axis=1)]
+        return pd.Series([list(row) for row in out])
+
+    return assign_all
+
+
 def _train_codebooks(vecs):
-    """One codebook per subspace: slice the quantized vectors and run the
-    shared distributed Lloyd trainer (similarity.train_kmeans) on each
-    16-dim sub-table. S × ITERS bounded-artifact shuffles total."""
-    return [
-        train_kmeans(
-            vecs.select(
-                "vec_id",
-                F.slice("v", si * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v"),
-            ),
-            k=PQ_K,
+    """All S codebooks trained JOINTLY: the subspace Lloyd problems are
+    independent, so one corpus scan per iteration serves every subspace —
+    assign all S cids in one Arrow pass, posexplode to (si, cid) rows
+    (in-memory only: map-side partial aggregation collapses them before the
+    shuffle, which carries S·K groups of D sums), floor-mean on the driver.
+    3 actions total instead of S×(ITERS+1) separate trainings — the same
+    bit-exact centroids as ``similarity.train_kmeans`` per 16-dim slice
+    (the per-subspace oracle chains pin this)."""
+    seed_rows = (
+        vecs.where(F.col("vec_id") < PQ_K).select("vec_id", "v").collect()
+    )
+    if not seed_rows:
+        raise ValueError(
+            f"_train_codebooks: no seed vectors with vec_id < {PQ_K}; the "
+            "seeding contract requires ids starting at 0"
+        )
+    dim = len(seed_rows[0]["v"])
+    cent_sets = [
+        sorted(
+            (
+                int(r["vec_id"]),
+                [int(x) for x in r["v"]][
+                    si * PQ_SUBDIM : (si + 1) * PQ_SUBDIM
+                ],
+            )
+            for r in seed_rows
         )
         for si in range(PQ_SUB)
     ]
+    for _ in range(LLOYD_ITERS):
+        assign_all = _assign_all_fn(cent_sets)
+        stats = (
+            vecs.select(
+                F.posexplode(assign_all("v")).alias("si", "cid"), "v"
+            )
+            .groupBy("si", "cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col("v").getItem(d)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_sets: list[list] = [[] for _ in range(PQ_SUB)]
+        for r in stats:
+            si, lo, n = int(r["si"]), int(r["si"]) * PQ_SUBDIM, int(r["n"])
+            new_sets[si].append(
+                (
+                    int(r["cid"]),
+                    [int(r[f"s{lo + d}"]) // n for d in range(PQ_SUBDIM)],
+                )
+            )
+        cent_sets = [sorted(s) for s in new_sets]
+    return cent_sets
 
 
 def _pq_encode_fn(cent_sets):

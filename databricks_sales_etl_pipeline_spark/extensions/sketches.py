@@ -191,3 +191,36 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- approximate quantiles --------------------------------------------------
+
+
+@query("ext_quantile_approx")  # rows-only: GK-sketch estimates have no SQL twin
+def ext_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sk3 — approx_percentile (Greenwald–Khanna sketch) beside the exact
+    interpolated percentile, per order priority, on integer cents. The
+    sketch is the 100 TB posture (mergeable, bounded memory, one pass);
+    the exact twin rides the same shuffle so the row carries its own
+    ground truth. accuracy = 10000 → rank error ≤ n/10000; the unit test
+    asserts the bound. Rows-only driver check (sketch internals are
+    engine-specific); the exact columns are the oracle-of-record."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    return (
+        o.select("o_orderpriority", cents.alias("c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(approx_percentile(c, 0.5, 10000) AS BIGINT)"
+            ).alias("p50_approx"),
+            F.expr(
+                "CAST(approx_percentile(c, 0.99, 10000) AS BIGINT)"
+            ).alias("p99_approx"),
+            F.expr("percentile(c, 0.5)").alias("p50_exact"),
+            F.expr("percentile(c, 0.99)").alias("p99_exact"),
+        )
+    )

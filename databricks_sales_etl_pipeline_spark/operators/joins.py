@@ -436,3 +436,54 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "join_runtime_bloom",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — runtime bloom-filter join (row-level runtime filtering,
+    Spark 3.3+): the selective dim side builds a bloom filter at runtime
+    and Catalyst injects `might_contain(...)` into the FACT side's scan
+    filter, discarding non-matching rows BEFORE the join shuffle — at
+    100 TB this is the difference between shuffling the whole fact table
+    and shuffling the ~1/5 that can match. The merge hint keeps the join
+    a shuffle join (a broadcast join would already prune); the
+    applicationSideScanSizeThreshold=0 override lifts the 10 GB
+    probe-scan gate for fixture scale (the default gate is right in
+    production — filters only pay for themselves on big scans). Injection
+    additionally requires a non-broadcastable creation side — true for
+    any real filtered dim at 100 TB, reproduced at fixture scale by the
+    plan test's scoped autoBroadcastJoinThreshold override
+    (tests/test_plans.py). Results are identical with or without the
+    filter (it is semantics-preserving), so the oracle is the plain
+    join."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "64MB",
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    j = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )

@@ -200,3 +200,25 @@ def test_bucketed_join_zero_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert plan.count("Bucketed: true") == 2
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """join_runtime_bloom's fact scan must carry the runtime
+    might_contain(bloom) filter — pre-shuffle row-level pruning.
+
+    InjectRuntimeFilter skips joins whose creation side is broadcastable
+    (broadcast pruning already covers those); at fixture scale EVERY dim
+    is broadcastable, so the test scopes autoBroadcastJoinThreshold=-1 to
+    reproduce the at-scale condition (a 100 TB filtered dim exceeds the
+    threshold naturally) and restores it — the override must NOT leak
+    into the shared session."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["join_runtime_bloom"](spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -485,3 +485,35 @@ class TestRound5BatchC:
             assert [r for r, _ in rs] == list(range(1, PQ_TOPK + 1))
             dists = [d for _, d in rs]
             assert dists == sorted(dists)
+
+
+class TestQuantileSketch:
+    def test_approx_percentile_within_rank_error(self, spark):
+        """GK accuracy=10000 → rank error <= n/10000 (< 1 rank at fixture
+        scale, so approx must land within one exact neighbor rank)."""
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = {
+            r["o_orderpriority"]: r
+            for r in QUERIES["ext_quantile_approx"](spark, SF_DIR).collect()
+        }
+        o = load(spark, SF_DIR, "orders")
+        cents = F.floor(
+            F.col("o_totalprice").cast("double") * 100 + 0.5
+        ).cast("long")
+        for prio, r in out.items():
+            vals = sorted(
+                x["c"]
+                for x in o.where(F.col("o_orderpriority") == prio)
+                .select(cents.alias("c"))
+                .collect()
+            )
+            n = len(vals)
+            assert r["n"] == n
+            for q, col in ((0.5, "p50_approx"), (0.99, "p99_approx")):
+                target = q * (n - 1)
+                slack = max(n // 10000, 1) + 1
+                lo = vals[max(int(target) - slack, 0)]
+                hi = vals[min(int(target) + slack, n - 1)]
+                assert lo <= r[col] <= hi, (prio, q, r[col], lo, hi)
