@@ -526,3 +526,178 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=_WAV_COLS)
 
     return bin_df.mapInPandas(dec, WAV_STATS_SCHEMA)
+
+
+# --- perceptual-hash image dedup --------------------------------------------
+
+#: aHash geometry: 8×8 grayscale → 64 bits, stored as four 16-bit bands.
+#: Near-dup = banded candidate (≥1 identical band) with Hamming ≤ PHASH_T.
+#: Pigeonhole: any pair with Hamming ≤ 3 ALWAYS shares a clean band, so
+#: recall is exact up to 3 flipped bits; 4..PHASH_T-bit pairs are admitted
+#: when the flips avoid one band (standard banded-LSH semantics, identical
+#: in both engines, so the output is still hash-checkable).
+PHASH_T = 6
+_PHASH_CLUSTER = 50  # generator: doc_id % 50 picks the base image
+
+
+def make_ppm_cluster(doc_id: int) -> bytes:
+    """8×8 grayscale P6 with PLANTED near-duplicate structure: docs
+    sharing doc_id % 50 render the same base pattern plus a ±1 per-pixel
+    perturbation — the fixture a perceptual hash must collapse while
+    keeping different bases apart."""
+    base = doc_id % _PHASH_CLUSTER
+    px = [
+        ((base * 37 + i * 11) % 200) + (doc_id * 7 + i) % 2 for i in range(64)
+    ]
+    header = b"P6\n# phash fixture\n8 8\n255\n"
+    return header + bytes(b for p in px for b in (p, p, p))
+
+
+def _ppm_raster(payload: bytes) -> tuple[int, int, bytes]:
+    """Header-parse a P6 payload and return (width, height, raster)."""
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+    pos = 2
+    w_tok, pos = _ppm_token(payload, pos)
+    h_tok, pos = _ppm_token(payload, pos)
+    max_tok, pos = _ppm_token(payload, pos)
+    width, height, maxval = int(w_tok), int(h_tok), int(max_tok)
+    if maxval != 255:
+        raise ValueError(f"phash expects 8-bit raster, maxval {maxval}")
+    raster = payload[pos + 1 :]
+    if len(raster) != width * height * 3:
+        raise ValueError("raster length mismatch")
+    return width, height, raster
+
+
+def _phash_bands(payload: bytes) -> list[int]:
+    """aHash from REAL bytes: R channel of the decoded raster, strict
+    above-mean threshold (p·64 > Σp — integer compare, no float mean),
+    64 bits packed little-endian into four 16-bit band ints."""
+    w, h, raster = _ppm_raster(payload)
+    if w * h != 64:
+        raise ValueError(f"phash expects 8x8 images, got {w}x{h}")
+    gray = raster[0::3]
+    s = sum(gray)
+    bits = [1 if p * 64 > s else 0 for p in gray]
+    return [
+        sum(bits[16 * j + k] << k for k in range(16)) for j in range(4)
+    ]
+
+
+_PHASH_ORACLE = f"""
+    WITH px AS (
+        SELECT doc_id, i,
+               ((doc_id % {_PHASH_CLUSTER}) * 37 + i * 11) % 200
+                   + (doc_id * 7 + i) % 2 AS p
+        FROM documents, unnest(range(0, 64)) AS t(i)
+        WHERE doc_id < {MM_DOC_LIMIT}
+    ), sums AS (
+        SELECT doc_id, CAST(SUM(p) AS BIGINT) AS s FROM px GROUP BY doc_id
+    ), bits AS (
+        SELECT px.doc_id, i,
+               CASE WHEN p * 64 > s THEN 1 ELSE 0 END AS bit
+        FROM px JOIN sums USING (doc_id)
+    ), bands AS (
+        SELECT doc_id, CAST(i // 16 AS BIGINT) AS j,
+               CAST(SUM(bit * CAST(power(2, i % 16) AS BIGINT)) AS BIGINT)
+                   AS b
+        FROM bits GROUP BY doc_id, i // 16
+    ), sig AS (
+        SELECT doc_id,
+               MAX(CASE WHEN j = 0 THEN b END) AS b0,
+               MAX(CASE WHEN j = 1 THEN b END) AS b1,
+               MAX(CASE WHEN j = 2 THEN b END) AS b2,
+               MAX(CASE WHEN j = 3 THEN b END) AS b3
+        FROM bands GROUP BY doc_id
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON b.j = a.j AND b.b = a.b AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa.b0, sb.b0))
+                    + bit_count(xor(sa.b1, sb.b1))
+                    + bit_count(xor(sa.b2, sb.b2))
+                    + bit_count(xor(sa.b3, sb.b3)) AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+    ) WHERE hamming <= {PHASH_T}
+"""
+
+
+@query("mm_image_phash", oracle=_PHASH_ORACLE)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup via perceptual hashing — the visual analogue
+    of MinHash: synthesize REAL P6 bytes (planted ±1-perturbed clusters),
+    parse them back, aHash each image to 64 bits (above-mean threshold,
+    integer-exact), band the hash 4×16 bits, join candidates on any
+    identical band, verify by exact Hamming distance (xor + bit_count,
+    JVM-side). The oracle recomputes everything from the generator
+    arithmetic, so decode, hash, banding AND verify are all hash-checked.
+
+    Scale: hashing is an embarrassingly parallel byte scan (images never
+    shuffle — 8 bytes of signature per image do); the band join is the
+    same bounded-candidates LSH shape as the MinHash pipeline."""
+    d = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < MM_DOC_LIMIT
+    )
+    bin_df = _gen_payloads(d, make_ppm_cluster)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                b0, b1, b2, b3 = _phash_bands(bytes(p))
+                rows.append(
+                    {"doc_id": int(did), "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    sig = bin_df.mapInPandas(
+        hash_batches, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    ).localCheckpoint()  # signature table feeds bands + both verify sides
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("bigint").alias("j"),
+                        F.col(f"b{j}").alias("b"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("jb"),
+    ).select("doc_id", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "j", "b")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "j", "b")
+    cand = (
+        a.join(b, ["j", "b"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"a{j} ^ bb{j}")) for j in range(4)
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= PHASH_T)
+    )

@@ -517,3 +517,51 @@ class TestQuantileSketch:
                 lo = vals[max(int(target) - slack, 0)]
                 hi = vals[min(int(target) + slack, n - 1)]
                 assert lo <= r[col] <= hi, (prio, q, r[col], lo, hi)
+
+
+class TestImagePhash:
+    @staticmethod
+    def _ref_bands(doc_id):
+        """Pure-Python reference aHash from the generator arithmetic."""
+        from databricks_sales_etl_pipeline_spark.extensions.multimodal import (
+            _PHASH_CLUSTER,
+        )
+
+        px = [
+            ((doc_id % _PHASH_CLUSTER) * 37 + i * 11) % 200
+            + (doc_id * 7 + i) % 2
+            for i in range(64)
+        ]
+        s = sum(px)
+        bits = [1 if p * 64 > s else 0 for p in px]
+        return [
+            sum(bits[16 * j + k] << k for k in range(16)) for j in range(4)
+        ]
+
+    def test_phash_pairs_match_reference(self, spark):
+        """Every emitted pair's Hamming distance must equal the pure-Python
+        recomputation from the generator arithmetic, banded recall must
+        hold (any reference pair with <= 3 flipped bits shares a band and
+        MUST be emitted), and the planted clusters must produce pairs.
+        Note aHash is brightness-shift invariant, so near-identical-offset
+        BASES legitimately collide too — the reference, not cluster
+        membership, is the ground truth."""
+        from tests.conftest import SF_DIR
+
+        rows = QUERIES["mm_image_phash"](spark, SF_DIR).collect()
+        assert rows, "no near-dup pairs found in the planted corpus"
+        doc_max = max(max(r["doc_a"], r["doc_b"]) for r in rows)
+        sigs = {d: self._ref_bands(d) for d in range(doc_max + 1)}
+
+        def ham(x, y):
+            return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+        for (a, b), h in got.items():
+            assert h == ham(sigs[a], sigs[b]), (a, b)
+        # recall guarantee: <= 3 flips always leaves one clean band
+        for a in range(doc_max):
+            for b in range(a + 1, min(a + 120, doc_max + 1)):
+                h = ham(sigs[a], sigs[b])
+                if h <= 3:
+                    assert (a, b) in got, (a, b, h)
