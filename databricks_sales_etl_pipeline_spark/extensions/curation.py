@@ -414,3 +414,174 @@ def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("class_size"),
     )
+
+
+# --- URL canonicalization dedup ---------------------------------------------
+
+#: Synthetic crawl URL per doc (both engines build the identical string, so
+#: the canonicalizer has real variant forms to collapse — the PII-suffix
+#: pattern): scheme/host case, default :80 port, /index.html suffix, query
+#: param order, utm_ tracking params and #fragments all vary by doc_id.
+_URL_RAW_SQL = """
+    CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END
+    || '://' ||
+    CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' || (doc_id % 25) || '.COM'
+         ELSE 'www.site' || (doc_id % 25) || '.com' END
+    ||
+    CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 1 THEN ':80' ELSE '' END
+    || '/p/' || (doc_id % 100) ||
+    CASE WHEN doc_id % 5 = 0 THEN '/index.html' ELSE '' END
+    ||
+    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+         WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+         WHEN doc_id % 4 = 2 THEN '?b=2&a=1'
+         ELSE '' END
+    ||
+    CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END
+"""
+
+
+@query(
+    "ext_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+    ), parts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+               lower(regexp_extract(
+                   regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+                   '^([^:]+)', 1)) AS host,
+               COALESCE(regexp_extract(
+                   regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+                   ':([0-9]+)', 1), '') AS port,
+               regexp_replace(
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                   '/index[.]html$', '/') AS path,
+               -- DuckDB regexp_extract is NULL on no match (Spark: '')
+               COALESCE(regexp_extract(url, '[?]([^#]*)', 1), '') AS q
+        FROM raw
+    ), canon AS (
+        SELECT doc_id, url,
+               scheme || '://' || host ||
+               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                    THEN '' ELSE ':' || port END
+               || path ||
+               CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+        FROM (
+            SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       x -> x <> '' AND x NOT LIKE 'utm_%')), '&'), '') AS cq
+            FROM parts
+        )
+    )
+    SELECT doc_id, canon_url,
+           CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT)
+               AS group_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS is_keeper
+    FROM canon
+    """,
+)
+def ext_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu5 — URL canonicalization dedup, the first gate of a crawl
+    pipeline: case-fold scheme/host, strip default ports, drop fragments
+    and utm_* tracking params, sort the query string, collapse
+    /index.html — then group by the canonical form (count + keeper flag).
+    Parsing is regexp_extract over the RAW string (the operator under
+    test); the oracle re-derives everything with the same common-subset
+    regexes. Zero-shuffle canonicalization + ONE window shuffle on the
+    canonical key."""
+    d = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_RAW_SQL)
+    raw = d.select("doc_id", url.alias("url"))
+    hostport = F.regexp_extract("url", "^[A-Za-z]+://([^/?#]+)", 1)
+    scheme = F.lower(F.regexp_extract("url", "^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(hostport, "^([^:]+)", 1))
+    port = F.regexp_extract(hostport, ":([0-9]+)", 1)
+    path = F.regexp_replace(
+        F.regexp_extract("url", "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        "/index[.]html$",
+        "/",
+    )
+    q = F.regexp_extract("url", "[?]([^#]*)", 1)
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    keep_port = ~(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(cq != "", F.concat(F.lit("?"), cq)).otherwise(F.lit("")),
+    )
+    with_canon = raw.select("doc_id", canon.alias("canon_url"))
+    w = Window.partitionBy("canon_url")
+    return with_canon.select(
+        "doc_id",
+        "canon_url",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+
+
+# --- HTML tag stripping -----------------------------------------------------
+
+#: Deterministic HTML wrapper both engines synthesize around each doc's
+#: text, so the stripper has real markup to remove on every row.
+_HTML_RAW_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title></head>"
+    "<body class=\"main\"><h1>t' || doc_id || '</h1><p>' || text || "
+    "'</p><br/><a href=\"#x\">more</a></body></html>'"
+)
+
+
+@query(
+    "ext_html_strip",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_HTML_RAW_SQL} AS html FROM documents
+        WHERE text IS NOT NULL
+    ), stripped AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                                   '\\s+', ' ', 'g')) AS clean
+        FROM raw
+    )
+    SELECT doc_id,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM stripped
+    """,
+)
+def ext_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu6 — HTML-to-text extraction, the step between crawl WARC and
+    quality scoring: strip tags ('<[^>]*>' — the common-subset regex that
+    cannot straddle engines), collapse whitespace, trim. The cleaned text
+    is pinned by md5 + length (the PII-redact discipline: prove the exact
+    bytes without hashing megabyte strings into the driver compare).
+    Zero-shuffle scan-speed regexp_replace chain."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    html = F.expr(_HTML_RAW_SQL)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(html, "<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -128,3 +128,85 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_vertices", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+# --- bounded BFS ------------------------------------------------------------
+
+BFS_DEPTH = 3
+#: sparsify: only co-purchases from every 11th order, so distances > 1 exist
+_BFS_ORDER_MOD = 11
+
+
+@query(
+    "ext_graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE eu AS (
+        SELECT a, b FROM (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1
+            JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                            AND l1.l_partkey < l2.l_partkey
+            WHERE l1.l_orderkey % {_BFS_ORDER_MOD} = 0
+        )
+        UNION ALL
+        SELECT b, a FROM (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1
+            JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                            AND l1.l_partkey < l2.l_partkey
+            WHERE l1.l_orderkey % {_BFS_ORDER_MOD} = 0
+        )
+    ), bfs(v, d) AS (
+        SELECT MIN(a), 0 FROM eu
+        UNION ALL
+        SELECT eu.b, bfs.d + 1
+        FROM bfs JOIN eu ON eu.a = bfs.v
+        WHERE bfs.d < {BFS_DEPTH}
+    )
+    SELECT v, CAST(MIN(d) AS BIGINT) AS dist
+    FROM bfs GROUP BY v
+    """,
+)
+def ext_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — bounded breadth-first search from the smallest vertex of the
+    (sparsified) co-purchase graph: the iterative frontier-join dataflow
+    (the Pregel loop beside ext_pagerank_step and the dup-cluster
+    min-label propagation) with per-round min-distance dedup and
+    localCheckpoint lineage truncation — the scalable form. The oracle is
+    an INDEPENDENT bounded WITH RECURSIVE path enumeration whose MIN(d)
+    per vertex equals the BFS distance.
+
+    Scale: per round, one frontier⋈edges shuffle + one min groupBy; the
+    frontier-dedup is what keeps dense graphs from exploding the way the
+    oracle's path enumeration would."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("x"), li.alias("y")
+    half = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .where(F.col("x.l_orderkey") % _BFS_ORDER_MOD == 0)
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    eu = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    src = eu.agg(F.min("a")).collect()[0][0]  # bounded 1-value artifact
+    dist = spark.createDataFrame([(int(src), 0)], "v long, d long")
+    for it in range(1, BFS_DEPTH + 1):
+        frontier = dist.where(F.col("d") == it - 1)
+        nxt = frontier.join(eu, frontier["v"] == eu["a"]).select(
+            eu["b"].alias("v"), F.lit(it).cast("long").alias("d")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return dist.select("v", F.col("d").alias("dist"))

@@ -565,3 +565,55 @@ class TestImagePhash:
                 h = ham(sigs[a], sigs[b])
                 if h <= 3:
                     assert (a, b) in got, (a, b, h)
+
+
+class TestCrawlAndGraph:
+    def test_url_canonicalize_groups_are_consistent(self, spark):
+        """Exactly one keeper per canonical group; group_size equals the
+        actual member count."""
+        from tests.conftest import SF_DIR
+
+        rows = QUERIES["ext_url_canonicalize"](spark, SF_DIR).collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["canon_url"], []).append(r)
+        for url, members in groups.items():
+            assert sum(1 for m in members if m["is_keeper"]) == 1, url
+            assert all(m["group_size"] == len(members) for m in members)
+        assert any(len(m) > 1 for m in groups.values()), "no planted dups"
+
+    def test_bfs_distances_are_valid(self, spark):
+        """dist 0 exactly once (the source); every dist-k vertex (k>0) has
+        a neighbor at dist k-1 (triangle inequality on the edge list)."""
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.catalog import load
+        from databricks_sales_etl_pipeline_spark.extensions.graph import (
+            _BFS_ORDER_MOD,
+        )
+
+        dist = {
+            r["v"]: r["dist"]
+            for r in QUERIES["ext_graph_bfs"](spark, SF_DIR).collect()
+        }
+        assert sum(1 for d in dist.values() if d == 0) == 1
+        li = load(spark, SF_DIR, "lineitem")
+        pairs = (
+            li.where(F.col("l_orderkey") % _BFS_ORDER_MOD == 0)
+            .alias("x")
+            .join(
+                li.where(F.col("l_orderkey") % _BFS_ORDER_MOD == 0).alias("y"),
+                F.expr(
+                    "x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"
+                ),
+            )
+            .selectExpr("x.l_partkey AS a", "y.l_partkey AS b")
+            .distinct()
+            .collect()
+        )
+        adj = {}
+        for r in pairs:
+            adj.setdefault(r["a"], set()).add(r["b"])
+            adj.setdefault(r["b"], set()).add(r["a"])
+        for v, d in dist.items():
+            if d > 0:
+                assert any(dist.get(n) == d - 1 for n in adj[v]), (v, d)
