@@ -395,3 +395,87 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.bit_get(word, (p % 64).cast("int")) == 1
         hit = c if hit is None else hit & c
     return probed.where(hit).select("doc_id")
+
+
+_CUT_ORACLE = f"""
+    WITH spans AS ({_SUBSTRING_ORACLE}
+    ), top1 AS (
+        SELECT doc_b, start_b, len_tokens FROM (
+            SELECT doc_b, start_b, len_tokens,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_b
+                       ORDER BY len_tokens DESC, start_b ASC, doc_a ASC
+                   ) AS rn
+            FROM spans
+        ) WHERE rn = 1
+    ), toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), cutd AS (
+        SELECT d.doc_id, d.t,
+               CASE WHEN s.doc_b IS NULL THEN d.t
+                    ELSE d.t[1:CAST(s.start_b AS INT)]
+                         || d.t[CAST(s.start_b + s.len_tokens + 1 AS INT):len(d.t)]
+               END AS ct,
+               COALESCE(s.len_tokens, 0) AS cut_len
+        FROM toks d LEFT JOIN top1 s ON s.doc_b = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens_before,
+           CAST(len(ct) AS BIGINT) AS n_tokens_after,
+           CAST(cut_len AS BIGINT) AS cut_len,
+           md5(COALESCE(array_to_string(ct, ' '), '')) AS clean_md5
+    FROM cutd
+"""
+
+
+@query("ext_substring_cut", oracle=_CUT_ORACLE)
+def ext_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e' — the REMOVAL side of substring dedup (Lee et al. detect →
+    cut): per duplicated document, excise the single longest repeated
+    span (tiebreak len DESC, start ASC, partner ASC — deterministic),
+    keeping the earliest-id occurrence untouched. Cleaned text is pinned
+    by md5 over the re-joined token stream plus before/after counts.
+
+    The splice is pure array arithmetic on the token list (slice ++
+    slice — no explode, no per-token rows), so the cut pass is one left
+    join against the bounded span table riding a doc_id shuffle."""
+    spans = ext_dedup_substring(spark, sf_dir)
+    w = Window.partitionBy("doc_b").orderBy(
+        F.desc("len_tokens"), F.asc("start_b"), F.asc("doc_a")
+    )
+    top1 = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            F.col("len_tokens").alias("cl"),
+        )
+    )
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias(
+            "t"
+        ),
+    )
+    j = toks.join(top1, "doc_id", "left")
+    ct = F.when(F.col("cl").isNull(), F.col("t")).otherwise(
+        F.concat(
+            F.expr("slice(t, 1, CAST(s AS INT))"),
+            F.expr(
+                "slice(t, CAST(s + cl + 1 AS INT),"
+                " GREATEST(CAST(size(t) - s - cl AS INT), 0))"
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens_before"),
+        F.size(ct).cast("long").alias("n_tokens_after"),
+        F.coalesce(F.col("cl"), F.lit(0)).cast("long").alias("cut_len"),
+        F.md5(F.array_join(ct, " ")).alias("clean_md5"),
+    )

@@ -487,3 +487,88 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
     )
+
+
+#: synthetic grid coordinates in integer tenths (non-negative, so DIV and
+#: floor-division agree cross-engine); proximity threshold = one cell side,
+#: which makes the 3×3 neighbor-cell join provably complete (pigeonhole).
+_GEO_CELL_TENTHS = 30
+_GEO_NEAR_TENTHS = 30
+
+
+@query(
+    "join_spatial_cells",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey,
+               (c_custkey * 37) % 1800 AS lat_t,
+               (c_custkey * 59) % 3600 AS lon_t
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               (s_suppkey * 41) % 1800 AS lat_t,
+               (s_suppkey * 67) % 3600 AS lon_t
+        FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST(ABS(c.lat_t - s.lat_t) + ABS(c.lon_t - s.lon_t) AS BIGINT)
+               AS dist_tenths
+    FROM c JOIN s
+      ON ABS(c.lat_t - s.lat_t) + ABS(c.lon_t - s.lon_t)
+         <= {_GEO_NEAR_TENTHS}
+    """,
+)
+def join_spatial_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 — grid-bucketed spatial proximity join (the geohash/S2 pattern):
+    assign each point to an integer grid cell, replicate ONE side into its
+    3×3 neighbor cells, equi-join on the cell id, and verify the exact
+    distance inside the cell — candidates are bounded by cell occupancy
+    instead of |C|×|S|. With threshold ≤ cell size, pigeonhole makes the
+    neighbor-cell join provably complete, so the oracle is the naive
+    theta join — same rows, O(n²)-free plan. Coordinates are synthesized
+    in integer tenths (both engines build the identical points), distance
+    is integer Manhattan — no libm, hash-exact."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 1800).alias("c_lat"),
+        ((F.col("c_custkey") * 59) % 3600).alias("c_lon"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 41) % 1800).alias("s_lat"),
+        ((F.col("s_suppkey") * 67) % 3600).alias("s_lon"),
+    )
+    cell = _GEO_CELL_TENTHS
+    c_cells = c.select(
+        "*",
+        F.expr(f"c_lat DIV {cell}").alias("cy"),
+        F.expr(f"c_lon DIV {cell}").alias("cx"),
+    )
+    offsets = F.expr(
+        "explode(array(-1, 0, 1))"
+    )  # replicated via two explodes below
+    s_cells = (
+        s.select(
+            "*",
+            F.expr(f"s_lat DIV {cell}").alias("by"),
+            F.expr(f"s_lon DIV {cell}").alias("bx"),
+        )
+        .select("*", offsets.alias("dy"))
+        .select("*", F.expr("explode(array(-1, 0, 1))").alias("dx"))
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.col("by") + F.col("dy")).alias("cy"),
+            (F.col("bx") + F.col("dx")).alias("cx"),
+        )
+    )
+    dist = (
+        F.abs(F.col("c_lat") - F.col("s_lat"))
+        + F.abs(F.col("c_lon") - F.col("s_lon"))
+    ).cast("long")
+    return (
+        c_cells.join(s_cells, ["cy", "cx"])
+        .select("c_custkey", "s_suppkey", dist.alias("dist_tenths"))
+        .where(F.col("dist_tenths") <= _GEO_NEAR_TENTHS)
+    )

@@ -199,3 +199,44 @@ def sql_lateral_view_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial fixture dirs (unit tests plant documents-only corpora)
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_SQL_LV_OUTER)
+
+
+_SQL_PIVOT = """
+    SELECT * FROM (
+        SELECT year(o_orderdate) AS yr, o_orderpriority,
+               CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders
+    )
+    PIVOT (
+        SUM(cents) FOR o_orderpriority IN
+        ('1-URGENT' AS urgent_cents, '2-HIGH' AS high_cents,
+         '5-LOW' AS low_cents)
+    )
+    ORDER BY yr
+"""
+
+_PIVOT_ORACLE = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) END) AS BIGINT) AS urgent_cents,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                THEN CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) END) AS BIGINT) AS high_cents,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                THEN CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) END) AS BIGINT) AS low_cents
+    FROM orders
+    GROUP BY year(o_orderdate)
+"""
+
+
+@query("sql_pivot_syntax", oracle=_PIVOT_ORACLE)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2g — the SQL PIVOT clause (beside the DataFrame groupBy().pivot()
+    of agg_pivot): explicit IN-list with column aliases, integer-cents
+    aggregate. Catalyst rewrites PIVOT into the same CASE-aggregation the
+    oracle spells out — one shuffle, map-side partials."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PIVOT)

@@ -617,3 +617,30 @@ class TestCrawlAndGraph:
         for v, d in dist.items():
             if d > 0:
                 assert any(dist.get(n) == d - 1 for n in adj[v]), (v, d)
+
+
+class TestSubstringCut:
+    def test_cut_removes_planted_span(self, spark, tmp_path):
+        """Two docs share a verbatim 20-token paragraph; the later doc must
+        lose exactly that span and the earlier doc stays untouched."""
+        span = " ".join(f"boiler{i}" for i in range(20))
+        rows = [
+            (0, f"alpha beta {span} gamma delta", "en", "c"),
+            (1, f"one two three {span} four five six", "en", "c"),
+            (2, "totally unrelated text with many words here", "en", "c"),
+        ]
+        d = _mini_docs_dir(tmp_path, spark, rows)
+        out = {
+            r["doc_id"]: r for r in QUERIES["ext_substring_cut"](spark, d).collect()
+        }
+        assert out[0]["cut_len"] == 0  # earliest occurrence kept
+        assert out[2]["cut_len"] == 0
+        assert out[1]["cut_len"] == 20
+        assert out[1]["n_tokens_after"] == out[1]["n_tokens_before"] - 20
+        # md5 must equal the hand-spliced remainder
+        import hashlib
+
+        want = hashlib.md5(
+            "one two three four five six".encode()
+        ).hexdigest()
+        assert out[1]["clean_md5"] == want
