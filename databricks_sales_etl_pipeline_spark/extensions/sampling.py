@@ -192,3 +192,135 @@ def ext_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.groupBy("lang", "fold").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --- class rebalancing ------------------------------------------------------
+
+
+@query(
+    "ext_class_rebalance",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_class
+        FROM documents GROUP BY lang
+    ), target AS (
+        SELECT MIN(n_class) AS n_min FROM counts
+    ), scored AS (
+        SELECT d.doc_id, d.lang, c.n_class, t.n_min,
+               {md5_band_sql('d.doc_id', 1, 'rebal:').replace('% 1', '')}
+                   AS h
+        FROM documents d
+        JOIN counts c ON c.lang = d.lang
+        CROSS JOIN target t
+    )
+    SELECT doc_id, lang, n_class,
+           (h % n_class) < n_min AS is_kept,
+           CAST(SUM(CASE WHEN (h % n_class) < n_min THEN 1 ELSE 0 END)
+                OVER (PARTITION BY lang) AS BIGINT) AS n_kept
+    FROM scored
+    """,
+)
+def ext_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample every language class toward the minority class size —
+    the class-balancing step of a training-data mix: per-class acceptance
+    rate n_min/n_class applied through the md5-band primitive
+    (layout-independent: re-partitioning, re-ordering or re-running never
+    changes which docs survive; E[kept] = n_min per class). Two bounded
+    aggregates (class counts, global min) broadcast into a zero-shuffle
+    accept scan; one window for the per-class audit count."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_class"))
+    target = counts.agg(F.min("n_class").alias("n_min"))
+    # md5_band with a per-row modulus (class size), so the band arithmetic
+    # is inlined (chunking.md5_band takes a literal mod)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rebal:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    scored = (
+        d.select("doc_id", "lang")
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(target))
+        .select(
+            "doc_id",
+            "lang",
+            "n_class",
+            ((h % F.col("n_class")) < F.col("n_min")).alias("is_kept"),
+        )
+    )
+    w = Window.partitionBy("lang")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_class",
+        "is_kept",
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
+# --- local differential privacy: randomized response ------------------------
+
+
+@query(
+    "ext_randomized_response",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               CAST(user_id % 5 AS BIGINT) AS segment,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS true_bit
+        FROM events GROUP BY user_id
+    ), reported AS (
+        SELECT segment, true_bit,
+               CASE WHEN {md5_band_sql('user_id', 4, 'rr:')} = 0
+                    THEN 1 - true_bit ELSE true_bit END AS rep_bit
+        FROM users
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(true_bit) AS BIGINT) AS true_positives,
+           CAST(SUM(rep_bit) AS BIGINT) AS reported_positives,
+           CAST(4 * SUM(rep_bit) - COUNT(*) AS BIGINT) AS estimate_x2
+    FROM reported
+    GROUP BY segment
+    """,
+)
+def ext_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local differential privacy via randomized response: each user's
+    sensitive bit (did they purchase?) is flipped with probability 1/4
+    BEFORE aggregation (here: a deterministic md5-band coin, so the run is
+    reproducible and hash-checkable; production swaps in a real RNG), and
+    the population total is recovered by the unbiased estimator
+    t = 2·obs − n/2, emitted ×2 to stay integral. The exact count rides
+    along as the oracle-of-record for the estimator's error.
+
+    Scale: one user_id groupBy + one segment groupBy — the privacy
+    mechanism itself is a zero-shuffle per-row map."""
+    e = load(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("true_bit")
+    )
+    flip = md5_band(F.col("user_id"), 4, "rr:") == 0
+    rep = F.when(flip, 1 - F.col("true_bit")).otherwise(F.col("true_bit"))
+    reported = users.select(
+        (F.col("user_id") % 5).cast("long").alias("segment"),
+        "true_bit",
+        rep.alias("rep_bit"),
+    )
+    return reported.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("true_bit").cast("long").alias("true_positives"),
+        F.sum("rep_bit").cast("long").alias("reported_positives"),
+        (4 * F.sum("rep_bit") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("estimate_x2"),
+    )

@@ -210,3 +210,54 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", r"[0-9]+", "#").alias("numbers_masked"),
         F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0)).alias("n_words"),
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'status,yr'
+                ELSE 'prio,status,yr' END AS keys_csv,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_orderstatus || ',' || CAST(year(o_orderdate) AS VARCHAR)
+                ELSE o_orderpriority || ',' || o_orderstatus || ',' ||
+                     CAST(year(o_orderdate) AS VARCHAR) END AS vals_csv,
+           CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 3 END
+                AS INT) AS n_entries,
+           o_orderstatus AS status_val
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5d — MapType surface (the remaining collection type beside the
+    array/JSON/VARIANT suites): create_map → map_concat → map_filter
+    (drop urgent-priority entries) → map_keys/element_at reads. Map cells
+    can't enter the hashed output (driver canonicalizer), so the result is
+    projected to sorted-key CSV strings — which the oracle rebuilds with
+    plain CASE logic from the same source columns, proving every map op's
+    semantics. Zero shuffle, all JVM-side."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    m = F.create_map(
+        F.lit("prio"),
+        F.col("o_orderpriority"),
+        F.lit("status"),
+        F.col("o_orderstatus"),
+    )
+    m2 = F.map_concat(
+        m,
+        F.create_map(
+            F.lit("yr"), F.year("o_orderdate").cast("string")
+        ),
+    )
+    mf = F.map_filter(m2, lambda k, v: v != "1-URGENT")
+    skeys = F.array_sort(F.map_keys(mf))
+    return o.select(
+        "o_orderkey",
+        F.array_join(skeys, ",").alias("keys_csv"),
+        F.array_join(
+            F.transform(skeys, lambda k: F.element_at(mf, k)), ","
+        ).alias("vals_csv"),
+        F.size(mf).alias("n_entries"),
+        F.element_at(m2, F.lit("status")).alias("status_val"),
+    )

@@ -110,6 +110,8 @@ _NLJ_ALLOWED = {
     "ext_heavy_hitters",
     # chain of 1-row census aggregates (vertices/edges/wedges/triangles)
     "ext_graph_triangles",
+    # 1-row global min-class-size broadcast into the acceptance predicate
+    "ext_class_rebalance",
 }
 
 

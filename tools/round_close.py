@@ -37,6 +37,13 @@ def check_rotation() -> int:
         return 1
     print(f"rotation ok: {len(never)} never-checked, {len(wasted)} re-checked "
           f"(sample slots: {len(registry._DRIVER_PRIORITY)})")
+    # make the NEXT rotation mechanical (round-4 verdict ask #8): the names
+    # that still lack a driver row and are NOT in the current sample are
+    # exactly what next round's _DRIVER_PRIORITY should start with
+    overflow = [n for n in never if n not in registry._DRIVER_PRIORITY]
+    if overflow:
+        print(f"next-round rotation candidates ({len(overflow)}, beyond the "
+              f"current sample): {overflow}")
     return 0
 
 
