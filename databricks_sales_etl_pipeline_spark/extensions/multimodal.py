@@ -701,3 +701,160 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= PHASH_T)
     )
+
+
+# --- video near-dup via frame-hash overlap ----------------------------------
+
+#: video fixture geometry: doc_id % 40 picks the base clip, 4..7 frames,
+#: ±1 per-pixel noise per doc — same planted-cluster idea as the image
+#: fixture, one dimension up.
+_VID_CLUSTER = 40
+_VID_MIN_SHARED = 2
+
+
+def make_video(doc_id: int) -> bytes:
+    """Naive video container: b'VID0' + u32 frame count + length-prefixed
+    P6 frames (8×8 grayscale). Frames of docs sharing doc_id % 40 differ
+    only by the ±1 noise."""
+    import struct
+
+    base = doc_id % _VID_CLUSTER
+    n_frames = doc_id % 4 + 4
+    out = [b"VID0", struct.pack("<I", n_frames)]
+    for f in range(n_frames):
+        px = [
+            ((base * 37 + f * 13 + i * 11) % 200) + (doc_id * 7 + i + f) % 2
+            for i in range(64)
+        ]
+        frame = b"P6\n8 8\n255\n" + bytes(
+            b for p in px for b in (p, p, p)
+        )
+        out.append(struct.pack("<I", len(frame)))
+        out.append(frame)
+    return b"".join(out)
+
+
+def _video_frame_hashes(payload: bytes) -> list[str]:
+    """Walk the container (magic, count, length-prefixed frames), aHash
+    each decoded frame, return hex band-concat hashes."""
+    import struct
+
+    if payload[:4] != b"VID0":
+        raise ValueError(f"bad video magic {payload[:4]!r}")
+    (n_frames,) = struct.unpack_from("<I", payload, 4)
+    pos, hashes = 8, []
+    for _ in range(n_frames):
+        (flen,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        frame = payload[pos : pos + flen]
+        pos += flen
+        b0, b1, b2, b3 = _phash_bands(frame)
+        hashes.append(f"{b0:04x}{b1:04x}{b2:04x}{b3:04x}")
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last frame")
+    return hashes
+
+
+_VIDEO_ORACLE = f"""
+    WITH meta AS (
+        SELECT doc_id, CAST(doc_id % 4 + 4 AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id < {MM_DOC_LIMIT}
+    ), px AS (
+        SELECT doc_id, f, i,
+               ((doc_id % {_VID_CLUSTER}) * 37 + f * 13 + i * 11) % 200
+                   + (doc_id * 7 + i + f) % 2 AS p
+        FROM meta,
+             unnest(range(0, n_frames)) AS tf(f),
+             unnest(range(0, 64)) AS ti(i)
+    ), sums AS (
+        SELECT doc_id, f, CAST(SUM(p) AS BIGINT) AS s
+        FROM px GROUP BY doc_id, f
+    ), bits AS (
+        SELECT px.doc_id, px.f, i,
+               CASE WHEN p * 64 > s THEN 1 ELSE 0 END AS bit
+        FROM px JOIN sums ON sums.doc_id = px.doc_id AND sums.f = px.f
+    ), bands AS (
+        SELECT doc_id, f, CAST(i // 16 AS BIGINT) AS j,
+               CAST(SUM(bit * CAST(power(2, i % 16) AS BIGINT)) AS BIGINT)
+                   AS b
+        FROM bits GROUP BY doc_id, f, i // 16
+    ), fhash AS (
+        SELECT doc_id, f,
+               printf('%04x%04x%04x%04x',
+                      MAX(CASE WHEN j = 0 THEN b END),
+                      MAX(CASE WHEN j = 1 THEN b END),
+                      MAX(CASE WHEN j = 2 THEN b END),
+                      MAX(CASE WHEN j = 3 THEN b END)) AS h
+        FROM bands GROUP BY doc_id, f
+    ), shared AS (
+        SELECT a.doc_id AS vid_a, b.doc_id AS vid_b,
+               CAST(COUNT(DISTINCT a.h) AS BIGINT) AS shared_frames
+        FROM fhash a JOIN fhash b ON b.h = a.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(DISTINCT a.h) >= {_VID_MIN_SHARED}
+    )
+    SELECT s.vid_a, s.vid_b, s.shared_frames,
+           ma.n_frames AS n_frames_a, mb.n_frames AS n_frames_b
+    FROM shared s
+    JOIN meta ma ON ma.doc_id = s.vid_a
+    JOIN meta mb ON mb.doc_id = s.vid_b
+"""
+
+
+@query("mm_video_neardup", oracle=_VIDEO_ORACLE)
+def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection: synthesize REAL container bytes (magic +
+    frame count + length-prefixed P6 frames), walk them back frame by
+    frame, aHash every frame, and pair videos sharing >= 2 distinct frame
+    hashes via the inverted frame-hash index — the shot-level near-dup
+    join video pipelines run (a re-encode or trim shares most frame
+    hashes; unrelated clips share none). Decode, per-frame hashing,
+    indexing and pair counts are all hash-checked against the
+    generator-arithmetic oracle.
+
+    Scale: payloads never shuffle — only (video, frame-hash) pairs do;
+    candidates are bounded by frame-hash bucket occupancy, the same
+    LSH-inverted-index shape as MinHash banding."""
+    import struct as _struct  # noqa: F401  (documented dependency of the walk)
+
+    d = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < MM_DOC_LIMIT
+    )
+    bin_df = _gen_payloads(d, make_video)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                hs = _video_frame_hashes(bytes(p))
+                out.extend(
+                    {"doc_id": int(did), "h": h, "n_frames": len(hs)}
+                    for h in hs
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "h", "n_frames"]
+            )
+
+    fh = bin_df.mapInPandas(
+        hash_batches, "doc_id long, h string, n_frames long"
+    ).localCheckpoint()  # feeds both sides of the pair join + the meta join
+    a = fh.select(
+        F.col("doc_id").alias("vid_a"), "h", F.col("n_frames").alias("nfa")
+    )
+    b = fh.select(
+        F.col("doc_id").alias("vid_b"), "h", F.col("n_frames").alias("nfb")
+    )
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .groupBy("vid_a", "vid_b", "nfa", "nfb")
+        .agg(F.countDistinct("h").alias("shared_frames"))
+        .where(F.col("shared_frames") >= _VID_MIN_SHARED)
+    )
+    return pairs.select(
+        "vid_a",
+        "vid_b",
+        "shared_frames",
+        F.col("nfa").alias("n_frames_a"),
+        F.col("nfb").alias("n_frames_b"),
+    )
