@@ -109,6 +109,41 @@ def main() -> None:
         ).groupBy("s").count().count()
         t["md5_split"] = round(time.perf_counter() - t0, 2)
 
+        # round-5 shape: exact substring-span detection (the Lee-et-al
+        # pipeline) — gram table -> cross-doc eligible grams -> diagonal
+        # islands; the planted every-10th-doc copies yield ~n/10 full spans
+        t0 = time.perf_counter()
+        from pyspark.sql import Window as _W
+        words5 = d.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("pos", "w"),
+        )
+        w5 = _W.partitionBy("doc_id").orderBy("pos")
+        leads5 = [F.lead("w", j).over(w5) for j in range(1, 13)]
+        grams5 = (
+            words5.select(
+                "doc_id",
+                F.col("pos").cast("bigint").alias("pos"),
+                F.md5(F.concat_ws(" ", F.col("w"), *leads5)).alias("gid"),
+                leads5[-1].isNotNull().alias("_full"),
+            ).where("_full").drop("_full").localCheckpoint()
+        )
+        elig5 = grams5.groupBy("gid").agg(
+            F.countDistinct("doc_id").alias("df")
+        ).where(F.col("df").between(2, 32)).select("gid")
+        kept5 = grams5.join(elig5, "gid")
+        hits5 = kept5.select("gid", F.col("doc_id").alias("da"), F.col("pos").alias("pa")).join(
+            kept5.select("gid", F.col("doc_id").alias("db"), F.col("pos").alias("pb")), "gid"
+        ).where(F.col("da") < F.col("db"))
+        dw5 = _W.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+        n_spans = hits5.select(
+            "da", "db", (F.col("pa") - F.col("pb")).alias("diag"),
+            (F.col("pa") - F.row_number().over(dw5)).alias("isl"),
+        ).groupBy("da", "db", "diag", "isl").count().count()
+        t["substring_spans"] = round(time.perf_counter() - t0, 2)
+
         t0 = time.perf_counter()
         md5h = F.conv(
             F.substring(F.md5(F.concat(F.lit("0:"), F.col("shingle"))), 1, 8), 16, 10
@@ -117,6 +152,7 @@ def main() -> None:
         t["md5_sig_1band"] = round(time.perf_counter() - t0, 2)
 
         rec = {"docs": n, "candidates": n_cand, "n_chunks": n_chunks,
+               "n_spans": n_spans,
                "timings_sec": t,
                "minhash_kdocs_per_sec": round(n / t["minhash_sig_candidates"] / 1e3, 1)}
         out.append(rec)
