@@ -71,25 +71,35 @@ def main() -> None:
     QUERIES["agg_count_star"](spark, sf_dir).count()
     QUERIES["agg_count_star"](spark, sf_dir).count()
 
+    # one failing query must not void the whole round's bench (round-3
+    # lesson: the sessionize crash left NO numbers on record) — time every
+    # query, report failures in the JSON, and exit nonzero only at the end
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
+        try:
+            n = QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
