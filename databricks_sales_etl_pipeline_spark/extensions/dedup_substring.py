@@ -136,7 +136,12 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df").between(2, MAX_GRAM_DF))
         .select("gid")
     )
-    kept = grams.join(elig, "gid")
+    # the eligible-gram set scales WITH the corpus (a filtered aggregate the
+    # optimizer under-estimates): left to itself Spark broadcast-collects it
+    # and trips maxResultSize at ~500 k docs (measured, tools/
+    # bench_scale_docs.py) — hint the shuffle join, which also reuses the
+    # groupBy's gid partitioning on the build side
+    kept = grams.join(elig.hint("shuffle_hash"), "gid")
     a = kept.select(
         F.col("gid"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
     )
@@ -442,7 +447,10 @@ def ext_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     The splice is pure array arithmetic on the token list (slice ++
     slice — no explode, no per-token rows), so the cut pass is one left
     join against the bounded span table riding a doc_id shuffle."""
-    spans = ext_dedup_substring(spark, sf_dir)
+    # the span report is bounded by true duplication (measured linear in
+    # corpus size, tools/bench_scale_docs.py) — materialize it so the cut
+    # pass plans against a table, not the whole 7-shuffle detection lineage
+    spans = ext_dedup_substring(spark, sf_dir).localCheckpoint()
     w = Window.partitionBy("doc_b").orderBy(
         F.desc("len_tokens"), F.asc("start_b"), F.asc("doc_a")
     )

@@ -644,3 +644,97 @@ class TestSubstringCut:
             "one two three four five six".encode()
         ).hexdigest()
         assert out[1]["clean_md5"] == want
+
+
+class TestRound5BatchD:
+    def test_spatial_cells_match_theta_join(self, spark):
+        """The 3×3 neighbor-cell join must equal the naive theta join —
+        pigeonhole completeness at threshold <= cell size."""
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        got = sorted(
+            map(
+                tuple,
+                QUERIES["join_spatial_cells"](spark, SF_DIR).collect(),
+            )
+        )
+        c = load(spark, SF_DIR, "customer").select(
+            "c_custkey",
+            ((F.col("c_custkey") * 37) % 1800).alias("c_lat"),
+            ((F.col("c_custkey") * 59) % 3600).alias("c_lon"),
+        )
+        s = load(spark, SF_DIR, "supplier").select(
+            "s_suppkey",
+            ((F.col("s_suppkey") * 41) % 1800).alias("s_lat"),
+            ((F.col("s_suppkey") * 67) % 3600).alias("s_lon"),
+        )
+        dist = (
+            F.abs(F.col("c_lat") - F.col("s_lat"))
+            + F.abs(F.col("c_lon") - F.col("s_lon"))
+        ).cast("long")
+        want = sorted(
+            map(
+                tuple,
+                c.crossJoin(s)
+                .select("c_custkey", "s_suppkey", dist.alias("d"))
+                .where(F.col("d") <= 30)
+                .collect(),
+            )
+        )
+        assert got == want
+
+    def test_video_neardup_finds_planted_clusters(self, spark):
+        """Same-base videos share most frames; every pair of consecutive
+        cluster members at fixture scale must be recovered."""
+        from tests.conftest import SF_DIR
+        from databricks_sales_etl_pipeline_spark.extensions.multimodal import (
+            _VID_CLUSTER,
+        )
+
+        rows = QUERIES["mm_video_neardup"](spark, SF_DIR).collect()
+        got = {(r["vid_a"], r["vid_b"]) for r in rows}
+        assert got, "no video pairs found"
+        n_docs = max(max(a, b) for a, b in got) + 1
+        missing = [
+            (a, a + _VID_CLUSTER)
+            for a in range(0, n_docs - _VID_CLUSTER)
+            if (a, a + _VID_CLUSTER) not in got
+        ]
+        # ±1 noise can break at most a handful of frame hashes; same-base
+        # neighbors share >= 2 of 4+ frames virtually always
+        assert len(missing) <= n_docs // 50, missing[:5]
+
+    def test_class_rebalance_targets_minority(self, spark):
+        """Kept counts per class concentrate near the minority-class size
+        (binomial expectation), and the minority class itself keeps all."""
+        from tests.conftest import SF_DIR
+
+        rows = QUERIES["ext_class_rebalance"](spark, SF_DIR).collect()
+        per_class = {}
+        for r in rows:
+            per_class[r["lang"]] = (r["n_class"], r["n_kept"])
+        n_min = min(n for n, _ in per_class.values())
+        for lang, (n_class, n_kept) in per_class.items():
+            if n_class == n_min:
+                assert n_kept == n_class, lang  # rate 1.0 keeps everything
+            else:
+                # 4 sigma binomial band around n_min
+                import math
+
+                sigma = math.sqrt(n_class * (n_min / n_class) * (1 - n_min / n_class))
+                assert abs(n_kept - n_min) <= 4 * sigma + 1, (
+                    lang, n_kept, n_min)
+
+    def test_randomized_response_estimator_is_consistent(self, spark):
+        """estimate_x2 must equal 4·reported − n exactly, and the recovered
+        estimate must sit within the mechanism's sampling noise of truth."""
+        from tests.conftest import SF_DIR
+        import math
+
+        for r in QUERIES["ext_randomized_response"](spark, SF_DIR).collect():
+            assert r["estimate_x2"] == 4 * r["reported_positives"] - r["n_users"]
+            est = r["estimate_x2"] / 2
+            # Var(est) = n·p(1−p)·4 with p=1/4 flip ⇒ sd = sqrt(3n)/... use
+            # a loose 5·sqrt(n) band — the estimator is unbiased
+            assert abs(est - r["true_positives"]) <= 5 * math.sqrt(r["n_users"]) + 2

@@ -133,7 +133,7 @@ def main() -> None:
         elig5 = grams5.groupBy("gid").agg(
             F.countDistinct("doc_id").alias("df")
         ).where(F.col("df").between(2, 32)).select("gid")
-        kept5 = grams5.join(elig5, "gid")
+        kept5 = grams5.join(elig5.hint("shuffle_hash"), "gid")
         hits5 = kept5.select("gid", F.col("doc_id").alias("da"), F.col("pos").alias("pa")).join(
             kept5.select("gid", F.col("doc_id").alias("db"), F.col("pos").alias("pb")), "gid"
         ).where(F.col("da") < F.col("db"))
