@@ -59,6 +59,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.pq",
     "databricks_sales_etl_pipeline_spark.extensions.sketches",
     "databricks_sales_etl_pipeline_spark.extensions.graph",
+    "databricks_sales_etl_pipeline_spark.extensions.classifier",
     "databricks_sales_etl_pipeline_spark.extensions.sampling",
     "databricks_sales_etl_pipeline_spark.extensions.chunking",
     "databricks_sales_etl_pipeline_spark.extensions.curation",

@@ -112,6 +112,8 @@ _NLJ_ALLOWED = {
     "ext_graph_triangles",
     # 1-row global min-class-size broadcast into the acceptance predicate
     "ext_class_rebalance",
+    # 1-row class-counts broadcast into the cross-multiplied margin
+    "ext_quality_classifier",
 }
 
 

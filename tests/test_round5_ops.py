@@ -738,3 +738,22 @@ class TestRound5BatchD:
             # Var(est) = n·p(1−p)·4 with p=1/4 flip ⇒ sd = sqrt(3n)/... use
             # a loose 5·sqrt(n) band — the estimator is unbiased
             assert abs(est - r["true_positives"]) <= 5 * math.sqrt(r["n_users"]) + 2
+
+
+class TestQualityClassifier:
+    def test_classifier_learns_planted_signal(self, spark):
+        """At corpus scale the Rocchio margin must separate the planted
+        language markers almost perfectly (measured 1.0 on the sf0.01
+        fixture; the bound is loose for regenerated testdata)."""
+        import os
+
+        sf = "/root/testdata/sf0.01"
+        if not os.path.isdir(sf):
+            import pytest
+
+            pytest.skip("sf0.01 testdata not present")
+        df = QUERIES["ext_quality_classifier"](spark, sf)
+        acc = df.select(
+            F.avg(((F.col("label") == 1) == F.col("pred_en")).cast("int"))
+        ).collect()[0][0]
+        assert acc >= 0.9, acc
