@@ -194,3 +194,129 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInArrow(counts, "doc_id long, n_chars int, n_ws_tokens int")
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(c * c) AS BIGINT) AS sumsq_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT o_orderpriority,
+               CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS c
+        FROM orders
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — GROUPED_AGG pandas UDF (the vectorized custom AGGREGATE — the
+    remaining pandas-UDF flavor beside scalar, grouped-map and mapInArrow):
+    each group's column arrives as ONE pandas Series and the UDF returns a
+    scalar. The stat (integer sum of squared cents, int64-exact in numpy)
+    is chosen to be SQL-expressible so the oracle proves the aggregation
+    path; real uses are stats built-ins can't express. Unlike grouped-map,
+    GROUPED_AGG supports partial aggregation semantics in the plan — the
+    group shuffle carries Series, not full rows re-sorted."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    # the Series -> scalar hint signature is what marks this as a
+    # GROUPED_AGG (aggregating) pandas UDF; module-level pd keeps the
+    # hints resolvable under `from __future__ import annotations`
+    @_pudf("long")
+    def sumsq(c: pd.Series) -> int:
+        a = c.to_numpy(dtype="int64")
+        return int((a * a).sum())
+
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with JVM aggregates in
+    # one agg() — the count must be a pandas aggregate too
+    @_pudf("long")
+    def ncount(c: pd.Series) -> int:
+        return int(len(c))
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    return (
+        o.select("o_orderpriority", cents.alias("c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            sumsq("c").alias("sumsq_cents"),
+            ncount("c").alias("n"),
+        )
+    )
+
+
+@query(
+    "udf_cogrouped_reconcile",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS header_cents,
+           CAST(COALESCE(SUM(CAST(FLOOR(CAST(l.l_extendedprice AS DOUBLE)
+                    * 100 + 0.5) AS BIGINT)), 0) AS BIGINT) AS lines_cents,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 13 = 0
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — cogrouped applyInPandas (the two-sided grouped-map API): the
+    orders and lineitem groups for each orderkey arrive as TWO pandas
+    frames and the UDF emits the reconciliation row (header total vs sum
+    of line totals) — the per-key merge logic users reach for when a join
+    + aggregate can't express stateful pairing. Here it CAN (the oracle is
+    that join), which is what proves the cogroup path byte-exact.
+
+    Scale: both sides shuffle once on the common key — identical cost
+    shape to the join — and the Python stage sees only one key group at a
+    time (bounded memory)."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    # cogroup iterates the UNION of both sides' keys, so the probe side
+    # must carry the same key filter or every unmatched lineitem key forms
+    # a group of its own
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 13 == 0)
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+    def reconcile(key, odf, ldf):
+        import math
+
+        (okey,) = key
+        header = int(
+            sum(math.floor(v * 100 + 0.5) for v in odf["o_totalprice"])
+        )
+        lines = int(
+            sum(math.floor(v * 100 + 0.5) for v in ldf["l_extendedprice"])
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(okey)],
+                "header_cents": [header],
+                "lines_cents": [lines],
+                "n_lines": [len(ldf)],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, header_cents long, lines_cents long, "
+            "n_lines long",
+        )
+    )
