@@ -141,7 +141,11 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is O(N_FEATS) rows and broadcasts; the class-count pair is the
     sanctioned 1-row broadcast fan-out."""
     d = load(spark, sf_dir, "documents")
-    feats = _features(d)
+    # materialize the feature table once: class counts, the model aggregate
+    # and the scoring join all read it (what any trainer does with its
+    # featurized design matrix; without truncation the explode+groupBy
+    # lineage replays three times -> 9 shuffles in one plan)
+    feats = _features(d).localCheckpoint()
     cls = feats.select("doc_id", "y").distinct().agg(
         F.count_if(F.col("y") == 1).cast("long").alias("n_pos"),
         F.count_if(F.col("y") == -1).cast("long").alias("n_neg"),
