@@ -414,9 +414,11 @@ _CUT_ORACLE = f"""
             FROM spans
         ) WHERE rn = 1
     ), toks AS (
+        -- COALESCE: a NULL-text doc must yield an EMPTY token list (not
+        -- NULL) so the length/md5 columns agree with the Spark side
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\\s+'),
-                           x -> x <> '') AS t
+               COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> ''), []) AS t
         FROM documents
     ), cutd AS (
         SELECT d.doc_id, d.t,
@@ -466,9 +468,10 @@ def ext_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias(
-            "t"
-        ),
+        F.coalesce(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""),
+            F.array().cast("array<string>"),
+        ).alias("t"),
     )
     j = toks.join(top1, "doc_id", "left")
     ct = F.when(F.col("cl").isNull(), F.col("t")).otherwise(
