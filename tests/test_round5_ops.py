@@ -757,3 +757,78 @@ class TestQualityClassifier:
             F.avg(((F.col("label") == 1) == F.col("pred_en")).cast("int"))
         ).collect()[0][0]
         assert acc >= 0.9, acc
+
+
+class TestAdversarialCorpusParity:
+    """Round-3's testdata-regeneration lesson, generalized: every round-5
+    document-family query must stay oracle-exact on a corpus containing
+    NULL / empty / whitespace-only / single-token / punctuation-only docs
+    (caught ext_substring_cut emitting NULL clean_md5 for NULL text)."""
+
+    _NAMES = [
+        "ext_heavy_hitters", "ext_ngram_novelty", "ext_dedup_substring",
+        "ext_substring_cut", "ext_url_canonicalize", "ext_html_strip",
+        "mm_image_phash", "mm_video_neardup", "ext_quality_classifier",
+        "ext_class_rebalance", "sql_lateral_view_outer",
+    ]
+
+    def test_edge_corpus_parity(self, spark, tmp_path):
+        import duckdb as _dd
+        import math
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for i in range(40):
+            rows.append(
+                (i, f"alpha beta gamma tok{i} delta epsilon zeta " * 8,
+                 ["en", "de", "zh", "fr", "es"][i % 5], f"src{i % 4}")
+            )
+        rows += [
+            (40, None, "en", "src0"), (41, "", "de", "src1"),
+            (42, "   ", "zh", "src2"), (43, "solo", "fr", "src3"),
+            (44, "!!! ???", "es", "src0"),
+        ]
+        d = str(tmp_path / "edge")
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        con = _dd.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+
+        def norm(v):
+            if v is None:
+                return None
+            if not isinstance(v, (str, bytes)) and pd.isna(v):
+                return None
+            if isinstance(v, (np.floating, float)):
+                f = float(v)
+                return None if math.isnan(f) else ("f", repr(f + 0.0))
+            if isinstance(v, (np.bool_, bool)):
+                return ("b", bool(v))
+            if isinstance(v, (np.integer, int)):
+                return ("i", int(v))
+            return ("s", str(v))
+
+        def canon(pdf):
+            cols = sorted(pdf.columns)
+            return cols, sorted(
+                (tuple(norm(r[c]) for c in cols) for r in pdf.to_dict("records")),
+                key=repr,
+            )
+
+        fails = []
+        for name in self._NAMES:
+            try:
+                sc, sr = canon(QUERIES[name](spark, d).toPandas())
+                dc, dr = canon(con.execute(ORACLES[name]).df())
+                assert sc == dc, "columns"
+                assert sr == dr, f"values ({len(sr)} vs {len(dr)})"
+            except Exception as e:  # noqa: BLE001
+                fails.append((name, str(e)[:200]))
+        assert not fails, fails
