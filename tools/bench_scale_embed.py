@@ -80,9 +80,54 @@ def main() -> None:
         n_pruned = pruned.where(~F.col("is_kept")).count()
         t_semdedup = time.time() - t0
 
+        # round-5: PQ — joint codebook training, corpus encode, ADC top-k
+        from databricks_sales_etl_pipeline_spark.extensions.pq import (
+            PQ_SUB,
+            PQ_TOPK,
+            _adc_scan_fn,
+            _pq_encode_fn,
+            _train_codebooks,
+        )
+        from pyspark.sql import Window
+
+        t0 = time.time()
+        cent_sets = _train_codebooks(vecs)
+        t_pq_train = time.time() - t0
+
+        t0 = time.time()
+        enc = _pq_encode_fn(cent_sets)
+        codes = vecs.select("vec_id", enc("v").alias("ce")).select(
+            "vec_id",
+            *[F.element_at("ce", s + 1).alias(f"code_{s}") for s in range(PQ_SUB)],
+        ).localCheckpoint()
+        t_pq_encode = time.time() - t0
+
+        t0 = time.time()
+        queries = [
+            (int(r["vec_id"]), [int(x) for x in r["v"]])
+            for r in vecs.where(F.col("vec_id") < 10).collect()
+        ]
+        scanned = codes.mapInPandas(
+            _adc_scan_fn(cent_sets, queries),
+            "query_id long, neighbor_id long, adc_dist long",
+        ).where(F.col("neighbor_id") != F.col("query_id"))
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_dist"), F.asc("neighbor_id")
+        )
+        n_topk = (
+            scanned.withColumn("rk", F.row_number().over(w_adc))
+            .where(F.col("rk") <= PQ_TOPK)
+            .count()
+        )
+        t_pq_adc = time.time() - t0
+
         results.append(
             {
                 "n_vectors": n,
+                "pq_train_s": round(t_pq_train, 2),
+                "pq_encode_s": round(t_pq_encode, 2),
+                "pq_adc_topk_s": round(t_pq_adc, 2),
+                "pq_topk_rows": n_topk,
                 "kmeans_train_s": round(t_train, 2),
                 "assign_s": round(t_assign, 2),
                 "semdedup_s": round(t_semdedup, 2),
