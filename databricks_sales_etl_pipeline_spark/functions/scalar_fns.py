@@ -261,3 +261,42 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(mf).alias("n_entries"),
         F.element_at(m2, F.lit("status")).alias("status_val"),
     )
+
+
+@query(
+    "try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS BIGINT) AS prio_as_int,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) // (o_orderkey % 3) END AS safe_div,
+           TRY_CAST('not-a-date' AS DATE) AS bad_date
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5e — the ANSI-safe try_* family: malformed casts and zero
+    divisors yield NULL instead of a job-killing exception — the contract
+    that keeps a 100 TB batch alive when one row of a trillion is garbage
+    ('1-URGENT' AS BIGINT → NULL; its leading digit → 1; x DIV 0 → NULL;
+    an unparseable date → NULL). DuckDB's TRY_CAST + a CASE-guarded
+    division express identical semantics for the oracle."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 0)
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    return o.select(
+        "o_orderkey",
+        F.try_to_number("o_orderpriority", F.lit("999")).cast("long").alias(
+            "prio_as_int"
+        ),
+        F.expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "prio_digit"
+        ),
+        F.try_divide(cents, F.col("o_orderkey") % 3).cast("long").alias(
+            "safe_div"
+        ),
+        F.expr("TRY_CAST('not-a-date' AS DATE)").alias("bad_date"),
+    )
