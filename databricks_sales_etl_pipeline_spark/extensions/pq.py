@@ -406,3 +406,155 @@ def ext_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scanned.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= PQ_TOPK
     )
+
+
+# --- IVF-PQ search (coarse probe + ADC over codes) --------------------------
+
+
+def _adc_pair_fn(cent_sets, queries):
+    """ADC distance for (query_id, code_0..code_{S-1}) pairs — the
+    cell-restricted variant of the full scan: same per-query S×K integer
+    lookup tables, but distances are computed only for the rows the coarse
+    probe admitted."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qpos = {q: idx for idx, (q, _) in enumerate(queries)}
+    lut = np.zeros((len(queries), PQ_SUB, PQ_K), dtype=np.int64)
+    for qi, (_, qv) in enumerate(queries):
+        qarr = np.array(qv, dtype=np.int64)
+        for si, cents in enumerate(cent_sets):
+            qs = qarr[si * PQ_SUBDIM : (si + 1) * PQ_SUBDIM]
+            for cid, cv in cents:
+                d = qs - np.array(cv, dtype=np.int64)
+                lut[qi, si, cid] = int((d * d).sum())
+
+    @pandas_udf("long")
+    def adc(qid, c0, c1, c2, c3):
+        if qid.empty:
+            return pd.Series([], dtype="int64")
+        qidx = qid.map(qpos).to_numpy(dtype="int64")
+        total = np.zeros(len(qid), dtype=np.int64)
+        for si, cs in enumerate((c0, c1, c2, c3)):
+            total += lut[qidx, si, cs.to_numpy(dtype="int64")]
+        return pd.Series(total)
+
+    return adc
+
+
+def _pq_ivf_oracle() -> str:
+    from .similarity import _kmeans_cte_prefix, NPROBE, _SQD
+
+    qv = (
+        "list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+    )
+    pq_chains = ",\n    ".join(_pq_chain(si) for si in range(PQ_SUB))
+    joins, terms = [], []
+    for si in range(PQ_SUB):
+        lo = si * PQ_SUBDIM
+        joins.append(
+            f"JOIN p{si}fin f{si} ON f{si}.vec_id = fa.vec_id "
+            f"JOIN p{si}c{LLOYD_ITERS} cb{si} ON cb{si}.cid = f{si}.cid"
+        )
+        terms.append(
+            f"list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),"
+            f" i -> (q.v[{lo} + i] - cb{si}.cv[i])"
+            f" * (q.v[{lo} + i] - cb{si}.cv[i])))"
+        )
+    final_c = f"c{LLOYD_ITERS}"
+    return f"""WITH {_kmeans_cte_prefix()},
+    qvecs AS (SELECT vec_id, v FROM vecs),
+    {pq_chains},
+    probes AS (
+        SELECT query_id, qcid FROM (
+            SELECT v.vec_id AS query_id, c.cid AS qcid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_SQD} ASC, c.cid ASC) AS rn
+            FROM vecs v CROSS JOIN {final_c} c
+            WHERE v.vec_id < {PQ_QUERIES}
+        ) WHERE rn <= {NPROBE}
+    ),
+    adc AS (
+        SELECT p.query_id, fa.vec_id AS neighbor_id,
+               CAST({" + ".join(terms)} AS BIGINT) AS adc_dist
+        FROM probes p
+        JOIN final_assign fa ON fa.cid = p.qcid
+        JOIN qvecs q ON q.vec_id = p.query_id
+        {" ".join(joins)}
+        WHERE fa.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, neighbor_id ASC)
+                   AS rank
+        FROM adc
+    ) WHERE rank <= {PQ_TOPK}"""
+
+
+@query("ext_pq_ivf_search", oracle=_pq_ivf_oracle())
+def ext_pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3i — the full IVF-PQ read path (the FAISS IndexIVFPQ shape): a
+    coarse K=8 Lloyd quantizer routes each query to its nprobe=2 nearest
+    cells, and ADC lookup tables score ONLY the codes stored in those
+    cells — compressed storage (PQ) and pruned scan (IVF) composed, which
+    is how a 100 TB ANN index actually serves queries. Coarse training,
+    cell assignment, codebooks, codes, probes, ADC distances and the final
+    top-k are ALL integer-exact and hash-checked in one oracle.
+
+    Scale: the scan touches nprobe/K of the corpus at 4 ints/vector —
+    ~120× less I/O than brute force over raw vectors; the only shuffle is
+    the per-query top-k window."""
+    from pyspark.sql import Window
+
+    from .similarity import _assign_cells, _probe_cells, train_kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", quantize(F.col("embedding")).alias("v")
+    ).localCheckpoint()
+    coarse = train_kmeans(vecs)
+    cells = _assign_cells(vecs, coarse).select("vec_id", "cid")
+    cent_sets = _train_codebooks(vecs)
+    enc = _pq_encode_fn(cent_sets)
+    codes = vecs.select("vec_id", enc("v").alias("ce")).select(
+        "vec_id",
+        *[
+            F.element_at("ce", si + 1).alias(f"code_{si}")
+            for si in range(PQ_SUB)
+        ],
+    )
+    index = codes.join(cells, "vec_id")  # the stored IVF-PQ posting lists
+
+    queries = [
+        (int(r["vec_id"]), [int(x) for x in r["v"]])
+        for r in vecs.where(F.col("vec_id") < PQ_QUERIES)
+        .select("vec_id", "v")
+        .collect()
+    ]
+    probes = _probe_cells(
+        vecs.where(F.col("vec_id") < PQ_QUERIES), coarse
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode("probe_cids").alias("cid"),
+    )
+    adc = _adc_pair_fn(cent_sets, queries)
+    scored = (
+        index.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc("query_id", "code_0", "code_1", "code_2", "code_3").alias(
+                "adc_dist"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= PQ_TOPK
+    )
