@@ -89,6 +89,33 @@ COMMENTARY = {
         "the whole funnel in one exchange; stage outputs are single rows "
         "unioned at the end."
     ),
+    "ext_dedup_substring": (
+        "Exact substring-span dedup (round 5): the gram table (13-lead "
+        "window, md5 fingerprints) is materialized once (localCheckpoint) "
+        "and feeds eligibility + both self-join sides; the eligible-gram "
+        "join is shuffle-hinted — that relation scales with the corpus and "
+        "an optimizer mis-broadcast of it tripped maxResultSize at 500 k "
+        "docs (SCALE.md); span merge is one gaps-and-islands window."
+    ),
+    "ext_pq_search": (
+        "PQ ADC search (round 5): codebook training collapsed to "
+        "driver-held integer centroids, so the returned plan is a "
+        "zero-shuffle Arrow scan over the 4-int codes (table gathers, "
+        "vectors never reload) + ONE window shuffle for the per-query "
+        "top-k."
+    ),
+    "mm_image_phash": (
+        "Perceptual-hash image dedup (round 5): payload synthesis + byte "
+        "parse + aHash fused in one mapInPandas (images never shuffle — 4 "
+        "16-bit bands per image do), banded equi-self-join for candidates, "
+        "xor+bit_count Hamming verify all JVM-side."
+    ),
+    "ext_quality_classifier": (
+        "Learned corpus filter (round 5): the featurized design matrix is "
+        "checkpointed once; the model is an O(N_FEATS)-row broadcast and "
+        "the class counts a 1-row broadcast fan-out — scoring is one "
+        "groupBy riding the feature table's doc shuffle."
+    ),
 }
 
 
