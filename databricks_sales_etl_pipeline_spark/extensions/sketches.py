@@ -224,3 +224,45 @@ def ext_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(c, 0.99)").alias("p99_exact"),
         )
     )
+
+
+# --- mergeable HLL sketches -------------------------------------------------
+
+
+@query("ext_hll_union")  # rows-only: sketch binaries are engine-specific
+def ext_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sk4 — MERGEABLE cardinality sketches (Datasketches HLL, Spark 3.5+):
+    build one sketch per order month, then union the monthly sketches per
+    year with hll_union_agg — the re-aggregation pattern exact distinct
+    counts cannot do (you cannot add December's count-distinct to
+    November's). At 100 TB this is how daily uniques roll into
+    monthly/yearly without rescanning history: persist the day sketches
+    (a few KB each), union on demand. The exact yearly distinct rides
+    along as the oracle-of-record; the unit test bounds the estimate's
+    relative error. Rows-only driver check (sketch layout is
+    engine-specific)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_custkey",
+    )
+    monthly = o.groupBy("yr", "mo").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_month"),
+    )
+    return (
+        monthly.groupBy("yr")
+        .agg(
+            F.expr(
+                "CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)"
+            ).alias("uniques_est"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .join(
+            o.groupBy("yr").agg(
+                F.countDistinct("o_custkey").alias("uniques_exact")
+            ),
+            "yr",
+        )
+        .select("yr", "n_months", "uniques_est", "uniques_exact")
+    )

@@ -832,3 +832,18 @@ class TestAdversarialCorpusParity:
             except Exception as e:  # noqa: BLE001
                 fails.append((name, str(e)[:200]))
         assert not fails, fails
+
+
+class TestHllUnion:
+    def test_union_estimate_within_hll_error(self, spark):
+        """Unioned monthly sketches must estimate yearly uniques within
+        HLL's error envelope (lgK=12 default → ~1.6% rse; assert 4x)."""
+        from tests.conftest import SF_DIR
+
+        rows = QUERIES["ext_hll_union"](spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            rel = abs(r["uniques_est"] - r["uniques_exact"]) / max(
+                r["uniques_exact"], 1
+            )
+            assert rel <= 0.065, (r["yr"], rel)
