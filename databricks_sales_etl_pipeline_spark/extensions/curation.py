@@ -472,7 +472,7 @@ _URL_RAW_SQL = """
         FROM (
             SELECT *, COALESCE(array_to_string(list_sort(list_filter(
                        string_split(q, '&'),
-                       x -> x <> '' AND x NOT LIKE 'utm_%')), '&'), '') AS cq
+                       x -> x <> '' AND substring(x, 1, 4) <> 'utm_')), '&'), '') AS cq
             FROM parts
         )
     )

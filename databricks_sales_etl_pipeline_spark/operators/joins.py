@@ -465,28 +465,46 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan test's scoped autoBroadcastJoinThreshold override
     (tests/test_plans.py). Results are identical with or without the
     filter (it is semantics-preserving), so the oracle is the plain
-    join."""
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set(
+    join.
+
+    The three bloom confs are plan-affecting session overrides, so they are
+    scoped: set, force this query's (memoized) plan compilation, then
+    restore in ``finally`` — later queries in the shared session see the
+    defaults (ADVICE r5; same save/restore discipline as
+    streaming/stateful.py's provider-class override)."""
+    _BLOOM_CONFS = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold",
-        "0",
-    )
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-        "64MB",
-    )
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    o = (
-        load(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey", "o_orderpriority")
-    )
-    j = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
-    return j.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
-    )
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+    }
+    prior = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = (
+            load(spark, sf_dir, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_orderpriority")
+        )
+        j = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+        out = j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+        # InjectRuntimeFilter runs in the optimizer at action time; forcing
+        # the (lazily memoized) executedPlan NOW bakes the injected filter
+        # into this DataFrame's QueryExecution so the conf restore below
+        # cannot undo it for the driver's later collect.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 #: synthetic grid coordinates in integer tenths (non-negative, so DIV and

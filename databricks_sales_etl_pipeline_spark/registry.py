@@ -67,6 +67,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.bpe",
     "databricks_sales_etl_pipeline_spark.extensions.analytics",
     "databricks_sales_etl_pipeline_spark.extensions.corpus",
+    "databricks_sales_etl_pipeline_spark.extensions.features",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.merge",
     "databricks_sales_etl_pipeline_spark.plans.versioned",
@@ -92,67 +93,48 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: The driver correctness-checks the FIRST 50 entries of ``queries()`` in
 #: registration order, so this list is the sampled contract surface.
-#: ROUND-4 ROTATION (top judge ask #2): after r3 the all-time driver-green
-#: count is 128 with ZERO failures, leaving exactly 49 queries that have
-#: NEVER been sampled — every round-3 addition (39 oracle-able + 10
-#: rows-only streaming/dedup variants). All 49 fill these slots, plus this
-#: round's new ext_similarity_kmeans (real Lloyd coarse quantizer) in slot
-#: 50 — no slot re-checks an already-green name.
-# Round-5 rotation: the 20 round-4 additions that have never had a driver row,
-# followed by the round-5 new operators (appended as they are built). The driver
-# correctness-checks only the first 50 names, so never re-list already-green ones.
+# Round-6 rotation: CORRECTNESS_r05 gave first (all-green) rows to the full
+# round-5 sample, leaving exactly 30 never-checked names — the round-5
+# additions that landed beyond slot 50. They take slots 1-30; the remaining
+# 20 slots are filled by round-6 new operators as they are built. Never
+# re-list an already-green name (it wastes a verification slot).
 _DRIVER_PRIORITY = [
-    "dq_freshness",
-    "sql_recursive_cte",
-    "src_xml_parse",
-    "src_python_datasource",
-    "json_variant_extract",
-    "stream_state_inspect",
-    "stream_static_join",
-    "ext_minhash_calibration",
-    "ext_semdedup",
-    "ext_cluster_topics",
-    "ext_embedding_project",
-    "ext_sample_weighted",
-    "ext_mix_epochs",
-    "ext_dataset_card",
-    "ext_bpe_train",
-    "ext_bpe_encode",
-    "ext_event_funnel",
-    "ext_retention_cohorts",
-    "ext_attribution_last_touch",
-    "tbl_change_feed",
-    # --- round-5 new operators ---
-    "ext_dedup_substring",
-    "ext_dedup_minhash_guarded",
-    "ext_bloom_decontaminate",
-    "stream_transform_state",
-    "stream_foreachbatch_upsert",
-    "dq_expectations_report",
-    "dq_quarantine",
-    "dq_row_checksum",
-    "sql_lateral_join",
-    "window_distribution_suite",
-    "window_range_frame",
-    "ext_markov_transitions",
-    "ext_ab_lift",
-    "ext_conversion_lag",
-    "ext_attribution_position",
-    "ext_resample_ohlc",
-    "ext_cap_per_group",
-    "ext_shuffle_order",
-    "ext_kfold_split",
-    "src_binaryfile_scan",
-    "src_lines_roundtrip",
-    "agg_weighted_avg",
-    "ext_length_hist_log2",
-    "ext_cooccurrence_lift",
-    "ext_entity_blocking",
-    "join_interval_overlap",
-    "join_dpp_prune",
-    "tbl_clone_shallow",
-    "tbl_restore",
-    "ext_ann_recall_report",
+    "join_runtime_bloom",
+    "join_spatial_cells",
+    "setop_union_by_name",
+    "window_distinct_running",
+    "sql_lateral_view_outer",
+    "sql_pivot_syntax",
+    "udf_grouped_agg",
+    "udf_cogrouped_reconcile",
+    "map_functions",
+    "try_functions",
+    "ext_substring_cut",
+    "ext_log_parse",
+    "mm_image_phash",
+    "mm_video_neardup",
+    "ext_pq_encode",
+    "ext_pq_search",
+    "ext_pq_ivf_search",
+    "ext_heavy_hitters",
+    "ext_ngram_novelty",
+    "ext_quantile_approx",
+    "ext_hll_union",
+    "ext_graph_triangles",
+    "ext_graph_bfs",
+    "ext_quality_classifier",
+    "ext_class_rebalance",
+    "ext_randomized_response",
+    "ext_k_anonymity",
+    "ext_url_canonicalize",
+    "ext_html_strip",
+    "ext_ewma_smooth",
+    # --- round-6 new operators (appended as built) ---
+    "ext_rfm_segmentation",
+    "ext_target_encode",
+    "ext_churn_label",
+    "ext_seasonality_dow",
+    "ext_rank_wilson",
 ]
 
 
