@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load
+from ..extensions.chunking import md5_band, md5_band_sql
+from ..functions.money import cents
 from ..registry import query
 
 _WS = r"\s+"
@@ -265,4 +267,247 @@ def ext_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yr",
         )
         .select("yr", "n_months", "uniques_est", "uniques_exact")
+    )
+
+
+# --- count-min sketch -------------------------------------------------------
+
+CMS_D = 4      # hash rows
+CMS_W = 1024   # buckets per row
+CMS_PROBE_K = 10
+
+
+def _cms_salts() -> list[str]:
+    return [f"cms{r}" for r in range(CMS_D)]
+
+
+@query(
+    "ext_countmin_sketch",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    buckets AS (
+        {" UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS r, "
+            f"{md5_band_sql('token', CMS_W, f'cms{r}')} AS bucket FROM toks"
+            for r in range(CMS_D)
+        )}
+    ),
+    sketch AS (
+        SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM buckets GROUP BY r, bucket
+    ),
+    probe AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM toks GROUP BY token
+        ORDER BY COUNT(*) DESC, token ASC LIMIT {CMS_PROBE_K}
+    ),
+    probe_buckets AS (
+        {" UNION ALL ".join(
+            f"SELECT token, exact_cnt, CAST({r} AS BIGINT) AS r, "
+            f"{md5_band_sql('token', CMS_W, f'cms{r}')} AS bucket FROM probe"
+            for r in range(CMS_D)
+        )}
+    )
+    SELECT p.token, p.exact_cnt,
+           CAST(MIN(s.cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(s.cnt) - p.exact_cnt AS BIGINT) AS over_count
+    FROM probe_buckets p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+    GROUP BY p.token, p.exact_cnt
+    """,
+)
+def ext_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sk5 — count-min sketch over the corpus token stream ({CMS_D}×{CMS_W}
+    counters) probed at the exact top-{CMS_PROBE_K} tokens, reporting the
+    estimate beside ground truth (over_count ≥ 0 always — CMS never
+    undercounts). The md5-band hash family is the repo's cross-engine
+    primitive, so the whole sketch is hash-checkable against the SQL twin.
+
+    Scale posture: the sketch is the FIXED-SIZE (≤ {CMS_D}·{CMS_W} rows)
+    mergeable summary of an unbounded stream — per-partition partial
+    counts combine map-side, so the shuffle carries at most one sketch per
+    partition regardless of corpus size; probing is a broadcast join
+    against the tiny sketch table."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), _WS)).alias("token")
+    ).where(F.col("token") != "")
+    bucket_arr = F.array(
+        *[md5_band(F.col("token"), CMS_W, s) for s in _cms_salts()]
+    )
+    buckets = toks.select(
+        F.posexplode(bucket_arr).alias("r", "bucket")
+    ).select(F.col("r").cast("bigint").alias("r"), "bucket")
+    sketch = buckets.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probe = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(CMS_PROBE_K)
+    )
+    probe_buckets = probe.select(
+        "token",
+        "exact_cnt",
+        F.posexplode(bucket_arr).alias("r", "bucket"),
+    ).select("token", "exact_cnt", F.col("r").cast("bigint").alias("r"), "bucket")
+    return (
+        probe_buckets.join(broadcast(sketch), ["r", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("over_count"),
+        )
+    )
+
+
+# --- deterministic bottom-k ("distributed reservoir") sample ----------------
+
+RESERVOIR_K = 100
+
+
+@query(
+    "ext_reservoir_sample",
+    oracle=f"""
+    SELECT o_orderkey,
+           {md5_band_sql('o_orderkey', 1 << 31, 'res')} AS rank_hash,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+    FROM orders
+    ORDER BY rank_hash ASC, o_orderkey ASC
+    LIMIT {RESERVOIR_K}
+    """,
+)
+def ext_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sk6 — fixed-size uniform sample as deterministic bottom-k-by-hash:
+    the distributed, MERGEABLE equivalent of reservoir sampling (each
+    partition keeps its local bottom-k, the driver merges — exactly what
+    TakeOrdered compiles to), with none of `df.sample`'s partition-seeded
+    irreproducibility (CLAUDE.md). Same sample on any layout, any engine.
+
+    At 100 TB: no shuffle at all — a scan + per-partition top-k heaps +
+    a k-row merge; re-running on an appended table keeps the overlap
+    property (a row's hash rank never changes), which makes the sample
+    stable across snapshots for eval-set pinning."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            md5_band(F.col("o_orderkey"), 1 << 31, "res").alias("rank_hash"),
+            cents("o_totalprice").cast("bigint").alias("total_cents"),
+        )
+        .orderBy(F.asc("rank_hash"), F.asc("o_orderkey"))
+        .limit(RESERVOIR_K)
+    )
+
+
+# --- bitmap cohort intersection ---------------------------------------------
+
+
+@query(
+    "ext_bitmap_cohorts",
+    oracle="""
+    WITH bm AS (
+        SELECT event_type, user_id // 63 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+                   AS bits
+        FROM events GROUP BY event_type, user_id // 63
+    ),
+    sizes AS (
+        SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users
+        FROM bm GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS cohort_a, b.event_type AS cohort_b,
+               CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_intersect
+        FROM bm a JOIN bm b ON a.word = b.word
+                          AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.cohort_a, i.cohort_b,
+           sa.n_users AS n_a, sb.n_users AS n_b, i.n_intersect,
+           CAST(sa.n_users + sb.n_users - i.n_intersect AS BIGINT) AS n_union,
+           CAST((1000000 * i.n_intersect)
+                // (sa.n_users + sb.n_users - i.n_intersect) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.cohort_a
+    JOIN sizes sb ON sb.event_type = i.cohort_b
+    """,
+)
+def ext_bitmap_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sk7 — roaring-bitmap-style cohort algebra on packed 63-bit words:
+    each cohort's user set becomes a (word → bits) bitmap via bit_or, and
+    cohort overlap is computed with bitwise AND + popcount instead of a
+    user-level join — the precomputed-audience-index pattern (set ops cost
+    |words| = |users|/63, and the bitmaps are tiny, mergeable, reusable).
+    63 bits per word keeps `1 << pos` inside BIGINT on both engines.
+
+    Scale: one user-bucket shuffle builds the bitmaps; every downstream
+    set operation touches only bitmap words. Exactness is structural
+    (distinct users map to distinct bits), so the plain-join oracle
+    hash-checks it."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    bm = (
+        e.select(
+            "event_type",
+            F.expr("user_id DIV 63").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    sizes = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
+    )
+    a, b = bm.alias("a"), bm.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("cohort_a"),
+            F.col("b.event_type").alias("cohort_b"),
+        )
+        .agg(
+            F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits"))))
+            .cast("bigint")
+            .alias("n_intersect")
+        )
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("cohort_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("cohort_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(broadcast(sa), "cohort_a")
+        .join(broadcast(sb), "cohort_b")
+        .select(
+            "cohort_a",
+            "cohort_b",
+            "n_a",
+            "n_b",
+            "n_intersect",
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersect"))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("CAST((1000000 * n_intersect) DIV n_union AS BIGINT)"),
+        )
     )

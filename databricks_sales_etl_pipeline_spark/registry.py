@@ -135,6 +135,9 @@ _DRIVER_PRIORITY = [
     "ext_churn_label",
     "ext_seasonality_dow",
     "ext_rank_wilson",
+    "ext_countmin_sketch",
+    "ext_reservoir_sample",
+    "ext_bitmap_cohorts",
 ]
 
 
