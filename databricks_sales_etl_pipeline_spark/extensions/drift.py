@@ -1,0 +1,310 @@
+"""Distribution-drift, reconciliation and fraud-screen DQ operators
+(north-star widening: the reference's notebooks validate single snapshots;
+a production pipeline also has to answer "did the DATA change shape?" —
+between time periods, between table snapshots, and against statistical
+law — before models retrain on it).
+
+Everything here is exact integer arithmetic (counts, cents, ppm via
+truncating DIV — Spark ``DIV`` == DuckDB ``//`` on non-negative operands),
+so every report is hash-checkable against its SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+#: floor(1e6 * log10(1 + 1/d)) for d = 1..9 — Benford's first-digit law in
+#: exact ppm, precomputed so no libm log enters either engine's plan.
+_BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d + 1} THEN {p}" for d, p in enumerate(_BENFORD_PPM)
+) + " END"
+
+
+@query(
+    "ext_benford_check",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(substring(CAST({cents_sql('o_totalprice')} AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders
+    ), per AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY digit
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c
+    )
+    SELECT digit, cnt,
+           CAST((1000000 * cnt) // n AS BIGINT) AS observed_ppm,
+           CAST({_BENFORD_SQL_CASE} AS BIGINT) AS benford_ppm,
+           CAST(abs((1000000 * cnt) // n - {_BENFORD_SQL_CASE}) AS BIGINT)
+               AS deviation_ppm
+    FROM per CROSS JOIN tot
+    """,
+)
+def ext_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr1 — Benford's-law first-digit screen over order amounts (cents):
+    observed vs expected first-significant-digit frequency in exact ppm,
+    with per-digit deviation — the classic fabricated-amounts fraud / DQ
+    tripwire. (The synthetic fixture's uniform-ish amounts deviate wildly
+    from Benford — exactly what the report is for; the CONTRACT here is
+    the measurement, not the verdict.)
+
+    Shape: one 9-group aggregate + a broadcast total. Nothing else moves."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        F.substring(cents("o_totalprice").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    per = c.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    exp_case = (
+        "CASE digit "
+        + " ".join(f"WHEN {d + 1} THEN {p}" for d, p in enumerate(_BENFORD_PPM))
+        + " END"
+    )
+    return (
+        per.crossJoin(broadcast(tot))
+        .withColumn("observed_ppm", F.expr("CAST((1000000 * cnt) DIV n AS BIGINT)"))
+        .withColumn("benford_ppm", F.expr(f"CAST({exp_case} AS BIGINT)"))
+        .withColumn(
+            "deviation_ppm",
+            F.expr("CAST(abs(observed_ppm - benford_ppm) AS BIGINT)"),
+        )
+        .drop("n")
+    )
+
+
+DRIFT_BAND_CENTS = 5_000_000  # 50k-unit amount bands
+DRIFT_MAX_BUCKET = 19
+
+
+@query(
+    "ext_drift_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT LEAST({cents_sql('o_totalprice')} // {DRIFT_BAND_CENTS},
+                     {DRIFT_MAX_BUCKET}) AS bucket,
+               (month(CAST(o_orderdate AS DATE)) <= 6) AS is_base
+        FROM orders
+    ), p1 AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_base
+        FROM base WHERE is_base GROUP BY bucket
+    ), p2 AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cur
+        FROM base WHERE NOT is_base GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_base,
+               CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+                   AS t_cur
+        FROM base
+    )
+    SELECT CAST(COALESCE(p1.bucket, p2.bucket) AS BIGINT) AS bucket,
+           CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur,
+           CAST((COALESCE(n_base, 0) * t_cur) // t_base AS BIGINT)
+               AS n_expected,
+           CAST(CASE WHEN COALESCE(n_base, 0) > 0 THEN
+                    ((COALESCE(n_cur, 0) - (n_base * t_cur) // t_base)
+                     * (COALESCE(n_cur, 0) - (n_base * t_cur) // t_base)
+                     * 1000000)
+                    // ((n_base * t_cur) // t_base)
+                ELSE NULL END AS BIGINT) AS chi2_contrib_ppm
+    FROM p1 FULL OUTER JOIN p2 ON p1.bucket = p2.bucket
+    CROSS JOIN tot
+    """,
+)
+def ext_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr2 — distribution-drift report between a baseline period (order
+    months 1-6) and the current period (7-12) over amount bands: expected
+    counts are the baseline histogram rescaled to the current total, and
+    each band carries its chi-square contribution ((o−e)²/e) in exact ppm
+    — the retrain-trigger statistic, integer end to end. Bands absent
+    from the baseline get NULL contribution (flagged, not divided by 0).
+
+    Shape: one scan → two small per-band aggregates → full-outer join on
+    band id + a 1-row broadcast of the two totals."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.least(
+            F.expr(f"{_CENTS_EXPR} DIV {DRIFT_BAND_CENTS}"),
+            F.lit(DRIFT_MAX_BUCKET),
+        ).alias("bucket"),
+        (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("is_base"),
+    )
+    p1 = (
+        base.where("is_base")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+    )
+    p2 = (
+        base.where(~F.col("is_base"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cur"))
+    )
+    tot = base.agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("t_base"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("t_cur"),
+    )
+    j = (
+        p1.join(p2, "bucket", "full_outer")
+        .crossJoin(broadcast(tot))
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            "t_base",
+            "t_cur",
+        )
+    )
+    return (
+        j.withColumn(
+            "n_expected", F.expr("CAST((n_base * t_cur) DIV t_base AS BIGINT)")
+        )
+        .withColumn(
+            "chi2_contrib_ppm",
+            F.expr(
+                "CAST(CASE WHEN n_base > 0 THEN "
+                "((n_cur - n_expected) * (n_cur - n_expected) * 1000000) "
+                "DIV n_expected ELSE NULL END AS BIGINT)"
+            ),
+        )
+        .drop("t_base", "t_cur")
+    )
+
+
+_CENTS_EXPR = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+@query(
+    "ext_snapshot_diff",
+    oracle=f"""
+    WITH old_ AS (
+        SELECT o_orderkey, {cents_sql('o_totalprice')} AS c
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ), new_ AS (
+        SELECT o_orderkey,
+               {cents_sql('o_totalprice')}
+                   + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS c
+        FROM orders WHERE o_orderkey % 89 <> 0
+    ), d AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.c <> n.c THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old_ o FULL OUTER JOIN new_ n ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY status
+    """,
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr3 — snapshot reconciliation: full-outer diff of two table versions
+    into added / removed / changed / unchanged row classes with a key
+    checksum per class — the migration/backfill acceptance gate ("what did
+    this rewrite actually touch?"). The two 'snapshots' are deterministic
+    modular slices of the fixture so the diff has all four classes.
+
+    Shape: ONE key-hash shuffle (both sides co-partition on the join key);
+    the result is 4 rows regardless of table size. On a real lake the two
+    sides are time-travel reads of the same table (plans/versioned.py)."""
+    o = load(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", cents("o_totalprice").alias("c")
+    )
+    new = o.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        (
+            cents("o_totalprice")
+            + F.when(F.col("o_orderkey") % 7 == 0, 100).otherwise(0)
+        ).alias("c"),
+    )
+    d = old.alias("o").join(
+        new.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(F.col("o.c") != F.col("n.c"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            F.coalesce("o.o_orderkey", "n.o_orderkey").alias("k"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+        )
+    )
+
+
+SKEW_TOP_K = 10
+
+
+@query(
+    "ext_skew_diagnose",
+    oracle=f"""
+    WITH per AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_custkey
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM per
+    )
+    SELECT o_custkey, cnt,
+           CAST((1000000 * cnt) // n_rows AS BIGINT) AS share_ppm,
+           CAST((1000 * cnt * n_keys) // n_rows AS BIGINT)
+               AS x_mean_milli
+    FROM per CROSS JOIN tot
+    ORDER BY cnt DESC, o_custkey ASC
+    LIMIT {SKEW_TOP_K}
+    """,
+)
+def ext_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr4 — join/agg key-skew diagnosis: the top-{SKEW_TOP_K} heaviest
+    keys with their row share (ppm) and their multiple of the mean key
+    population (milli-x) — the report that decides whether a 100 TB join
+    needs salting (ext_join_salted_skew) or AQE skew splitting before it
+    runs. One groupBy shuffle + a broadcast total + a partial top-k."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = per.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return (
+        per.crossJoin(broadcast(tot))
+        .withColumn(
+            "share_ppm", F.expr("CAST((1000000 * cnt) DIV n_rows AS BIGINT)")
+        )
+        .withColumn(
+            "x_mean_milli",
+            F.expr("CAST((1000 * cnt * n_keys) DIV n_rows AS BIGINT)"),
+        )
+        .drop("n_rows", "n_keys")
+        .orderBy(F.desc("cnt"), F.asc("o_custkey"))
+        .limit(SKEW_TOP_K)
+    )

@@ -398,3 +398,64 @@ def dq_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("s_acctbal") * 100 + 0.5).cast("bigint").cast("string"),
     )
     return s.select("s_suppkey", F.md5(canon).alias("row_md5"))
+
+
+@query(
+    "dq_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS max_cents,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_prices
+    FROM orders
+    """,
+)
+def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — `df.observe` + `Observation`: DQ metrics collected as a SIDE
+    EFFECT of a pass the job was already making, not a second scan — at
+    100 TB this is the only affordable way to attach row counts / sums /
+    null tallies to every production write (the observe node accumulates
+    per-task, merges on the driver, costs ~zero). The observed values are
+    re-emitted as a 1-row DataFrame (bounded driver artifact, the
+    MLlib-pattern exception to the no-collect rule) so the driver can
+    hash-check them against the oracle's plain aggregates."""
+    from pyspark.sql import Observation
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from databricks_sales_etl_pipeline_spark.functions.money import cents
+
+    o = load(spark, sf_dir, "orders")
+    obs = Observation()
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("o_totalprice")).cast("bigint").alias("total_cents"),
+        F.max(cents("o_totalprice")).cast("bigint").alias("max_cents"),
+        F.count_if(F.col("o_totalprice").isNull())
+        .cast("bigint")
+        .alias("null_prices"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "real" job
+    m = obs.get
+    schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("total_cents", LongType()),
+            StructField("max_cents", LongType()),
+            StructField("null_prices", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["total_cents"]),
+                int(m["max_cents"]),
+                int(m["null_prices"]),
+            )
+        ],
+        schema,
+    )

@@ -68,6 +68,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.analytics",
     "databricks_sales_etl_pipeline_spark.extensions.corpus",
     "databricks_sales_etl_pipeline_spark.extensions.features",
+    "databricks_sales_etl_pipeline_spark.extensions.drift",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.merge",
     "databricks_sales_etl_pipeline_spark.plans.versioned",
@@ -138,6 +139,11 @@ _DRIVER_PRIORITY = [
     "ext_countmin_sketch",
     "ext_reservoir_sample",
     "ext_bitmap_cohorts",
+    "ext_benford_check",
+    "ext_drift_report",
+    "ext_snapshot_diff",
+    "ext_skew_diagnose",
+    "dq_observed_metrics",
 ]
 
 
