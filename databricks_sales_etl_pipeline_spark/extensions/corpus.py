@@ -81,3 +81,118 @@ def pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- block-level ("paragraph") exact dedup ----------------------------------
+
+PARA_BLOCK_TOKENS = 12
+
+
+@query(
+    "ext_dedup_paragraph",
+    oracle=f"""
+    WITH lt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, b,
+               array_to_string(
+                   list_slice(toks, b * {PARA_BLOCK_TOKENS} + 1,
+                              (b + 1) * {PARA_BLOCK_TOKENS}), ' ') AS block_text
+        FROM lt,
+             LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(len(toks) / {PARA_BLOCK_TOKENS}.0) AS BIGINT))) AS b)
+        WHERE len(toks) > 0
+    ),
+    ranked AS (
+        SELECT doc_id, b, block_text,
+               ROW_NUMBER() OVER (PARTITION BY block_text
+                                  ORDER BY doc_id, b) AS rn
+        FROM blocks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN block_text END,
+                                   ' ' ORDER BY b), '')) AS cleaned_md5
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def ext_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2p — block-level exact dedup (the C4/Dolma "paragraph dedup"
+    modality, distinct from doc-level exact and substring-span dedup):
+    documents are cut into fixed {PARA_BLOCK_TOKENS}-token blocks, every
+    block repeated ANYWHERE in the corpus is removed except its first
+    occurrence (min doc_id, then min position — deterministic keeper),
+    and each document is re-assembled from its surviving blocks (pinned
+    by md5 of the order-preserved re-join; a fully-deduplicated document
+    hashes to the empty string).
+
+    Scale shape: blocks come from array SLICES of the per-doc token list
+    (explode of block INDICES only — never a per-token row explode); the
+    keeper choice is one block-text hash shuffle; the re-assembly is an
+    ordered string_agg-equivalent per doc riding the doc_id shuffle. At
+    100 TB the block key would be the md5 of the block, not the text —
+    same plan, 16-byte shuffle keys."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    lt = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    blocks = lt.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("toks") / PARA_BLOCK_TOKENS).cast("bigint") - 1,
+            )
+        ).alias("b"),
+        "toks",
+    ).select(
+        "doc_id",
+        "b",
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                (F.col("b") * PARA_BLOCK_TOKENS + 1).cast("int"),
+                PARA_BLOCK_TOKENS,
+            ),
+            " ",
+        ).alias("block_text"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("block_text").orderBy("doc_id", "b")
+    )
+    ranked = blocks.withColumn("rn", rn)
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct(
+                                        F.col("b").alias("b"),
+                                        F.col("block_text").alias("t"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("cleaned_md5"),
+    )

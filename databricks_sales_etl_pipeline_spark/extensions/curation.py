@@ -585,3 +585,116 @@ def ext_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+# --- unicode normalization ---------------------------------------------------
+
+
+@query(
+    "ext_unicode_normalize",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN replace(text, 'a', chr(225))          -- precomposed á
+                    ELSE replace(text, 'a', 'a' || chr(769))   -- a + U+0301
+               END AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS len_before,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_after,
+           (length(raw) <> length(nfc_normalize(raw))) AS changed,
+           md5(nfc_normalize(raw)) AS nfc_md5
+    FROM u
+    """,
+)
+def ext_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu6 — NFC unicode normalization: the canonicalization pass every
+    multilingual corpus needs before hashing/dedup (the same text arrives
+    from the web in precomposed AND decomposed forms — they hash apart
+    unless normalized). The fixture is ASCII, so both forms are INJECTED
+    deterministically (even docs get precomposed U+00E1, odd docs the
+    decomposed a+U+0301 pair); after NFC both collapse to the same bytes,
+    pinned by md5 against DuckDB's nfc_normalize.
+
+    Spark has no NFC builtin → Arrow-batched pandas UDF over
+    unicodedata.normalize (built lazily, hint-less form — CLAUDE.md);
+    zero shuffle, scan-speed. Length deltas count code points on both
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.replace(F.col("text"), F.lit("a"), F.lit("á")),
+    ).otherwise(F.replace(F.col("text"), F.lit("a"), F.lit("á")))
+
+    def _make_nfc():
+        import pandas as pd  # noqa: F401
+        import unicodedata
+
+        def nfc(s):
+            return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+        return F.pandas_udf(nfc, "string")
+
+    nfc_udf = _make_nfc()
+    u = d.select("doc_id", raw.alias("raw")).withColumn(
+        "nfc", nfc_udf(F.col("raw"))
+    )
+    return u.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("len_before"),
+        F.length("nfc").cast("bigint").alias("len_after"),
+        (F.length("raw") != F.length("nfc")).alias("changed"),
+        F.md5("nfc").alias("nfc_md5"),
+    )
+
+
+# --- l-diversity -------------------------------------------------------------
+
+L_DIVERSITY = 3
+ACCT_BAND_CENTS = 250_000
+
+
+@query(
+    "ext_l_diversity",
+    oracle=f"""
+    WITH base AS (
+        SELECT n.n_name, c.c_mktsegment,
+               CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                   // {ACCT_BAND_CENTS} AS acct_band
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT acct_band) AS BIGINT) AS l_distinct,
+           (COUNT(DISTINCT acct_band) >= {L_DIVERSITY}) AS is_l_diverse
+    FROM base
+    GROUP BY n_name, c_mktsegment
+    """,
+)
+def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu7 — l-diversity audit, the companion check to ext_k_anonymity:
+    a quasi-identifier class can be k-large yet still leak if every member
+    shares the same SENSITIVE value (here: account-balance band). Reports
+    per-class distinct-sensitive-value counts and the l ≥ {L_DIVERSITY}
+    verdict — the publish gate for user-linked training metadata.
+
+    One QI-key shuffle (count + exact distinct ride the same exchange);
+    QI cardinality is dim-bounded, so no skew."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    base = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).select(
+        "n_name",
+        "c_mktsegment",
+        F.expr(
+            f"CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) DIV {ACCT_BAND_CENTS}"
+        ).alias("acct_band"),
+    )
+    return base.groupBy("n_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct("acct_band").cast("bigint").alias("l_distinct"),
+        (F.countDistinct("acct_band") >= L_DIVERSITY).alias("is_l_diverse"),
+    )

@@ -69,6 +69,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.corpus",
     "databricks_sales_etl_pipeline_spark.extensions.features",
     "databricks_sales_etl_pipeline_spark.extensions.drift",
+    "databricks_sales_etl_pipeline_spark.extensions.lm",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.merge",
     "databricks_sales_etl_pipeline_spark.plans.versioned",
@@ -144,6 +145,10 @@ _DRIVER_PRIORITY = [
     "ext_snapshot_diff",
     "ext_skew_diagnose",
     "dq_observed_metrics",
+    "ext_ngram_lm_score",
+    "ext_unicode_normalize",
+    "ext_l_diversity",
+    "ext_dedup_paragraph",
 ]
 
 
