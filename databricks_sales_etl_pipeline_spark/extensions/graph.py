@@ -210,3 +210,101 @@ def ext_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select("v", F.col("d").alias("dist"))
+
+
+JACCARD_TOP_K = 20
+
+
+@query(
+    "ext_graph_jaccard_neighbors",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                        AND l1.l_partkey < l2.l_partkey
+    ),
+    adj AS (
+        SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v
+    ),
+    common AS (
+        SELECT x.v AS u, y.v AS w, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM adj x JOIN adj y ON y.n = x.n AND x.v < y.v
+        GROUP BY x.v, y.v
+    )
+    SELECT c.u, c.w, c.n_common,
+           du.d AS deg_u, dw.d AS deg_w,
+           CAST((1000000 * c.n_common) // (du.d + dw.d - c.n_common)
+                AS BIGINT) AS jaccard_ppm
+    FROM common c
+    JOIN deg du ON du.v = c.u
+    JOIN deg dw ON dw.v = c.w
+    ORDER BY jaccard_ppm DESC, c.u ASC, c.w ASC
+    LIMIT {JACCARD_TOP_K}
+    """,
+)
+def ext_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — neighborhood-Jaccard link prediction on the co-purchase graph:
+    for every vertex pair sharing ≥1 neighbor, |N(u)∩N(v)| / |N(u)∪N(v)|
+    in exact ppm (union via inclusion-exclusion — no set materialization),
+    top-{JACCARD_TOP_K} with full tiebreaks. The classic
+    "customers who bought X also bought Y" similarity, computed from graph
+    structure alone.
+
+    Scale: wedge enumeration through the shared neighbor is Σ_n deg(n)²
+    — on power-law graphs the hub mitigation is the same degree-orientation
+    used by ext_graph_triangles, or MinHash of neighborhoods (the
+    ext_dedup_minhash machinery applied to adjacency lists) for an
+    approximate-but-linear pass; at this contract's co-purchase density
+    the exact form is the right default. Three shuffles: adjacency
+    groupBy, wedge groupBy, and the broadcast degree joins."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ax, ay = adj.alias("ax"), adj.alias("ay")
+    common = (
+        ax.join(
+            ay,
+            (F.col("ay.n") == F.col("ax.n"))
+            & (F.col("ax.v") < F.col("ay.v")),
+        )
+        .groupBy(F.col("ax.v").alias("u"), F.col("ay.v").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("deg_u"))
+    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("deg_w"))
+    return (
+        common.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select(
+            "u",
+            "w",
+            "n_common",
+            "deg_u",
+            "deg_w",
+            F.expr(
+                "CAST((1000000 * n_common) DIV (deg_u + deg_w - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("w"))
+        .limit(JACCARD_TOP_K)
+    )

@@ -1,0 +1,116 @@
+"""Master-data-management survivorship (golden-record merge): fuse
+conflicting multi-source entity records into one survivor per entity with
+PER-FIELD freshest-non-null precedence — the step after entity blocking
+(ext_entity_blocking) in any customer-360 / reference-data pipeline.
+
+Fixture: three deterministic "source systems" derived from the customer
+dim (a legacy full record at ts=1, a CRM feed at ts=2 that null-drops some
+balances, a web feed at ts=3 that null-drops some names/segments), so
+every precedence path — newest wins, newest-is-null falls back to older —
+is exercised on every entity.
+
+Engine shape: ``max_by(field, CASE WHEN field IS NOT NULL THEN ts END)``
+— both Spark's max_by and DuckDB's identically skip rows whose ordering
+key is NULL, which makes "latest non-null per column" a single grouped
+aggregation: ONE entity-key shuffle for any number of survivorship
+columns, no per-field self-joins (the naive MDM anti-pattern at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.registry import query
+
+_SRC_SQL = """
+    SELECT c_custkey, 'legacy' AS src, CAST(1 AS BIGINT) AS ts,
+           c_name AS name,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents,
+           c_mktsegment AS segment
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'crm', CAST(2 AS BIGINT),
+           upper(c_name),
+           CASE WHEN c_custkey % 3 = 0 THEN NULL
+                ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 7 END,
+           c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'web', CAST(3 AS BIGINT),
+           CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_name END,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 11,
+           CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END
+    FROM customer
+"""
+
+
+@query(
+    "ext_survivorship_merge",
+    oracle=f"""
+    WITH src AS ({_SRC_SQL})
+    SELECT c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           max_by(name, CASE WHEN name IS NOT NULL THEN ts END)
+               AS golden_name,
+           max_by(src, CASE WHEN name IS NOT NULL THEN ts END)
+               AS name_source,
+           CAST(max_by(acct_cents, CASE WHEN acct_cents IS NOT NULL THEN ts END)
+                AS BIGINT) AS golden_acct_cents,
+           max_by(segment, CASE WHEN segment IS NOT NULL THEN ts END)
+               AS golden_segment
+    FROM src
+    GROUP BY c_custkey
+    """,
+)
+def ext_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Md1 — golden-record survivorship: per entity, each field survives
+    from the FRESHEST source record where it is non-null (with the winning
+    source recorded for lineage). One grouped aggregation over the
+    unioned source feeds — the scalable MDM merge shape."""
+    c = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+    legacy = c.select(
+        "c_custkey",
+        F.lit("legacy").alias("src"),
+        F.lit(1).cast("bigint").alias("ts"),
+        F.col("c_name").alias("name"),
+        cents.alias("acct_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    crm = c.select(
+        "c_custkey",
+        F.lit("crm").alias("src"),
+        F.lit(2).cast("bigint").alias("ts"),
+        F.upper("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("bigint"))
+        .otherwise(cents + 7)
+        .alias("acct_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    web = c.select(
+        "c_custkey",
+        F.lit("web").alias("src"),
+        F.lit(3).cast("bigint").alias("ts"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        (cents + 11).alias("acct_cents"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    src = legacy.unionAll(crm).unionAll(web)
+    pick = lambda col: F.expr(  # noqa: E731
+        f"max_by({col}, CASE WHEN {col} IS NOT NULL THEN ts END)"
+    )
+    return src.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        pick("name").alias("golden_name"),
+        F.expr("max_by(src, CASE WHEN name IS NOT NULL THEN ts END)").alias(
+            "name_source"
+        ),
+        pick("acct_cents").cast("bigint").alias("golden_acct_cents"),
+        pick("segment").alias("golden_segment"),
+    )

@@ -70,6 +70,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.features",
     "databricks_sales_etl_pipeline_spark.extensions.drift",
     "databricks_sales_etl_pipeline_spark.extensions.lm",
+    "databricks_sales_etl_pipeline_spark.extensions.mdm",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.merge",
     "databricks_sales_etl_pipeline_spark.plans.versioned",
@@ -149,6 +150,9 @@ _DRIVER_PRIORITY = [
     "ext_unicode_normalize",
     "ext_l_diversity",
     "ext_dedup_paragraph",
+    "ext_survivorship_merge",
+    "ext_graph_jaccard_neighbors",
+    "stream_left_outer_join",
 ]
 
 

@@ -141,3 +141,72 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_finished(q, 120)
     return spark.table(sink)
+
+
+# Oracle-able: Spark 4's AvailableNow trigger commits the final watermark at
+# stream end and flushes every still-unmatched left row from join state, so
+# a single-batch run emits exactly the batch LEFT JOIN (matched + null-padded
+# rows) — verified empirically: 589/589 rows, 21/21 unmatched at sf0.001.
+@query(
+    "stream_left_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(s.ts AS TIMESTAMP) AS signup_ts
+    FROM events p LEFT JOIN events s
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup'
+     AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(s.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 7 DAY
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — LEFT OUTER stream-stream join: purchases keep flowing even
+    when no signup precedes them in the 7-day window (null-padded once the
+    watermark proves no match can still arrive). This is the
+    state-eviction-driven outer emission that makes outer joins possible
+    on unbounded streams: a left row is held in state only until the
+    watermark passes its join-validity window, then emitted unmatched —
+    bounded state, no lost rows.
+
+    Same interval-bounded condition as stream_stream_join (the inner
+    twin); watermarks on BOTH sides are what bound state at 100 TB."""
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    signups = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left_outer",
+    ).select("purchase_id", "user_id", "purchase_ts", "signup_ts")
+    sink = f"sloj_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_checkpoint(sink.split("_")[0]))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 180)
+    return spark.table(sink)
