@@ -56,6 +56,10 @@ HEADLINE = [
     "ext_dedup_substring",
     "ext_pq_search",
     "ext_heavy_hitters",
+    # round-6: bigram-LM corpus scoring (model train + per-doc score) and
+    # block-level paragraph dedup (slice → keeper window → reassembly)
+    "ext_ngram_lm_score",
+    "ext_dedup_paragraph",
 ]
 
 

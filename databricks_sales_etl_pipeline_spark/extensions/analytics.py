@@ -556,3 +556,93 @@ def ext_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewms_scaled.cast("long").alias("ewms_scaled"),
         (ewms_scaled.cast("double") / F.lit(float(_EWMS_SCALE))).alias("ewms"),
     )
+
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "ext_session_stats",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), flagged AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > {SESSION_GAP_MIN} * 60000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid,
+               us
+        FROM flagged
+    ), per AS (
+        SELECT user_id, sid,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               (MAX(us) - MIN(us)) // 1000000 AS dur_secs
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(CASE WHEN dur_secs = 0 THEN -1
+                     ELSE length(bin(dur_secs)) - 1
+                END AS BIGINT) AS dur_log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(MIN(dur_secs) AS BIGINT) AS min_secs,
+           CAST(MAX(dur_secs) AS BIGINT) AS max_secs
+    FROM per GROUP BY 1
+    """,
+)
+def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — batch sessionization statistics (gaps-and-islands): sessions
+    cut at >{SESSION_GAP_MIN}-minute inactivity via the lag-flag +
+    running-sum island id, then a session-duration histogram in log2
+    buckets (singletons in bucket −1). The batch twin of
+    stream_sessionize's state logic, reduced to the capacity-planning
+    report (how long do sessions run? how many events do they hold?).
+
+    Gap/duration arithmetic is microsecond-exact integers (unix_micros /
+    epoch_us), and the log2 bucket is bit-length arithmetic — no libm, no
+    sub-second truncation drift.
+
+    Shape: ONE user_id shuffle carries both windows; the histogram is a
+    tiny final aggregate."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (
+                F.col("us") - F.lag("us").over(w)
+                > SESSION_GAP_MIN * 60_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("(MAX(us) - MIN(us)) DIV 1000000").alias("dur_secs"),
+    )
+    # floor(log2(n)) as EXACT bit-length arithmetic (length of the binary
+    # string minus 1) — libm log2 is not bit-portable near integer
+    # boundaries (CLAUDE.md), the bit count is.
+    bucket = F.when(F.col("dur_secs") == 0, F.lit(-1)).otherwise(
+        F.length(F.bin("dur_secs")) - 1
+    )
+    return per.groupBy(bucket.cast("bigint").alias("dur_log2_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.min("dur_secs").cast("bigint").alias("min_secs"),
+        F.max("dur_secs").cast("bigint").alias("max_secs"),
+    )

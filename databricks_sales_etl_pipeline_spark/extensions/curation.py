@@ -633,7 +633,11 @@ def ext_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         import unicodedata
 
         def nfc(s):
-            return s.map(lambda t: unicodedata.normalize("NFC", t))
+            return s.map(
+                lambda t: unicodedata.normalize("NFC", t)
+                if t is not None
+                else None
+            )
 
         return F.pandas_udf(nfc, "string")
 

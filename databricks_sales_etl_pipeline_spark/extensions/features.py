@@ -323,3 +323,138 @@ def ext_rank_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wilson_lb"), F.asc("brand"))
         .limit(10)
     )
+
+
+# --- lag-feature matrix -----------------------------------------------------
+
+
+@query(
+    "ext_lag_features",
+    oracle=f"""
+    WITH m AS (
+        SELECT o_custkey,
+               year(CAST(o_orderdate AS DATE)) * 12
+                   + month(CAST(o_orderdate AS DATE)) AS ym,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1, 2
+    ), f AS (
+        SELECT o_custkey, ym, rev_cents,
+               CAST(lag(rev_cents, 1, 0) OVER w AS BIGINT) AS lag1_cents,
+               CAST(lag(rev_cents, 3, 0) OVER w AS BIGINT) AS lag3_cents,
+               CAST(SUM(rev_cents) OVER (w ROWS BETWEEN 2 PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                   AS roll3_cents,
+               row_number() OVER w AS rn
+        FROM m
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY ym)
+    )
+    SELECT o_custkey, CAST(ym AS BIGINT) AS ym, rev_cents, lag1_cents,
+           lag3_cents, roll3_cents,
+           CAST(CASE WHEN rn > 1 AND lag1_cents > 0
+                     THEN (1000000 * (rev_cents - lag1_cents)) // lag1_cents
+                     ELSE NULL END AS BIGINT) AS mom_growth_ppm
+    FROM f WHERE o_custkey % 29 = 0
+    """,
+)
+def ext_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe6 — forecasting lag-feature matrix: per customer-month revenue
+    with lag-1 / lag-3 / rolling-3 features and month-over-month growth in
+    exact ppm — the wide-format feature table a demand-forecast trainer
+    consumes. Lags step over OBSERVED months (sparse series; gap-filling
+    is ext_gapfill_locf's job and composes upstream).
+
+    One groupBy(cust, month) shuffle, then every feature rides a single
+    customer-partitioned ordered window — no self-joins. The % 29 filter
+    bounds only the verified sample."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).alias("ym"),
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev_cents"))
+    w = Window.partitionBy("o_custkey").orderBy("ym")
+    f = m.select(
+        "o_custkey",
+        F.col("ym").cast("bigint").alias("ym"),
+        "rev_cents",
+        F.lag("rev_cents", 1, 0).over(w).cast("bigint").alias("lag1_cents"),
+        F.lag("rev_cents", 3, 0).over(w).cast("bigint").alias("lag3_cents"),
+        F.sum("rev_cents")
+        .over(w.rowsBetween(-2, 0))
+        .cast("bigint")
+        .alias("roll3_cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return f.where(F.col("o_custkey") % 29 == 0).select(
+        "o_custkey",
+        "ym",
+        "rev_cents",
+        "lag1_cents",
+        "lag3_cents",
+        "roll3_cents",
+        F.expr(
+            "CAST(CASE WHEN rn > 1 AND lag1_cents > 0 THEN "
+            "(1000000 * (rev_cents - lag1_cents)) DIV lag1_cents "
+            "ELSE NULL END AS BIGINT)"
+        ).alias("mom_growth_ppm"),
+    )
+
+
+# --- robust scaling ---------------------------------------------------------
+
+
+@query(
+    "ext_robust_scale",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_orderkey, o_orderpriority,
+               {cents_sql('o_totalprice')} AS c
+        FROM orders
+    ), s AS (
+        SELECT o_orderpriority,
+               quantile_cont(c, 0.5) AS med,
+               quantile_cont(c, 0.25) AS q1,
+               quantile_cont(c, 0.75) AS q3
+        FROM r GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderkey, r.o_orderpriority, CAST(r.c AS BIGINT) AS cents,
+           CAST(FLOOR(1000 * (r.c - s.med) / (s.q3 - s.q1)) AS BIGINT)
+               AS robust_milli
+    FROM r JOIN s ON s.o_orderpriority = r.o_orderpriority
+    WHERE r.o_orderkey % 101 = 0
+    """,
+)
+def ext_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe7 — robust scaling (median/IQR), the outlier-resistant
+    standardization for money-like features: (x − median) / IQR in floored
+    milli-units. Exact interpolated percentiles on integer cents are
+    bit-identical cross-engine (the agg_median_cents argument: midpoint
+    interpolation between integers < 2^52 is exact IEEE), and the one
+    float division feeds FLOOR through the identical expression tree.
+
+    Shape: one grouped exact-percentile pass (swap approx_percentile at
+    100 TB — same plan, bounded state) + a broadcast stats join; the scan
+    emitting scaled rows is shuffle-free."""
+    o = load(spark, sf_dir, "orders")
+    r = o.select(
+        "o_orderkey", "o_orderpriority", cents("o_totalprice").alias("c")
+    )
+    s = r.groupBy("o_orderpriority").agg(
+        F.expr("percentile(c, 0.5)").alias("med"),
+        F.expr("percentile(c, 0.25)").alias("q1"),
+        F.expr("percentile(c, 0.75)").alias("q3"),
+    )
+    return (
+        r.where(F.col("o_orderkey") % 101 == 0)
+        .join(broadcast(s), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("c").cast("bigint").alias("cents"),
+            F.expr(
+                "CAST(FLOOR(1000 * (c - med) / (q3 - q1)) AS BIGINT)"
+            ).alias("robust_milli"),
+        )
+    )

@@ -114,3 +114,87 @@ def ext_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("acct_cents").cast("bigint").alias("golden_acct_cents"),
         pick("segment").alias("golden_segment"),
     )
+
+
+# --- CDC apply --------------------------------------------------------------
+
+_CDC_SQL = """
+    SELECT o_orderkey AS k, 'I' AS op, CAST(1 AS BIGINT) AS ts,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'U', CAST(2 AS BIGINT),
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 100
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, 'D', CAST(3 AS BIGINT), NULL
+    FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+@query(
+    "ext_cdc_apply",
+    oracle=f"""
+    WITH chg AS ({_CDC_SQL}),
+    latest AS (
+        SELECT k,
+               max_by(op, ts) AS last_op,
+               max_by(cents, ts) AS last_cents
+        FROM chg GROUP BY k
+    )
+    SELECT last_op,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COALESCE(SUM(CASE WHEN last_op <> 'D'
+                                  THEN last_cents END), 0) AS BIGINT)
+               AS live_cents,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM latest GROUP BY last_op
+    """,
+)
+def ext_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Md2 — CDC log application: collapse an out-of-order change stream
+    (insert / update / delete events per key, ordered by a change ts) to
+    the final table state — latest op wins per key, deletes drop the row —
+    and report the applied-state census per terminal op. This is the
+    merge-into resolution kernel (tbl_merge_upsert's batch cousin) in its
+    log-replay form: ONE key shuffle, max_by picks the terminal op and
+    value in the same aggregation, no iterative apply.
+
+    The change feed is synthesized deterministically from orders (base
+    insert at ts=1, +100-cent update at ts=2 for key%3=0, delete at ts=3
+    for key%10=0) so every op interleaving occurs."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    ins = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(1).cast("bigint").alias("ts"),
+        cents.alias("cents"),
+    )
+    upd = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("bigint").alias("ts"),
+        (cents + 100).alias("cents"),
+    )
+    dele = o.where(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(3).cast("bigint").alias("ts"),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    chg = ins.unionAll(upd).unionAll(dele)
+    latest = chg.groupBy("k").agg(
+        F.expr("max_by(op, ts)").alias("last_op"),
+        F.expr("max_by(cents, ts)").alias("last_cents"),
+    )
+    return latest.groupBy("last_op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("last_op") != "D", F.col("last_cents"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("live_cents"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+    )

@@ -240,3 +240,25 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle spells out — one shuffle, map-side partials."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_PIVOT)
+
+
+_SQL_GBA = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_SQL_GBA)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 — GROUP BY ALL (Spark 4 / modern-SQL sugar): every non-aggregate
+    select item becomes a grouping key implicitly — the analyst-friendly
+    form that removes the copy-the-select-list failure mode. Catalyst
+    resolves it to the explicit grouping during analysis, so the plan is
+    identical to GROUP BY l_returnflag, l_linestatus; DuckDB supports the
+    same clause, so the ORACLE ITSELF uses GROUP BY ALL — both engines'
+    resolution rules are pinned against each other."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GBA)

@@ -206,3 +206,80 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"value.`{count_fields[0]}`").alias("n_events"),
         F.col(f"value.`{sum_fields[0]}`").alias("value_cents"),
     )
+
+
+# Oracle-able: Spark 4 supports CHAINED stateful window aggregations in
+# append mode (the second window groups on window_time of the first). With
+# AvailableNow, every second-level window whose END precedes the final
+# watermark (max event time - delay) is flushed; only the trailing
+# incomplete window is withheld - a deterministic, data-expressible cut
+# that the oracle reproduces with integer epoch arithmetic.
+@query(
+    "stream_chained_windows",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ), mx AS (
+        SELECT MAX(ts) AS m FROM e
+    ), b1 AS (
+        SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+                   AS w1s,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2
+    ), b2 AS (
+        SELECT make_timestamp((epoch_us(w1s) // 7200000000) * 7200000000)
+                   AS w_start,
+               event_type,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_subwindows
+        FROM b1 GROUP BY 1, 2
+    )
+    SELECT w_start, event_type, n_events, n_subwindows
+    FROM b2 CROSS JOIN mx
+    WHERE w_start + INTERVAL 2 HOUR <= m - INTERVAL 10 MINUTE
+    """,
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — chained stateful aggregations (Spark 4 multi-stateful-operator
+    support): 30-minute event-time windows per type re-aggregated into
+    2-hour rollup windows INSIDE the same streaming query — the
+    hierarchical-rollup topology that previously required two jobs and an
+    intermediate sink. The second groupBy keys on window_time() of the
+    first window, which carries the event-time column (and the watermark)
+    through the chain; re-applying withWatermark mid-chain would BREAK it
+    (probed: 0 rows emitted).
+
+    Append-mode emission: a 2-hour window flushes when the watermark
+    passes its end, so the trailing incomplete window is withheld — the
+    oracle excludes exactly that window via the same max(ts) − delay
+    arithmetic. State is bounded by live windows on both levels."""
+    stream = events_readstream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    lvl1 = stream.groupBy(F.window("ts", "30 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lvl2 = (
+        lvl1.groupBy(
+            F.window(F.window_time("window"), "2 hours"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_subwindows"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+        )
+    )
+    sink = f"chain_{uuid.uuid4().hex[:12]}"
+    q = (
+        lvl2.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_checkpoint("chain"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 180)
+    return spark.table(sink)

@@ -1,0 +1,420 @@
+"""Round-6 operator tests: semantic unit tests on engineered inputs plus
+the adversarial-corpus parity pin (CLAUDE.md discipline: every new
+document-family operator must stay oracle-exact on NULL / empty /
+whitespace-only / single-token / punctuation-only docs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.registry import (
+    ORACLES,
+    QUERIES,
+    load_all,
+)
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+# --- adversarial corpus parity (round-6 doc operators) ----------------------
+
+
+class TestAdversarialCorpusParityR6:
+    _NAMES = [
+        "ext_ngram_lm_score",
+        "ext_dedup_paragraph",
+        "ext_unicode_normalize",
+        "ext_countmin_sketch",
+    ]
+
+    def test_edge_corpus_parity(self, spark, tmp_path):
+        rows = []
+        for i in range(40):
+            rows.append(
+                (
+                    i,
+                    f"alpha beta gamma tok{i} delta epsilon zeta " * 8,
+                    ["en", "de", "zh", "fr", "es"][i % 5],
+                    f"src{i % 4}",
+                )
+            )
+        rows += [
+            (40, None, "en", "src0"),
+            (41, "", "de", "src1"),
+            (42, "   ", "zh", "src2"),
+            (43, "solo", "fr", "src3"),
+            (44, "!!! ???", "es", "src0"),
+        ]
+        d = str(tmp_path / "edge")
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+
+        def norm(v):
+            if v is None:
+                return None
+            if not isinstance(v, (str, bytes)) and pd.isna(v):
+                return None
+            if isinstance(v, (np.floating, float)):
+                f = float(v)
+                return None if math.isnan(f) else ("f", repr(f + 0.0))
+            if isinstance(v, (np.bool_, bool)):
+                return ("b", bool(v))
+            if isinstance(v, (np.integer, int)):
+                return ("i", int(v))
+            return ("s", str(v))
+
+        def canon(pdf):
+            cols = sorted(pdf.columns)
+            return cols, sorted(
+                (
+                    tuple(norm(r[c]) for c in cols)
+                    for r in pdf.to_dict("records")
+                ),
+                key=repr,
+            )
+
+        fails = []
+        for name in self._NAMES:
+            try:
+                sc, sr = canon(QUERIES[name](spark, d).toPandas())
+                dc, dr = canon(con.execute(ORACLES[name]).df())
+                assert sc == dc, "columns"
+                assert sr == dr, f"values ({len(sr)} vs {len(dr)})"
+            except Exception as e:  # noqa: BLE001
+                fails.append((name, str(e)[:200]))
+        assert not fails, fails
+
+
+# --- sketches ---------------------------------------------------------------
+
+
+class TestCountMinSketch:
+    def test_never_undercounts(self, spark):
+        out = QUERIES["ext_countmin_sketch"](spark, SF_DIR).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r["cms_est"] >= r["exact_cnt"]
+            assert r["over_count"] == r["cms_est"] - r["exact_cnt"]
+
+
+class TestReservoirSample:
+    def test_deterministic_and_fixed_size(self, spark):
+        a = QUERIES["ext_reservoir_sample"](spark, SF_DIR).collect()
+        b = QUERIES["ext_reservoir_sample"](spark, SF_DIR).collect()
+        assert len(a) == 100
+        assert sorted(r["o_orderkey"] for r in a) == sorted(
+            r["o_orderkey"] for r in b
+        )
+
+    def test_snapshot_stability_under_append(self, spark):
+        """A row's hash rank never changes, so the bottom-k of a PREFIX of
+        the table is a superset-filter of the full sample: every full-table
+        sample member that exists in the prefix must be in the prefix's
+        sample."""
+        from databricks_sales_etl_pipeline_spark.catalog import load
+        from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+            md5_band,
+        )
+
+        o = load(spark, SF_DIR, "orders")
+        prefix_keys = {
+            r["o_orderkey"]
+            for r in o.where("o_orderkey % 2 = 0")
+            .select(
+                "o_orderkey",
+                md5_band(F.col("o_orderkey"), 1 << 31, "res").alias("h"),
+            )
+            .orderBy("h", "o_orderkey")
+            .limit(100)
+            .collect()
+        }
+        full = QUERIES["ext_reservoir_sample"](spark, SF_DIR).collect()
+        for r in full:
+            if r["o_orderkey"] % 2 == 0:
+                assert r["o_orderkey"] in prefix_keys
+
+
+class TestBitmapCohorts:
+    def test_matches_exact_set_intersection(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = {
+            (r["cohort_a"], r["cohort_b"]): r
+            for r in QUERIES["ext_bitmap_cohorts"](spark, SF_DIR).collect()
+        }
+        e = load(spark, SF_DIR, "events").select("event_type", "user_id")
+        sets = {
+            r["event_type"]: set()
+            for r in e.select("event_type").distinct().collect()
+        }
+        for r in e.distinct().collect():
+            sets[r["event_type"]].add(r["user_id"])
+        for (a, b), row in out.items():
+            assert row["n_a"] == len(sets[a])
+            assert row["n_b"] == len(sets[b])
+            assert row["n_intersect"] == len(sets[a] & sets[b])
+            assert row["n_union"] == len(sets[a] | sets[b])
+
+
+# --- feature engineering ----------------------------------------------------
+
+
+class TestFeatures:
+    def test_rfm_partitions_customers_exactly_once(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = QUERIES["ext_rfm_segmentation"](spark, SF_DIR).collect()
+        n_cust = (
+            load(spark, SF_DIR, "orders")
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+        assert sum(r["n_customers"] for r in out) == n_cust
+        for r in out:
+            for c in ("r_q", "f_q", "m_q"):
+                assert 1 <= r[c] <= 5
+
+    def test_wilson_lower_bound_properties(self, spark):
+        out = QUERIES["ext_rank_wilson"](spark, SF_DIR).collect()
+        assert len(out) == 10
+        prev = None
+        for r in out:
+            p_hat = r["succ"] / r["trials"]
+            assert 0.0 <= r["wilson_lb"] <= 1.0
+            assert r["wilson_lb"] <= p_hat  # shrinkage is downward
+            if prev is not None:
+                assert r["wilson_lb"] <= prev + 1e-15  # ranked descending
+            prev = r["wilson_lb"]
+
+    def test_churn_label_consistency(self, spark):
+        out = QUERIES["ext_churn_label"](spark, SF_DIR).collect()
+        assert out
+        for r in out:
+            # churned uses a timestamp cutoff, days_inactive whole dates —
+            # they must agree outside the boundary day
+            if r["days_inactive"] > 15:
+                assert r["churned"]
+            if r["days_inactive"] < 14:
+                assert not r["churned"]
+
+    def test_seasonality_accounts_every_order(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = QUERIES["ext_seasonality_dow"](spark, SF_DIR).collect()
+        assert {r["dow"] for r in out} <= set(range(1, 8))
+        n = load(spark, SF_DIR, "orders").count()
+        assert sum(r["n_orders"] for r in out) == n
+        # a flat week scores 1e6 per day; truncating DIV loses < 1 per row
+        total_idx = sum(r["seasonal_index_ppm"] for r in out)
+        assert abs(total_idx - 7_000_000) < 7 * len(out)
+
+
+# --- drift family -----------------------------------------------------------
+
+
+class TestDrift:
+    def test_benford_deviation_recomputed(self, spark):
+        out = QUERIES["ext_benford_check"](spark, SF_DIR).collect()
+        digits = {r["digit"] for r in out}
+        assert digits <= set(range(1, 10))
+        total = sum(r["cnt"] for r in out)
+        for r in out:
+            assert r["observed_ppm"] == (1_000_000 * r["cnt"]) // total
+            assert r["deviation_ppm"] == abs(
+                r["observed_ppm"] - r["benford_ppm"]
+            )
+
+    def test_snapshot_diff_classes(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = {
+            r["status"]: r
+            for r in QUERIES["ext_snapshot_diff"](spark, SF_DIR).collect()
+        }
+        assert set(out) == {"added", "removed", "changed", "unchanged"}
+        keys = [
+            r["o_orderkey"]
+            for r in load(spark, SF_DIR, "orders")
+            .select("o_orderkey")
+            .collect()
+        ]
+        exp = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+        for k in keys:
+            in_old, in_new = k % 97 != 0, k % 89 != 0
+            if in_old and not in_new:
+                exp["removed"] += 1
+            elif in_new and not in_old:
+                exp["added"] += 1
+            elif in_old and in_new:
+                exp["changed" if k % 7 == 0 else "unchanged"] += 1
+        for s, n in exp.items():
+            assert out[s]["n_rows"] == n, (s, n, out[s]["n_rows"])
+
+    def test_drift_chi2_null_only_for_new_bands(self, spark):
+        out = QUERIES["ext_drift_report"](spark, SF_DIR).collect()
+        assert out
+        for r in out:
+            if r["n_base"] > 0:
+                assert r["chi2_contrib_ppm"] is not None
+                assert r["chi2_contrib_ppm"] >= 0
+            else:
+                assert r["chi2_contrib_ppm"] is None
+
+    def test_skew_report_ordered_and_bounded(self, spark):
+        out = QUERIES["ext_skew_diagnose"](spark, SF_DIR).collect()
+        assert len(out) == 10
+        cnts = [r["cnt"] for r in out]
+        assert cnts == sorted(cnts, reverse=True)
+        for r in out:
+            assert 0 <= r["share_ppm"] <= 1_000_000
+
+    def test_observed_metrics_match_direct_agg(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+        from databricks_sales_etl_pipeline_spark.functions.money import cents
+
+        row = QUERIES["dq_observed_metrics"](spark, SF_DIR).collect()[0]
+        direct = (
+            load(spark, SF_DIR, "orders")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents("o_totalprice")).cast("bigint").alias("s"),
+                F.max(cents("o_totalprice")).cast("bigint").alias("m"),
+            )
+            .collect()[0]
+        )
+        assert row["n_rows"] == direct["n"]
+        assert row["total_cents"] == direct["s"]
+        assert row["max_cents"] == direct["m"]
+        assert row["null_prices"] == 0
+
+
+# --- corpus / text ----------------------------------------------------------
+
+
+class TestParagraphDedup:
+    def test_planted_duplicate_block_removed(self, spark, tmp_path):
+        block = " ".join(f"w{i}" for i in range(12))  # exactly one block
+        rows = [
+            (0, block + " " + " ".join(f"a{i}" for i in range(12)), "en", "s"),
+            (1, block + " " + " ".join(f"b{i}" for i in range(12)), "en", "s"),
+            (2, " ".join(f"c{i}" for i in range(12)), "en", "s"),
+        ]
+        d = str(tmp_path / "para")
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in QUERIES["ext_dedup_paragraph"](spark, d).collect()
+        }
+        assert out[0]["n_blocks"] == 2 and out[0]["n_kept"] == 2  # keeper
+        assert out[1]["n_blocks"] == 2 and out[1]["n_kept"] == 1  # lost block
+        assert out[2]["n_blocks"] == 1 and out[2]["n_kept"] == 1
+
+
+class TestNgramLmScore:
+    def test_repetitive_doc_scores_higher(self, spark, tmp_path):
+        rows = [
+            # doc 0: single repeated bigram chain -> near-deterministic LM
+            (0, "x y " * 30, "en", "s"),
+            # doc 1: every token unique -> every bigram count 1, prefix
+            # counts 1 -> still 1e6? no: unique bigrams give p=1e6 too.
+            # make doc 1 share prefixes with many continuations instead:
+            (1, " ".join(f"x u{i}" for i in range(30)), "en", "s"),
+        ]
+        d = str(tmp_path / "lm")
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in QUERIES["ext_ngram_lm_score"](spark, d).collect()
+        }
+        # doc 1's 'x -> u_i' continuations split x's probability mass, so
+        # its mean bigram probability must be far below doc 0's
+        assert out[0]["mean_p_ppm"] > out[1]["mean_p_ppm"]
+
+
+class TestUnicodeNormalize:
+    def test_decomposed_docs_shrink_and_converge(self, spark):
+        out = QUERIES["ext_unicode_normalize"](spark, SF_DIR).collect()
+        assert out
+        for r in out:
+            if r["doc_id"] % 2 == 0:
+                # precomposed input: NFC is a no-op
+                assert not r["changed"]
+                assert r["len_before"] == r["len_after"]
+            else:
+                # decomposed pairs compose -> strictly shorter iff any 'a'
+                assert r["len_after"] <= r["len_before"]
+
+
+# --- MDM / graph / streaming ------------------------------------------------
+
+
+class TestSurvivorship:
+    def test_field_precedence_rules(self, spark):
+        out = {
+            r["c_custkey"]: r
+            for r in QUERIES["ext_survivorship_merge"](spark, SF_DIR).collect()
+        }
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        cust = {
+            r["c_custkey"]: r
+            for r in load(spark, SF_DIR, "customer").collect()
+        }
+        for k, r in out.items():
+            assert r["n_records"] == 3
+            c = cust[k]
+            if k % 2 == 0:
+                # web name is NULL -> falls back to crm's upper-cased name
+                assert r["golden_name"] == c["c_name"].upper()
+                assert r["name_source"] == "crm"
+            else:
+                assert r["golden_name"] == c["c_name"]
+                assert r["name_source"] == "web"
+            # web acct is always present (freshest)
+            cents = math.floor(c["c_acctbal"] * 100 + 0.5)
+            assert r["golden_acct_cents"] == cents + 11
+            if k % 5 == 0:
+                assert r["golden_segment"] == c["c_mktsegment"]  # crm fallback
+
+
+class TestGraphJaccard:
+    def test_bounds(self, spark):
+        out = QUERIES["ext_graph_jaccard_neighbors"](spark, SF_DIR).collect()
+        assert out
+        for r in out:
+            assert r["n_common"] <= min(r["deg_u"], r["deg_w"])
+            assert 0 < r["jaccard_ppm"] <= 1_000_000
+
+
+class TestStreamLeftOuterJoin:
+    def test_outer_rows_flushed(self, spark):
+        out = QUERIES["stream_left_outer_join"](spark, SF_DIR)
+        pdf = out.toPandas()
+        assert len(pdf) > 0
+        # outer semantics actually exercised: some purchases lack a signup
+        assert pdf["signup_ts"].isna().sum() > 0
