@@ -418,3 +418,81 @@ class TestStreamLeftOuterJoin:
         assert len(pdf) > 0
         # outer semantics actually exercised: some purchases lack a signup
         assert pdf["signup_ts"].isna().sum() > 0
+
+
+# --- round-7-queue extras ---------------------------------------------------
+
+
+class TestCdcApply:
+    def test_census_matches_modular_spec(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = {
+            r["last_op"]: r
+            for r in QUERIES["ext_cdc_apply"](spark, SF_DIR).collect()
+        }
+        keys = [
+            r["o_orderkey"]
+            for r in load(spark, SF_DIR, "orders").select("o_orderkey").collect()
+        ]
+        exp = {"I": 0, "U": 0, "D": 0}
+        for k in keys:
+            if k % 10 == 0:
+                exp["D"] += 1
+            elif k % 3 == 0:
+                exp["U"] += 1
+            else:
+                exp["I"] += 1
+        for op, n in exp.items():
+            assert out[op]["n_keys"] == n, (op, n, out[op]["n_keys"])
+        assert out["D"]["live_cents"] == 0
+
+
+class TestSessionStats:
+    def test_event_conservation(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = QUERIES["ext_session_stats"](spark, SF_DIR).collect()
+        n_events = load(spark, SF_DIR, "events").count()
+        assert sum(r["total_events"] for r in out) == n_events
+        for r in out:
+            b = r["dur_log2_bucket"]
+            if b >= 0:
+                assert (1 << b) <= r["max_secs"] < (1 << (b + 1)) or r[
+                    "min_secs"
+                ] >= (1 << b)
+
+
+class TestRobustScale:
+    def test_half_of_group_within_one_iqr(self, spark):
+        out = QUERIES["ext_robust_scale"](spark, SF_DIR).collect()
+        assert out
+        # robust_milli = 0 exactly at the median; IQR spans |milli| <= 500
+        # for the central half of each group — sanity on the sampled rows
+        within = sum(1 for r in out if abs(r["robust_milli"]) <= 1000)
+        assert within >= len(out) // 3
+
+
+class TestChainedWindows:
+    def test_subwindow_counts_bounded(self, spark):
+        out = QUERIES["stream_chained_windows"](spark, SF_DIR).collect()
+        assert out
+        for r in out:
+            assert 1 <= r["n_subwindows"] <= 4  # 4 x 30min in 2h
+            assert r["n_events"] >= r["n_subwindows"]
+
+
+class TestLagFeatures:
+    def test_rolling_consistency(self, spark):
+        out = QUERIES["ext_lag_features"](spark, SF_DIR).collect()
+        assert out
+        by_cust = {}
+        for r in out:
+            by_cust.setdefault(r["o_custkey"], []).append(r)
+        for rows in by_cust.values():
+            rows.sort(key=lambda r: r["ym"])
+            for i, r in enumerate(rows):
+                # roll3 includes current row and is at least rev_cents
+                assert r["roll3_cents"] >= r["rev_cents"]
+                if i == 0:
+                    assert r["lag1_cents"] == 0  # default fill
