@@ -114,6 +114,15 @@ _NLJ_ALLOWED = {
     "ext_class_rebalance",
     # 1-row class-counts broadcast into the cross-multiplied margin
     "ext_quality_classifier",
+    # round-6 ops with the same sanctioned 1-row global-aggregate
+    # broadcast fan-out (reference date / horizon / totals): the NLJ build
+    # side is literally one row
+    "ext_rfm_segmentation",
+    "ext_churn_label",
+    "ext_seasonality_dow",
+    "ext_benford_check",
+    "ext_drift_report",
+    "ext_skew_diagnose",
 }
 
 

@@ -116,6 +116,27 @@ COMMENTARY = {
         "the class counts a 1-row broadcast fan-out — scoring is one "
         "groupBy riding the feature table's doc shuffle."
     ),
+    "ext_ngram_lm_score": (
+        "Bigram LM scoring (round 6): bigrams from posexplode + lead window "
+        "(whole-stage codegen, no HOF fallback); the model and prefix-count "
+        "aggregates are vocabulary-bounded and both probability joins ride "
+        "the same bigram/w1 hash shuffles; final per-doc aggregate returns "
+        "to the doc_id shuffle. No broadcast of corpus-sized data."
+    ),
+    "ext_bitmap_cohorts": (
+        "Bitmap cohort algebra (round 6): one (event_type, user-word) "
+        "groupBy builds the packed bitmaps; every later set operation "
+        "joins bitmap WORDS (|users|/63 rows), and the per-cohort size "
+        "tables are tiny broadcasts — user-level rows never appear in a "
+        "join after the first aggregation."
+    ),
+    "ext_dedup_paragraph": (
+        "Block-level exact dedup (round 6): block texts come from array "
+        "SLICES of the per-doc token list (the explode is over block "
+        "indices only); keeper choice is one block-text hash-partitioned "
+        "window; reassembly rides the doc_id shuffle. At 100 TB the "
+        "shuffle key becomes the 16-byte block md5."
+    ),
 }
 
 
