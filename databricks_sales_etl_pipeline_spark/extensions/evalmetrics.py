@@ -1,0 +1,206 @@
+"""Model-evaluation metrics as distributed queries (north-star widening:
+a training-data platform that emits features and labels also has to GRADE
+the models trained on them — confusion matrices, exact AUC, calibration —
+at dataset scale, not in a driver-side sklearn call).
+
+All three metrics are exact integer arithmetic (counts, rank sums, ppm
+via truncating DIV), so they hash-check against plain SQL twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.extensions.textstats import (
+    _LANG_ORACLE,
+    ext_lang_id,
+)
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+
+@query(
+    "ext_eval_confusion",
+    oracle=f"""
+    WITH pred AS ({_LANG_ORACLE})
+    , cells AS (
+        SELECT lang AS true_lang, lang_guess AS pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY lang, lang_guess
+    )
+    SELECT true_lang, pred_lang, n_docs,
+           CAST((1000000 * n_docs) //
+                CAST(SUM(n_docs) OVER (PARTITION BY true_lang) AS BIGINT)
+                AS BIGINT) AS recall_contrib_ppm,
+           CAST((1000000 * n_docs) //
+                CAST(SUM(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT)
+                AS BIGINT) AS precision_contrib_ppm
+    FROM cells
+    """,
+)
+def ext_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev1 — confusion matrix of the marker-word language classifier
+    (ext_lang_id) against ground-truth labels, each cell annotated with
+    its recall contribution (share of the TRUE class) and precision
+    contribution (share of the PREDICTED class) in exact ppm — the
+    diagonal rows ARE per-class recall/precision. Classifier-eval at
+    dataset scale: one (true, pred) aggregate, two tiny class-total
+    windows, no driver-side metric libraries.
+
+    Reuses ext_lang_id's scoring plan wholesale — eval composes on top of
+    inference, exactly as a production eval job would."""
+    pred = ext_lang_id(spark, sf_dir)
+    cells = pred.groupBy(
+        F.col("lang").alias("true_lang"),
+        F.col("lang_guess").alias("pred_lang"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.expr(
+            "CAST((1000000 * n_docs) DIV "
+            "CAST(SUM(n_docs) OVER (PARTITION BY true_lang) AS BIGINT) "
+            "AS BIGINT)"
+        ).alias("recall_contrib_ppm"),
+        F.expr(
+            "CAST((1000000 * n_docs) DIV "
+            "CAST(SUM(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT) "
+            "AS BIGINT)"
+        ).alias("precision_contrib_ppm"),
+    )
+
+
+@query(
+    "ext_eval_auc",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_orderpriority AS grp,
+               {cents_sql('o_totalprice')} AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ), ranked AS (
+        SELECT grp, score, label,
+               2 * rank() OVER (PARTITION BY grp ORDER BY score)
+                   + COUNT(*) OVER (PARTITION BY grp, score) - 1
+                   AS midrank2
+        FROM r
+    ), agg AS (
+        SELECT grp,
+               CAST(SUM(CASE WHEN label = 1 THEN midrank2 END) AS BIGINT)
+                   AS ranksum2_pos,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - label) AS BIGINT) AS n_neg
+        FROM ranked GROUP BY grp
+    )
+    SELECT grp, n_pos, n_neg,
+           CAST((1000000 * (ranksum2_pos - n_pos * (n_pos + 1)))
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM agg
+    """,
+)
+def ext_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev2 — EXACT AUC per group via the Mann–Whitney rank-sum identity,
+    with proper midrank tie handling kept in integers (midrank×2 =
+    2·min_rank + tie_count − 1): AUC = (Σ ranks_pos − n⁺(n⁺+1)/2) /
+    (n⁺·n⁻), emitted in exact ppm. No sampling, no sklearn, no driver
+    collect — ONE ordered window per group and a grouped sum.
+
+    Scale bound: the ppm numerator is ≤ 2·10⁶·n², safely inside int64 for
+    n ≤ ~10⁹ rows PER GROUP (the window is group-partitioned, so the sort
+    is per-group and distributed; a global-AUC variant on >10⁹ rows would
+    aggregate pairwise-concordance counts hierarchically instead)."""
+    o = load(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        cents("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    midrank2 = (
+        2 * F.rank().over(Window.partitionBy("grp").orderBy("score"))
+        + F.count(F.lit(1)).over(Window.partitionBy("grp", "score"))
+        - 1
+    )
+    ranked = r.withColumn("midrank2", midrank2)
+    agg = ranked.groupBy("grp").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("midrank2")))
+        .cast("bigint")
+        .alias("ranksum2_pos"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        "grp",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST((1000000 * (ranksum2_pos - n_pos * (n_pos + 1))) "
+            "DIV (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+CAL_LONG_DOC_TOKENS = 40
+
+
+@query(
+    "ext_calibration_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               (1000 * len(list_filter(toks,
+                    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))))
+                   // len(toks) AS pred_permille,
+               CASE WHEN len(toks) >= {CAL_LONG_DOC_TOKENS} THEN 1 ELSE 0 END
+                   AS label
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT CAST(pred_permille // 100 AS BIGINT) AS pred_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST((1000000 * SUM(label)) // COUNT(*) AS BIGINT)
+               AS observed_ppm,
+           CAST((1000 * SUM(pred_permille)) // COUNT(*) AS BIGINT)
+               AS mean_pred_ppm
+    FROM scored GROUP BY 1
+    """,
+)
+def ext_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev3 — calibration (reliability) report: bucket a score into deciles
+    and compare mean prediction vs observed positive rate per bucket, both
+    in exact ppm — the reliability-diagram table that decides whether a
+    filter model's scores can be thresholded directly or need isotonic
+    recalibration. Score: stopword permille; label: long-document flag —
+    deterministic stand-ins wiring the REPORT shape (swap any model score
+    / label column; the plan is one scan + one tiny decile aggregate)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    scored = base.select(
+        F.expr(
+            "(1000 * size(filter(toks, x -> array_contains("
+            "array('the','a','of','and','to','in','is'), x)))) DIV size(toks)"
+        ).alias("pred_permille"),
+        F.when(F.size("toks") >= CAL_LONG_DOC_TOKENS, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    return scored.groupBy(
+        F.expr("CAST(pred_permille DIV 100 AS BIGINT)").alias("pred_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.expr("CAST((1000000 * SUM(label)) DIV COUNT(*) AS BIGINT)").alias(
+            "observed_ppm"
+        ),
+        F.expr(
+            "CAST((1000 * SUM(pred_permille)) DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_pred_ppm"),
+    )

@@ -71,6 +71,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.drift",
     "databricks_sales_etl_pipeline_spark.extensions.lm",
     "databricks_sales_etl_pipeline_spark.extensions.mdm",
+    "databricks_sales_etl_pipeline_spark.extensions.evalmetrics",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.merge",
     "databricks_sales_etl_pipeline_spark.plans.versioned",
