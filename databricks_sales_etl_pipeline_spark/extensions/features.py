@@ -458,3 +458,146 @@ def ext_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_milli"),
         )
     )
+
+
+# --- group-median imputation ------------------------------------------------
+
+
+@query(
+    "ext_feature_impute",
+    oracle=f"""
+    WITH r AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {cents_sql('c_acctbal')} END AS acct_cents
+        FROM customer
+    ), med AS (
+        SELECT segment,
+               CAST(FLOOR(quantile_cont(acct_cents, 0.5)) AS BIGINT) AS med_cents
+        FROM r WHERE acct_cents IS NOT NULL GROUP BY segment
+    )
+    SELECT r.c_custkey, r.segment,
+           (r.acct_cents IS NULL) AS was_missing,
+           CAST(COALESCE(r.acct_cents, m.med_cents) AS BIGINT)
+               AS acct_cents_imputed
+    FROM r JOIN med m ON m.segment = r.segment
+    WHERE r.c_custkey % 11 = 0
+    """,
+)
+def ext_feature_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe8 — group-median imputation with a missingness indicator: NULLs
+    (synthesized deterministically — every 7th customer) are filled with
+    the SEGMENT median (floored exact interpolated percentile on cents)
+    and flagged, the standard tabular-ML preprocessing pair (the flag
+    often carries more signal than the fill). One grouped percentile pass
+    + a broadcast stats join; the fill scan is shuffle-free."""
+    c = load(spark, sf_dir, "customer")
+    r = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("bigint"))
+        .otherwise(cents("c_acctbal").cast("bigint"))
+        .alias("acct_cents"),
+    )
+    med = (
+        r.where(F.col("acct_cents").isNotNull())
+        .groupBy("segment")
+        .agg(
+            F.floor(F.expr("percentile(acct_cents, 0.5)"))
+            .cast("bigint")
+            .alias("med_cents")
+        )
+    )
+    return (
+        r.where(F.col("c_custkey") % 11 == 0)
+        .join(broadcast(med), "segment")
+        .select(
+            "c_custkey",
+            "segment",
+            F.col("acct_cents").isNull().alias("was_missing"),
+            F.coalesce("acct_cents", "med_cents")
+            .cast("bigint")
+            .alias("acct_cents_imputed"),
+        )
+    )
+
+
+# --- composed feature-store table -------------------------------------------
+
+FS_INACTIVE_DAYS = 90
+
+
+@query(
+    "pipeline_feature_store",
+    oracle=f"""
+    WITH agg AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS ltv_cents,
+               MAX(CAST(o_orderdate AS DATE)) AS last_dt
+        FROM orders GROUP BY o_custkey
+    ), ref AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_dt FROM orders
+    ), seg AS (
+        SELECT c_mktsegment,
+               CAST(SUM({cents_sql('c_acctbal')}) // COUNT(*) AS BIGINT)
+                   AS seg_mean_acct_cents
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment AS segment,
+           a.n_orders, a.ltv_cents,
+           CAST(date_diff('day', a.last_dt, r.ref_dt) AS BIGINT)
+               AS recency_days,
+           (date_diff('day', a.last_dt, r.ref_dt) > {FS_INACTIVE_DAYS})
+               AS dormant,
+           CAST(a.ltv_cents // a.n_orders AS BIGINT) AS aov_cents,
+           s.seg_mean_acct_cents,
+           {cents_sql('c.c_acctbal')} AS acct_cents
+    FROM customer c
+    JOIN agg a ON a.o_custkey = c.c_custkey
+    JOIN seg s ON s.c_mktsegment = c.c_mktsegment
+    CROSS JOIN ref r
+    WHERE c.c_custkey % 13 = 0
+    """,
+)
+def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe9 — the composed FEATURE-STORE table: behavioral aggregates
+    (order count, lifetime value, recency, dormancy label, average order
+    value), a segment-level encoded feature, and the raw profile feature,
+    fused into one wide per-entity row — the materialization a feature
+    platform serves to every model. Composition showcase: the same
+    building blocks as ext_rfm/ext_churn_label/ext_target_encode, but as
+    ONE lazy plan — one fact groupBy, one broadcast dim, one broadcast
+    segment table, one 1-row horizon. The % 13 filter bounds only the
+    verified sample."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("bigint").alias("ltv_cents"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_dt"),
+    )
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_dt"))
+    seg = c.groupBy("c_mktsegment").agg(
+        F.expr(
+            f"CAST(SUM({cents_sql('c_acctbal')}) DIV COUNT(*) AS BIGINT)"
+        ).alias("seg_mean_acct_cents")
+    )
+    j = (
+        c.where(F.col("c_custkey") % 13 == 0)
+        .join(agg, c["c_custkey"] == agg["o_custkey"])
+        .join(broadcast(seg), "c_mktsegment")
+        .crossJoin(broadcast(ref))
+    )
+    rec = F.datediff("ref_dt", "last_dt")
+    return j.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        "n_orders",
+        "ltv_cents",
+        rec.cast("bigint").alias("recency_days"),
+        (rec > FS_INACTIVE_DAYS).alias("dormant"),
+        F.expr("CAST(ltv_cents DIV n_orders AS BIGINT)").alias("aov_cents"),
+        "seg_mean_acct_cents",
+        cents("c_acctbal").cast("bigint").alias("acct_cents"),
+    )

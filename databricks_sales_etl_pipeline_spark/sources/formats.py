@@ -150,3 +150,64 @@ def src_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("value"), 1, tab - 1).cast("bigint").alias("doc_id"),
         F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
     )
+
+
+@query(
+    "src_json_corrupt",
+    oracle="""
+    SELECT (doc_id % 13 = 0) AS is_corrupt,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN doc_id % 13 <> 0
+                                  THEN doc_id * 7 END), 0) AS BIGINT)
+               AS value_sum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def src_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — malformed-record tolerance (PERMISSIVE mode +
+    columnNameOfCorruptRecord): a JSON-lines feed where every 13th record
+    is truncated mid-object is read WITHOUT failing the job — bad lines
+    land in the corrupt-record column, good lines parse — and the census
+    proves no row was silently dropped either way. This is the row-level
+    fault-tolerance contract for trillion-row ingest (the reader-side
+    sibling of try_functions): on a real feed the corrupt slice is
+    quarantined (dq_quarantine), never retried synchronously.
+
+    The feed is synthesized deterministically from doc_id (value =
+    doc_id·7), so the oracle recomputes the census from the same rule
+    without touching JSON at all."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit('{"id": '), F.col("doc_id").cast("string"), F.lit(', "v"')),
+    ).otherwise(
+        F.concat(
+            F.lit('{"id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "v": '),
+            (F.col("doc_id") * 7).cast("string"),
+            F.lit("}"),
+        )
+    )
+    path = _tmp("jsonc")
+    d.select(line.alias("value")).write.text(path)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", LongType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return parsed.groupBy(F.col("_bad").isNotNull().alias("is_corrupt")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("v"), F.lit(0)).cast("bigint").alias("value_sum"),
+    )
