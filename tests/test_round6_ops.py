@@ -496,3 +496,74 @@ class TestLagFeatures:
                 assert r["roll3_cents"] >= r["rev_cents"]
                 if i == 0:
                     assert r["lag1_cents"] == 0  # default fill
+
+
+class TestEvalMetrics:
+    def test_confusion_shares_sum_to_unity(self, spark):
+        out = QUERIES["ext_eval_confusion"](spark, SF_DIR).collect()
+        assert out
+        by_true = {}
+        for r in out:
+            by_true.setdefault(r["true_lang"], []).append(r)
+        for rows in by_true.values():
+            total = sum(r["recall_contrib_ppm"] for r in rows)
+            # truncating DIV loses < 1 ppm per cell
+            assert 1_000_000 - len(rows) <= total <= 1_000_000
+
+    def test_auc_bounds_and_symmetry(self, spark):
+        out = QUERIES["ext_eval_auc"](spark, SF_DIR).collect()
+        assert out
+        for r in out:
+            assert 0 <= r["auc_ppm"] <= 1_000_000
+            assert r["n_pos"] > 0 and r["n_neg"] > 0
+
+    def test_calibration_monotone_prediction_means(self, spark):
+        out = sorted(
+            QUERIES["ext_calibration_report"](spark, SF_DIR).collect(),
+            key=lambda r: r["pred_decile"],
+        )
+        assert out
+        means = [r["mean_pred_ppm"] for r in out]
+        assert means == sorted(means)  # decile order implies mean order
+        assert sum(r["n_docs"] for r in out) > 0
+
+
+class TestFeatureImpute:
+    def test_missing_rows_get_segment_median(self, spark):
+        out = QUERIES["ext_feature_impute"](spark, SF_DIR).collect()
+        assert out
+        missing = [r for r in out if r["was_missing"]]
+        present = [r for r in out if not r["was_missing"]]
+        assert missing and present
+        for r in out:
+            assert r["acct_cents_imputed"] is not None
+
+
+class TestFeatureStore:
+    def test_wide_row_consistency(self, spark):
+        out = QUERIES["pipeline_feature_store"](spark, SF_DIR).collect()
+        assert out
+        for r in out:
+            assert r["aov_cents"] == r["ltv_cents"] // r["n_orders"]
+            assert r["dormant"] == (r["recency_days"] > 90)
+
+
+class TestJsonCorrupt:
+    def test_census_matches_rule(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = {
+            r["is_corrupt"]: r
+            for r in QUERIES["src_json_corrupt"](spark, SF_DIR).collect()
+        }
+        ids = [
+            r["doc_id"]
+            for r in load(spark, SF_DIR, "documents").select("doc_id").collect()
+        ]
+        n_bad = sum(1 for i in ids if i % 13 == 0)
+        assert out[True]["n_rows"] == n_bad
+        assert out[False]["n_rows"] == len(ids) - n_bad
+        assert out[False]["value_sum"] == sum(
+            i * 7 for i in ids if i % 13 != 0
+        )
+        assert out[True]["value_sum"] == 0
