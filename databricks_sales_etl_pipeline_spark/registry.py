@@ -36,6 +36,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.operators.sql_frontend",
     "databricks_sales_etl_pipeline_spark.operators.dates_dims",
     "databricks_sales_etl_pipeline_spark.operators.asof",
+    "databricks_sales_etl_pipeline_spark.operators.modern_api",
     "databricks_sales_etl_pipeline_spark.sources.inline",
     "databricks_sales_etl_pipeline_spark.sources.generator",
     "databricks_sales_etl_pipeline_spark.sources.sinks",
