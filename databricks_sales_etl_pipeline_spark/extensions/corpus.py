@@ -196,3 +196,118 @@ def ext_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+# --- boilerplate-block removal ----------------------------------------------
+
+BOILERPLATE_DF = 3  # a block seen in >= this many DISTINCT docs is boilerplate
+
+
+@query(
+    "ext_boilerplate_lines",
+    oracle=f"""
+    WITH lt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, b,
+               array_to_string(
+                   list_slice(toks, b * {PARA_BLOCK_TOKENS} + 1,
+                              (b + 1) * {PARA_BLOCK_TOKENS}), ' ') AS block_text
+        FROM lt,
+             LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(len(toks) / {PARA_BLOCK_TOKENS}.0) AS BIGINT))) AS b)
+        WHERE len(toks) > 0
+    ),
+    df_ AS (
+        SELECT block_text, COUNT(DISTINCT doc_id) AS ndocs
+        FROM blocks GROUP BY block_text
+    ),
+    tagged AS (
+        SELECT b.doc_id, b.b, b.block_text,
+               (d.ndocs >= {BOILERPLATE_DF}) AS is_boiler
+        FROM blocks b JOIN df_ d ON d.block_text = b.block_text
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN block_text END,
+                                   ' ' ORDER BY b), '')) AS cleaned_md5
+    FROM tagged
+    GROUP BY doc_id
+    """,
+)
+def ext_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2q — boilerplate removal by document frequency (the C4 rule:
+    any line occurring in ≥ {BOILERPLATE_DF} documents is boilerplate and
+    removed from EVERY document — no keeper, unlike ext_dedup_paragraph's
+    first-occurrence semantics): headers, footers, nav chrome vanish
+    corpus-wide, and each document is reassembled from its surviving
+    blocks (order-preserved md5 pin; '' when everything was boilerplate).
+
+    Shape: block slices → one block-text groupBy computing DISTINCT-doc
+    frequency → broadcast-scale frequency table joined back → doc_id
+    reassembly. Two shuffles + a bounded join (the boilerplate table is
+    tiny by definition — high-df blocks only)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    lt = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    blocks = lt.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("toks") / PARA_BLOCK_TOKENS).cast("bigint") - 1,
+            )
+        ).alias("b"),
+        "toks",
+    ).select(
+        "doc_id",
+        "b",
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                (F.col("b") * PARA_BLOCK_TOKENS + 1).cast("int"),
+                PARA_BLOCK_TOKENS,
+            ),
+            " ",
+        ).alias("block_text"),
+    )
+    df_ = blocks.groupBy("block_text").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    tagged = blocks.join(df_, "block_text").withColumn(
+        "is_boiler", F.col("ndocs") >= BOILERPLATE_DF
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("is_boiler"),
+                                    F.struct(
+                                        F.col("b").alias("b"),
+                                        F.col("block_text").alias("t"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -119,11 +119,10 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
-def decode_wav(payload: bytes) -> dict:
-    """REAL RIFF/WAVE decoder: walk the chunk list (fmt / data in any
-    order, odd-size padding per the RIFF spec), parse the PCM format
-    block, and compute integer sample statistics from the 16-bit LE data.
-    struct + bytes only — no audio library."""
+def wav_samples(payload: bytes) -> tuple[int, int, int, tuple]:
+    """REAL RIFF/WAVE chunk walk (fmt / data in any order, odd-size
+    padding per the RIFF spec): returns (sample_rate, n_channels, bits,
+    samples). struct + bytes only — no audio library."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -151,12 +150,17 @@ def decode_wav(payload: bytes) -> dict:
     if bits != 16:
         raise ValueError(f"only 16-bit PCM supported, got {bits}")
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return sample_rate, n_channels, bits, struct.unpack(f"<{n}h", data[: n * 2])
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Aggregate integer sample statistics from a real WAV parse."""
+    sample_rate, n_channels, bits, samples = wav_samples(payload)
     return {
         "sample_rate": sample_rate,
         "n_channels": n_channels,
         "bits": bits,
-        "n_samples": n // n_channels,
+        "n_samples": len(samples) // n_channels,
         "abs_sum": sum(abs(s) for s in samples),
         "peak": max((abs(s) for s in samples), default=0),
     }
@@ -857,4 +861,176 @@ def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shared_frames",
         F.col("nfa").alias("n_frames_a"),
         F.col("nfb").alias("n_frames_b"),
+    )
+
+
+# --- audio frame features ---------------------------------------------------
+
+AUDIO_FRAME = 16  # samples per analysis frame (generator n is a multiple)
+
+
+@query(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, CAST((doc_id % 50 + 1) * 16 AS BIGINT) AS n
+        FROM documents WHERE doc_id < {MM_DOC_LIMIT}
+    ), smp AS (
+        SELECT doc_id, i, i // {AUDIO_FRAME} AS frame,
+               ((doc_id * 13 + i * 5) % 4096) - 2048 AS s
+        FROM dims, unnest(range(0, n)) AS t(i)
+    ), zc AS (
+        SELECT doc_id, frame, s,
+               CASE WHEN lag(s) OVER w IS NOT NULL
+                         AND ((s >= 0) <> (lag(s) OVER w >= 0))
+                    THEN 1 ELSE 0 END AS x
+        FROM smp
+        WINDOW w AS (PARTITION BY doc_id, frame ORDER BY i)
+    ), per_frame AS (
+        SELECT doc_id, frame,
+               CAST(SUM(s * s) AS BIGINT) AS energy,
+               CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+               CAST(SUM(x) AS BIGINT) AS n_zc
+        FROM zc GROUP BY doc_id, frame
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(MAX(energy) AS BIGINT) AS max_frame_energy,
+           CAST(MIN(CASE WHEN energy = m THEN frame END) AS BIGINT)
+               AS loudest_frame,
+           CAST(SUM(n_zc) AS BIGINT) AS total_zero_cross
+    FROM (SELECT *, MAX(energy) OVER (PARTITION BY doc_id) AS m
+          FROM per_frame)
+    GROUP BY doc_id
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio features: REAL WAV bytes parsed back to samples,
+    cut into {AUDIO_FRAME}-sample frames, per-frame energy (Σs²), peak
+    and zero-crossing counts — the VAD/loudness feature pass an audio
+    training pipeline runs after decode — reduced to per-doc feature rows
+    (frame count, total/max energy, loudest frame with min-index
+    tiebreak, crossing total). All integers; the oracle recomputes every
+    frame from the generator ramp without touching bytes.
+
+    Shape: decode and frame-fold happen INSIDE one Arrow-batched
+    mapInPandas (payloads never shuffle; 6 small ints per doc come out)."""
+    d = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < MM_DOC_LIMIT
+    )
+    bin_df = _gen_payloads(d, make_wav)
+
+    schema = (
+        "doc_id bigint, n_frames bigint, total_energy bigint, "
+        "max_frame_energy bigint, loudest_frame bigint, "
+        "total_zero_cross bigint"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, _, samples = wav_samples(bytes(p))
+                frames = [
+                    samples[i : i + AUDIO_FRAME]
+                    for i in range(0, len(samples), AUDIO_FRAME)
+                ]
+                energies = [sum(s * s for s in fr) for fr in frames]
+                zcs = [
+                    sum(
+                        1
+                        for a, b in zip(fr, fr[1:])
+                        if (a >= 0) != (b >= 0)
+                    )
+                    for fr in frames
+                ]
+                mx = max(energies)
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_frames": len(frames),
+                        "total_energy": sum(energies),
+                        "max_frame_energy": mx,
+                        "loudest_frame": energies.index(mx),
+                        "total_zero_cross": sum(zcs),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "total_energy",
+                    "max_frame_energy", "loudest_frame", "total_zero_cross",
+                ],
+            )
+
+    return bin_df.mapInPandas(feats, schema)
+
+
+# --- image-text pair construction -------------------------------------------
+
+
+@query(
+    "mm_pair_dataset",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, i,
+               ((doc_id % {_PHASH_CLUSTER}) * 37 + i * 11) % 200
+                   + (doc_id * 7 + i) % 2 AS p
+        FROM documents, unnest(range(0, 64)) AS t(i)
+        WHERE doc_id < {MM_DOC_LIMIT}
+    ), img AS (
+        SELECT doc_id, CAST(SUM(p) AS BIGINT) AS pix_checksum
+        FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           i.pix_checksum,
+           CAST(len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_caption_tokens,
+           md5(CAST(i.pix_checksum AS VARCHAR) || ':'
+               || md5(COALESCE(d.text, ''))) AS pair_fingerprint
+    FROM documents d JOIN img i ON i.doc_id = d.doc_id
+    WHERE d.doc_id < {MM_DOC_LIMIT}
+    """,
+)
+def mm_pair_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal PAIR construction (the CLIP-style training-set join):
+    real image payloads decoded to an integer pixel checksum, joined to
+    their text captions with token counts and a deterministic pair
+    fingerprint — the keyed (image, text) manifest a contrastive trainer
+    consumes. The oracle rebuilds the checksum from generator arithmetic
+    and the fingerprint from the same string recipe.
+
+    Shape: payload decode is Arrow-batched and emits ONE int per image;
+    the join shuffles (id, checksum) pairs, never bytes."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < MM_DOC_LIMIT)
+    bin_df = _gen_payloads(d.select("doc_id"), make_ppm_cluster)
+
+    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, raster = _ppm_raster(bytes(p))
+                rows.append(
+                    {"doc_id": int(did), "pix_checksum": sum(raster[0::3])}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "pix_checksum"])
+
+    img = bin_df.mapInPandas(checksum, "doc_id bigint, pix_checksum bigint")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    return (
+        d.select("doc_id", "text")
+        .join(img, "doc_id")
+        .select(
+            "doc_id",
+            "pix_checksum",
+            F.size(toks).cast("bigint").alias("n_caption_tokens"),
+            F.md5(
+                F.concat(
+                    F.col("pix_checksum").cast("string"),
+                    F.lit(":"),
+                    F.md5(F.coalesce(F.col("text"), F.lit(""))),
+                )
+            ).alias("pair_fingerprint"),
+        )
     )
