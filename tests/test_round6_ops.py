@@ -567,3 +567,78 @@ class TestJsonCorrupt:
             i * 7 for i in ids if i % 13 != 0
         )
         assert out[True]["value_sum"] == 0
+
+
+class TestBoilerplateLines:
+    def test_planted_boilerplate_removed_everywhere(self, spark, tmp_path):
+        footer = " ".join(f"f{i}" for i in range(12))
+        rows = [
+            (i, " ".join(f"u{i}_{j}" for j in range(12)) + " " + footer, "en", "s")
+            for i in range(4)  # footer df=4 >= 3 -> boilerplate
+        ] + [(9, " ".join(f"solo{j}" for j in range(12)), "en", "s")]
+        d = str(tmp_path / "bp")
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in QUERIES["ext_boilerplate_lines"](spark, d).collect()
+        }
+        for i in range(4):
+            assert out[i]["n_blocks"] == 2
+            assert out[i]["n_removed"] == 1  # ALL copies removed, no keeper
+        assert out[9]["n_removed"] == 0
+
+
+class TestAudioEnergy:
+    def test_frame_feature_bounds(self, spark):
+        out = QUERIES["mm_audio_energy"](spark, SF_DIR).collect()
+        assert out
+        for r in out:
+            assert r["max_frame_energy"] <= r["total_energy"]
+            assert 0 <= r["loudest_frame"] < r["n_frames"]
+            # 16 samples/frame, |s| <= 2048 -> energy <= 16 * 2048^2
+            assert r["max_frame_energy"] <= 16 * 2048 * 2048
+
+
+class TestPairDataset:
+    def test_pairs_cover_docs_once(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = QUERIES["mm_pair_dataset"](spark, SF_DIR).collect()
+        n_docs = load(spark, SF_DIR, "documents").where("doc_id < 1500").count()
+        assert len(out) == n_docs
+        assert len({r["pair_fingerprint"] for r in out}) == n_docs
+
+
+class TestModernApi:
+    def test_transpose_is_one_wide_row(self, spark):
+        out = QUERIES["ext_transpose"](spark, SF_DIR).collect()
+        assert len(out) == 1
+        assert out[0]["key"] == "revenue_cents"
+
+    def test_crosstab_row_sums(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        out = QUERIES["stat_crosstab"](spark, SF_DIR).collect()
+        per_prio = {
+            r["o_orderpriority"]: r["n"]
+            for r in load(spark, SF_DIR, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for r in out:
+            total = sum(
+                r[c] for c in r.asDict() if c != "o_orderpriority_o_orderstatus"
+            )
+            assert total == per_prio[r["o_orderpriority_o_orderstatus"]]
+
+    def test_sql_udf_inlines(self, spark):
+        from tests.conftest import SF_DIR as sf
+
+        df = QUERIES["sql_udf_create"](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "whole_units" not in plan  # inlined at analysis, not a UDF call
