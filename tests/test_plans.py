@@ -123,6 +123,7 @@ _NLJ_ALLOWED = {
     "ext_benford_check",
     "ext_drift_report",
     "ext_skew_diagnose",
+    "pipeline_feature_store",
 }
 
 
