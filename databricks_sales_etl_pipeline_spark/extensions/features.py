@@ -601,3 +601,83 @@ def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_mean_acct_cents",
         cents("c_acctbal").cast("bigint").alias("acct_cents"),
     )
+
+
+# --- forecast backtest ------------------------------------------------------
+
+
+@query(
+    "ext_forecast_backtest",
+    oracle=f"""
+    WITH m AS (
+        SELECT c.c_mktsegment AS segment,
+               year(CAST(o.o_orderdate AS DATE)) * 12
+                   + month(CAST(o.o_orderdate AS DATE)) AS ym,
+               CAST(SUM({cents_sql('o.o_totalprice')}) AS BIGINT) AS rev
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), f AS (
+        SELECT segment, ym, rev,
+               lag(rev, 1) OVER w AS naive1,
+               lag(rev, 12) OVER w AS naive12
+        FROM m WINDOW w AS (PARTITION BY segment ORDER BY ym)
+    )
+    SELECT segment,
+           CAST(COUNT(*) FILTER (WHERE naive12 IS NOT NULL) AS BIGINT)
+               AS n_scored,
+           CAST(SUM(ABS(rev - naive1))
+                FILTER (WHERE naive12 IS NOT NULL) AS BIGINT) AS sae_naive1,
+           CAST(SUM(ABS(rev - naive12))
+                FILTER (WHERE naive12 IS NOT NULL) AS BIGINT) AS sae_naive12,
+           CAST((1000000 * SUM(ABS(rev - naive12))
+                     FILTER (WHERE naive12 IS NOT NULL))
+                // NULLIF(SUM(ABS(rev - naive1))
+                     FILTER (WHERE naive12 IS NOT NULL), 0) AS BIGINT)
+               AS mase_ppm
+    FROM f GROUP BY segment
+    """,
+)
+def ext_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe10 — forecast backtesting (MASE-style): score the seasonal-naive
+    forecast (same month last year) against the one-step-naive baseline
+    (previous month) on per-segment monthly revenue — summed absolute
+    errors in exact cents, their ratio in exact ppm (< 1e6 means the
+    seasonal model beats the random-walk baseline). Both forecasts scored
+    on the SAME months (where lag-12 exists) so the comparison is fair.
+
+    One (segment, month) aggregate + one ordered window per segment —
+    the standard rolling-origin backtest reduces to the same plan with a
+    fold column."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 12
+                + F.month(F.col("o_orderdate").cast("date"))
+            ).alias("ym"),
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    w = Window.partitionBy("segment").orderBy("ym")
+    f = m.select(
+        "segment",
+        "rev",
+        F.lag("rev", 1).over(w).alias("naive1"),
+        F.lag("rev", 12).over(w).alias("naive12"),
+    ).where(F.col("naive12").isNotNull())
+    return f.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum(F.abs(F.col("rev") - F.col("naive1")))
+        .cast("bigint")
+        .alias("sae_naive1"),
+        F.sum(F.abs(F.col("rev") - F.col("naive12")))
+        .cast("bigint")
+        .alias("sae_naive12"),
+        F.expr(
+            "CAST((1000000 * SUM(ABS(rev - naive12))) "
+            "DIV NULLIF(SUM(ABS(rev - naive1)), 0) AS BIGINT)"
+        ).alias("mase_ppm"),
+    )
