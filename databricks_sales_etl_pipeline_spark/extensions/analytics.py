@@ -646,3 +646,62 @@ def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dur_secs").cast("bigint").alias("min_secs"),
         F.max("dur_secs").cast("bigint").alias("max_secs"),
     )
+
+
+@query(
+    "window_session_batch",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), flagged AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= {SESSION_GAP_MIN} * 60000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid,
+               us
+        FROM flagged
+    )
+    SELECT user_id,
+           make_timestamp(MIN(us)) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (MAX(us) - MIN(us)) // 1000000 AS dur_secs
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — BATCH session_window(): Spark's native gap-based session
+    assignment (the same operator the streaming sessionizers use) run as
+    a plain groupBy aggregation — cross-validated against the manual
+    gaps-and-islands construction (ext_session_stats's oracle): a session
+    window extends to last_event + gap EXCLUSIVE, so the islands cut is
+    `diff >= gap`. Pinning the builtin against the hand-rolled form is
+    the point: they must agree event-for-event.
+
+    One (user, session) shuffle; session merging is inside the native
+    aggregation, no window-function pass at all."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    g = e.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return g.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        (
+            F.unix_micros(F.col("session_window.end"))
+            - F.unix_micros(F.col("session_window.start"))
+            - SESSION_GAP_MIN * 60_000_000
+        ).cast("bigint")
+        .alias("dur_secs_us"),
+    ).select(
+        "user_id",
+        "session_start",
+        "n_events",
+        F.expr("dur_secs_us DIV 1000000").alias("dur_secs"),
+    )

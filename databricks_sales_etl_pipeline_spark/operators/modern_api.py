@@ -237,3 +237,66 @@ def udf_grouped_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("segment").applyInArrow(
         agg_group, "segment string, n_customers bigint, acct_cents_sum bigint"
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — listagg (Spark 4 / SQL:2023): ORDER-DETERMINISTIC string
+    aggregation with WITHIN GROUP — the standard form of the
+    collect_list + array_sort + array_join workaround (agg_collect_list),
+    now one aggregate that both engines implement natively (DuckDB:
+    string_agg ORDER BY). Ordered aggregation is what makes string cells
+    hash-checkable at all."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = n.join(_bc(r), n["n_regionkey"] == r["r_regionkey"])
+    j.createOrReplaceTempView("nation_region_v")
+    return spark.sql(
+        "SELECT r_name, "
+        "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv, "
+        "CAST(COUNT(*) AS BIGINT) AS n_nations "
+        "FROM nation_region_v GROUP BY r_name"
+    )
+
+
+@query(
+    "sql_unpivot_syntax",
+    oracle=f"""
+    WITH agg AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'revenue_cents', revenue_cents FROM agg
+    """,
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 — the SQL UNPIVOT clause (companion to sql_pivot_syntax): wide
+    per-priority KPIs rotated to long (metric, value) rows in the FROM
+    clause itself — Catalyst rewrites it to the same Expand node as the
+    DataFrame unpivot/melt (agg_kpi_unpivot), pinned here against the
+    UNION ALL spelling. NULL cells are EXCLUDED by default (none arise
+    here; INCLUDE NULLS is the opt-in)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT * FROM ("
+        "  SELECT o_orderpriority, "
+        "         CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        f"        CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS revenue_cents "
+        "  FROM orders GROUP BY o_orderpriority"
+        ") UNPIVOT (value FOR metric IN (n_orders, revenue_cents))"
+    )

@@ -210,3 +210,41 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_finished(q, 180)
     return spark.table(sink)
+
+
+# Oracle-able: with one AvailableNow batch, dropDuplicatesWithinWatermark
+# keeps exactly one row per key (which physical row survives is arbitrary,
+# so only KEY columns are emitted) — the distinct-key set equals batch
+# SELECT DISTINCT.
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — dropDuplicatesWithinWatermark (Spark 3.5+): streaming dedup
+    whose state is EVICTABLE — a key's dedup record lives only while the
+    watermark can still admit a duplicate, unlike plain dropDuplicates
+    whose state grows forever on unbounded keys. This is the production
+    form of streaming dedup at 100 TB: state ∝ keys-per-watermark-window,
+    not keys-ever-seen. Only the key columns are emitted (the surviving
+    representative row is first-arrival-nondeterministic by design)."""
+    stream = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = f"ddw_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_checkpoint("ddw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 180)
+    return spark.table(sink)
