@@ -705,3 +705,79 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.expr("dur_secs_us DIV 1000000").alias("dur_secs"),
     )
+
+
+INTERVAL_HALF_DAYS = 15
+
+
+@query(
+    "ext_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o_custkey,
+               CAST(CAST(o_orderdate AS DATE) - INTERVAL {INTERVAL_HALF_DAYS} DAY
+                    AS DATE) AS s,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL {INTERVAL_HALF_DAYS} DAY
+                    AS DATE) AS e
+        FROM orders WHERE o_custkey % 17 = 0
+    ), flagged AS (
+        SELECT o_custkey, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) >= s
+                    THEN 0 ELSE 1 END AS new_i
+        FROM iv
+    ), grp AS (
+        SELECT o_custkey, s, e,
+               SUM(new_i) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS gid
+        FROM flagged
+    )
+    SELECT o_custkey, CAST(gid AS BIGINT) AS gid,
+           MIN(s) AS merged_start,
+           MAX(e) AS merged_end,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(date_diff('day', MIN(s), MAX(e)) AS BIGINT) AS span_days
+    FROM grp GROUP BY o_custkey, gid
+    """,
+)
+def ext_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — overlapping-interval consolidation (the classic stack-merge,
+    SQL-ified): each order spawns a ±{INTERVAL_HALF_DAYS}-day activity
+    window; per customer, transitively overlapping windows merge into
+    maximal ranges via the running-max-end island trick — an interval
+    starts a NEW group only when every preceding interval ends before it.
+    Distinct from gap-based sessionization (points + gaps) — this merges
+    RANGES, the shape behind maintenance-window consolidation, coverage
+    reporting and validity-interval compaction.
+
+    One customer-key shuffle carries both windows and the final group
+    aggregate. Touching intervals (prev_end == start) merge — pinned by
+    the >= comparison in both engines."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 17 == 0)
+    d = F.to_date("o_orderdate")
+    iv = o.select(
+        "o_custkey",
+        F.date_sub(d, INTERVAL_HALF_DAYS).alias("s"),
+        F.date_add(d, INTERVAL_HALF_DAYS).alias("e"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_i",
+        F.when(prev_max_e >= F.col("s"), 0).otherwise(1),
+    )
+    grp = flagged.withColumn(
+        "gid",
+        F.sum("new_i").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grp.groupBy("o_custkey", F.col("gid").cast("bigint").alias("gid")).agg(
+        F.min("s").alias("merged_start"),
+        F.max("e").alias("merged_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.datediff(F.max("e"), F.min("s")).cast("bigint").alias("span_days"),
+    )

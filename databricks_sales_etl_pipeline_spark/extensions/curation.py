@@ -702,3 +702,53 @@ def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("acct_band").cast("bigint").alias("l_distinct"),
         (F.countDistinct("acct_band") >= L_DIVERSITY).alias("is_l_diverse"),
     )
+
+
+# --- pseudonymization --------------------------------------------------------
+
+
+@query(
+    "ext_pseudonymize",
+    oracle=f"""
+    SELECT c_custkey,
+           'u_' || substring(md5('pseud:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+               AS pseudo_id,
+           substring(md5('pseud:' || c_name), 1, 16) AS name_token,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+               // 100000 * 100000 AS acct_cents_coarse,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 9 = 0
+    """,
+)
+def ext_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu8 — pseudonymization (the GDPR middle ground between raw IDs and
+    redaction): identifiers become STABLE salted-hash pseudonyms — the
+    same entity maps to the same token across tables and runs, so joins
+    and longitudinal analysis still work, but the mapping is one-way
+    without the salt — and quasi-identifying numerics are coarsened to
+    1000-unit bands. Complements ext_pii_redact (destroys) and
+    ext_k_anonymity (generalizes): pseudonymize PRESERVES linkability.
+
+    Pure per-row hash expressions: scan-speed, no shuffle; the salt would
+    live in a secret store at deployment, a literal here."""
+    c = load(spark, sf_dir, "customer")
+    return c.where(F.col("c_custkey") % 9 == 0).select(
+        "c_custkey",
+        F.concat(
+            F.lit("u_"),
+            F.substring(
+                F.md5(F.concat(F.lit("pseud:"), F.col("c_custkey").cast("string"))),
+                1,
+                12,
+            ),
+        ).alias("pseudo_id"),
+        F.substring(
+            F.md5(F.concat(F.lit("pseud:"), F.col("c_name"))), 1, 16
+        ).alias("name_token"),
+        F.expr(
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) "
+            "DIV 100000 * 100000"
+        ).alias("acct_cents_coarse"),
+        "c_mktsegment",
+    )

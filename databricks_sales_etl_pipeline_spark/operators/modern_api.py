@@ -300,3 +300,37 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FROM orders GROUP BY o_orderpriority"
         ") UNPIVOT (value FOR metric IN (n_orders, revenue_cents))"
     )
+
+
+@query(
+    "sql_row_filter_view",
+    oracle=f"""
+    SELECT o_orderkey,
+           'cust_' || substring(md5('rls:' || CAST(o_custkey AS VARCHAR)), 1, 10)
+               AS custkey_masked,
+           o_orderpriority,
+           {cents_sql('o_totalprice')} AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0
+    """,
+)
+def sql_row_filter_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 — governance view: row-level security (a filter baked into the
+    view definition) plus column masking (the customer key replaced by a
+    salted-hash token IN the view) — the pattern that gives an audience a
+    restricted, linkable slice without touching the base table. Catalyst
+    inlines the view, so the row filter still pushes down to the scan and
+    the mask is a per-row expression: governance at zero plan cost."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW orders_restricted AS "
+        "SELECT o_orderkey, "
+        "       'cust_' || substring(md5('rls:' || CAST(o_custkey AS STRING)), 1, 10) "
+        "           AS custkey_masked, "
+        "       o_orderpriority, "
+        f"      {cents_sql('o_totalprice')} AS total_cents "
+        "FROM orders WHERE o_orderstatus = 'O'"
+    )
+    return spark.sql(
+        "SELECT * FROM orders_restricted WHERE o_orderkey % 7 = 0"
+    )
