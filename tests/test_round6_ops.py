@@ -642,3 +642,58 @@ class TestModernApi:
         df = QUERIES["sql_udf_create"](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "whole_units" not in plan  # inlined at analysis, not a UDF call
+
+
+class TestIntervalMerge:
+    def test_groups_are_maximal_and_disjoint(self, spark):
+        out = QUERIES["ext_interval_merge"](spark, SF_DIR).collect()
+        assert out
+        by_cust = {}
+        for r in out:
+            by_cust.setdefault(r["o_custkey"], []).append(r)
+        for rows in by_cust.values():
+            rows.sort(key=lambda r: r["merged_start"])
+            for a, b in zip(rows, rows[1:]):
+                # consecutive merged ranges must NOT touch or overlap
+                assert a["merged_end"] < b["merged_start"]
+            for r in rows:
+                assert r["span_days"] >= 30  # one order spans 2*15 days
+
+
+class TestSessionBatchCrossValidation:
+    def test_native_session_window_matches_islands_totals(self, spark):
+        from databricks_sales_etl_pipeline_spark.catalog import load
+
+        native = QUERIES["window_session_batch"](spark, SF_DIR).collect()
+        n_events = load(spark, SF_DIR, "events").count()
+        assert sum(r["n_events"] for r in native) == n_events
+        stats = QUERIES["ext_session_stats"](spark, SF_DIR).collect()
+        # both sessionizations must agree on the TOTAL session count
+        assert len(native) == sum(r["n_sessions"] for r in stats)
+
+
+class TestPseudonymize:
+    def test_stable_and_distinct(self, spark):
+        a = QUERIES["ext_pseudonymize"](spark, SF_DIR).collect()
+        b = QUERIES["ext_pseudonymize"](spark, SF_DIR).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len({r["pseudo_id"] for r in a}) == len(a)
+        for r in a:
+            assert r["acct_cents_coarse"] % 100000 == 0
+
+
+class TestListaggOrdered:
+    def test_csv_is_sorted(self, spark):
+        out = QUERIES["agg_listagg"](spark, SF_DIR).collect()
+        assert out
+        for r in out:
+            parts = r["nations_csv"].split(",")
+            assert parts == sorted(parts)
+            assert len(parts) == r["n_nations"]
+
+
+class TestStreamDedupWithinWatermark:
+    def test_keys_unique(self, spark):
+        out = QUERIES["stream_dedup_within_watermark"](spark, SF_DIR).collect()
+        keys = [(r["user_id"], r["event_type"]) for r in out]
+        assert len(keys) == len(set(keys))
