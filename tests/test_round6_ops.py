@@ -697,3 +697,47 @@ class TestStreamDedupWithinWatermark:
         out = QUERIES["stream_dedup_within_watermark"](spark, SF_DIR).collect()
         keys = [(r["user_id"], r["event_type"]) for r in out]
         assert len(keys) == len(set(keys))
+
+
+class TestSessionBoundarySemantics:
+    def test_exact_gap_event_merges(self, spark, tmp_path):
+        """Probed Spark semantics: an event at EXACTLY last + gap merges
+        into the session; +1 microsecond splits. The window_session_batch
+        oracle's strict `diff > gap` cut encodes this — pin it with an
+        engineered tie so testdata jitter can never hide a regression."""
+        import duckdb as _dd
+
+        rows = [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),        # exactly gap -> merges
+            (1, "2024-01-01 01:00:00.000001"),  # gap + 1us -> splits
+            (2, "2024-01-01 00:00:00"),
+        ]
+        d = str(tmp_path / "tie")
+        spark.createDataFrame(rows, "user_id bigint, ts string").selectExpr(
+            "CAST(user_id * 1000 AS BIGINT) AS event_id",
+            "CAST(ts AS TIMESTAMP) AS ts",
+            "user_id",
+            "'view' AS event_type",
+            "CAST(1.0 AS DOUBLE) AS value",
+            "'{}' AS props",
+        ).coalesce(1).write.parquet(f"{d}/events.parquet")
+        out = QUERIES["window_session_batch"](spark, d).collect()
+        per_user = {}
+        for r in out:
+            per_user.setdefault(r["user_id"], []).append(r)
+        assert len(per_user[1]) == 2          # tie merged, +1us split
+        assert {r["n_events"] for r in per_user[1]} == {2, 1}
+        # and the oracle agrees cell-for-cell
+        con = _dd.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        oracle = con.execute(ORACLES["window_session_batch"]).df()
+        assert len(oracle) == len(out)
+        assert sorted(
+            (r["user_id"], r["n_events"], r["dur_secs"]) for r in out
+        ) == sorted(
+            map(tuple, oracle[["user_id", "n_events", "dur_secs"]].values.tolist())
+        )

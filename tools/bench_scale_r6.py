@@ -163,5 +163,85 @@ def main() -> None:
     print(json.dumps({"runs": out}))
 
 
+def gen_events(spark, n: int):
+    """n synthetic events over n/100 users, microsecond timestamps with
+    realistic gaps (xxhash64 jitter so sessions have varied shapes)."""
+    i = F.col("id")
+    user = F.pmod(F.xxhash64(i), F.lit(max(n // 100, 1)))
+    # each user's events spread over ~30 days with 0..120-minute gaps
+    jitter = F.pmod(F.xxhash64(i, F.lit(1)), F.lit(7200))
+    ts = F.timestamp_micros(
+        (F.lit(1700000000_000000) + i * 60_000_000 + jitter * 1_000_000).cast(
+            "long"
+        )
+    )
+    return spark.range(n).select(user.alias("user_id"), ts.alias("ts"))
+
+
+def bench_sessions(sizes):
+    """Native session_window vs manual gaps-and-islands at scale: same
+    30-minute gap, both reduced to (n_sessions, n_events) checks."""
+    from pyspark.sql import Window
+
+    spark = get_spark(
+        "dsep-scale-sessions", **{"spark.ui.showConsoleProgress": "false"}
+    )
+    out = []
+    for n in sizes:
+        tune_shuffle_partitions(spark, input_bytes=n * 24)
+        e = gen_events(spark, n).localCheckpoint(eager=True)
+        t = {}
+
+        t0 = time.perf_counter()
+        native = e.groupBy(
+            F.session_window("ts", "30 minutes"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        n_native = native.count()
+        t["native_session_window"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        w = Window.partitionBy("user_id").orderBy("us")
+        us = e.select("user_id", F.unix_micros("ts").alias("us"))
+        # STRICT > : an event at exactly last+gap MERGES in Spark's native
+        # session_window (probed; a >= cut disagrees by the exact-tie count)
+        flagged = us.withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > 30 * 60_000_000),
+                1,
+            ).otherwise(0),
+        )
+        islands = (
+            flagged.withColumn(
+                "sid",
+                F.sum("new_s").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        n_islands = islands.count()
+        t["manual_islands"] = round(time.perf_counter() - t0, 2)
+
+        rec = {
+            "n_events": n,
+            "n_sessions_native": n_native,
+            "n_sessions_islands": n_islands,
+            "agree": n_native == n_islands,
+            **t,
+        }
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    print(json.dumps({"session_runs": out}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--sessions" in sys.argv:
+        sizes = [
+            int(float(a)) for a in sys.argv[1:] if not a.startswith("-")
+        ]
+        bench_sessions(sizes or [1_000_000, 10_000_000, 50_000_000])
+    else:
+        main()
