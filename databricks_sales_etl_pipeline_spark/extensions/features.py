@@ -681,3 +681,63 @@ def ext_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV NULLIF(SUM(ABS(rev - naive1)), 0) AS BIGINT)"
         ).alias("mase_ppm"),
     )
+
+
+# --- winsorization ----------------------------------------------------------
+
+
+@query(
+    "ext_winsorize",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_orderkey, o_orderpriority,
+               {cents_sql('o_totalprice')} AS c
+        FROM orders
+    ), s AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(quantile_cont(c, 0.05)) AS BIGINT) AS p05,
+               CAST(FLOOR(quantile_cont(c, 0.95)) AS BIGINT) AS p95
+        FROM r GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderkey, r.o_orderpriority,
+           CAST(r.c AS BIGINT) AS cents,
+           CAST(LEAST(GREATEST(r.c, s.p05), s.p95) AS BIGINT)
+               AS winsorized_cents,
+           (r.c < s.p05 OR r.c > s.p95) AS was_clamped
+    FROM r JOIN s ON s.o_orderpriority = r.o_orderpriority
+    WHERE r.o_orderkey % 101 = 0
+    """,
+)
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe11 — winsorization: clamp a money feature to its per-group
+    [p05, p95] band with a clamped-flag — the outlier treatment that
+    PRESERVES row count (unlike filtering) and bounds influence (unlike
+    raw use); pairs with ext_robust_scale as the standard tabular
+    preprocessing duo. Floored exact percentiles on cents keep the clamp
+    integers bit-portable.
+
+    One grouped exact-percentile pass (approx_percentile at 100 TB) + a
+    broadcast bounds join; the clamp scan is shuffle-free."""
+    o = load(spark, sf_dir, "orders")
+    r = o.select(
+        "o_orderkey", "o_orderpriority", cents("o_totalprice").alias("c")
+    )
+    s = r.groupBy("o_orderpriority").agg(
+        F.floor(F.expr("percentile(c, 0.05)")).cast("bigint").alias("p05"),
+        F.floor(F.expr("percentile(c, 0.95)")).cast("bigint").alias("p95"),
+    )
+    return (
+        r.where(F.col("o_orderkey") % 101 == 0)
+        .join(broadcast(s), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("c").cast("bigint").alias("cents"),
+            F.least(F.greatest(F.col("c"), F.col("p05")), F.col("p95"))
+            .cast("bigint")
+            .alias("winsorized_cents"),
+            ((F.col("c") < F.col("p05")) | (F.col("c") > F.col("p95"))).alias(
+                "was_clamped"
+            ),
+        )
+    )
