@@ -308,3 +308,109 @@ def ext_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("w"))
         .limit(JACCARD_TOP_K)
     )
+
+
+LPA_ITERS = 3
+
+
+@query(
+    "ext_graph_label_prop",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                        AND l1.l_partkey < l2.l_partkey
+    ),
+    adj AS (
+        SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e
+    ),
+    l0 AS (SELECT DISTINCT v, v AS label FROM adj),
+    it1 AS (
+        SELECT v, label FROM (
+            SELECT a.v, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY a.v
+                                      ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM adj a JOIN l0 l ON l.v = a.n
+            GROUP BY a.v, l.label
+        ) WHERE rn = 1
+    ),
+    it2 AS (
+        SELECT v, label FROM (
+            SELECT a.v, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY a.v
+                                      ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM adj a JOIN it1 l ON l.v = a.n
+            GROUP BY a.v, l.label
+        ) WHERE rn = 1
+    ),
+    it3 AS (
+        SELECT v, label FROM (
+            SELECT a.v, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY a.v
+                                      ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM adj a JOIN it2 l ON l.v = a.n
+            GROUP BY a.v, l.label
+        ) WHERE rn = 1
+    )
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(v) AS BIGINT) AS vertex_checksum
+    FROM it3 GROUP BY label
+    """,
+)
+def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — synchronous label propagation (community detection), 3
+    iterations: every vertex adopts the MAJORITY label among its
+    neighbors, min-label tiebreak — fully deterministic, unlike classic
+    async LPA. Communities are the topic-cluster primitive for curation
+    (near-dup graphs, co-purchase segments); distinct from
+    ext_dup_clusters' MIN-label connected components (majority vote finds
+    dense subgroups inside one component).
+
+    Shape: per iteration ONE adjacency join + one (v, label) count + one
+    argmax window, all on the vertex-key shuffle; labels are
+    localCheckpointed each round (MLlib iterative discipline — without it
+    the final plan replays all K rounds). Oracle: the K=3 rounds unrolled
+    as chained CTEs."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    adj = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    labels = adj.select("v").distinct().select(
+        "v", F.col("v").alias("label")
+    ).localCheckpoint()
+    for _ in range(LPA_ITERS):
+        nbr = adj.join(
+            labels.select(F.col("v").alias("n"), "label"), "n"
+        ).select("v", "label")
+        counted = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        rn = F.row_number().over(
+            Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+        )
+        labels = (
+            counted.withColumn("rn", rn)
+            .where(F.col("rn") == 1)
+            .select("v", "label")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum("v").cast("bigint").alias("vertex_checksum"),
+    )

@@ -334,3 +334,30 @@ def sql_row_filter_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM orders_restricted WHERE o_orderkey % 7 = 0"
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+               AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — grouping_id() over a CUBE: the bitmask that tells every
+    output row WHICH aggregation level produced it (leftmost grouping
+    column = most significant bit, identical convention in Spark and
+    DuckDB GROUPING()) — what downstream consumers key on to separate
+    subtotals from leaf rows without NULL-sniffing (which breaks the
+    moment a grouping column itself contains NULLs)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("bigint").alias("grouping_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("bigint").alias("revenue_cents"),
+    )
