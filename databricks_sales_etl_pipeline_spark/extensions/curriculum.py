@@ -177,3 +177,88 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_lang",
         "top_lang_docs",
     )
+
+
+# --- temperature-based multilingual mixture weights --------------------------
+
+#: the fixture's closed language set, in FIXED summation order — sqrt is
+#: IEEE-exact per value, and chaining the 5 additions in one literal order
+#: makes the denominator bit-identical cross-engine.
+MIX_LANGS = ("de", "en", "es", "fr", "zh")
+
+_SQRT_SUM = " + ".join(
+    f"sqrt(CAST(n_{lang} AS DOUBLE))" for lang in MIX_LANGS
+)
+
+
+def _mix_counts_sql() -> str:
+    return ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE lang = '{lang}') AS BIGINT) AS n_{lang}"
+        for lang in MIX_LANGS
+    )
+
+
+@query(
+    "ext_mixture_temperature",
+    oracle=f"""
+    WITH c AS (
+        SELECT {_mix_counts_sql()} FROM documents
+    ), w AS (
+        SELECT * , {_SQRT_SUM} AS denom,
+               CAST({" + ".join(f"n_{lang}" for lang in MIX_LANGS)} AS BIGINT)
+                   AS n_total
+        FROM c
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{lang}' AS lang, n_{lang} AS n_docs, "
+        f"CAST((1000000 * n_{lang}) // n_total AS BIGINT) AS prop_ppm, "
+        f"CAST(FLOOR(1000000 * sqrt(CAST(n_{lang} AS DOUBLE)) / denom) "
+        f"AS BIGINT) AS temp_ppm FROM w"
+        for lang in MIX_LANGS
+    )}
+    """,
+)
+def ext_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cr3 — temperature-based language mixing weights (the mT5/XLM-R
+    rule, α = 0.5): sampling probability ∝ n^α flattens the multilingual
+    distribution so low-resource languages are not drowned out —
+    proportional (α=1) weights ride along for comparison, both in exact
+    ppm. The √-sum denominator is chained in ONE fixed literal order in
+    both engines (each sqrt and each + is correctly rounded, so the
+    double is bit-exact — the ext_rank_wilson discipline); the final ppm
+    is floored into an integer.
+
+    Complements ext_mix_epochs (epoch repeat counts): temperature sets
+    the TARGET distribution, mix-epochs realizes it as integer passes.
+    One aggregate row fans out to |langs| rows — nothing shuffles."""
+    d = load(spark, sf_dir, "documents")
+    c = d.agg(
+        *[
+            F.count(F.when(F.col("lang") == lang, 1))
+            .cast("bigint")
+            .alias(f"n_{lang}")
+            for lang in MIX_LANGS
+        ]
+    )
+    w = c.withColumn("denom", F.expr(_SQRT_SUM)).withColumn(
+        "n_total",
+        F.expr(" + ".join(f"n_{lang}" for lang in MIX_LANGS)).cast("bigint"),
+    )
+    parts = [
+        w.select(
+            F.lit(lang).alias("lang"),
+            F.col(f"n_{lang}").alias("n_docs"),
+            F.expr(f"CAST((1000000 * n_{lang}) DIV n_total AS BIGINT)").alias(
+                "prop_ppm"
+            ),
+            F.expr(
+                f"CAST(FLOOR(1000000 * sqrt(CAST(n_{lang} AS DOUBLE)) / denom)"
+                " AS BIGINT)"
+            ).alias("temp_ppm"),
+        )
+        for lang in MIX_LANGS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

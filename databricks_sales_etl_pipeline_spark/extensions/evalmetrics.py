@@ -204,3 +204,102 @@ def ext_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * SUM(pred_permille)) DIV COUNT(*) AS BIGINT)"
         ).alias("mean_pred_ppm"),
     )
+
+
+PR_THRESHOLDS = (50, 100, 150, 200, 300)
+
+
+@query(
+    "ext_eval_pr_at_k",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), scored AS (
+        SELECT (1000 * len(list_filter(toks,
+                    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))))
+                   // len(toks) AS score_permille,
+               CASE WHEN len(toks) >= {CAL_LONG_DOC_TOKENS} THEN 1 ELSE 0 END
+                   AS label
+        FROM t WHERE len(toks) > 0
+    )
+    {" UNION ALL ".join(
+        f'''SELECT CAST({k} AS BIGINT) AS threshold_permille,
+               CAST(SUM(CASE WHEN score_permille >= {k} AND label = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN score_permille >= {k} AND label = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN score_permille < {k} AND label = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST((1000000 * SUM(CASE WHEN score_permille >= {k}
+                                        AND label = 1 THEN 1 ELSE 0 END))
+                    // NULLIF(SUM(CASE WHEN score_permille >= {k}
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS precision_ppm,
+               CAST((1000000 * SUM(CASE WHEN score_permille >= {k}
+                                        AND label = 1 THEN 1 ELSE 0 END))
+                    // NULLIF(SUM(label), 0) AS BIGINT) AS recall_ppm
+        FROM scored'''
+        for k in PR_THRESHOLDS
+    )}
+    """,
+)
+def ext_eval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev4 — precision/recall across an operating-threshold sweep: the
+    table behind a PR curve, exact to the count (tp/fp/fn per threshold,
+    P and R in integer ppm with NULL on empty denominators) — how a
+    corpus-filter threshold is actually chosen from ext_calibration /
+    ext_eval_auc's score column. One scan computes every threshold's
+    confusion cells as conditional aggregates — thresholds are columns of
+    ONE pass, not one job per cutoff."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    scored = (
+        d.select(toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            F.expr(
+                "(1000 * size(filter(toks, x -> array_contains("
+                "array('the','a','of','and','to','in','is'), x)))) "
+                "DIV size(toks)"
+            ).alias("score_permille"),
+            F.when(F.size("toks") >= CAL_LONG_DOC_TOKENS, 1)
+            .otherwise(0)
+            .alias("label"),
+        )
+        .localCheckpoint()
+    )
+    parts = []
+    for k in PR_THRESHOLDS:
+        pred = F.col("score_permille") >= k
+        parts.append(
+            scored.agg(
+                F.lit(k).cast("bigint").alias("threshold_permille"),
+                F.sum(F.when(pred & (F.col("label") == 1), 1).otherwise(0))
+                .cast("bigint")
+                .alias("tp"),
+                F.sum(F.when(pred & (F.col("label") == 0), 1).otherwise(0))
+                .cast("bigint")
+                .alias("fp"),
+                F.sum(F.when(~pred & (F.col("label") == 1), 1).otherwise(0))
+                .cast("bigint")
+                .alias("fn"),
+                F.expr(
+                    f"CAST((1000000 * SUM(CASE WHEN score_permille >= {k} "
+                    "AND label = 1 THEN 1 ELSE 0 END)) DIV NULLIF(SUM(CASE "
+                    f"WHEN score_permille >= {k} THEN 1 ELSE 0 END), 0) "
+                    "AS BIGINT)"
+                ).alias("precision_ppm"),
+                F.expr(
+                    f"CAST((1000000 * SUM(CASE WHEN score_permille >= {k} "
+                    "AND label = 1 THEN 1 ELSE 0 END)) "
+                    "DIV NULLIF(SUM(label), 0) AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
