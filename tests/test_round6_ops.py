@@ -741,3 +741,53 @@ class TestSessionBoundarySemantics:
         ) == sorted(
             map(tuple, oracle[["user_id", "n_events", "dur_secs"]].values.tolist())
         )
+
+
+class TestMixtureTemperature:
+    def test_flattening_property(self, spark):
+        out = {r["lang"]: r for r in
+               QUERIES["ext_mixture_temperature"](spark, SF_DIR).collect()}
+        assert len(out) == 5
+        # temperature weights must be flatter than proportional: the
+        # largest class loses share, the smallest gains
+        big = max(out.values(), key=lambda r: r["n_docs"])
+        small = min(out.values(), key=lambda r: r["n_docs"])
+        if big["n_docs"] != small["n_docs"]:
+            assert big["temp_ppm"] <= big["prop_ppm"]
+            assert small["temp_ppm"] >= small["prop_ppm"]
+        total_temp = sum(r["temp_ppm"] for r in out.values())
+        assert 1_000_000 - 5 <= total_temp <= 1_000_000  # floor rounding
+
+
+class TestPrAtK:
+    def test_monotone_tradeoff(self, spark):
+        out = sorted(
+            QUERIES["ext_eval_pr_at_k"](spark, SF_DIR).collect(),
+            key=lambda r: r["threshold_permille"],
+        )
+        assert len(out) == 5
+        recalls = [r["recall_ppm"] for r in out if r["recall_ppm"] is not None]
+        assert recalls == sorted(recalls, reverse=True)  # recall never rises
+        for r in out:
+            assert r["tp"] + r["fn"] == out[0]["tp"] + out[0]["fn"]  # fixed positives
+
+
+class TestLabelProp:
+    def test_vertex_conservation(self, spark):
+        out = QUERIES["ext_graph_label_prop"](spark, SF_DIR).collect()
+        assert out
+        assert sum(r["n_vertices"] for r in out) > 0
+        # community labels are vertex ids, so each must be a real vertex
+        for r in out:
+            assert r["community"] >= 0
+
+
+class TestGroupingId:
+    def test_levels_present(self, spark):
+        out = QUERIES["agg_grouping_id"](spark, SF_DIR).collect()
+        ids = {r["grouping_id"] for r in out}
+        assert ids == {0, 1, 2, 3}
+        total = [r for r in out if r["grouping_id"] == 3]
+        assert len(total) == 1
+        leaf_n = sum(r["n_orders"] for r in out if r["grouping_id"] == 0)
+        assert leaf_n == total[0]["n_orders"]
