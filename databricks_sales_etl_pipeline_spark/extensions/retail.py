@@ -1,0 +1,358 @@
+"""Retail / growth-analytics operators (north-star widening of the
+§2.6-§2.7 analytics family): cohort lifetime-value curves, market-basket
+association rules, an A/B sample-ratio-mismatch gate, and a
+time-constrained conversion funnel.
+
+These complete the product-analytics suite beside `extensions/analytics.py`
+(plain funnel, retention cohorts, attribution) — LTV adds money to the
+cohort grid, basket rules add the a-priori L2 co-purchase miner, SRM adds
+the trust gate every experiment readout runs FIRST, and the windowed
+funnel adds inter-step deadlines (the difference between "eventually
+converted" and "converted in-session").
+
+Parity: money in integer cents, ratios in integer ppm via truncating
+division (Spark ``DIV`` == DuckDB ``//`` on non-negatives), experiment
+assignment via the cross-engine md5-band coin (CLAUDE.md).
+
+Scale shapes:
+- LTV: one custkey window + one (cohort, offset) groupBy; the cumulative
+  window sorts the tiny cohort grid, not the fact table.
+- Basket rules: per-order pair enumeration is O(k²) in basket size k
+  (bounded by lines-per-order, ~7), never corpus-quadratic; brand counts
+  broadcast back.
+- SRM / windowed funnel: every aggregate rides the ONE user_id shuffle
+  the other event operators already use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band, md5_band_sql
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+
+@query(
+    "ext_cohort_ltv",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST((year(CAST(o_orderdate AS DATE)) - 1995) * 12
+                    + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+               {cents_sql('o_totalprice')} AS rc
+        FROM orders
+    ), coh AS (
+        SELECT *, MIN(m) OVER (PARTITION BY o_custkey) AS cohort FROM o
+    ), grid AS (
+        SELECT cohort, m - cohort AS month_offset,
+               CAST(SUM(rc) AS BIGINT) AS rev_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM coh GROUP BY 1, 2
+    )
+    SELECT cohort, month_offset, rev_cents, n_orders,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY month_offset)
+                AS BIGINT) AS cum_rev_cents
+    FROM grid
+    """,
+)
+def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt1 — cohort LTV curves: customers are cohorted by first-order
+    month, revenue is binned by month offset since acquisition, and a
+    per-cohort running sum yields the cumulative-LTV curve every growth
+    model is fit against. The cohort label comes from a MIN window on the
+    SAME custkey partitioning the revenue pass needs (no join-back), and
+    the cumulative window sorts only the (cohort × offset) grid."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (F.year(F.col("o_orderdate").cast("date")) - 1995) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("m"),
+        cents("o_totalprice").alias("rc"),
+    )
+    coh = o.withColumn("cohort", F.min("m").over(Window.partitionBy("o_custkey")))
+    grid = (
+        coh.groupBy("cohort", (F.col("m") - F.col("cohort")).alias("month_offset"))
+        .agg(
+            F.sum("rc").cast("bigint").alias("rev_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    wc = Window.partitionBy("cohort").orderBy("month_offset")
+    return grid.select(
+        "cohort",
+        "month_offset",
+        "rev_cents",
+        "n_orders",
+        F.sum("rev_cents").over(wc).cast("bigint").alias("cum_rev_cents"),
+    )
+
+
+@query(
+    "ext_basket_rules",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n AS (
+        SELECT COUNT(DISTINCT ok) AS n_orders FROM b
+    ), singles AS (
+        SELECT brand, COUNT(*) AS cnt FROM b GROUP BY brand
+    ), pairs AS (
+        SELECT a.brand AS brand_a, c.brand AS brand_b, COUNT(*) AS pair_cnt
+        FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT p.brand_a, p.brand_b,
+               CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+               CAST(sa.cnt AS BIGINT) AS cnt_a,
+               CAST(sb.cnt AS BIGINT) AS cnt_b,
+               CAST((p.pair_cnt * 1000000) // n.n_orders AS BIGINT)
+                   AS support_ppm,
+               CAST((p.pair_cnt * 1000000) // sa.cnt AS BIGINT)
+                   AS conf_ppm,
+               CAST((p.pair_cnt * n.n_orders * 1000000) // (sa.cnt * sb.cnt)
+                   AS BIGINT) AS lift_ppm
+        FROM pairs p
+        JOIN singles sa ON sa.brand = p.brand_a
+        JOIN singles sb ON sb.brand = p.brand_b
+        CROSS JOIN n
+    )
+    SELECT * FROM scored
+    ORDER BY lift_ppm DESC, brand_a, brand_b LIMIT 20
+    """,
+)
+def ext_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt2 — market-basket association rules (a-priori level 2): ONE
+    orderkey shuffle collects each order's distinct-brand basket, and
+    brand pairs are expanded in-row from the sorted basket array — O(k²)
+    in basket size, never corpus-quadratic, and no self-join of the fact.
+    Support, confidence and lift land in exact integer ppm against
+    broadcast single-brand counts and the scalar order total; top-20 by
+    lift with full tiebreaks (TakeOrdered, no global sort)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # ONE orderkey shuffle builds per-order brand baskets; pairs are then
+    # expanded IN-ROW from the (sorted, distinct) basket array — no
+    # self-join, no second fact shuffle. The nested-transform lambda is
+    # CodegenFallback-interpreted, but over ≤ basket-size² (~49) elements
+    # per order — the sanctioned HOF use (bounded arrays, CLAUDE.md).
+    baskets = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("basket"))
+        .localCheckpoint(eager=False)
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    singles = (
+        baskets.select(F.explode("basket").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "basket",
+                lambda x: F.transform("basket", lambda y: F.struct(x.alias("a"), y.alias("b"))),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(
+            F.col("pr.a").alias("brand_a"), F.col("pr.b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    sa = singles.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
+    sb = singles.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    scored = (
+        pairs.join(broadcast(sa), "brand_a")
+        .join(broadcast(sb), "brand_b")
+        .crossJoin(broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("pair_cnt").cast("bigint"),
+            F.col("cnt_a").cast("bigint"),
+            F.col("cnt_b").cast("bigint"),
+            F.expr("(pair_cnt * 1000000) DIV n_orders").cast("bigint").alias("support_ppm"),
+            F.expr("(pair_cnt * 1000000) DIV cnt_a").cast("bigint").alias("conf_ppm"),
+            F.expr("(pair_cnt * n_orders * 1000000) DIV (cnt_a * cnt_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_ppm"), "brand_a", "brand_b").limit(20)
+
+
+_SRM_SALT = "srm-v1:"
+
+
+@query(
+    "ext_ab_srm_check",
+    oracle=f"""
+    WITH exposed AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ), arms AS (
+        SELECT user_id, {md5_band_sql('user_id', 2, _SRM_SALT)} AS arm
+        FROM exposed
+    ), counts AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+        FROM arms
+    )
+    SELECT n_a, n_b,
+           CAST(n_a - n_b AS BIGINT) AS delta,
+           CAST(((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)
+               AS BIGINT) AS chi2_ppm,
+           CAST(CASE WHEN ((n_a - n_b) * (n_a - n_b) * 1000000)
+                          // (n_a + n_b) > 3841000
+                     THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM counts
+    """,
+)
+def ext_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt3 — sample-ratio-mismatch gate: the trust check run BEFORE any
+    experiment readout. Exposed users (≥1 view) are assigned to arms by
+    the deterministic cross-engine md5 coin (same primitive as
+    `ext_ab_lift`), and the 1-df chi-square against the designed 50/50 —
+    (nA−nB)²/(nA+nB) — lands in exact integer ppm with the α=0.05
+    critical value (3.841) as the flag threshold. One distinct + one
+    scalar aggregate; the whole check is a by-product of the user_id
+    shuffle."""
+    e = load(spark, sf_dir, "events")
+    exposed = e.where(F.col("event_type") == "view").select("user_id").distinct()
+    arms = exposed.select(md5_band(F.col("user_id"), 2, _SRM_SALT).alias("arm"))
+    counts = arms.agg(
+        F.sum((F.col("arm") == 0).cast("bigint")).cast("bigint").alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("bigint")).cast("bigint").alias("n_b"),
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") - F.col("n_b")).cast("bigint").alias("delta"),
+        F.expr("((n_a - n_b) * (n_a - n_b) * 1000000) DIV (n_a + n_b)")
+        .cast("bigint")
+        .alias("chi2_ppm"),
+        F.expr(
+            "CASE WHEN ((n_a - n_b) * (n_a - n_b) * 1000000) DIV (n_a + n_b) > 3841000 "
+            "THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("srm_flag"),
+    )
+
+
+_FUNNEL_DEADLINE_US = 24 * 3600 * 1000000  # 24 h per step
+
+
+@query(
+    "ext_funnel_windowed",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ), s1 AS (
+        SELECT user_id, MIN(us) AS t FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.us) AS t
+        FROM e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.us >= s1.t AND e.us <= s1.t + {_FUNNEL_DEADLINE_US}
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.us) AS t
+        FROM e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.us >= s2.t AND e.us <= s2.t + {_FUNNEL_DEADLINE_US}
+        GROUP BY e.user_id
+    ), c AS (
+        SELECT (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+           CAST(n1 AS BIGINT) AS n_users,
+           CAST(1000000 AS BIGINT) AS conv_from_prev_ppm FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(n2 AS BIGINT),
+           CAST(CASE WHEN n1 > 0 THEN (n2 * 1000000) // n1 ELSE NULL END
+                AS BIGINT) FROM c
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(n3 AS BIGINT),
+           CAST(CASE WHEN n2 > 0 THEN (n3 * 1000000) // n2 ELSE NULL END
+                AS BIGINT) FROM c
+    """,
+)
+def ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt4 — time-constrained funnel view → click → purchase: each stage
+    must land within 24 h of the user's previous-stage timestamp —
+    "converted in-session", where `ext_event_funnel` only asks
+    "eventually". Implemented as three chained unbounded MIN windows over
+    the SAME user_id partitioning (each stage's deadline references the
+    previous window's column) — ONE exchange total, where the equivalent
+    join-per-stage formulation costs 13 — then a single global aggregate
+    and a `stack` unpivot (the 3-row report never recomputes the
+    pipeline). Integer microseconds throughout."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id")
+    d = F.lit(_FUNNEL_DEADLINE_US)
+    staged = (
+        e.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") >= F.col("t1"))
+                    & (F.col("us") <= F.col("t1") + d),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("t2"))
+                    & (F.col("us") <= F.col("t2") + d),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+    )
+    c = staged.agg(
+        F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id")))
+        .cast("bigint")
+        .alias("n1"),
+        F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id")))
+        .cast("bigint")
+        .alias("n2"),
+        F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id")))
+        .cast("bigint")
+        .alias("n3"),
+    )
+    return c.selectExpr(
+        "stack(3, "
+        " CAST(1 AS BIGINT), 'view', n1, CAST(1000000 AS BIGINT), "
+        " CAST(2 AS BIGINT), 'click', n2, "
+        "   CAST(CASE WHEN n1 > 0 THEN (n2 * 1000000) DIV n1 END AS BIGINT), "
+        " CAST(3 AS BIGINT), 'purchase', n3, "
+        "   CAST(CASE WHEN n2 > 0 THEN (n3 * 1000000) DIV n2 END AS BIGINT)"
+        ") AS (stage, stage_name, n_users, conv_from_prev_ppm)"
+    )

@@ -1,0 +1,385 @@
+"""Warehouse-ETL operators the reference's medallion pipeline implies but
+never spells out (north-star widening of §2.7): SCD Type-2 dimension
+building, ANALYZE-style column statistics, referential-integrity DQ,
+calendar gap-fill with forward-fill, and a zone-map data-skipping report.
+
+Reference context: the notebooks overwrite Gold tables wholesale
+(`02_business_transformation_gold.py:69-71`) — a real warehouse keeps
+history (SCD2), audits FK integrity before publishing, and collects the
+column statistics a cost-based optimizer needs. These are those operators.
+
+Scale shapes:
+- SCD2 rides ONE user_id shuffle; the change-collapse filter preserves the
+  partitioning AND the sort, so the second window pass reuses the exchange.
+- ANALYZE is one scan (multi-distinct expands in-plan; production swaps
+  exact NDV for approx_count_distinct's one-pass HLL — documented).
+- Referential integrity: dims broadcast; the two lineitem probes share one
+  cached fact scan. No fact-fact shuffle.
+- Gap-fill generates the month spine per key from per-key bounds (25
+  nations × ~80 months — dim-sized), then forward-fills with the
+  count-of-non-nulls grouping trick: two windows on ONE key shuffle.
+- Zone-map report: the global NTILE sort is the CLUSTERING step (what
+  `plans/layout.py` z-order does with a range exchange at scale); the
+  stats themselves are a per-zone aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+
+@query(
+    "ext_scd2_build",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events
+    ), chg AS (
+        SELECT *, lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        FROM e
+    ), ver AS (
+        SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+               CAST(row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id)
+                    AS BIGINT) AS version,
+               lead(ts_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id)
+                    AS valid_to_us
+        FROM chg WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, version, state,
+           CAST(valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(valid_to_us AS BIGINT) AS valid_to_us,
+           CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM ver WHERE user_id % 5 = 0
+    """,
+)
+def ext_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh1 — SCD Type-2 dimension build from a change log: treat each
+    user's event_type stream as attribute updates, collapse consecutive
+    duplicates (change detection — only REAL transitions open a version),
+    then assign version numbers and [valid_from, valid_to) intervals with
+    an open-ended current row. The collapse filter keeps the (user_id)
+    hash partitioning and (ts_us, event_id) sort, so the second window
+    pass (row_number + lead) reuses the first's exchange — the whole build
+    is ONE shuffle. Timestamps are integer microseconds end-to-end."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = e.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    ver = chg.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+    return ver.where(F.col("user_id") % 5 == 0).select(
+        "user_id",
+        "version",
+        "state",
+        F.col("valid_from_us").cast("bigint"),
+        F.col("valid_to_us").cast("bigint"),
+        F.when(F.col("valid_to_us").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_current"),
+    )
+
+
+#: (report name, source expression, is_string) — the expression is typed;
+#: min/max are computed on the TYPE and cast to string after (numeric min,
+#: not lexicographic), which both engines render identically for bigint,
+#: date and ascii strings.
+_ANALYZE_COLS = [
+    ("o_orderkey", "o_orderkey", False),
+    ("o_custkey", "o_custkey", False),
+    ("o_orderstatus", "o_orderstatus", True),
+    ("o_orderpriority", "o_orderpriority", True),
+    ("o_totalprice_cents", cents_sql("o_totalprice"), False),
+    ("o_orderdate", "CAST(o_orderdate AS DATE)", False),
+]
+
+
+def _analyze_oracle() -> str:
+    parts = []
+    for name, expr, is_str in _ANALYZE_COLS:
+        chars = f"CAST(SUM(length({expr})) AS BIGINT)" if is_str else "CAST(NULL AS BIGINT)"
+        parts.append(
+            f"""
+    SELECT '{name}' AS col_name,
+           CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS ndv,
+           CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS null_count,
+           CAST(MIN({expr}) AS VARCHAR) AS min_repr,
+           CAST(MAX({expr}) AS VARCHAR) AS max_repr,
+           {chars} AS total_chars
+    FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("tbl_analyze_stats", oracle=_analyze_oracle())
+def tbl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh2 — ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as a query:
+    per-column NDV, null count, min/max (portable string repr — money as
+    integer cents, dates as ISO strings), and total string length. ONE
+    aggregation over ONE scan emits every stat (Catalyst expands the
+    multi-distinct in-plan), then a `stack` unpivots the single stats row
+    to the per-column report — no per-column rescans, no collect. At
+    100 TB the exact NDVs swap for `approx_count_distinct` (one-pass
+    mergeable HLL, the `ext_approx_distinct` posture); min/max/nulls are
+    already one-pass. This is the stats feed a cost-based optimizer
+    (join reordering, broadcast decisions) consumes."""
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for i, (name, expr, is_str) in enumerate(_ANALYZE_COLS):
+        # cents_sql/date exprs are Spark-parseable too (FLOOR/CAST only)
+        c = F.expr(expr)
+        aggs += [
+            F.countDistinct(c).cast("bigint").alias(f"c{i}__ndv"),
+            F.sum(c.isNull().cast("bigint")).cast("bigint").alias(f"c{i}__nulls"),
+            F.min(c).cast("string").alias(f"c{i}__min"),
+            F.max(c).cast("string").alias(f"c{i}__max"),
+            (F.sum(F.length(c)).cast("bigint") if is_str else F.lit(None).cast("bigint")).alias(
+                f"c{i}__chars"
+            ),
+        ]
+    row = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', c{i}__ndv, c{i}__nulls, c{i}__min, c{i}__max, c{i}__chars"
+        for i, (name, _, _) in enumerate(_ANALYZE_COLS)
+    )
+    return row.selectExpr(
+        f"stack({len(_ANALYZE_COLS)}, {stack_args}) AS "
+        "(col_name, ndv, null_count, min_repr, max_repr, total_chars)"
+    )
+
+
+_RI_RELATIONS = [
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = [
+        f"""
+    SELECT '{rel}' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS fact_rows,
+           CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM {dim} d WHERE d.{dk} = f.{fk})) AS BIGINT)
+               AS orphan_rows,
+           CAST((1000000 * COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM {dim} d WHERE d.{dk} = f.{fk})))
+               // COUNT(*) AS BIGINT) AS orphan_ppm
+    FROM {fact} f"""
+        for rel, fact, fk, dim, dk in _RI_RELATIONS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_referential_integrity", oracle=_ri_oracle())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh3 — referential-integrity audit: orphan-FK census for every
+    fact→dim relation in the star schema, one report row per relation
+    (fact rows, orphans, orphan ppm). Each probe is a broadcast-dim
+    LEFT JOIN with a null-test aggregate — the dims ship to the fact,
+    the fact never shuffles; the two lineitem relations scan lineitem
+    twice here but share scan-level column pruning (keys only). The gate
+    a medallion pipeline runs BEFORE publishing Gold."""
+    reports = []
+    for rel, fact, fk, dim, dk in _RI_RELATIONS:
+        f = load(spark, sf_dir, fact).select(fk)
+        d = load(spark, sf_dir, dim).select(dk)
+        joined = f.join(broadcast(d), f[fk] == d[dk], "left")
+        reports.append(
+            joined.agg(
+                F.lit(rel).alias("relation"),
+                F.count(F.lit(1)).cast("bigint").alias("fact_rows"),
+                F.sum(F.col(dk).isNull().cast("bigint")).cast("bigint").alias("orphan_rows"),
+            ).select(
+                "relation",
+                "fact_rows",
+                "orphan_rows",
+                F.expr("1000000 * orphan_rows DIV fact_rows").cast("bigint").alias("orphan_ppm"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@query(
+    "ext_gap_fill_ffill",
+    oracle=f"""
+    WITH base AS (
+        SELECT c.c_nationkey AS nation,
+               CAST((year(CAST(o.o_orderdate AS DATE)) - 1995) * 12
+                    + month(CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+               CAST(SUM({cents_sql('o.o_totalprice')}) AS BIGINT) AS rev_cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderkey % 7 = 0
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT nation, MIN(m) AS mn, MAX(m) AS mx FROM base GROUP BY nation
+    ), spine AS (
+        SELECT nation, CAST(unnest(generate_series(mn, mx)) AS BIGINT) AS m
+        FROM bounds
+    ), joined AS (
+        SELECT s.nation, s.m, b.rev_cents FROM spine s
+        LEFT JOIN base b ON b.nation = s.nation AND b.m = s.m
+    ), grp AS (
+        SELECT *, COUNT(rev_cents) OVER
+                   (PARTITION BY nation ORDER BY m) AS g
+        FROM joined
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, m,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(MAX(rev_cents) OVER (PARTITION BY nation, g) AS BIGINT)
+               AS filled_cents,
+           CAST(CASE WHEN rev_cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS was_gap
+    FROM grp
+    """,
+)
+def ext_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh4 — time-series gap-fill + forward-fill: sparse (nation, month)
+    revenue (orders subsampled by key to FORCE gaps) is densified against
+    a per-key generated month spine, then forward-filled with the
+    count-of-non-nulls grouping trick — `g = COUNT(value) OVER (ORDER BY
+    m)` ticks only on observed months, so `MAX(value) OVER (PARTITION BY
+    key, g)` propagates the last observation across the following gap
+    rows. Portable in exact integers in both engines (no IGNORE NULLS
+    dependence). The spine explodes from per-key bounds (dim-sized), and
+    both windows plus the spine join ride ONE nation-key shuffle."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            (
+                (F.year(F.col("o_orderdate").cast("date")) - 1995) * 12
+                + F.month(F.col("o_orderdate").cast("date"))
+                - 1
+            )
+            .cast("bigint")
+            .alias("m"),
+            cents("o_totalprice").alias("rc"),
+        )
+        .groupBy("nation", "m")
+        .agg(F.sum("rc").cast("bigint").alias("rev_cents"))
+    )
+    spine = (
+        base.groupBy("nation")
+        .agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+        .select("nation", F.explode(F.sequence("mn", "mx")).alias("m"))
+    )
+    joined = spine.join(base, ["nation", "m"], "left")
+    wg = Window.partitionBy("nation").orderBy("m")
+    grp = joined.withColumn("g", F.count("rev_cents").over(wg))
+    return grp.select(
+        "nation",
+        "m",
+        F.col("rev_cents").cast("bigint"),
+        F.max("rev_cents")
+        .over(Window.partitionBy("nation", "g"))
+        .cast("bigint")
+        .alias("filled_cents"),
+        F.when(F.col("rev_cents").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("was_gap"),
+    )
+
+
+_ZONE_LO = "1998-01-01"
+_ZONE_HI = "1998-07-01"  # exclusive
+
+
+@query(
+    "ext_zone_map_stats",
+    oracle=f"""
+    WITH z AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS d,
+               CAST(ntile(64) OVER (ORDER BY CAST(o_orderdate AS DATE),
+                                             o_orderkey) AS BIGINT) AS zone_id
+        FROM orders
+    ), stats AS (
+        SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(d) AS BIGINT) AS min_day,
+               CAST(MAX(d) AS BIGINT) AS max_day,
+               CAST(COUNT(*) FILTER (WHERE
+                   d >= date_diff('day', DATE '1970-01-01', DATE '{_ZONE_LO}')
+                   AND d < date_diff('day', DATE '1970-01-01', DATE '{_ZONE_HI}'))
+                   AS BIGINT) AS rows_matching
+        FROM z GROUP BY zone_id
+    )
+    SELECT zone_id, n_rows, min_day, max_day,
+           CAST(CASE WHEN max_day >= date_diff('day', DATE '1970-01-01',
+                                               DATE '{_ZONE_LO}')
+                      AND min_day < date_diff('day', DATE '1970-01-01',
+                                              DATE '{_ZONE_HI}')
+                     THEN 1 ELSE 0 END AS BIGINT) AS zone_hit,
+           rows_matching
+    FROM stats
+    """,
+)
+def ext_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh5 — zone-map data-skipping report: cluster orders into 64
+    date-ordered zones (the NTILE here plays the range-exchange role of a
+    clustered write — `plans/layout.py` is the production form), record
+    per-zone min/max day + row count, and evaluate a half-year date
+    predicate against the zone boundaries. `zone_hit=0` rows are the scans
+    a stats-aware reader SKIPS; `rows_matching` inside hit zones proves
+    the skipped zones lost nothing. This is the file-stats contract
+    (Parquet row-group / Delta file stats) expressed as a query, and the
+    report that tells you whether a table's layout actually prunes."""
+    o = load(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "d"
+        ),
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    z = o.withColumn(
+        "zone_id",
+        F.ntile(64).over(Window.orderBy("od", "o_orderkey")).cast("bigint"),
+    )
+    lo = F.datediff(F.lit(_ZONE_LO).cast("date"), F.lit("1970-01-01").cast("date"))
+    hi = F.datediff(F.lit(_ZONE_HI).cast("date"), F.lit("1970-01-01").cast("date"))
+    stats = z.groupBy("zone_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("d").cast("bigint").alias("min_day"),
+        F.max("d").cast("bigint").alias("max_day"),
+        F.sum(((F.col("d") >= lo) & (F.col("d") < hi)).cast("bigint"))
+        .cast("bigint")
+        .alias("rows_matching"),
+    )
+    return stats.select(
+        "zone_id",
+        "n_rows",
+        "min_day",
+        "max_day",
+        F.when((F.col("max_day") >= lo) & (F.col("min_day") < hi), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("zone_hit"),
+        "rows_matching",
+    )

@@ -73,6 +73,8 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.lm",
     "databricks_sales_etl_pipeline_spark.extensions.mdm",
     "databricks_sales_etl_pipeline_spark.extensions.evalmetrics",
+    "databricks_sales_etl_pipeline_spark.extensions.warehouse",
+    "databricks_sales_etl_pipeline_spark.extensions.retail",
     "databricks_sales_etl_pipeline_spark.plans.medallion",
     "databricks_sales_etl_pipeline_spark.plans.merge",
     "databricks_sales_etl_pipeline_spark.plans.versioned",

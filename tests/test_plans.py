@@ -124,6 +124,9 @@ _NLJ_ALLOWED = {
     "ext_drift_report",
     "ext_skew_diagnose",
     "pipeline_feature_store",
+    # round-6 second wave: 1-row scalar-aggregate broadcast again — the
+    # basket-rules order total fanned into the lift denominator
+    "ext_basket_rules",
 }
 
 
