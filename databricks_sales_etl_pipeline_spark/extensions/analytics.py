@@ -783,3 +783,142 @@ def ext_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
         F.datediff(F.max("e"), F.min("s")).cast("bigint").alias("span_days"),
     )
+
+
+from databricks_sales_etl_pipeline_spark.extensions.chunking import (  # noqa: E402
+    md5_band as _md5_band,
+)
+from pyspark.sql import Window as _W  # noqa: E402
+
+_PATH_LEN = 5
+
+
+@query(
+    "ext_session_paths",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                           event_id) AS rn
+        FROM events
+    ), paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        FROM e WHERE rn <= {_PATH_LEN} GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 15
+    """,
+)
+def ext_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An8 — top onboarding paths: each user's first {_PATH_LEN} events
+    (fully-pinned (ts, event_id) order) joined into a '>'-delimited path
+    string via Spark 4's ordered ``listagg``, then counted across users —
+    the "what do new users actually do" path-analysis query. The
+    row_number filter and the ordered aggregate ride ONE user_id shuffle
+    (the filter preserves partitioning); the path census groups a
+    user-count-sized relation; top-15 is TakeOrdered with a path
+    tiebreak."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = _W.partitionBy("user_id").orderBy("us", "event_id")
+    first_k = e.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _PATH_LEN
+    )
+    paths = first_k.groupBy("user_id").agg(
+        F.expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY us, event_id)").alias(
+            "path"
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(15)
+    )
+
+
+#: modeled per-event network jitter bound (seconds) and the audited
+#: watermark delay — the audit answers "would a 30-minute watermark have
+#: dropped how much of this traffic under up-to-2h delivery jitter?"
+_JITTER_S = 7200
+_WM_DELAY_US = 30 * 60 * 1000000
+_N_SRC_PARTS = 8
+
+
+@query(
+    "ext_late_data_audit",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, event_type, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   + {_md5_band_sql('event_id', _JITTER_S, 'jit:')} * 1000000
+                   AS arrival_us,
+               event_id % {_N_SRC_PARTS} AS src_part
+        FROM events
+    ), wm AS (
+        SELECT *, MAX(us) OVER (PARTITION BY src_part
+                                ORDER BY arrival_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                  - {_WM_DELAY_US} AS wm_us
+        FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE wm_us IS NOT NULL AND us < wm_us)
+                AS BIGINT) AS n_late,
+           CAST((1000000 * COUNT(*) FILTER (WHERE wm_us IS NOT NULL
+                                              AND us < wm_us)) // COUNT(*)
+                AS BIGINT) AS late_ppm,
+           CAST(MAX(CASE WHEN wm_us IS NOT NULL AND us < wm_us
+                         THEN wm_us - us END) AS BIGINT) AS max_lateness_us
+    FROM wm GROUP BY event_type
+    """,
+)
+def ext_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An9 — watermark-lateness audit (batch replay): events are replayed
+    in MODELED arrival order (event time + a deterministic md5 jitter of
+    up to 2 h — the delivery-delay model), each source partition maintains
+    the running high-water-mark of event time it has SEEN (exactly how
+    Spark computes per-partition watermarks), and an event is late when
+    its event time is below that partition's watermark-minus-delay at its
+    arrival. The per-type census (late count, ppm, worst lateness) is the
+    report that SIZES `withWatermark` before a streaming job ships —
+    drop-rate-vs-delay, measured on the job's own traffic. One src_part
+    window + one event_type aggregate; integer microseconds throughout."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", F.unix_micros("ts").alias("us")
+    )
+    e = e.withColumn(
+        "arrival_us",
+        F.col("us") + _md5_band(F.col("event_id"), _JITTER_S, "jit:") * 1000000,
+    ).withColumn("src_part", F.col("event_id") % _N_SRC_PARTS)
+    w = (
+        _W.partitionBy("src_part")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    wm = e.withColumn("wm_us", F.max("us").over(w) - _WM_DELAY_US)
+    late = F.col("wm_us").isNotNull() & (F.col("us") < F.col("wm_us"))
+    return wm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(late.cast("bigint")).cast("bigint").alias("n_late"),
+        (F.lit(1000000) * F.sum(late.cast("bigint")))
+        .cast("bigint")
+        .alias("_lt"),
+        F.max(F.when(late, F.col("wm_us") - F.col("us"))).cast("bigint").alias(
+            "max_lateness_us"
+        ),
+    ).select(
+        "event_type",
+        "n_events",
+        "n_late",
+        F.expr("_lt DIV n_events").cast("bigint").alias("late_ppm"),
+        "max_lateness_us",
+    )

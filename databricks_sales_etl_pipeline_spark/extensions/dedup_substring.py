@@ -490,3 +490,94 @@ def ext_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cl"), F.lit(0)).cast("long").alias("cut_len"),
         F.md5(F.array_join(ct, " ")).alias("clean_md5"),
     )
+
+
+_CONTAIN_T = 0.6
+
+_CONTAIN_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 0)),
+                i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                     string_split_regex(lower(text), '\\s+')[i+2]
+            ))) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_src, p.doc_dst,
+           CAST(p.n_common AS BIGINT) AS n_common,
+           CAST(ss.n_sh AS BIGINT) AS size_src,
+           CAST(sd.n_sh AS BIGINT) AS size_dst,
+           CAST(p.n_common AS DOUBLE) / ss.n_sh AS containment
+    FROM pairs p
+    JOIN sizes ss ON ss.doc_id = p.doc_src
+    JOIN sizes sd ON sd.doc_id = p.doc_dst
+    WHERE CAST(p.n_common AS DOUBLE) / ss.n_sh >= {_CONTAIN_T}
+"""
+
+
+@query("ext_shingle_containment", oracle=_CONTAIN_ORACLE)
+def ext_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2f — DIRECTED shingle containment C(src→dst) = |src ∩ dst| / |src|:
+    the asymmetric cousin of Jaccard that catches quote/subset
+    relationships — a short document wholly pasted inside a long one has
+    high containment but low Jaccard, so every symmetric dedup gate misses
+    it (this is the Broder containment measure, the basis of quote and
+    license-text detection in crawl curation).
+
+    Candidate generation is an ASYMMETRIC prefix filter: C ≥ t needs
+    overlap ≥ ⌈t·|src|⌉, so src's first |src| − ⌈t·|src|⌉ + 1 shingles in
+    the global rare-first order must hit dst SOMEWHERE (prefix theorem,
+    one-sided) — the probe joins src-prefixes against the FULL inverted
+    index, but only index postings whose shingle occurs in some prefix are
+    touched, and rare-first ordering keeps hot boilerplate shingles out of
+    prefixes, so the join is bounded by rare-shingle document frequency.
+    Exact verify then counts ALL common shingles per directed candidate.
+    The plain inverted-index oracle proves the filter lossless."""
+    t = _CONTAIN_T
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d).localCheckpoint(eager=False)
+    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare_first = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(doc_freq, "shingle")
+        .withColumn("rnk", F.row_number().over(rare_first))
+        .where(F.col("rnk") <= F.col("n_sh") - F.ceil(F.col("n_sh") * t) + 1)
+        .select("doc_id", "shingle")
+    )
+    full = sh.select(F.col("doc_id").alias("doc_dst"), "shingle")
+    cand = (
+        prefix.withColumnRenamed("doc_id", "doc_src")
+        .join(full, "shingle")
+        .where(F.col("doc_src") != F.col("doc_dst"))
+        .select("doc_src", "doc_dst")
+        .distinct()
+    )
+    src = sh.select(
+        F.col("doc_id").alias("doc_src"), F.col("n_sh").alias("size_src"), "shingle"
+    )
+    dst = sh.select(
+        F.col("doc_id").alias("doc_dst"), F.col("n_sh").alias("size_dst"), "shingle"
+    )
+    common = (
+        cand.join(src, "doc_src")
+        .join(dst, ["doc_dst", "shingle"])
+        .groupBy("doc_src", "doc_dst", "size_src", "size_dst")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    contain = F.col("n_common").cast("double") / F.col("size_src")
+    return common.select(
+        "doc_src",
+        "doc_dst",
+        F.col("n_common").cast("bigint"),
+        F.col("size_src").cast("bigint"),
+        F.col("size_dst").cast("bigint"),
+        contain.alias("containment"),
+    ).where(contain >= t)

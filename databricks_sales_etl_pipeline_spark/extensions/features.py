@@ -741,3 +741,73 @@ def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ext_regress_slope",
+    oracle="""
+    WITH pts AS (
+        SELECT p.p_brand AS brand,
+               CAST(FLOOR(l.l_discount * 1000 + 0.5) AS BIGINT) AS x,
+               CAST(l.l_quantity AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), s AS (
+        SELECT brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY brand
+    )
+    SELECT brand, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope
+    FROM s
+    """,
+)
+def ext_regress_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe6 — per-group OLS slope (price-elasticity shape): quantity
+    regressed on discount permille per brand via the closed-form
+    cross-sum identity slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+    Everything up to the final division is EXACT int64 (x ≤ 100,
+    y ≤ 50 ⇒ n·Σxy < 2^53 far past bench scale), and the one double
+    division of two exact integers is correctly rounded — bit-portable
+    without any shared-expression tricks. ONE groupBy computes all five
+    sums (map-side partial aggregation; no per-group iteration, no
+    collect); numerator/denominator ride along so downstream consumers
+    can re-derive intercepts exactly. At 10^9+ rows per group the sums
+    recenter on per-partition means to keep headroom — documented, not
+    needed at contract scale."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_discount", "l_quantity")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("l_discount") * 1000 + 0.5).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        "brand",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("den"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx <> 0 THEN "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END"
+        ).alias("slope"),
+    )

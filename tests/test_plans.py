@@ -127,6 +127,9 @@ _NLJ_ALLOWED = {
     # round-6 second wave: 1-row scalar-aggregate broadcast again — the
     # basket-rules order total fanned into the lift denominator
     "ext_basket_rules",
+    # calendar-sized (days × words) spine cross-join densifying the bitmap
+    # relation before the rolling window — both sides are tiny distincts
+    "ext_rolling_wau_bitmap",
 }
 
 
