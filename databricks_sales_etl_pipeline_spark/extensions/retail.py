@@ -356,3 +356,134 @@ def ext_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   CAST(CASE WHEN n2 > 0 THEN (n3 * 1000000) DIV n2 END AS BIGINT)"
         ") AS (stage, stage_name, n_users, conv_from_prev_ppm)"
     )
+
+
+_CUPED_SALT = "cuped-v1:"
+#: experiment cut: pre-period = January days 1-15, measurement = 16-30.
+_CUPED_CUT_DAY = 15
+
+#: ONE shared SQL expression string evaluated verbatim by BOTH engines
+#: (the ext_rank_wilson bit-portability discipline): every input is an
+#: exact int64, and /,*,- on doubles are correctly rounded, so identical
+#: expression trees give bit-identical doubles.
+_CUPED_RAW = (
+    "(CAST(sum_y_t AS DOUBLE) / n_t - CAST(sum_y_c AS DOUBLE) / n_c)"
+)
+_CUPED_ADJ = (
+    "(CAST(sum_y_t AS DOUBLE) / n_t - CAST(sum_y_c AS DOUBLE) / n_c"
+    " - (CAST(theta_num AS DOUBLE) / CAST(theta_den AS DOUBLE))"
+    " * (CAST(sum_x_t AS DOUBLE) / n_t - CAST(sum_x_c AS DOUBLE) / n_c))"
+)
+
+
+@query(
+    "ext_ab_cuped",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               {md5_band_sql('user_id', 2, _CUPED_SALT)} AS arm,
+               CAST(SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= {_CUPED_CUT_DAY}
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) > {_CUPED_CUT_DAY}
+                             AND event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_t,
+               CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_c,
+               CAST(SUM(y) FILTER (WHERE arm = 1) AS BIGINT) AS sum_y_t,
+               CAST(SUM(y) FILTER (WHERE arm = 0) AS BIGINT) AS sum_y_c,
+               CAST(SUM(x) FILTER (WHERE arm = 1) AS BIGINT) AS sum_x_t,
+               CAST(SUM(x) FILTER (WHERE arm = 0) AS BIGINT) AS sum_x_c
+        FROM u
+    ), t AS (
+        SELECT n_t, n_c, sum_y_t, sum_y_c, sum_x_t, sum_x_c,
+               CAST(n * sxy - sx * sy AS BIGINT) AS theta_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS theta_den
+        FROM s
+    )
+    SELECT n_t, n_c, sum_y_t, sum_y_c, sum_x_t, sum_x_c,
+           theta_num, theta_den,
+           {_CUPED_RAW} AS raw_lift_cents,
+           {_CUPED_ADJ} AS cuped_lift_cents
+    FROM t
+    """,
+)
+def ext_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt5 — CUPED variance reduction (Deng et al., WSDM'13): the
+    experiment readout adjusts each arm's outcome by the pre-period
+    covariate, θ = cov(x,y)/var(x) pooled across users, lift_adj =
+    (ȳt − ȳc) − θ·(x̄t − x̄c). Pre-period spend (days ≤ 15) is the
+    covariate, measurement-period purchase value the outcome; arms come
+    from the deterministic md5 coin. θ's numerator/denominator use the
+    SAME cross-sum identity as `ext_regress_slope` — exact int64
+    throughout — and the two double-valued lifts are computed from ONE
+    shared SQL expression string in both engines (bit-portable). ONE
+    user_id aggregation builds the covariate table; the readout is a
+    scalar aggregate over it."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") <= _CUPED_CUT_DAY, cents("value")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.dayofmonth("ts") > _CUPED_CUT_DAY)
+                & (F.col("event_type") == "purchase"),
+                cents("value"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn("arm", md5_band(F.col("user_id"), 2, _CUPED_SALT))
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum((F.col("arm") == 1).cast("bigint")).cast("bigint").alias("n_t"),
+        F.sum((F.col("arm") == 0).cast("bigint")).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sum_y_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sum_y_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sum_x_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sum_x_c"),
+    )
+    t = s.select(
+        "n_t",
+        "n_c",
+        "sum_y_t",
+        "sum_y_c",
+        "sum_x_t",
+        "sum_x_c",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("theta_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("theta_den"),
+    )
+    return t.select(
+        "*",
+        F.expr(_CUPED_RAW).alias("raw_lift_cents"),
+        F.expr(_CUPED_ADJ).alias("cuped_lift_cents"),
+    )

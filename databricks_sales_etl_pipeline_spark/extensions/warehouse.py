@@ -383,3 +383,180 @@ def ext_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("zone_hit"),
         "rows_matching",
     )
+
+
+@query(
+    "ext_pit_join",
+    oracle="""
+    WITH prof AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type <> 'purchase'
+    ), chg AS (
+        SELECT *, lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        FROM prof
+    ), ver AS (
+        SELECT user_id, event_type AS state, us AS valid_from_us,
+               lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   AS valid_to_us
+        FROM chg WHERE prev IS NULL OR prev <> event_type
+    ), pur AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(v.state, 'unknown') AS state_at_purchase,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(p.vc) AS BIGINT) AS value_cents
+    FROM pur p LEFT JOIN ver v
+      ON v.user_id = p.user_id
+     AND v.valid_from_us <= p.us
+     AND (v.valid_to_us IS NULL OR p.us < v.valid_to_us)
+    GROUP BY 1
+    """,
+)
+def ext_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh6 — point-in-time (AS OF) join: purchases are joined to the SCD2
+    profile version VALID AT their event time (valid_from ≤ ts < valid_to)
+    — the temporal-correctness join every feature store runs to avoid
+    label leakage (training features must reflect the state the system
+    actually knew at decision time, never a later version). The profile
+    dimension is the `ext_scd2_build` collapse applied to the non-purchase
+    event log; purchases predating any profile version report 'unknown'.
+    Both the version build and the interval probe shuffle on user_id —
+    ONE co-partitioned exchange chain; intervals per user are few, so the
+    interval predicate filters a bounded per-key join."""
+    e = load(spark, sf_dir, "events")
+    prof = e.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ver = (
+        prof.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("us").alias("valid_from_us"),
+            F.lead("us").over(w).alias("valid_to_us"),
+        )
+    )
+    pur = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+        cents("value").alias("vc"),
+    )
+    joined = pur.join(
+        ver,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("valid_from_us") <= F.col("p_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("p_us") < F.col("valid_to_us"))),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("state"), F.lit("unknown")).alias("state_at_purchase")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("vc").cast("bigint").alias("value_cents"),
+    )
+
+
+@query(
+    "pipeline_incremental_rollup",
+    oracle=f"""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh7 — incremental aggregate maintenance: a materialized daily
+    revenue rollup (built from the historical orders, written to parquet)
+    is brought up to date by MERGING the new batch's partial aggregates —
+    re-aggregating (SUM of SUMs, SUM of COUNTs) instead of rescanning
+    history. The oracle recomputes the rollup from scratch over ALL
+    orders; equality proves the partial-merge algebra is lossless. This
+    is the only affordable rollup-refresh shape at 100 TB (history is
+    never re-read — the nightly batch touches batch-sized data), and the
+    batch twin of what `stream_foreachbatch_upsert` does per micro-batch.
+    Sum/count are the mergeable pair; non-mergeable stats (exact median)
+    must be re-derived or sketched (`ext_quantile_approx`)."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from databricks_sales_etl_pipeline_spark.io import read_table, write_table
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        cents("o_totalprice").alias("rc"),
+    )
+    hist = o.where(F.col("o_orderkey") % 11 != 0)
+    batch = o.where(F.col("o_orderkey") % 11 == 0)
+    rollup = lambda df: df.groupBy("day").agg(  # noqa: E731
+        F.sum("rc").cast("bigint").alias("rev_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    # unique temp path per call, left for the OS tmp reaper — the same
+    # lifecycle every sources/sinks.py query uses
+    path = _os.path.join(_tempfile.gettempdir(), f"dsep_rollup_{_uuid.uuid4().hex}")
+    write_table(rollup(hist), path)
+    return (
+        read_table(spark, path)
+        .unionByName(rollup(batch))
+        .groupBy("day")
+        .agg(
+            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "ext_skyline_2d",
+    oracle=f"""
+    WITH pts AS (
+        SELECT DISTINCT {cents_sql('p_retailprice')} AS price_cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    )
+    SELECT price_cents, size FROM pts d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts e
+        WHERE e.price_cents <= d.price_cents AND e.size >= d.size
+          AND (e.price_cents < d.price_cents OR e.size > d.size)
+    )
+    """,
+)
+def ext_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh8 — 2-D skyline (Pareto frontier): parts not dominated on
+    (price ↓, size ↑) — the multi-criteria shortlist query (Börzsönyi et
+    al.'s SKYLINE OF operator). The O(n²) NOT-EXISTS definition collapses
+    to ONE sorted window pass in 2-D: order distinct points by (price
+    asc, size desc); a point survives iff its size strictly exceeds every
+    preceding point's (running MAX over the preceding frame) — preceding
+    points have price ≤ mine, so any with size ≥ mine dominates. The
+    oracle runs the literal dominance definition, proving the window
+    rewrite exact. Scale: sort of the DISTINCT value grid (not the fact
+    table); at extreme grids the standard trick is per-partition local
+    skyline then a final merge — same window, two levels."""
+    pts = (
+        load(spark, sf_dir, "part")
+        .select(
+            cents("p_retailprice").cast("bigint").alias("price_cents"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        .distinct()
+    )
+    w = (
+        Window.orderBy(F.asc("price_cents"), F.desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("max_prev", F.max("size").over(w))
+        .where(F.col("max_prev").isNull() | (F.col("size") > F.col("max_prev")))
+        .select("price_cents", "size")
+    )
