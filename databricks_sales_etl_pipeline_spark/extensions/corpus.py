@@ -311,3 +311,81 @@ def ext_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+from pyspark.sql import Window as _W  # noqa: E402
+
+_IDX_MIN_DF = 20
+_IDX_SAMPLE = 10
+
+
+@query(
+    "ext_inverted_index",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM words GROUP BY 1, 2
+    ), stats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY term HAVING COUNT(*) >= {_IDX_MIN_DF}
+    ), ranked AS (
+        SELECT t.term, t.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY t.term ORDER BY t.doc_id)
+                   AS rk
+        FROM tf t JOIN stats s ON s.term = t.term
+    ), postings AS (
+        SELECT term,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS sample_postings
+        FROM ranked WHERE rk <= {_IDX_SAMPLE} GROUP BY term
+    )
+    SELECT s.term, s.df, s.total_tf, p.sample_postings
+    FROM stats s JOIN postings p ON p.term = s.term
+    """,
+)
+def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co6 — inverted-index build (the IR/search write path): term →
+    document frequency, total term frequency, and the first
+    {_IDX_SAMPLE} postings as an ordered CSV (full posting lists are the
+    same relation without the rank cap — sampled here to keep cells
+    driver-safe; CLAUDE.md array-cell rule). Terms below df {_IDX_MIN_DF}
+    are dropped (the long tail that dominates index size). ONE
+    (term, doc) shuffle computes tf; df/total_tf and the rank-capped
+    posting sample ride the term partitioning. At 100 TB this is the
+    exact dataflow of a distributed index build — postings stay sorted
+    per term because the rank window sorts within the term partition,
+    and hot terms are bounded by the df-descending drop-list
+    (`ext_ngram_novelty`'s top-N logic) rather than exploding a
+    partition."""
+    words = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = words.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+        .where(F.col("df") >= _IDX_MIN_DF)
+    )
+    ranked = tf.join(stats.select("term"), "term").withColumn(
+        "rk", F.row_number().over(_W.partitionBy("term").orderBy("doc_id"))
+    )
+    postings = (
+        ranked.where(F.col("rk") <= _IDX_SAMPLE)
+        .groupBy("term")
+        .agg(
+            F.expr(
+                "listagg(CAST(doc_id AS STRING), ',') WITHIN GROUP (ORDER BY doc_id)"
+            ).alias("sample_postings")
+        )
+    )
+    return stats.join(postings, "term")

@@ -308,3 +308,141 @@ def ext_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("o_custkey"))
         .limit(SKEW_TOP_K)
     )
+
+
+from pyspark.sql import Window as _W  # noqa: E402
+
+
+@query(
+    "ext_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ), med AS (
+        SELECT CAST(2 * quantile_cont(rev, 0.5) AS BIGINT) AS med2 FROM daily
+    ), dev AS (
+        SELECT d.day, d.rev, m.med2, abs(2 * d.rev - m.med2) AS dev2
+        FROM daily d CROSS JOIN med m
+    ), mad AS (
+        SELECT CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4 FROM dev
+    )
+    SELECT d.day, d.rev AS rev_cents,
+           CAST(d.dev2 AS BIGINT) AS dev2,
+           m.mad4,
+           CAST((d.dev2 * 2 * 1000 * 10000) // (14826 * m.mad4) AS BIGINT)
+               AS robust_z_permille
+    FROM dev d CROSS JOIN mad m
+    WHERE 20000 * d.dev2 > 44478 * m.mad4
+    """,
+)
+def ext_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr6 — robust daily-revenue anomaly screen: days whose revenue sits
+    more than 3 robust standard deviations (1.4826·MAD) from the median.
+    Median and MAD are kept EXACT by integer doubling — the midpoint of
+    two int64 cents is a .5-exact double, so med2 = 2·median and
+    mad4 = 2·median(|2x − med2|) are exact integers — and the 3σ gate is
+    the cross-multiplied integer inequality 20000·dev2 > 44478·mad4
+    (3 × 1.4826 scaled), no float comparison anywhere. The robust z lands
+    in exact permille. Median/MAD are two scalar aggregates over the
+    DAY-level rollup (calendar-sized); the day census itself is the one
+    fact shuffle. This is the ops-alert cousin of `ext_drift_report`
+    (distribution drift) — point anomalies instead of shape shifts."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    med = daily.agg(
+        (2 * F.expr("percentile(rev, 0.5)")).cast("bigint").alias("med2")
+    )
+    dev = daily.crossJoin(broadcast(med)).withColumn(
+        "dev2", F.abs(2 * F.col("rev") - F.col("med2"))
+    )
+    mad = dev.agg(
+        (2 * F.expr("percentile(dev2, 0.5)")).cast("bigint").alias("mad4")
+    )
+    out = dev.crossJoin(broadcast(mad))
+    return out.where(20000 * F.col("dev2") > 44478 * F.col("mad4")).select(
+        "day",
+        F.col("rev").alias("rev_cents"),
+        F.col("dev2").cast("bigint"),
+        "mad4",
+        F.expr("(dev2 * 2 * 1000 * 10000) DIV (14826 * mad4)")
+        .cast("bigint")
+        .alias("robust_z_permille"),
+    )
+
+
+@query(
+    "ext_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev) AS BIGINT) AS t
+        FROM daily
+    ), cusum AS (
+        SELECT d.day, d.rev, o.n, o.t,
+               CAST(SUM(o.n * d.rev - o.t)
+                    OVER (ORDER BY d.day) AS BIGINT) AS s
+        FROM daily d CROSS JOIN tot o
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY abs(s) DESC, day) AS rk,
+               CAST(SUM(rev) OVER (ORDER BY day) AS BIGINT) AS pre_sum,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS pre_n
+        FROM cusum
+    )
+    SELECT day AS change_day, CAST(abs(s) AS BIGINT) AS max_abs_cusum,
+           n AS n_days, pre_sum AS pre_sum_cents, pre_n,
+           CAST(t - pre_sum AS BIGINT) AS post_sum_cents,
+           CAST(n - pre_n AS BIGINT) AS post_n
+    FROM ranked WHERE rk = 1
+    """,
+)
+def ext_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr7 — CUSUM changepoint detection on the daily revenue series: the
+    candidate changepoint is the day maximizing |Σ_{{j≤i}} (n·x_j − T)| —
+    the cumulative sum of deviations from the global mean, SCALED BY n so
+    every term is an exact integer (n·x − T instead of x − T/n; the
+    argmax is invariant). One ordered window over the calendar-sized
+    daily rollup computes the whole statistic; the winner row carries the
+    exact pre/post sums and counts so the level shift (post mean − pre
+    mean) is re-derivable without re-scanning. The segmentation primitive
+    behind retrain triggers and incident timelines — `ext_anomaly_days`
+    finds spikes, this finds LEVEL SHIFTS."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev").cast("bigint").alias("t"),
+    )
+    wd = _W.orderBy("day")
+    cusum = daily.crossJoin(broadcast(tot)).select(
+        "day",
+        "rev",
+        "n",
+        "t",
+        F.sum(F.col("n") * F.col("rev") - F.col("t")).over(wd).cast("bigint").alias("s"),
+        F.sum("rev").over(wd).cast("bigint").alias("pre_sum"),
+        F.row_number().over(wd).cast("bigint").alias("pre_n"),
+    )
+    return (
+        cusum.orderBy(F.abs(F.col("s")).desc(), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.abs(F.col("s")).cast("bigint").alias("max_abs_cusum"),
+            F.col("n").alias("n_days"),
+            F.col("pre_sum").alias("pre_sum_cents"),
+            "pre_n",
+            (F.col("t") - F.col("pre_sum")).cast("bigint").alias("post_sum_cents"),
+            (F.col("n") - F.col("pre_n")).cast("bigint").alias("post_n"),
+        )
+    )

@@ -935,3 +935,85 @@ def ext_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_milli"
         ),
     )
+
+
+_HN_NEG_K = 3
+
+_HARD_NEG_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(c.label AS BIGINT) AS neighbor_label,
+               CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS kind,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                    i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+                   AS cos_sim
+        FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN v c
+        WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, kind
+                                     ORDER BY cos_sim DESC, neighbor_id)
+                      AS rank
+        FROM scored
+    )
+    SELECT query_id, kind, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           neighbor_label, cos_sim
+    FROM ranked
+    WHERE (kind = 'pos' AND rank = 1) OR (kind = 'neg' AND rank <= {_HN_NEG_K})
+"""
+
+
+@query("ext_hard_negatives", oracle=_HARD_NEG_ORACLE)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3f — contrastive-pair mining: for each query vector, the single
+    nearest SAME-label neighbor (the positive) and the {_HN_NEG_K} nearest
+    DIFFERENT-label neighbors (hard negatives — the examples a contrastive
+    or metric-learning objective learns most from, per the dense-retrieval
+    literature's hard-negative mining step). One scored pass over the
+    corpus split by a label-match flag, ranked per (query, kind) — the
+    same broadcast-query integer-BLAS shape as `ext_similarity_topk`
+    (exact milli-unit dot products, bit-portable cosine), so at corpus
+    scale the mining inherits the IVF probe path (`ext_pq_ivf_search`)
+    instead of the brute-force scan."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        quantize(F.col("embedding")).alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("bigint").alias("neighbor_label"),
+        quantize(F.col("embedding")).alias("cv"),
+    )
+    scored = c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.when(F.col("neighbor_label") == F.col("q_label"), F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("kind"),
+        (
+            int_dot(F.col("qv"), F.col("cv")).cast("double")
+            / (
+                F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+                * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+            )
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id", "kind").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    return ranked.where(
+        ((F.col("kind") == "pos") & (F.col("rank") == 1))
+        | ((F.col("kind") == "neg") & (F.col("rank") <= _HN_NEG_K))
+    ).select("query_id", "kind", "rank", "neighbor_id", "neighbor_label", "cos_sim")

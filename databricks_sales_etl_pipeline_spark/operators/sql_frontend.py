@@ -262,3 +262,40 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution rules are pinned against each other."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_GBA)
+
+
+_DISTRIBUTE_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM (
+        SELECT * FROM orders
+        DISTRIBUTE BY o_orderpriority SORT BY o_orderdate
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "sql_distribute_by",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 — DISTRIBUTE BY / SORT BY (Hive-inherited physical-layout SQL):
+    the inner query repartitions by the grouping key and sorts within
+    partitions, and the outer aggregate CONSUMES that distribution —
+    Catalyst sees the child already hash-partitioned on the key, so the
+    aggregate adds no second exchange (the SQL-surface twin of
+    `repartition().sortWithinPartitions()`, and the manual form of what
+    bucketing bakes into storage in `tbl_bucketed_join`). The oracle is
+    the plain aggregate: the clause is semantics-preserving layout
+    control, and the hash-equal result proves it."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DISTRIBUTE_SQL)

@@ -130,6 +130,12 @@ _NLJ_ALLOWED = {
     # calendar-sized (days × words) spine cross-join densifying the bitmap
     # relation before the rolling window — both sides are tiny distincts
     "ext_rolling_wau_bitmap",
+    # inherits ext_similarity_topk's sanctioned bounded-query-set NLJ
+    "ext_hard_negatives",
+    # 1-row median/MAD (resp. global-total) aggregates broadcast back onto
+    # the calendar-sized daily rollup — the scalar-subquery pattern
+    "ext_anomaly_days",
+    "ext_changepoint_cusum",
 }
 
 
