@@ -173,3 +173,98 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score") > 0).alias("pred_en"),
         )
     )
+
+
+_AL_K = 25
+
+_AL_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+               unnest({{marked}}) AS tok
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, y, {{band}} AS j,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY doc_id, y, {{band}}
+        UNION ALL
+        SELECT doc_id, y, CAST({{nf}} AS BIGINT) AS j,
+               CAST(1 AS BIGINT) AS cnt
+        FROM toks GROUP BY doc_id, y
+    ), cls AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN y = 1 THEN doc_id END)
+                    AS BIGINT) AS n_pos,
+               CAST(COUNT(DISTINCT CASE WHEN y = -1 THEN doc_id END)
+                    AS BIGINT) AS n_neg
+        FROM feats
+    ), w AS (
+        SELECT j,
+               CAST(SUM(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS s_pos,
+               CAST(SUM(CASE WHEN y = -1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS s_neg
+        FROM feats GROUP BY j
+    ), scored AS (
+        SELECT f.doc_id, f.y AS label,
+               CAST(SUM(f.cnt * (c.n_neg * w.s_pos - c.n_pos * w.s_neg))
+                    AS BIGINT) AS score
+        FROM feats f
+        JOIN w ON w.j = f.j
+        CROSS JOIN cls c
+        GROUP BY f.doc_id, f.y
+    )
+    SELECT doc_id, label, score, CAST(abs(score) AS BIGINT) AS abs_margin
+    FROM scored
+    ORDER BY abs(score), doc_id LIMIT {{k}}
+"""
+
+
+@query(
+    "ext_active_learning",
+    oracle=_AL_ORACLE.format(
+        marked=_marked_tokens_sql(),
+        band=md5_band_sql("tok", N_FEATS, "feat:"),
+        nf=N_FEATS,
+        k=_AL_K,
+    ),
+)
+def ext_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cl2 — uncertainty sampling (active learning): the documents the
+    classifier is LEAST sure about — smallest |margin| under
+    `ext_quality_classifier`'s exact integer scorer — are the ones a
+    human labels next (the margin-based query strategy of the
+    active-learning literature; in corpus curation, the review queue
+    that improves the quality filter fastest per label). Selection is
+    TakeOrdered over the scored relation (no global sort), tiebroken by
+    doc_id; the score pipeline is shared verbatim with the classifier
+    query, so the selected margins are hash-checkable end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    feats = _features(d).localCheckpoint()
+    cls = feats.select("doc_id", "y").distinct().agg(
+        F.count_if(F.col("y") == 1).cast("long").alias("n_pos"),
+        F.count_if(F.col("y") == -1).cast("long").alias("n_neg"),
+    )
+    w = feats.groupBy("j").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("s_pos"),
+        F.sum(F.when(F.col("y") == -1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("s_neg"),
+    )
+    margin = F.col("cnt") * (
+        F.col("n_neg") * F.col("s_pos") - F.col("n_pos") * F.col("s_neg")
+    )
+    scored = (
+        feats.join(broadcast(w), "j")
+        .crossJoin(broadcast(cls))
+        .groupBy("doc_id", "y")
+        .agg(F.sum(margin).cast("long").alias("score"))
+        .select(
+            "doc_id",
+            F.col("y").alias("label"),
+            "score",
+            F.abs("score").cast("bigint").alias("abs_margin"),
+        )
+    )
+    return scored.orderBy(F.asc("abs_margin"), F.asc("doc_id")).limit(_AL_K)

@@ -1017,3 +1017,138 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("kind") == "pos") & (F.col("rank") == 1))
         | ((F.col("kind") == "neg") & (F.col("rank") <= _HN_NEG_K))
     ).select("query_id", "kind", "rank", "neighbor_id", "neighbor_label", "cos_sim")
+
+
+#: DCG position weights 1/log2(i+1) for i = 1..10, as FIXED literal
+#: strings — both engines parse the identical shortest-repr decimal to the
+#: identical double, so the fixed-order weighted sum below is bit-portable
+#: (the ext_rank_wilson shared-expression discipline). The cast goes
+#: through a STRING literal, not a decimal one: bare decimals parse as
+#: DECIMAL in both engines and DuckDB then constant-folds the w_i chain in
+#: the DECIMAL domain (exact sum, one final rounding) — off by an ulp from
+#: the IEEE double-addition chain Spark executes. CAST('…' AS DOUBLE)
+#: pins both engines to parse-to-double-then-IEEE-add.
+_DCG_W = [
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+]
+
+_DCG_EXPR = " + ".join(
+    f"r{i + 1} * CAST('{w}' AS DOUBLE)" for i, w in enumerate(_DCG_W)
+)
+_IDCG_EXPR = " + ".join(
+    f"s{i + 1} * CAST('{w}' AS DOUBLE)" for i, w in enumerate(_DCG_W)
+)
+
+_NDCG_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label, c.vec_id AS neighbor_id,
+               c.label AS n_label,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                    i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+                   AS cos_sim
+        FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN v c
+        WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+        SELECT query_id,
+               CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ), top AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, rk) AS ik
+        FROM ranked WHERE rk <= {TOP_K}
+    ), pivoted AS (
+        SELECT query_id,
+               {", ".join(f"CAST(MAX(CASE WHEN rk = {i + 1} THEN rel END) AS BIGINT) AS r{i + 1}" for i in range(10))},
+               {", ".join(f"CAST(MAX(CASE WHEN ik = {i + 1} THEN rel END) AS BIGINT) AS s{i + 1}" for i in range(10))}
+        FROM top GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST({" + ".join(f"r{i + 1}" for i in range(10))} AS BIGINT)
+               AS n_relevant,
+           ({_DCG_EXPR}) AS dcg,
+           ({_IDCG_EXPR}) AS idcg,
+           CASE WHEN ({_IDCG_EXPR}) > 0
+                THEN ({_DCG_EXPR}) / ({_IDCG_EXPR}) END AS ndcg
+    FROM pivoted
+"""
+
+
+@query("ext_eval_ndcg", oracle=_NDCG_ORACLE)
+def ext_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3g — nDCG@10 of the brute-force cosine ranking against label
+    relevance (neighbor shares the query's label): the position-discounted
+    ranking metric that completes the eval family (confusion / AUC /
+    calibration / PR / recall@k are set metrics; nDCG grades the ORDER).
+    The 10 discount weights 1/log2(i+1) are fixed literal doubles and the
+    per-query relevance vector is pivoted into fixed slots, so DCG, ideal
+    DCG and their ratio are single fixed-order expressions — bit-portable
+    without any libm log at query time. One ranked pass (the
+    `ext_similarity_topk` shape) + a per-query pivot; the ideal ranking
+    is the same rows re-ranked by relevance."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        quantize(F.col("embedding")).alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        quantize(F.col("embedding")).alias("cv"),
+    )
+    scored = c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        (F.col("n_label") == F.col("q_label")).cast("int").alias("rel"),
+        (
+            int_dot(F.col("qv"), F.col("cv")).cast("double")
+            / (
+                F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+                * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+            )
+        ).alias("cos_sim"),
+        "neighbor_id",
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(wr)).where(
+        F.col("rk") <= TOP_K
+    )
+    wi = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("rk"))
+    top = ranked.withColumn("ik", F.row_number().over(wi))
+    pivoted = top.groupBy("query_id").agg(
+        *[
+            F.max(F.when(F.col("rk") == i + 1, F.col("rel")))
+            .cast("bigint")
+            .alias(f"r{i + 1}")
+            for i in range(10)
+        ],
+        *[
+            F.max(F.when(F.col("ik") == i + 1, F.col("rel")))
+            .cast("bigint")
+            .alias(f"s{i + 1}")
+            for i in range(10)
+        ],
+    )
+    return pivoted.select(
+        "query_id",
+        F.expr(" + ".join(f"r{i + 1}" for i in range(10)))
+        .cast("bigint")
+        .alias("n_relevant"),
+        F.expr(_DCG_EXPR).alias("dcg"),
+        F.expr(_IDCG_EXPR).alias("idcg"),
+        F.expr(
+            f"CASE WHEN ({_IDCG_EXPR}) > 0 THEN ({_DCG_EXPR}) / ({_IDCG_EXPR}) END"
+        ).alias("ndcg"),
+    )

@@ -136,6 +136,10 @@ _NLJ_ALLOWED = {
     # the calendar-sized daily rollup — the scalar-subquery pattern
     "ext_anomaly_days",
     "ext_changepoint_cusum",
+    # inherits ext_similarity_topk's sanctioned bounded-query-set NLJ
+    "ext_eval_ndcg",
+    # inherits ext_quality_classifier's 1-row class-counts broadcast
+    "ext_active_learning",
 }
 
 
