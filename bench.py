@@ -60,6 +60,11 @@ HEADLINE = [
     # block-level paragraph dedup (slice → keeper window → reassembly)
     "ext_ngram_lm_score",
     "ext_dedup_paragraph",
+    # round-6 second wave: in-row basket pair expansion, bitmap rolling
+    # distinct, and the one-shuffle SCD2 window build
+    "ext_basket_rules",
+    "ext_rolling_wau_bitmap",
+    "ext_scd2_build",
 ]
 
 
