@@ -175,3 +175,104 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "de", SAMPLE_RATES["de"]
     ).otherwise(DEFAULT_RATE)
     return d.where(band < rate).select("doc_id", "lang")
+
+
+_LB_BUCKETS = 16
+
+
+@query(
+    "ext_length_bucketing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), bucketed AS (
+        SELECT doc_id, n_tokens,
+               CAST(ntile({_LB_BUCKETS}) OVER (ORDER BY n_tokens, doc_id)
+                    AS BIGINT) AS bucket
+        FROM toks
+    ), per AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket, n_docs, max_len, sum_tokens,
+           CAST(max_len * n_docs - sum_tokens AS BIGINT) AS pad_waste,
+           CAST((1000000 * (max_len * n_docs - sum_tokens))
+                // (max_len * n_docs) AS BIGINT) AS waste_ppm
+    FROM per
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(n_tokens) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+           CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT),
+           CAST((1000000 * (MAX(n_tokens) * COUNT(*) - SUM(n_tokens)))
+                // (MAX(n_tokens) * COUNT(*)) AS BIGINT)
+    FROM toks
+    """,
+)
+def ext_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ch5 — sequence-length bucketing for padded-batch efficiency: docs
+    sorted into {_LB_BUCKETS} equal-count length buckets (the dynamic-
+    batching trick every padded-attention training loop uses), with the
+    exact padding waste each bucket pays (max_len·n − Σlen) against the
+    bucket-0 baseline row = ONE global batch (everything padded to the
+    corpus max). waste_ppm per bucket vs baseline is the measured
+    throughput argument for length-aware batching. The NTILE here is a
+    corpus sort at fixture scale; at 100 TB the bucket boundaries come
+    from ONE approx-quantile pass instead (`ext_quantile_approx`'s
+    sketch), turning the global sort into a zero-shuffle bucket-id scan —
+    same output contract, documented swap."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    from pyspark.sql import Window as _W
+
+    bucketed = toks.withColumn(
+        "bucket",
+        F.ntile(_LB_BUCKETS).over(_W.orderBy("n_tokens", "doc_id")).cast("bigint"),
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("max_len"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    per = per.select(
+        "bucket",
+        "n_docs",
+        "max_len",
+        "sum_tokens",
+        (F.col("max_len") * F.col("n_docs") - F.col("sum_tokens"))
+        .cast("bigint")
+        .alias("pad_waste"),
+        F.expr(
+            "(1000000 * (max_len * n_docs - sum_tokens)) DIV (max_len * n_docs)"
+        )
+        .cast("bigint")
+        .alias("waste_ppm"),
+    )
+    base = toks.agg(
+        F.lit(0).cast("bigint").alias("bucket"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("max_len"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    ).select(
+        "bucket",
+        "n_docs",
+        "max_len",
+        "sum_tokens",
+        (F.col("max_len") * F.col("n_docs") - F.col("sum_tokens"))
+        .cast("bigint")
+        .alias("pad_waste"),
+        F.expr(
+            "(1000000 * (max_len * n_docs - sum_tokens)) DIV (max_len * n_docs)"
+        )
+        .cast("bigint")
+        .alias("waste_ppm"),
+    )
+    return per.unionByName(base)

@@ -320,3 +320,56 @@ def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines long",
         )
     )
+
+
+@query(
+    "udf_scalar_iter",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 7)
+                AS BIGINT) AS adj_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — SCALAR_ITER pandas UDF (Iterator[Series] → Iterator[Series]):
+    the last missing pandas-UDF flavor. Unlike plain SCALAR, the function
+    wraps the WHOLE partition's batch stream, so expensive one-time setup
+    (loading a model, opening a tokenizer, warming a cache) runs ONCE per
+    partition instead of once per Arrow batch — the batch-inference shape
+    for shipping a model into executors. Here the 'model' is a bias
+    constant initialized before the loop; the per-batch math is exact
+    integer arithmetic, so the SQL oracle reproduces it bit-for-bit and
+    proves the iterator plumbing value-transparent."""
+    from typing import Iterator
+
+    from pyspark.sql.types import LongType
+
+    def _adj(batches):
+        import numpy as np
+
+        bias = 7  # stands in for per-partition model load — runs ONCE
+        for s in batches:
+            yield pd.Series(
+                np.floor(s.to_numpy() * 100 + 0.5).astype("int64") + bias
+            )
+
+    # the module uses `from __future__ import annotations`, which turns
+    # inline hints into strings pandas_udf cannot resolve (CLAUDE.md) —
+    # attach REAL annotation objects so Spark detects SCALAR_ITER
+    _adj.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    adj = pandas_udf(LongType())(_adj)
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("adj", adj(F.col("o_totalprice")))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("adj").cast("bigint").alias("adj_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
