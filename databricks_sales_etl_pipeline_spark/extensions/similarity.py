@@ -1152,3 +1152,77 @@ def ext_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN ({_IDCG_EXPR}) > 0 THEN ({_DCG_EXPR}) / ({_IDCG_EXPR}) END"
         ).alias("ndcg"),
     )
+
+
+_MRR_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                        i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+                   / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                      * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+                   DESC, c.vec_id) AS rk
+        FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN v c
+        WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id,
+           CAST(MIN(CASE WHEN rel = 1 THEN rk END) AS BIGINT)
+               AS first_rel_rank,
+           CAST(1 AS DOUBLE) / MIN(CASE WHEN rel = 1 THEN rk END)
+               AS reciprocal_rank
+    FROM scored GROUP BY query_id
+"""
+
+
+@query("ext_eval_mrr", oracle=_MRR_ORACLE)
+def ext_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3h — reciprocal rank of the first relevant neighbor per query
+    (the MRR table): rank by exact-integer cosine over the FULL corpus,
+    find the first same-label hit, report 1/rank — a single correctly-
+    rounded division of exact integers, bit-portable. Completes the
+    ranking-eval pair with `ext_eval_ndcg` (nDCG grades the whole order;
+    MRR grades time-to-first-hit, the metric QA/search teams page on).
+    Same broadcast-query scoring shape as the rest of the family."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        quantize(F.col("embedding")).alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        quantize(F.col("embedding")).alias("cv"),
+    )
+    scored = c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        (F.col("n_label") == F.col("q_label")).cast("int").alias("rel"),
+        (
+            int_dot(F.col("qv"), F.col("cv")).cast("double")
+            / (
+                F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+                * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+            )
+        ).alias("cos_sim"),
+        "neighbor_id",
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(wr))
+    return ranked.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rk")))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        (
+            F.lit(1).cast("double")
+            / F.min(F.when(F.col("rel") == 1, F.col("rk")))
+        ).alias("reciprocal_rank"),
+    )

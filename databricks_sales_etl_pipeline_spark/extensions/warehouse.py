@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+    md5_band,
+    md5_band_sql,
+)
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
 
@@ -560,3 +564,135 @@ def ext_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("max_prev").isNull() | (F.col("size") > F.col("max_prev")))
         .select("price_cents", "size")
     )
+
+
+def _hash_chain_sql(str_t: str) -> str:
+    """Engine-shared recursive hash-chain SQL; ``str_t`` is the engine's
+    unparameterized string type name (STRING for Spark, VARCHAR for
+    DuckDB) — everything else is common SQL, so both engines execute the
+    IDENTICAL recursion."""
+    return f"""
+    WITH RECURSIVE monthly AS (
+        SELECT CAST((year(CAST(o_orderdate AS DATE)) - 1995) * 12
+                    + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ), digests AS (
+        SELECT m, rev_cents, n_orders,
+               md5(CAST(m AS {str_t}) || ':' || CAST(rev_cents AS {str_t})
+                   || ':' || CAST(n_orders AS {str_t})) AS digest
+        FROM monthly
+    ), chain(m, digest, chain_hash) AS (
+        SELECT d.m, d.digest, md5('genesis:' || d.digest)
+        FROM digests d WHERE d.m = (SELECT MIN(m) FROM digests)
+        UNION ALL
+        SELECT d.m, d.digest, md5(c.chain_hash || ':' || d.digest)
+        FROM chain c JOIN digests d ON d.m = c.m + 1
+    )
+    SELECT m, digest, chain_hash FROM chain
+    """
+
+
+@query("ext_audit_hash_chain", oracle=_hash_chain_sql("VARCHAR"))
+def ext_audit_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh9 — tamper-evident audit ledger: each month's revenue digest is
+    chained through md5(prev_chain || digest) — the blockchain-style
+    accumulator that makes ANY historical edit invalidate every later
+    link (the financial-audit / compliance-log contract; verifying the
+    head hash verifies the whole history). The chain is inherently
+    sequential and non-associative, so it runs as a RECURSIVE CTE in
+    BOTH engines (Spark 4's recursion, depth = months ≪ the 100-level
+    default limit) over the calendar-sized monthly rollup — the fact
+    table contributes one groupBy; the recursion touches ~80 rows.
+    Identical SQL text modulo the string type name keeps the md5 inputs
+    byte-identical cross-engine."""
+    from databricks_sales_etl_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_hash_chain_sql("STRING"))
+
+
+_GDPR_BAND = 20  # erase ~5% of subjects
+
+_GDPR_ORACLE = f"""
+    WITH sel_u AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE {md5_band_sql("user_id", _GDPR_BAND, "gdpr:")} = 0
+    ), sel_c AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE {md5_band_sql("o_custkey", _GDPR_BAND, "gdpr:")} = 0
+    )
+    SELECT 'events' AS tbl,
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS rows_before,
+           CAST((SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+                 (SELECT 1 FROM sel_u s WHERE s.user_id = e.user_id))
+                AS BIGINT) AS rows_after,
+           CAST((SELECT COUNT(*) FROM sel_u) AS BIGINT) AS subjects_erased,
+           CAST(0 AS BIGINT) AS residual_rows
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                 (SELECT 1 FROM sel_c s WHERE s.o_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM sel_c) AS BIGINT),
+           CAST(0 AS BIGINT)
+"""
+
+
+@query("ext_gdpr_erasure", oracle=_GDPR_ORACLE)
+def ext_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh10 — right-to-be-forgotten job with proof of absence: data
+    subjects selected by the deterministic md5 coin (~5%) are erased from
+    every table keyed by them, and the report carries before/after row
+    counts, subject counts, and the RESIDUAL count over the erased output
+    — recomputed from the result itself and provably zero. This is the
+    erasure contract `ext_pii_redact` (masking) and `ext_pseudonymize`
+    (unlinkability) don't give: the rows are GONE. Erasure is a
+    broadcast anti-join per table (subject lists are small); at 100 TB
+    the same job runs per-partition with the subject list broadcast
+    once."""
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    reports = []
+    for tbl, df, key in (("events", e, "user_id"), ("orders", o, "o_custkey")):
+        subjects = (
+            df.select(key)
+            .distinct()
+            .where(md5_band(F.col(key), _GDPR_BAND, "gdpr:") == 0)
+        )
+        erased = df.join(broadcast(subjects), key, "left_anti")
+        residual = erased.join(broadcast(subjects), key, "left_semi")
+        reports.append(
+            df.agg(F.count(F.lit(1)).cast("bigint").alias("rows_before"))
+            .crossJoin(
+                broadcast(
+                    erased.agg(F.count(F.lit(1)).cast("bigint").alias("rows_after"))
+                )
+            )
+            .crossJoin(
+                broadcast(
+                    subjects.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("subjects_erased")
+                    )
+                )
+            )
+            .crossJoin(
+                broadcast(
+                    residual.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("residual_rows")
+                    )
+                )
+            )
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "rows_before",
+                "rows_after",
+                "subjects_erased",
+                "residual_rows",
+            )
+        )
+    return reports[0].unionByName(reports[1])
+

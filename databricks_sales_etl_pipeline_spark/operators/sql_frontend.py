@@ -299,3 +299,30 @@ def sql_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     control, and the hash-equal result proves it."""
     register_views(spark, sf_dir)
     return spark.sql(_DISTRIBUTE_SQL)
+
+
+@query(
+    "sql_order_by_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY ALL ORDER BY ALL LIMIT 8
+    """,
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 — ORDER BY ALL (the DuckDB-pioneered sugar Spark 4 adopted):
+    sorts by every select-list column left to right, making a LIMIT
+    deterministic without spelling the sort keys. The oracle ITSELF uses
+    ORDER BY ALL, so both engines' resolution rules (column order, ASC
+    default, NULL placement) are pinned against each other — the same
+    mutual-pinning trick as `sql_group_by_all`. The LIMIT is what makes
+    ordering observable to the unordered driver compare; (priority,
+    status) is a unique grouping so the cut is tie-free."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY ALL ORDER BY ALL LIMIT 8
+        """
+    )

@@ -138,8 +138,12 @@ _NLJ_ALLOWED = {
     "ext_changepoint_cusum",
     # inherits ext_similarity_topk's sanctioned bounded-query-set NLJ
     "ext_eval_ndcg",
+    "ext_eval_mrr",
     # inherits ext_quality_classifier's 1-row class-counts broadcast
     "ext_active_learning",
+    # chain of 1-row census aggregates (before/after/subjects/residual ×2
+    # tables) — the erasure report is six scalar broadcasts
+    "ext_gdpr_erasure",
 }
 
 
