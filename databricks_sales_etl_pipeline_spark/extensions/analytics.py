@@ -922,3 +922,68 @@ def ext_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_lt DIV n_events").cast("bigint").alias("late_ppm"),
         "max_lateness_us",
     )
+
+
+_GAP_CHOICES_S = [600, 1800, 7200]
+
+
+@query(
+    "ext_session_gap_sensitivity",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ), d AS (
+        SELECT user_id,
+               us - lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS diff_us
+        FROM e
+    ), agg AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {", ".join(f'''CAST(COUNT(*) FILTER (WHERE diff_us > CAST({g} AS BIGINT) * 1000000)
+                    AS BIGINT) AS b{g}''' for g in _GAP_CHOICES_S)}
+        FROM d
+    )
+    {" UNION ALL ".join(f'''
+    SELECT CAST({g} AS BIGINT) AS gap_seconds, n_users, n_events,
+           b{g} AS n_boundaries,
+           CAST(n_users + b{g} AS BIGINT) AS n_sessions
+    FROM agg''' for g in _GAP_CHOICES_S)}
+    """,
+)
+def ext_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An10 — session-gap parameter sensitivity in ONE pass: every gap
+    choice is just a threshold on the SAME per-user inter-event diff, so
+    session counts for all candidate gaps (10 min / 30 min / 2 h) come
+    from conditional sums over one lag window — no per-gap re-
+    sessionization, no second shuffle. n_sessions(g) = users + boundaries
+    exceeding g (gaps-and-islands identity). This is the report that
+    picks the watermark/session gap BEFORE materializing sessions —
+    at 100 TB the difference between one event scan and one per
+    candidate value."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    from pyspark.sql import Window as _Wb
+
+    w = _Wb.partitionBy("user_id").orderBy("us", "event_id")
+    d = e.withColumn("diff_us", F.col("us") - F.lag("us").over(w))
+    agg = d.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        *[
+            F.sum((F.col("diff_us") > g * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias(f"b{g}")
+            for g in _GAP_CHOICES_S
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({g} AS BIGINT), n_users, n_events, b{g}, CAST(n_users + b{g} AS BIGINT)"
+        for g in _GAP_CHOICES_S
+    )
+    return agg.selectExpr(
+        f"stack({len(_GAP_CHOICES_S)}, {stack_args}) AS "
+        "(gap_seconds, n_users, n_events, n_boundaries, n_sessions)"
+    )

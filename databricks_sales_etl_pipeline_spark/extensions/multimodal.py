@@ -1034,3 +1034,153 @@ def mm_pair_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_fingerprint"),
         )
     )
+
+
+# --- video scene-cut detection ----------------------------------------------
+
+_SCENE_HAM_T = 10  # consecutive-frame hamming above this = a cut
+
+
+def make_scene_video(doc_id: int) -> bytes:
+    """Scene-structured video: n_scenes blocks of frames_per_scene frames;
+    within a scene every frame has IDENTICAL pixels (the noise term is
+    frame-independent), across scenes the base pattern reshuffles — so
+    consecutive-frame hamming is 0 inside a scene and ~32 bits at a
+    boundary. Same VID0 container as make_video."""
+    import struct
+
+    n_scenes = doc_id % 3 + 2
+    per_scene = doc_id % 2 + 2
+    out = [b"VID0", struct.pack("<I", n_scenes * per_scene)]
+    for f in range(n_scenes * per_scene):
+        sc = f // per_scene
+        px = [
+            ((doc_id % 40) * 31 + sc * 97 + i * 11) % 200 + (doc_id * 7 + i) % 2
+            for i in range(64)
+        ]
+        frame = b"P6\n8 8\n255\n" + bytes(b for p in px for b in (p, p, p))
+        out.append(struct.pack("<I", len(frame)))
+        out.append(frame)
+    return b"".join(out)
+
+
+_SCENE_ORACLE = f"""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 + 2 AS BIGINT) AS n_scenes,
+               CAST(doc_id % 2 + 2 AS BIGINT) AS per_scene
+        FROM documents WHERE doc_id < {{lim}}
+    ), px AS (
+        SELECT doc_id, f, i,
+               ((doc_id % 40) * 31 + (f // per_scene) * 97 + i * 11) % 200
+                   + (doc_id * 7 + i) % 2 AS p
+        FROM meta,
+             unnest(range(0, n_scenes * per_scene)) AS tf(f),
+             unnest(range(0, 64)) AS ti(i)
+    ), sums AS (
+        SELECT doc_id, f, CAST(SUM(p) AS BIGINT) AS s
+        FROM px GROUP BY doc_id, f
+    ), bands AS (
+        SELECT px.doc_id, px.f, CAST(i // 16 AS BIGINT) AS j,
+               CAST(SUM(CASE WHEN p * 64 > s THEN 1 ELSE 0 END
+                        * CAST(power(2, i % 16) AS BIGINT)) AS BIGINT) AS b
+        FROM px JOIN sums ON sums.doc_id = px.doc_id AND sums.f = px.f
+        GROUP BY px.doc_id, px.f, i // 16
+    ), fbands AS (
+        SELECT doc_id, f,
+               MAX(CASE WHEN j = 0 THEN b END) AS b0,
+               MAX(CASE WHEN j = 1 THEN b END) AS b1,
+               MAX(CASE WHEN j = 2 THEN b END) AS b2,
+               MAX(CASE WHEN j = 3 THEN b END) AS b3
+        FROM bands GROUP BY doc_id, f
+    ), lagged AS (
+        SELECT doc_id, f,
+               lag(b0) OVER w AS p0, lag(b1) OVER w AS p1,
+               lag(b2) OVER w AS p2, lag(b3) OVER w AS p3,
+               b0, b1, b2, b3
+        FROM fbands
+        WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ), cuts AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(COUNT(*) FILTER (WHERE p0 IS NOT NULL AND
+                    bit_count(xor(b0, p0)) + bit_count(xor(b1, p1))
+                    + bit_count(xor(b2, p2)) + bit_count(xor(b3, p3))
+                    > {_SCENE_HAM_T}) AS BIGINT) AS n_cuts
+        FROM lagged GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_frames, c.n_cuts,
+           CAST(c.n_cuts + 1 AS BIGINT) AS n_scenes_detected,
+           m.n_scenes AS n_scenes_true
+    FROM cuts c JOIN meta m ON m.doc_id = c.doc_id
+"""
+
+
+@query("mm_video_scene_cut", oracle=_SCENE_ORACLE.format(lim=MM_DOC_LIMIT))
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene cut) detection: decode each video's frames,
+    aHash them, and declare a cut wherever consecutive-frame hamming
+    exceeds {_SCENE_HAM_T} bits — the temporal-segmentation pass every
+    video-curation pipeline runs before frame sampling (sample per SHOT,
+    not per fixed stride, or long static scenes dominate). The fixture
+    plants true scene structure; detected-vs-true scene counts are BOTH
+    in the hash-checked output, so the oracle certifies perfect recovery
+    arithmetic end-to-end (decode → hash → lag → hamming → census).
+    Frame band-integers shuffle (4 ints/frame), payloads never move; the
+    lag window rides a per-video partition."""
+    d = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < MM_DOC_LIMIT
+    )
+    bin_df = _gen_payloads(d, make_scene_video)
+
+    def band_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                if p[:4] != b"VID0":
+                    raise ValueError(f"bad video magic {p[:4]!r}")
+                (n,) = struct.unpack_from("<I", p, 4)
+                pos = 8
+                for f in range(n):
+                    (flen,) = struct.unpack_from("<I", p, pos)
+                    pos += 4
+                    b0, b1, b2, b3 = _phash_bands(p[pos : pos + flen])
+                    pos += flen
+                    rows.append((int(did), f, b0, b1, b2, b3))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "f", "b0", "b1", "b2", "b3"]
+            )
+
+    fb = bin_df.mapInPandas(
+        band_batches, "doc_id long, f long, b0 long, b1 long, b2 long, b3 long"
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("f")
+    lagged = fb.select(
+        "doc_id",
+        "f",
+        *[F.lag(f"b{j}").over(w).alias(f"p{j}") for j in range(4)],
+        *[F.col(f"b{j}") for j in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"b{j} ^ p{j}")) for j in range(4)
+    )
+    cuts = lagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(
+            (F.col("p0").isNotNull() & (ham > _SCENE_HAM_T)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_cuts"),
+    )
+    return cuts.select(
+        "doc_id",
+        "n_frames",
+        "n_cuts",
+        (F.col("n_cuts") + 1).cast("bigint").alias("n_scenes_detected"),
+        (F.col("doc_id") % 3 + 2).cast("bigint").alias("n_scenes_true"),
+    )
