@@ -139,3 +139,100 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+_NEAREST_TOL_US = 30 * 60 * 1000000
+
+
+@query(
+    "ext_asof_nearest",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS is_ref
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ), scan AS (
+        SELECT *,
+               MAX(CASE WHEN is_ref = 1 THEN us END) OVER
+                   (PARTITION BY user_id ORDER BY us, is_ref, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_us,
+               MIN(CASE WHEN is_ref = 1 THEN us END) OVER
+                   (PARTITION BY user_id ORDER BY us, is_ref, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_us
+        FROM u
+    )
+    SELECT event_id, user_id, CAST(us AS BIGINT) AS us,
+           CASE
+             WHEN prev_us IS NOT NULL AND us - prev_us <= {_NEAREST_TOL_US}
+                  AND (next_us IS NULL OR us - prev_us <= next_us - us
+                       OR next_us - us > {_NEAREST_TOL_US})
+               THEN 'prev'
+             WHEN next_us IS NOT NULL AND next_us - us <= {_NEAREST_TOL_US}
+               THEN 'next'
+             ELSE 'none'
+           END AS nearest_dir,
+           CAST(CASE
+             WHEN prev_us IS NOT NULL AND us - prev_us <= {_NEAREST_TOL_US}
+                  AND (next_us IS NULL OR us - prev_us <= next_us - us
+                       OR next_us - us > {_NEAREST_TOL_US})
+               THEN us - prev_us
+             WHEN next_us IS NOT NULL AND next_us - us <= {_NEAREST_TOL_US}
+               THEN next_us - us
+           END AS BIGINT) AS nearest_dist_us
+    FROM scan WHERE is_ref = 0 AND user_id % 3 = 0
+    """,
+)
+def ext_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — NEAREST as-of join with tolerance (backward-preferred ties):
+    each purchase finds the closest click within ±30 min — the sensor-
+    fusion/backfill semantics `ext_asof_join`'s backward-only form can't
+    express. Implemented as the MERGE-SCAN, not a join: probes and
+    references union into ONE per-user ordered pass where running
+    MAX-over-preceding / MIN-over-following recover the flanking
+    reference timestamps — no probe×ref join blowup, one user_id
+    shuffle, and the same plan shape at any reference density (pandas
+    merge_asof's distributed form). Ties at equal distance resolve
+    backward (`<=`), matching the oracle's identical expression."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    u = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias(
+            "is_ref"
+        ),
+    )
+    from pyspark.sql import Window as _W
+
+    order = [F.col("us"), F.col("is_ref"), F.col("event_id")]
+    wp = _W.partitionBy("user_id").orderBy(*order).rowsBetween(_W.unboundedPreceding, -1)
+    wn = _W.partitionBy("user_id").orderBy(*order).rowsBetween(1, _W.unboundedFollowing)
+    ref_us = F.when(F.col("is_ref") == 1, F.col("us"))
+    scan = u.withColumn("prev_us", F.max(ref_us).over(wp)).withColumn(
+        "next_us", F.min(ref_us).over(wn)
+    )
+    tol = F.lit(_NEAREST_TOL_US)
+    prev_ok = F.col("prev_us").isNotNull() & (F.col("us") - F.col("prev_us") <= tol)
+    next_ok = F.col("next_us").isNotNull() & (F.col("next_us") - F.col("us") <= tol)
+    prefer_prev = prev_ok & (
+        F.col("next_us").isNull()
+        | (F.col("us") - F.col("prev_us") <= F.col("next_us") - F.col("us"))
+        | (F.col("next_us") - F.col("us") > tol)
+    )
+    return scan.where((F.col("is_ref") == 0) & (F.col("user_id") % 3 == 0)).select(
+        "event_id",
+        "user_id",
+        F.col("us").cast("bigint"),
+        F.when(prefer_prev, F.lit("prev"))
+        .when(next_ok, F.lit("next"))
+        .otherwise(F.lit("none"))
+        .alias("nearest_dir"),
+        F.when(prefer_prev, F.col("us") - F.col("prev_us"))
+        .when(next_ok, F.col("next_us") - F.col("us"))
+        .cast("bigint")
+        .alias("nearest_dist_us"),
+    )

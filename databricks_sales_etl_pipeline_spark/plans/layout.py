@@ -123,3 +123,86 @@ def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+from databricks_sales_etl_pipeline_spark.registry import query as _query  # noqa: E402
+
+_RLE_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+def _rle_oracle() -> str:
+    layouts = {
+        "natural": "o_orderkey",
+        "clustered": "o_orderstatus, o_orderpriority, o_orderdate, o_orderkey",
+    }
+    parts = []
+    for layout, order in layouts.items():
+        for col in _RLE_COLS:
+            parts.append(
+                f"""
+    SELECT '{layout}' AS layout, '{col}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 + SUM(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+           CAST((1000000 * (1 + SUM(CASE WHEN chg THEN 1 ELSE 0 END)))
+                // COUNT(*) AS BIGINT) AS runs_ppm
+    FROM (
+        SELECT {col} <> lag({col}) OVER (ORDER BY {order}) AS chg
+        FROM orders
+    )"""
+            )
+    return " UNION ALL ".join(parts)
+
+
+@_query("ext_rle_runs_report", oracle=_rle_oracle())
+def ext_rle_runs_report(spark, sf_dir):
+    """L3 — run-length layout report: for each candidate physical sort
+    order (natural PK order vs clustering by the low-cardinality
+    columns), the number of equal-value RUNS each column would store
+    under run-length encoding — the measured argument for clustered
+    writes (`tbl_zorder`'s 1-D cousin): Parquet RLE/dictionary pages
+    compress ∝ runs, so runs_ppm (runs per million rows) IS the
+    compression/skipping forecast a layout decision needs. Each layout
+    is one ordered window pass; at 100 TB the runs count distributes as
+    per-partition run sums minus boundary matches (associative — the
+    same two-level merge every sorted statistic uses), after a range
+    exchange that a clustered WRITE pays anyway."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    from databricks_sales_etl_pipeline_spark.catalog import load as _load
+
+    o = _load(spark, sf_dir, "orders")
+    layouts = {
+        "natural": [F.col("o_orderkey")],
+        "clustered": [
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.col("o_orderdate"),
+            F.col("o_orderkey"),
+        ],
+    }
+    out = None
+    for layout, order in layouts.items():
+        w = _W.orderBy(*order)
+        for col in _RLE_COLS:
+            chg = (F.col(col) != F.lag(col).over(w)).cast("bigint")
+            rep = (
+                o.select(chg.alias("chg"))
+                .agg(
+                    F.lit(layout).alias("layout"),
+                    F.lit(col).alias("col_name"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    (1 + F.sum("chg")).cast("bigint").alias("n_runs"),
+                )
+                .select(
+                    "layout",
+                    "col_name",
+                    "n_rows",
+                    "n_runs",
+                    F.expr("(1000000 * n_runs) DIV n_rows")
+                    .cast("bigint")
+                    .alias("runs_ppm"),
+                )
+            )
+            out = rep if out is None else out.unionByName(rep)
+    return out
