@@ -590,3 +590,86 @@ def join_spatial_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "s_suppkey", dist.alias("dist_tenths"))
         .where(F.col("dist_tenths") <= _GEO_NEAR_TENTHS)
     )
+
+
+_AQE_SKEW_N = 200_000
+_AQE_SKEW_DIM = 1_000
+
+
+@query(
+    "join_aqe_skew",
+    oracle=f"""
+    WITH fact AS (
+        SELECT CASE WHEN t.range % 5 <> 0 THEN 7
+                    ELSE t.range % {_AQE_SKEW_DIM} END AS k,
+               CAST(t.range AS BIGINT) AS v
+        FROM range(0, {_AQE_SKEW_N}) t
+    ), dim AS (
+        SELECT CAST(t.range AS BIGINT) AS k, CAST(t.range * 3 AS BIGINT) AS w
+        FROM range(0, {_AQE_SKEW_DIM}) t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(f.v + d.w) AS BIGINT) AS checksum,
+           TRUE AS skew_applied
+    FROM fact f JOIN dim d ON d.k = f.k
+    """,
+)
+def join_aqe_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 — AQE skew-join, demonstrated and PROVEN in-band: a fact with
+    80% of rows on one hot key sort-merge-joins a non-broadcastable dim
+    under scoped AQE skew thresholds; the executed plan is inspected for
+    the `skew=true` marker (AQE split the hot partition at runtime) and
+    that flag is EMITTED AS A COLUMN the oracle requires to be TRUE — if
+    adaptive execution ever stops splitting the hot partition, the hash
+    check fails, not just a plan eyeball. This is the automatic
+    counterpart of `join_salted_skew` (manual salting): same problem,
+    zero query rewrite. The deterministic generator fact keeps partition
+    sizes above the skew thresholds at every sf; all confs are saved and
+    restored (the `join_runtime_bloom` discipline), and the returned
+    relation is the 1-row collected census — a bounded artifact."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(_AQE_SKEW_N).select(
+            F.when(F.col("id") % 5 != 0, F.lit(7))
+            .otherwise(F.pmod(F.col("id"), _AQE_SKEW_DIM))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(_AQE_SKEW_DIM).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        j = (
+            fact.join(dim, "k")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("v") + F.col("w")).cast("bigint").alias("checksum"),
+            )
+        )
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        skew_applied = "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(row["n_rows"], row["checksum"], skew_applied)],
+        "n_rows bigint, checksum bigint, skew_applied boolean",
+    )

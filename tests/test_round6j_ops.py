@@ -66,3 +66,12 @@ class TestRleRuns:
             .count()
         )
         assert out[("clustered", "o_orderstatus")]["n_runs"] == ndv
+
+
+class TestAqeSkew:
+    def test_skew_split_proven_in_band(self, spark):
+        r = QUERIES["join_aqe_skew"](spark, SF_DIR).collect()[0]
+        assert r["skew_applied"] is True
+        assert r["n_rows"] == 200_000
+        # confs restored after the eager demonstration
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor") != "2"
