@@ -268,3 +268,134 @@ def ext_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.asc("abs_margin"), F.asc("doc_id")).limit(_AL_K)
+
+
+_FAIR_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+               unnest({{marked}}) AS tok
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, lang, y, {{band}} AS j,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY doc_id, lang, y, {{band}}
+        UNION ALL
+        SELECT doc_id, lang, y, CAST({{nf}} AS BIGINT) AS j,
+               CAST(1 AS BIGINT) AS cnt
+        FROM toks GROUP BY doc_id, lang, y
+    ), cls AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN y = 1 THEN doc_id END)
+                    AS BIGINT) AS n_pos,
+               CAST(COUNT(DISTINCT CASE WHEN y = -1 THEN doc_id END)
+                    AS BIGINT) AS n_neg
+        FROM feats
+    ), w AS (
+        SELECT j,
+               CAST(SUM(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS s_pos,
+               CAST(SUM(CASE WHEN y = -1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS s_neg
+        FROM feats GROUP BY j
+    ), scored AS (
+        SELECT f.doc_id, f.lang,
+               SUM(f.cnt * (c.n_neg * w.s_pos - c.n_pos * w.s_neg)) > 0
+                   AS selected
+        FROM feats f
+        JOIN w ON w.j = f.j
+        CROSS JOIN cls c
+        GROUP BY f.doc_id, f.lang
+    ), rates AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE selected) AS BIGINT) AS n_selected,
+               CAST((1000000 * COUNT(*) FILTER (WHERE selected)) // COUNT(*)
+                    AS BIGINT) AS selection_ppm
+        FROM scored GROUP BY lang
+    ), bounds AS (
+        SELECT MAX(selection_ppm) AS max_rate FROM rates
+    )
+    SELECT r.lang, r.n_docs, r.n_selected, r.selection_ppm,
+           CAST(CASE WHEN b.max_rate > 0
+                     THEN (1000000 * r.selection_ppm) // b.max_rate END
+                AS BIGINT) AS disparate_impact_ppm,
+           CAST(CASE WHEN b.max_rate > 0
+                      AND (1000000 * r.selection_ppm) // b.max_rate < 800000
+                     THEN 1 ELSE 0 END AS BIGINT) AS four_fifths_flag
+    FROM rates r CROSS JOIN bounds b
+"""
+
+
+@query(
+    "ext_fairness_report",
+    oracle=_FAIR_ORACLE.format(
+        marked=_marked_tokens_sql(),
+        band=md5_band_sql("tok", N_FEATS, "feat:"),
+        nf=N_FEATS,
+    ),
+)
+def ext_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cl3 — selection-rate fairness audit of the quality filter: per
+    language group, how often `ext_quality_classifier`'s gate selects
+    documents, the disparate-impact ratio against the most-selected
+    group (exact ppm), and the EEOC four-fifths-rule flag (< 0.8 of the
+    top rate). A quality filter that silently strips one language from a
+    corpus is a real, documented failure mode of LLM curation — this is
+    the audit that catches it, and for this planted-signal fixture the
+    non-English groups correctly flag (the classifier selects English
+    BY DESIGN, so the report shows maximal disparity — asserted in the
+    unit test). Shares the classifier's scored relation; the audit
+    itself is one group-by plus a 1-row max broadcast."""
+    d = load(spark, sf_dir, "documents")
+    feats = _features(d).localCheckpoint()
+    lang_of = d.select("doc_id", "lang")
+    cls = feats.select("doc_id", "y").distinct().agg(
+        F.count_if(F.col("y") == 1).cast("long").alias("n_pos"),
+        F.count_if(F.col("y") == -1).cast("long").alias("n_neg"),
+    )
+    w = feats.groupBy("j").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("s_pos"),
+        F.sum(F.when(F.col("y") == -1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("s_neg"),
+    )
+    margin = F.col("cnt") * (
+        F.col("n_neg") * F.col("s_pos") - F.col("n_pos") * F.col("s_neg")
+    )
+    scored = (
+        feats.join(broadcast(w), "j")
+        .crossJoin(broadcast(cls))
+        .groupBy("doc_id")
+        .agg((F.sum(margin) > 0).alias("selected"))
+        .join(broadcast(lang_of), "doc_id")
+    )
+    rates = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("selected").cast("bigint")).cast("bigint").alias("n_selected"),
+    ).select(
+        "lang",
+        "n_docs",
+        "n_selected",
+        F.expr("(1000000 * n_selected) DIV n_docs").cast("bigint").alias(
+            "selection_ppm"
+        ),
+    )
+    bounds = rates.agg(F.max("selection_ppm").alias("max_rate"))
+    return rates.crossJoin(broadcast(bounds)).select(
+        "lang",
+        "n_docs",
+        "n_selected",
+        "selection_ppm",
+        F.expr(
+            "CASE WHEN max_rate > 0 THEN (1000000 * selection_ppm) DIV max_rate END"
+        )
+        .cast("bigint")
+        .alias("disparate_impact_ppm"),
+        F.expr(
+            "CASE WHEN max_rate > 0 AND (1000000 * selection_ppm) DIV max_rate < 800000 "
+            "THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("four_fifths_flag"),
+    )

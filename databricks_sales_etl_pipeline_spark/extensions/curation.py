@@ -752,3 +752,98 @@ def ext_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acct_cents_coarse"),
         "c_mktsegment",
     )
+
+
+from databricks_sales_etl_pipeline_spark.extensions.textstats import (  # noqa: E402
+    STOPWORDS as _CQ_STOPWORDS,
+    _SW_SQL as _CQ_SW_SQL,
+)
+
+
+@query(
+    "ext_quality_composite",
+    oracle=f"""
+    WITH pertok AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        )
+    ), perdoc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) FILTER (WHERE list_contains({_CQ_SW_SQL}, tok))
+                    AS BIGINT) AS n_stop,
+               CAST(MAX(cnt) AS BIGINT) AS max_tok
+        FROM (
+            SELECT doc_id, tok, COUNT(*) OVER (PARTITION BY doc_id, tok) AS cnt
+            FROM pertok
+        ) GROUP BY doc_id
+    ), scored AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 2 ELSE 0 END
+             + CASE WHEN (1000000 * n_stop) // n_tokens >= 20000 THEN 1 ELSE 0 END
+             + CASE WHEN (1000000 * max_tok) // n_tokens < 200000 THEN 1 ELSE 0 END
+             + CASE WHEN (100 * n_chars) // n_tokens BETWEEN 300 AND 1200
+                    THEN 1 ELSE 0 END AS score
+        FROM perdoc
+    )
+    SELECT CAST(score AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM scored GROUP BY score
+    """,
+)
+def ext_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu7 — composite quality score (the Gopher-rules capstone): four
+    integer-gated signals — length band (2 pts), stopword density ≥ 2%,
+    no single token above 20% of the document, mean word length in
+    [3, 12) — summed into one 0-5 score, with the corpus census per
+    score level (the keep/review/drop cut a curation pipeline applies).
+    Every gate is an exact cross-multiplied integer comparison, so the
+    whole scorecard is hash-portable; everything derives from ONE
+    (doc, token) pass (the max-token share rides a window on the same
+    key). The per-signal queries (`ext_quality_gopher`,
+    `ext_text_tokens`) stay available for debugging WHY a document
+    scored low."""
+    pertok = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    wt = Window.partitionBy("doc_id", "tok")
+    perdoc = (
+        pertok.withColumn("cnt", F.count(F.lit(1)).over(wt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("tok").isin(*_CQ_STOPWORDS).cast("bigint"))
+            .cast("bigint")
+            .alias("n_stop"),
+            F.max("cnt").cast("bigint").alias("max_tok"),
+        )
+    )
+    score = (
+        F.when(F.col("n_tokens").between(50, 100000), F.lit(2)).otherwise(F.lit(0))
+        + F.when(F.expr("(1000000 * n_stop) DIV n_tokens") >= 20000, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        + F.when(F.expr("(1000000 * max_tok) DIV n_tokens") < 200000, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        + F.when(
+            F.expr("(100 * n_chars) DIV n_tokens").between(300, 1200), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return (
+        perdoc.withColumn("score", score.cast("bigint"))
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )

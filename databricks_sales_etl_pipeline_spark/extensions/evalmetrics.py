@@ -303,3 +303,87 @@ def ext_eval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "ext_eval_token_f1",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ref
+        FROM documents WHERE doc_id % 5 = 0
+    ), exploded AS (
+        SELECT doc_id, ref[CAST(i AS INT)] AS tok,
+               CASE WHEN (i - 1) % 3 <> 2 THEN 1 ELSE 0 END AS in_pred
+        FROM toks, unnest(range(1, len(ref) + 1)) AS t(i)
+    ), tf AS (
+        SELECT doc_id, tok,
+               CAST(COUNT(*) AS BIGINT) AS tf_ref,
+               CAST(SUM(in_pred) AS BIGINT) AS tf_pred
+        FROM exploded GROUP BY doc_id, tok
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(tf_ref) AS BIGINT) AS len_ref,
+               CAST(SUM(tf_pred) AS BIGINT) AS len_pred,
+               CAST(SUM(least(tf_ref, tf_pred)) AS BIGINT) AS overlap
+        FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, len_ref, len_pred, overlap,
+           CAST(CASE WHEN len_pred > 0
+                THEN (1000000 * overlap) // len_pred END AS BIGINT)
+               AS precision_ppm,
+           CAST(CASE WHEN len_ref > 0
+                THEN (1000000 * overlap) // len_ref END AS BIGINT)
+               AS recall_ppm,
+           CAST(CASE WHEN len_ref + len_pred > 0
+                THEN (2000000 * overlap) // (len_ref + len_pred) END AS BIGINT)
+               AS f1_ppm
+    FROM agg
+    """,
+)
+def ext_eval_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev6 — token-level F1 (the SQuAD/QA generation metric): prediction
+    vs reference scored as the MULTISET token overlap Σ min(tf_ref,
+    tf_pred) — bag semantics, the detail naive set-intersection
+    implementations get wrong on repeated tokens — with precision,
+    recall and F1 = 2·overlap/(len_r + len_p) in exact integer ppm. The
+    fixture's prediction drops every third reference token (a
+    deterministic lossy generator), so expected recall ≈ 2/3 and
+    precision = 1, both asserted in the unit test. ONE (doc, token)
+    shuffle computes both term-frequency vectors side by side; no join
+    between prediction and reference relations is ever materialized."""
+    toks = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("ref"),
+    )
+    exploded = toks.select(
+        "doc_id", F.posexplode("ref").alias("pos", "tok")
+    ).withColumn("in_pred", (F.col("pos") % 3 != 2).cast("bigint"))
+    tf = exploded.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf_ref"),
+        F.sum("in_pred").cast("bigint").alias("tf_pred"),
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf_ref").cast("bigint").alias("len_ref"),
+        F.sum("tf_pred").cast("bigint").alias("len_pred"),
+        F.sum(F.least("tf_ref", "tf_pred")).cast("bigint").alias("overlap"),
+    )
+    return agg.select(
+        "doc_id",
+        "len_ref",
+        "len_pred",
+        "overlap",
+        F.expr("CASE WHEN len_pred > 0 THEN (1000000 * overlap) DIV len_pred END")
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.expr("CASE WHEN len_ref > 0 THEN (1000000 * overlap) DIV len_ref END")
+        .cast("bigint")
+        .alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN len_ref + len_pred > 0 "
+            "THEN (2000000 * overlap) DIV (len_ref + len_pred) END"
+        )
+        .cast("bigint")
+        .alias("f1_ppm"),
+    )

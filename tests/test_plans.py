@@ -140,7 +140,9 @@ _NLJ_ALLOWED = {
     "ext_eval_ndcg",
     "ext_eval_mrr",
     # inherits ext_quality_classifier's 1-row class-counts broadcast
+    # (fairness adds the 1-row max-rate bound on top)
     "ext_active_learning",
+    "ext_fairness_report",
     # chain of 1-row census aggregates (before/after/subjects/residual ×2
     # tables) — the erasure report is six scalar broadcasts
     "ext_gdpr_erasure",
