@@ -1,0 +1,365 @@
+"""Scan-conversion operators: per-key SEQUENTIAL recurrences re-expressed
+as distributed window scans (north-star §2.7 widening — the reference's
+notebooks never need these, but any ops/analytics team on the same data
+does; reference scope per REFERENCE_MAP.md).
+
+Three classic "looks inherently serial" recurrences, each with the
+parallel form that makes it a plain window pipeline:
+
+- ``ext_queue_wait`` — the Lindley recursion for a FIFO single-server
+  queue, ``end_i = max(arrival_i, end_{i-1}) + service_i``, rewritten by
+  prefix-sum reflection: with ``P_i = Σ_{j≤i} s_j``,
+  ``end_i = P_i + max_{k≤i}(A_k − P_{k−1})`` — a cumulative sum plus a
+  running max, both single-pass window functions.
+- ``ext_inventory_runout`` — the clamped-at-zero stock walk
+  ``S_i = max(0, S_{i−1} + d_i)`` via the Skorokhod reflection identity
+  ``S_i = P_i − min(0, min_{k≤i} P_k)`` (prefix sum minus its running
+  floor), so lost-sales and stockout counting need no iteration.
+- ``ext_pack_bins_greedy`` — next-fit document packing into
+  capacity-bounded token bins. The reset-on-overflow fill level is NOT
+  window-expressible, so this one uses the sanctioned escape hatch: the
+  corpus is sharded into independent buckets and each bucket's greedy
+  loop runs inside one Arrow-batched ``applyInPandas`` task; the oracle
+  is a DuckDB ``WITH RECURSIVE`` twin of the same recurrence.
+
+Parity: all arithmetic is BIGINT (day-granularity epochs × 86400 plus
+key-derived intra-day offsets — immune to the driver's historical
+timestamp-shape churn, CLAUDE.md); ratios via truncating division
+(Spark ``DIV`` == DuckDB ``//`` on non-negatives); every ordering is
+pinned by a unique (orderkey, linenumber) tiebreak.
+
+Scale shapes (100 TB posture):
+- queue / inventory: ONE hash shuffle on the entity key, then windows
+  that scan each partition once — identical cost profile to the
+  session/attribution family, and the reflection forms avoid any
+  driver-side iteration entirely.
+- packing: embarrassingly parallel across buckets (buckets ≡ output
+  shards of the training dataloader); within-bucket work is a cheap
+  Python loop over that shard's metadata only (doc lengths, never text),
+  so the task payload is thousands of ints regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.registry import query
+
+#: queue fixture constants (shared by Spark + oracle + tests)
+Q_BASE_SVC = 60      # seconds of fixed handling per line
+Q_SVC_PER_QTY = 6    # seconds per unit quantity
+Q_OFF_A = 7919       # intra-day arrival spread multipliers (primes)
+Q_OFF_B = 104729
+Q_DAY = 86400
+
+#: inventory fixture constants
+INV_OPENING = 100    # opening stock per part
+
+#: packing fixture constants
+PACK_BUCKETS = 16    # independent dataloader shards
+PACK_CAP = 256       # tokens per packed bin
+
+
+def _jobs_sql() -> str:
+    """DuckDB job-table twin: per-lineitem (server, arrival, service)."""
+    return f"""
+        SELECT l_suppkey AS server_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                    AS BIGINT) * {Q_DAY}
+               + (l_orderkey * {Q_OFF_A} + l_linenumber * {Q_OFF_B})
+                 % {Q_DAY} AS arr_s,
+               {Q_BASE_SVC} + CAST(l_quantity AS BIGINT) * {Q_SVC_PER_QTY}
+                   AS svc_s,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    """
+
+
+@query(
+    "ext_queue_wait",
+    oracle=f"""
+    WITH jobs AS ({_jobs_sql()}),
+    pref AS (
+        SELECT server_id, arr_s, svc_s, l_orderkey, l_linenumber,
+               SUM(svc_s) OVER w AS p
+        FROM jobs
+        WINDOW w AS (PARTITION BY server_id
+                     ORDER BY arr_s, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), scan AS (
+        SELECT server_id, arr_s, svc_s, p,
+               MAX(arr_s - (p - svc_s)) OVER w AS m
+        FROM pref
+        WINDOW w AS (PARTITION BY server_id
+                     ORDER BY arr_s, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), per_job AS (
+        SELECT server_id, arr_s, svc_s,
+               p + m AS end_s,
+               p + m - svc_s - arr_s AS wait_s
+        FROM scan
+    )
+    SELECT server_id,
+           CAST(COUNT(*) AS BIGINT) AS n_jobs,
+           CAST(SUM(svc_s) AS BIGINT) AS busy_s,
+           CAST(SUM(wait_s) AS BIGINT) AS total_wait_s,
+           CAST(MAX(wait_s) AS BIGINT) AS max_wait_s,
+           CAST(MAX(end_s) - MIN(arr_s) AS BIGINT) AS makespan_s,
+           CAST(SUM(svc_s) * 1000000 // (MAX(end_s) - MIN(arr_s))
+                AS BIGINT) AS utilization_ppm
+    FROM per_job
+    GROUP BY server_id
+    """,
+)
+def ext_queue_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc1 — FIFO queueing-delay audit per fulfillment server (supplier):
+    each lineitem is a job (arrival = shipdate-day epoch + key-spread
+    offset, service = 60 s + 6 s/unit). The Lindley recursion
+    ``end_i = max(arr_i, end_{i−1}) + svc_i`` is computed WITHOUT
+    iteration via prefix-scan reflection:
+
+        ``end_i = P_i + max_{k≤i}(arr_k − P_{k−1})``
+
+    (``P`` = running service sum) — one cumsum window and one
+    running-max window over the same (server, arrival) ordering. Output:
+    per-server job count, busy time, total/max waiting time, makespan
+    and utilization. ONE suppkey shuffle; each partition scanned once."""
+    li = load(spark, sf_dir, "lineitem")
+    day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    jobs = li.select(
+        F.col("l_suppkey").alias("server_id"),
+        (
+            day * Q_DAY
+            + (
+                F.col("l_orderkey") * Q_OFF_A
+                + F.col("l_linenumber").cast("bigint") * Q_OFF_B
+            )
+            % Q_DAY
+        ).alias("arr_s"),
+        (
+            F.lit(Q_BASE_SVC)
+            + F.col("l_quantity").cast("bigint") * Q_SVC_PER_QTY
+        ).alias("svc_s"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("server_id")
+        .orderBy("arr_s", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = jobs.withColumn("p", F.sum("svc_s").over(w))
+    m = F.max(F.col("arr_s") - (F.col("p") - F.col("svc_s"))).over(w)
+    per_job = pref.select(
+        "server_id",
+        "arr_s",
+        "svc_s",
+        (F.col("p") + m).alias("end_s"),
+        (F.col("p") + m - F.col("svc_s") - F.col("arr_s")).alias("wait_s"),
+    )
+    makespan = F.max("end_s") - F.min("arr_s")
+    return per_job.groupBy("server_id").agg(
+        F.count(F.lit(1)).alias("n_jobs"),
+        F.sum("svc_s").alias("busy_s"),
+        F.sum("wait_s").alias("total_wait_s"),
+        F.max("wait_s").alias("max_wait_s"),
+        makespan.alias("makespan_s"),
+        F.expr("sum(svc_s) * 1000000 DIV (max(end_s) - min(arr_s))").alias(
+            "utilization_ppm"
+        ),
+    )
+
+
+@query(
+    "ext_inventory_runout",
+    oracle=f"""
+    WITH moves AS (
+        SELECT l_partkey AS part_id,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+               CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS BIGINT)
+                    ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), scan AS (
+        SELECT part_id, delta, d, l_orderkey, l_linenumber,
+               {INV_OPENING} + SUM(delta) OVER w AS p
+        FROM moves
+        WINDOW w AS (PARTITION BY part_id
+                     ORDER BY d, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), walk AS (
+        SELECT part_id, delta,
+               p - LEAST(0, MIN(p) OVER w2) AS stock,
+               LEAST(0, MIN(p) OVER w2) AS floor_p,
+               ROW_NUMBER() OVER (PARTITION BY part_id
+                                  ORDER BY d, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY part_id) AS n
+        FROM scan
+        WINDOW w2 AS (PARTITION BY part_id
+                      ORDER BY d, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT part_id,
+           CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(MAX(stock) AS BIGINT) AS peak_stock,
+           CAST(MIN(CASE WHEN rn = n THEN stock END) AS BIGINT) AS end_stock,
+           CAST(MIN(CASE WHEN rn = n THEN -floor_p END) AS BIGINT)
+               AS total_lost,
+           CAST(SUM(CASE WHEN stock = 0 AND delta < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stockout_steps
+    FROM walk
+    GROUP BY part_id
+    """,
+)
+def ext_inventory_runout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc2 — clamped-at-zero inventory walk per part: returns ('R')
+    restock +quantity, other lines consume −quantity, stock can never go
+    negative (unmet demand is LOST, not backordered). The recurrence
+    ``S_i = max(0, S_{i−1} + d_i)`` is computed without iteration via the
+    reflection identity ``S_i = P_i − min(0, min_{k≤i} P_k)`` (prefix sum
+    minus its running floor, opening stock folded into ``P``). Output per
+    part: move count, peak/end stock, total lost sales and stockout-step
+    count. ONE partkey shuffle; two chained windows on one ordering."""
+    li = load(spark, sf_dir, "lineitem")
+    day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    moves = li.select(
+        F.col("l_partkey").alias("part_id"),
+        day.alias("d"),
+        F.when(F.col("l_returnflag") == "R", qty).otherwise(-qty).alias("delta"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("part_id")
+        .orderBy("d", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.lit(INV_OPENING) + F.sum("delta").over(w)
+    scan = moves.select(
+        "part_id",
+        "delta",
+        "d",
+        "l_orderkey",
+        "l_linenumber",
+        p.alias("p"),
+    )
+    w2 = (
+        Window.partitionBy("part_id")
+        .orderBy("d", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    floor_p = F.least(F.lit(0).cast("bigint"), F.min("p").over(w2))
+    wn = Window.partitionBy("part_id").orderBy("d", "l_orderkey", "l_linenumber")
+    walk = scan.select(
+        "part_id",
+        "delta",
+        (F.col("p") - floor_p).alias("stock"),
+        floor_p.alias("floor_p"),
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("part_id")).alias("n"),
+    )
+    last = F.col("rn") == F.col("n")
+    return walk.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.max("stock").alias("peak_stock"),
+        F.min(F.when(last, F.col("stock"))).alias("end_stock"),
+        F.min(F.when(last, -F.col("floor_p"))).alias("total_lost"),
+        F.sum(
+            F.when((F.col("stock") == 0) & (F.col("delta") < 0), 1).otherwise(0)
+        ).alias("n_stockout_steps"),
+    )
+
+
+@query(
+    "ext_pack_bins_greedy",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, doc_id % {PACK_BUCKETS} AS bucket,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), seq AS (
+        SELECT doc_id, bucket, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        FROM toks
+    ), packed AS (
+        SELECT bucket, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS bin_idx,
+               CAST(0 AS BIGINT) AS offset_in_bin,
+               n_tokens AS fill
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.bucket, s.rn, s.doc_id, s.n_tokens,
+               CASE WHEN p.fill + s.n_tokens <= {PACK_CAP}
+                    THEN p.bin_idx ELSE p.bin_idx + 1 END,
+               CASE WHEN p.fill + s.n_tokens <= {PACK_CAP}
+                    THEN p.fill ELSE CAST(0 AS BIGINT) END,
+               CASE WHEN p.fill + s.n_tokens <= {PACK_CAP}
+                    THEN p.fill + s.n_tokens ELSE s.n_tokens END
+        FROM packed p JOIN seq s ON s.bucket = p.bucket AND s.rn = p.rn + 1
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+           bin_idx, offset_in_bin
+    FROM packed
+    """,
+)
+def ext_pack_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc3 — next-fit sequence packing: concatenate documents (in doc_id
+    order) into training bins of at most PACK_CAP=256 tokens, opening a
+    new bin whenever the next document would overflow (an oversized
+    document gets a bin of its own). Unlike ``ext_pack_offsets``
+    (unbounded streams) this enforces the model's context-window
+    CAPACITY — the real dataloader contract.
+
+    The fill level resets on overflow, which no window function
+    expresses, so each of the 16 independent corpus shards
+    runs its greedy loop inside ONE ``applyInPandas`` task over that
+    shard's (doc_id, n_tokens) metadata only — text never reaches the
+    Python worker, so the task payload stays a few thousand ints no
+    matter the corpus size. Oracle: DuckDB ``WITH RECURSIVE`` lockstep
+    twin of the same recurrence."""
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_BUCKETS).cast("bigint").alias("bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+
+    schema = (
+        "doc_id bigint, bucket bigint, n_tokens bigint, "
+        "bin_idx bigint, offset_in_bin bigint"
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_idx, offset, fill = [], [], 0
+        cur = 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > PACK_CAP:
+                cur += 1
+                fill = 0
+            bin_idx.append(cur)
+            offset.append(fill)
+            fill += n
+        pdf["bin_idx"] = bin_idx
+        pdf["offset_in_bin"] = offset
+        return pdf[["doc_id", "bucket", "n_tokens", "bin_idx", "offset_in_bin"]]
+
+    return toks.groupBy("bucket").applyInPandas(pack, schema)
