@@ -22,6 +22,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+    md5_band,
+    md5_band_sql,
+)
 from databricks_sales_etl_pipeline_spark.registry import query
 
 _WS = r"\s+"
@@ -846,4 +850,161 @@ def ext_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         )
+    )
+
+
+T_CLOSE_PPM = 100_000  # max allowed total-variation distance (0.1)
+
+
+@query(
+    "ext_t_closeness",
+    oracle=f"""
+    WITH base AS (
+        SELECT n.n_name, c.c_mktsegment AS seg
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), gdist AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS c_s FROM base GROUP BY seg
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+    ), grp AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_g FROM base GROUP BY n_name
+    ), cell AS (
+        SELECT n_name, seg, CAST(COUNT(*) AS BIGINT) AS c_gs
+        FROM base GROUP BY n_name, seg
+    ), grid AS (
+        SELECT g.n_name, s.seg, g.n_g, s.c_s,
+               COALESCE(c.c_gs, 0) AS c_gs
+        FROM grp g CROSS JOIN gdist s
+        LEFT JOIN cell c ON c.n_name = g.n_name AND c.seg = s.seg
+    )
+    SELECT n_name,
+           CAST(MIN(n_g) AS BIGINT) AS n_rows,
+           CAST(SUM(abs(c_gs * t.n - c_s * n_g)) * 1000000
+                // (2 * MIN(n_g) * MIN(t.n)) AS BIGINT) AS tv_ppm,
+           CAST(CASE WHEN SUM(abs(c_gs * t.n - c_s * n_g)) * 1000000
+                          // (2 * MIN(n_g) * MIN(t.n)) > {T_CLOSE_PPM}
+                THEN 1 ELSE 0 END AS BIGINT) AS t_violation
+    FROM grid, tot t
+    GROUP BY n_name
+    """,
+)
+def ext_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu7 — t-closeness audit (Li et al.), completing the privacy triad
+    beside ``ext_k_anonymity`` / ``ext_l_diversity``: for each
+    quasi-identifier group (nation) measure the total-variation distance
+    between the group's sensitive-attribute distribution (market
+    segment) and the corpus-wide one, and flag groups beyond t = 0.1.
+    TV = ½ Σ_s |p_{{g,s}} − p_s| is computed as the exact integer
+    rational Σ|c_gs·N − C_s·n_g| over the common denominator 2·n_g·N —
+    one truncating division at the end, no doubles. The (group ×
+    segment) grid is materialized explicitly (tiny-dim cross join) so
+    segments ABSENT from a group still contribute their mass — the
+    correctness detail a naive groupBy misses.
+
+    Shape: two low-cardinality groupBys + a broadcast grid join; the
+    fact table is scanned once."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    base = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "n_name", F.col("c_mktsegment").alias("seg")
+    )
+    glob = base.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("c_s"))
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grp = base.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    cell = base.groupBy("n_name", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_gs")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(cell, ["n_name", "seg"], "left")
+        .withColumn("c_gs", F.coalesce("c_gs", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+    )
+    num = F.sum(F.abs(F.col("c_gs") * F.col("n") - F.col("c_s") * F.col("n_g")))
+    return grid.groupBy("n_name").agg(
+        F.min("n_g").cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(SUM(abs(c_gs * n - c_s * n_g)) * 1000000"
+            " DIV (2 * MIN(n_g) * MIN(n)) AS BIGINT)"
+        ).alias("tv_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN SUM(abs(c_gs * n - c_s * n_g)) * 1000000"
+            f" DIV (2 * MIN(n_g) * MIN(n)) > {T_CLOSE_PPM}"
+            f" THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("t_violation"),
+    )
+
+
+CRAWL_DELAY_S = 15        # per-host politeness delay between fetches
+CRAWL_WORKERS = 8         # fetcher fleet size
+
+
+@query(
+    "ext_crawl_frontier",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+    ), hosts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(
+                   regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+                   '^([^:]+)', 1)) AS host
+        FROM raw
+    ), sched AS (
+        SELECT doc_id, host,
+               ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1
+                   AS host_seq,
+               {md5_band_sql('host', CRAWL_WORKERS, 'crawlw:')} AS worker_id
+        FROM hosts
+    )
+    SELECT doc_id, host, CAST(host_seq AS BIGINT) AS host_seq,
+           CAST(worker_id AS BIGINT) AS worker_id,
+           CAST(host_seq * {CRAWL_DELAY_S} AS BIGINT) AS fetch_at_s,
+           CAST(MAX(host_seq * {CRAWL_DELAY_S})
+                    OVER (PARTITION BY worker_id) AS BIGINT)
+               AS worker_makespan_s
+    FROM sched
+    """,
+)
+def ext_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu8 — crawl-frontier politeness scheduler: assign every URL a
+    fetch slot that honors a per-host crawl delay (one request per host
+    per 15 s) and pin each HOST to one fetcher worker by deterministic
+    hash, so no two workers ever hit the same host (the invariant
+    politeness actually requires — per-URL load balancing would break
+    it). Output: per-URL host sequence number, worker, scheduled fetch
+    time, and the worker's makespan — the frontier plan a distributed
+    fetcher fleet executes verbatim.
+
+    Shape: ONE host-keyed window (the frontier's natural partitioning —
+    at 100 TB the host key is how crawl state shards) + the md5-band
+    worker assignment (cross-engine-exact, CLAUDE.md). No global
+    ordering anywhere."""
+    d = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_RAW_SQL)
+    hostport = F.regexp_extract("url", "^[A-Za-z]+://([^/?#]+)", 1)
+    hosts = d.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        F.lower(F.regexp_extract(hostport, "^([^:]+)", 1)).alias("host"),
+    )
+    wh = Window.partitionBy("host").orderBy("doc_id")
+    sched = hosts.select(
+        "doc_id",
+        "host",
+        (F.row_number().over(wh) - 1).cast("bigint").alias("host_seq"),
+        md5_band(F.col("host"), CRAWL_WORKERS, "crawlw:").alias("worker_id"),
+    )
+    ww = Window.partitionBy("worker_id")
+    return sched.select(
+        "doc_id",
+        "host",
+        "host_seq",
+        F.col("worker_id").cast("bigint").alias("worker_id"),
+        (F.col("host_seq") * CRAWL_DELAY_S).cast("bigint").alias("fetch_at_s"),
+        F.max(F.col("host_seq") * CRAWL_DELAY_S)
+        .over(ww)
+        .cast("bigint")
+        .alias("worker_makespan_s"),
     )

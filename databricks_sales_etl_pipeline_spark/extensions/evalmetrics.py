@@ -387,3 +387,161 @@ def ext_eval_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("f1_ppm"),
     )
+
+
+#: BLEU bigram geometric mean — ONE shared expression string so both
+#: engines evaluate the identical sqrt call tree (the ext_rank_wilson
+#: bit-portability discipline; inputs are integers < 2^52 so the double
+#: conversion is exact).
+_BLEU_GEOMEAN = (
+    "CASE WHEN p1_ppm IS NOT NULL AND p2_ppm IS NOT NULL THEN "
+    "brevity_ppm * CAST(FLOOR(SQRT(CAST(p1_ppm * p2_ppm AS DOUBLE))) "
+    "AS BIGINT) {div} 1000000 END"
+)
+
+
+@query(
+    "ext_eval_bleu",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ref
+        FROM documents WHERE doc_id % 5 = 0
+    ), stream AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               ref[CAST(i AS INT)] AS tok,
+               CASE WHEN (i - 1) % 3 <> 2 THEN 1 ELSE 0 END AS in_cand
+        FROM toks, unnest(range(1, len(ref) + 1)) AS t(i)
+    ), uni AS (
+        SELECT doc_id, tok,
+               CAST(COUNT(*) AS BIGINT) AS c_ref,
+               CAST(SUM(in_cand) AS BIGINT) AS c_cand
+        FROM stream GROUP BY doc_id, tok
+    ), u_agg AS (
+        SELECT doc_id,
+               CAST(SUM(c_ref) AS BIGINT) AS len_ref,
+               CAST(SUM(c_cand) AS BIGINT) AS len_cand,
+               CAST(SUM(least(c_ref, c_cand)) AS BIGINT) AS p1_num
+        FROM uni GROUP BY doc_id
+    ), ref_bg AS (
+        SELECT doc_id, tok || ' ' || lead(tok) OVER w AS gram
+        FROM stream WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY gram IS NOT NULL
+    ), cand_bg AS (
+        SELECT doc_id, tok || ' ' || lead(tok) OVER w AS gram
+        FROM stream WHERE in_cand = 1
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY gram IS NOT NULL
+    ), bg AS (
+        SELECT doc_id, gram,
+               CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+               CAST(SUM(1 - is_ref) AS BIGINT) AS c_cand
+        FROM (SELECT doc_id, gram, 1 AS is_ref FROM ref_bg
+              UNION ALL
+              SELECT doc_id, gram, 0 AS is_ref FROM cand_bg)
+        GROUP BY doc_id, gram
+    ), b_agg AS (
+        SELECT doc_id,
+               CAST(SUM(least(c_ref, c_cand)) AS BIGINT) AS p2_num
+        FROM bg GROUP BY doc_id
+    ), scored AS (
+        SELECT u.doc_id, u.len_ref, u.len_cand, u.p1_num,
+               COALESCE(b.p2_num, 0) AS p2_num,
+               CAST(CASE WHEN u.len_cand > 0
+                    THEN 1000000 * u.p1_num // u.len_cand END AS BIGINT)
+                   AS p1_ppm,
+               CAST(CASE WHEN u.len_cand > 1
+                    THEN 1000000 * COALESCE(b.p2_num, 0)
+                         // (u.len_cand - 1) END AS BIGINT) AS p2_ppm,
+               CAST(LEAST(1000000,
+                          1000000 * u.len_cand // u.len_ref) AS BIGINT)
+                   AS brevity_ppm
+        FROM u_agg u LEFT JOIN b_agg b USING (doc_id)
+    )
+    SELECT *, CAST({_BLEU_GEOMEAN.format(div='//')} AS BIGINT) AS bleu2_ppm
+    FROM scored
+    """,
+)
+def ext_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev8 — BLEU-2 (modified n-gram precision, Papineni et al.) between
+    the reference token stream and the same deterministic drop-every-
+    third-token candidate ``ext_eval_token_f1`` scores — the ORDER-
+    SENSITIVE metric F1 cannot see: dropping tokens reshuffles candidate
+    adjacency, so bigram precision lands well below unigram precision
+    (asserted in the unit test). Clipped counts are the bag-min
+    Σ min(c_ref, c_cand) per n-gram; candidate bigrams are built from
+    the FILTERED stream (post-drop adjacency, the subtle part). The
+    geometric mean √(p1·p2) and the brevity penalty stay in exact
+    integer ppm — the sqrt rides one shared expression string on
+    integer-valued doubles (the ext_rank_wilson discipline).
+
+    Shape: one (doc, gram) shuffle for each order (unigrams share the
+    token-F1 plan; bigrams union the two lead() streams) — no
+    candidate×reference join materializes."""
+    toks = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("ref"),
+    )
+    stream = toks.select(
+        "doc_id", F.posexplode("ref").alias("pos", "tok")
+    ).withColumn("in_cand", (F.col("pos") % 3 != 2).cast("bigint"))
+
+    uni = stream.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ref"),
+        F.sum("in_cand").cast("bigint").alias("c_cand"),
+    )
+    u_agg = uni.groupBy("doc_id").agg(
+        F.sum("c_ref").cast("bigint").alias("len_ref"),
+        F.sum("c_cand").cast("bigint").alias("len_cand"),
+        F.sum(F.least("c_ref", "c_cand")).cast("bigint").alias("p1_num"),
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ref_bg = (
+        stream.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("gram"))
+    )
+    cand_bg = (
+        stream.where(F.col("in_cand") == 1)
+        .withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("gram"))
+    )
+    bg = (
+        ref_bg.withColumn("is_ref", F.lit(1))
+        .unionAll(cand_bg.withColumn("is_ref", F.lit(0)))
+        .groupBy("doc_id", "gram")
+        .agg(
+            F.sum("is_ref").cast("bigint").alias("c_ref"),
+            F.sum(1 - F.col("is_ref")).cast("bigint").alias("c_cand"),
+        )
+    )
+    b_agg = bg.groupBy("doc_id").agg(
+        F.sum(F.least("c_ref", "c_cand")).cast("bigint").alias("p2_num")
+    )
+
+    scored = (
+        u_agg.join(b_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "len_ref",
+            "len_cand",
+            "p1_num",
+            F.coalesce("p2_num", F.lit(0)).cast("bigint").alias("p2_num"),
+            F.expr(
+                "CASE WHEN len_cand > 0 THEN 1000000 * p1_num DIV len_cand END"
+            ).cast("bigint").alias("p1_ppm"),
+            F.expr(
+                "CASE WHEN len_cand > 1 THEN 1000000 * coalesce(p2_num, 0)"
+                " DIV (len_cand - 1) END"
+            ).cast("bigint").alias("p2_ppm"),
+            F.expr("LEAST(1000000, 1000000 * len_cand DIV len_ref)")
+            .cast("bigint")
+            .alias("brevity_ppm"),
+        )
+    )
+    return scored.withColumn(
+        "bleu2_ppm", F.expr(_BLEU_GEOMEAN.format(div="DIV")).cast("bigint")
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1183,4 +1183,96 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cuts",
         (F.col("n_cuts") + 1).cast("bigint").alias("n_scenes_detected"),
         (F.col("doc_id") % 3 + 2).cast("bigint").alias("n_scenes_true"),
+    )
+
+
+AUDIO_SIL_THRESH = 16 * 300 * 300  # frame energy below ≈|300| amplitude
+
+
+@query(
+    "mm_audio_silence_split",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, CAST((doc_id % 50 + 1) * 16 AS BIGINT) AS n
+        FROM documents WHERE doc_id < {MM_DOC_LIMIT}
+    ), smp AS (
+        SELECT doc_id, i // {AUDIO_FRAME} AS frame,
+               ((doc_id * 13 + i * 5) % 4096) - 2048 AS s
+        FROM dims, unnest(range(0, n)) AS t(i)
+    ), per_frame AS (
+        SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+               CAST(SUM(s * s) AS BIGINT) AS energy
+        FROM smp GROUP BY doc_id, frame
+    ), voiced AS (
+        SELECT doc_id, frame, energy,
+               frame - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY frame) AS island
+        FROM per_frame WHERE energy >= {AUDIO_SIL_THRESH}
+    ), segs AS (
+        SELECT doc_id,
+               CAST(MIN(frame) AS BIGINT) AS start_frame,
+               CAST(MAX(frame) AS BIGINT) AS end_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(energy) AS BIGINT) AS seg_energy
+        FROM voiced GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame)
+                AS BIGINT) AS seg_idx,
+           start_frame, end_frame, n_frames, seg_energy
+    FROM segs
+    """,
+)
+def mm_audio_silence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mm8 — silence-based audio segmentation (the VAD cut every speech/
+    audio training pipeline runs between decode and feature extraction):
+    REAL WAV bytes are parsed back to samples inside one Arrow-batched
+    ``mapInPandas`` (per-frame integer energies come out — payloads never
+    shuffle), frames quieter than the threshold are silence, and maximal
+    voiced runs become segments via the gaps-and-islands window
+    (island = frame − row_number). Output: per-segment frame span and
+    energy. The oracle recomputes every frame from the deterministic
+    generator ramp without touching bytes (the ``mm_audio_energy``
+    pattern).
+
+    Shape: decode stays data-local in the Python worker; the only
+    shuffle is the doc_id window over 6-int frame rows."""
+    d = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < MM_DOC_LIMIT
+    )
+    bin_df = _gen_payloads(d, make_wav)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frs, ens = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, _, samples = wav_samples(bytes(p))
+                for fi in range(0, len(samples), AUDIO_FRAME):
+                    fr = samples[fi : fi + AUDIO_FRAME]
+                    ids.append(int(did))
+                    frs.append(fi // AUDIO_FRAME)
+                    ens.append(sum(s * s for s in fr))
+            yield pd.DataFrame({"doc_id": ids, "frame": frs, "energy": ens})
+
+    per_frame = bin_df.mapInPandas(
+        frames, "doc_id bigint, frame bigint, energy bigint"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    voiced = per_frame.where(F.col("energy") >= AUDIO_SIL_THRESH).withColumn(
+        "island", F.col("frame") - F.row_number().over(w)
+    )
+    segs = voiced.groupBy("doc_id", "island").agg(
+        F.min("frame").alias("start_frame"),
+        F.max("frame").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("energy").alias("seg_energy"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("start_frame")
+    return segs.select(
+        "doc_id",
+        F.row_number().over(ws).cast("bigint").alias("seg_idx"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "seg_energy",
     )
