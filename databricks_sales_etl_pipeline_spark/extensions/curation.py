@@ -1008,3 +1008,86 @@ def ext_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("worker_makespan_s"),
     )
+
+
+#: Planted-secret fixture (shared SQL string, both engines build the
+#: identical text suffix — the _URL_RAW_SQL pattern): 3 of every 7 docs
+#: carry one deterministic credential-shaped token.
+_SECRET_SQL = """
+    CASE WHEN doc_id % 7 = 0
+              THEN ' aws_key=AKIA' ||
+                   upper(substring(md5('sk:' || doc_id), 1, 16))
+         WHEN doc_id % 7 = 1
+              THEN ' token=ghp_' || substring(md5('gh:' || doc_id), 1, 20)
+         WHEN doc_id % 7 = 2
+              THEN ' sig=' || substring(md5('hx:' || doc_id), 1, 32)
+         ELSE '' END
+"""
+
+
+@query(
+    "ext_secrets_scan",
+    oracle=f"""
+    WITH txt AS (
+        SELECT doc_id, text || {_SECRET_SQL} AS body FROM documents
+    ), hits AS (
+        SELECT doc_id,
+               COALESCE(regexp_extract(body, 'AKIA[A-F0-9]{{16}}'), '')
+                   AS aws_m,
+               COALESCE(regexp_extract(body, 'ghp_[a-f0-9]{{20}}'), '')
+                   AS ghp_m,
+               COALESCE(regexp_extract(body, '[0-9a-f]{{32}}'), '') AS hex_m
+        FROM txt
+    )
+    SELECT doc_id,
+           CASE WHEN aws_m <> '' THEN 'aws_access_key'
+                WHEN ghp_m <> '' THEN 'github_token'
+                ELSE 'hex_secret' END AS secret_type,
+           CASE WHEN aws_m <> '' THEN substring(aws_m, 1, 8)
+                WHEN ghp_m <> '' THEN substring(ghp_m, 1, 8)
+                ELSE substring(hex_m, 1, 8) END || '***' AS redacted,
+           CAST(CASE WHEN aws_m <> '' THEN length(aws_m)
+                     WHEN ghp_m <> '' THEN length(ghp_m)
+                     ELSE length(hex_m) END AS BIGINT) AS match_len
+    FROM hits
+    WHERE aws_m <> '' OR ghp_m <> '' OR hex_m <> ''
+    """,
+)
+def ext_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu9 — credential/secret scanner, the redaction gate a training
+    corpus passes before tokenization: regex detectors for AWS access
+    keys (``AKIA`` + 16 uppercase hex), GitHub tokens (``ghp_`` + 20
+    hex) and bare 32-char hex secrets, with first-match precedence,
+    a redacted 8-char preview (never the full secret — the report
+    itself must be publishable) and the match length. The fixture
+    plants deterministic secrets in 3 of every 7 documents via a
+    shared SQL suffix, so detection is exactly checkable.
+
+    Shape: zero-shuffle regexp scan, codegen-resident; at 100 TB this
+    is a map-only pass whose output is only the flagged rows."""
+    d = load(spark, sf_dir, "documents")
+    body = F.concat(F.col("text"), F.expr(_SECRET_SQL))
+    hits = d.select(
+        "doc_id",
+        F.regexp_extract(body, "AKIA[A-F0-9]{16}", 0).alias("aws_m"),
+        F.regexp_extract(body, "ghp_[a-f0-9]{20}", 0).alias("ghp_m"),
+        F.regexp_extract(body, "[0-9a-f]{32}", 0).alias("hex_m"),
+    )
+    typ = (
+        F.when(F.col("aws_m") != "", F.lit("aws_access_key"))
+        .when(F.col("ghp_m") != "", F.lit("github_token"))
+        .otherwise(F.lit("hex_secret"))
+    )
+    m = (
+        F.when(F.col("aws_m") != "", F.col("aws_m"))
+        .when(F.col("ghp_m") != "", F.col("ghp_m"))
+        .otherwise(F.col("hex_m"))
+    )
+    return hits.where(
+        (F.col("aws_m") != "") | (F.col("ghp_m") != "") | (F.col("hex_m") != "")
+    ).select(
+        "doc_id",
+        typ.alias("secret_type"),
+        F.concat(F.substring(m, 1, 8), F.lit("***")).alias("redacted"),
+        F.length(m).cast("bigint").alias("match_len"),
+    )

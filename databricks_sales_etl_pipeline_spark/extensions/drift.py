@@ -11,7 +11,7 @@ so every report is hash-checkable against its SQL twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -445,4 +445,108 @@ def ext_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t") - F.col("pre_sum")).cast("bigint").alias("post_sum_cents"),
             (F.col("n") - F.col("pre_n")).cast("bigint").alias("post_n"),
         )
+    )
+
+
+ACF_MAX_LAG = 7  # lags to report (weekly seasonality screen)
+
+
+@query(
+    "ext_acf_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t
+        FROM daily
+    ), dev AS (
+        SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+               t0.n * x - t0.t AS e
+        FROM daily, tot t0
+    ), den AS (
+        SELECT CAST(SUM(e * e) AS BIGINT) AS den FROM dev
+    ), lags AS (
+        SELECT CAST(k AS BIGINT) AS lag
+        FROM unnest(range(1, {ACF_MAX_LAG} + 1)) AS u(k)
+    ), pairs AS (
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a.e * b.e) AS BIGINT) AS num
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.rn = a.rn + l.lag
+        GROUP BY l.lag
+    )
+    SELECT lag, n_pairs, num, den.den AS den,
+           CAST(CASE WHEN num < 0 THEN -((-num) * 1000 // den.den)
+                ELSE num * 1000 // den.den END AS BIGINT) AS acf_milli
+    FROM pairs, den
+    """,
+)
+def ext_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr6 — autocorrelation screen of the daily order-count series at
+    lags 1..7 (the weekly-seasonality / regime-persistence detector a
+    forecasting pipeline runs before picking features). Exact integer
+    throughout: deviations are N-scaled (``e_t = N·x_t − T``, clearing
+    the mean T/N), numerator Σ e_t·e_{{t+k}} over row-lagged pairs and
+    the full-series denominator Σ e_t² stay in int64, and the ACF is
+    reported in signed milli-units with truncation-toward-zero spelled
+    out explicitly (Spark DIV truncates, DuckDB ``//`` floors — they
+    agree only on non-negatives, so the sign is factored out; CLAUDE.md
+    discipline).
+
+    Shape: one date groupBy (bounded by the calendar), then windows and
+    self-joins over the tiny daily series — the fact table is scanned
+    once; lag pairing rides lead() in Spark (no join at all)."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("t"),
+    )
+    wd = Window.orderBy("d")
+    dev = (
+        daily.crossJoin(broadcast(tot))
+        .select(
+            "d",
+            "x",
+            F.row_number().over(wd).alias("rn"),
+            (F.col("n") * F.col("x") - F.col("t")).alias("e"),
+        )
+    )
+    den = dev.agg(F.sum(F.col("e") * F.col("e")).cast("bigint").alias("den"))
+    # lag pairing without a join: lead(e, k) per k over the one ordered pass
+    parts = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        parts.append(
+            dev.select(
+                F.lit(k).cast("bigint").alias("lag"),
+                F.col("e").alias("e0"),
+                F.lead("e", k).over(wd.orderBy("rn")).alias("ek"),
+            ).where(F.col("ek").isNotNull())
+        )
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionAll(p)
+    pairs = stacked.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("e0") * F.col("ek")).cast("bigint").alias("num"),
+    )
+    return pairs.crossJoin(broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        "num",
+        "den",
+        F.expr(
+            "CAST(CASE WHEN num < 0 THEN -((-num) * 1000 DIV den)"
+            " ELSE num * 1000 DIV den END AS BIGINT)"
+        ).alias("acf_milli"),
     )

@@ -696,3 +696,71 @@ def ext_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return reports[0].unionByName(reports[1])
 
+
+
+EST_ROW_BYTES = 96          # planning estimate for a lineitem row on disk
+TARGET_FILE_BYTES = 128 * 1024 * 1024   # 128 MiB parquet target
+SMALL_PART_BYTES = 16 * 1024 * 1024     # partitions below this are "small"
+
+
+@query(
+    "ext_write_plan_report",
+    oracle=f"""
+    WITH parts AS (
+        SELECT (year(CAST(l_shipdate AS DATE)) * 100
+                + month(CAST(l_shipdate AS DATE))) AS part_month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(part_month AS BIGINT) AS part_month, n_rows,
+           CAST(n_rows * {EST_ROW_BYTES} AS BIGINT) AS est_bytes,
+           CAST((n_rows * {EST_ROW_BYTES} + {TARGET_FILE_BYTES} - 1)
+                // {TARGET_FILE_BYTES} AS BIGINT) AS n_files,
+           CAST(CASE WHEN n_rows * {EST_ROW_BYTES} < {SMALL_PART_BYTES}
+                THEN 1 ELSE 0 END AS BIGINT) AS small_partition,
+           CAST(n_rows * {EST_ROW_BYTES}
+                // ((n_rows * {EST_ROW_BYTES} + {TARGET_FILE_BYTES} - 1)
+                    // {TARGET_FILE_BYTES}) AS BIGINT) AS bytes_per_file
+    FROM parts
+    """,
+)
+def ext_write_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh9 — write-layout planner: before a partitioned write, compute
+    per-partition (ship month) row counts, estimated bytes, the file
+    count that hits the 128 MiB parquet target (ceil division), the
+    resulting bytes/file, and a small-partition flag — the numbers that
+    decide ``repartition(n_files, key)`` / coalesce BEFORE the write
+    instead of compacting after (OPTIMIZE is the apology, this is the
+    plan). The estimate constant stands in for stats the catalog would
+    supply (`tbl_analyze_stats`); everything downstream is exact integer
+    ceil/floor arithmetic, identical in both engines.
+
+    Shape: one partition-key groupBy over the fact table — the same
+    aggregate the write's own shuffle would do, so the plan is free at
+    100 TB relative to the write it tunes."""
+    li = load(spark, sf_dir, "lineitem")
+    pm = (
+        F.year(F.col("l_shipdate").cast("date")) * 100
+        + F.month(F.col("l_shipdate").cast("date"))
+    ).cast("bigint")
+    parts = li.groupBy(pm.alias("part_month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    eb = F.col("n_rows") * EST_ROW_BYTES
+    nf = F.expr(
+        f"(n_rows * {EST_ROW_BYTES} + {TARGET_FILE_BYTES - 1})"
+        f" DIV {TARGET_FILE_BYTES}"
+    )
+    return parts.select(
+        "part_month",
+        "n_rows",
+        eb.cast("bigint").alias("est_bytes"),
+        nf.cast("bigint").alias("n_files"),
+        F.when(eb < SMALL_PART_BYTES, 1).otherwise(0).cast("bigint").alias(
+            "small_partition"
+        ),
+        F.expr(
+            f"n_rows * {EST_ROW_BYTES} DIV ((n_rows * {EST_ROW_BYTES}"
+            f" + {TARGET_FILE_BYTES - 1}) DIV {TARGET_FILE_BYTES})"
+        ).cast("bigint").alias("bytes_per_file"),
+    )
