@@ -811,3 +811,93 @@ def ext_regress_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END"
         ).alias("slope"),
     )
+
+
+#: Two-factor OLS coefficients from exact int64 raw sums — ONE shared
+#: expression string per output (the udf_grouped_regression / CUPED
+#: discipline): both engines evaluate the identical IEEE tree on
+#: identical integers, so the doubles are bit-equal even where the
+#: intermediate centered products exceed int64.
+_OLS2_CSUMS = (
+    "CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS cxx, "
+    "CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz AS czz, "
+    "CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz AS cxz, "
+    "CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy, "
+    "CAST(n AS DOUBLE) * szy - CAST(sz AS DOUBLE) * sy AS czy"
+)
+_OLS2_B1 = "(czz * cxy - cxz * czy) / (cxx * czz - cxz * cxz)"
+_OLS2_B2 = "(cxx * czy - cxz * cxy) / (cxx * czz - cxz * cxz)"
+_OLS2_B0 = (
+    "(CAST(sy AS DOUBLE) - (" + _OLS2_B1 + ") * sx - (" + _OLS2_B2 + ") * sz)"
+    " / CAST(n AS DOUBLE)"
+)
+
+
+@query(
+    "ext_ols_two_factor",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS z,
+               {cents_sql('l_extendedprice')} AS y
+        FROM lineitem
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(x * z) AS BIGINT) AS sxz,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(z * y) AS BIGINT) AS szy
+        FROM pts
+    ), cs AS (
+        SELECT n, sx, sz, sy, {_OLS2_CSUMS} FROM sums
+    )
+    SELECT n, sx, sz, sy,
+           {_OLS2_B1} AS beta_qty_cents,
+           {_OLS2_B2} AS beta_disc_cents,
+           {_OLS2_B0} AS intercept_cents
+    FROM cs
+    """,
+)
+def ext_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe7 — multiple linear regression by NORMAL EQUATIONS: fit
+    ``price_cents ~ quantity + discount_pct`` in one aggregation pass.
+    The corpus collapses to nine exact int64 moment sums (the only
+    shuffle — constant-size, map-side combined); Cramer's rule on the
+    n-scaled centered moments gives both coefficients and the intercept.
+    Every double is produced by a SHARED expression string over the
+    identical integers, so the result hash-matches the oracle bit for
+    bit. This is the closed-form trainer that needs no iteration — the
+    right first model at 100 TB (moments are mergeable; the fit is
+    driver-free). The unit test checks the closed form against
+    numpy's QR-based ``lstsq`` on the same rows."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("z"),
+        cents(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("z") * F.col("y")).cast("bigint").alias("szy"),
+    )
+    cs = sums.selectExpr("n", "sx", "sz", "sy", *_OLS2_CSUMS.split(", "))
+    return cs.selectExpr(
+        "n",
+        "sx",
+        "sz",
+        "sy",
+        f"{_OLS2_B1} AS beta_qty_cents",
+        f"{_OLS2_B2} AS beta_disc_cents",
+        f"{_OLS2_B0} AS intercept_cents",
+    )

@@ -1276,3 +1276,66 @@ def mm_audio_silence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "seg_energy",
     )
+
+
+HIST_BINS = 8  # per-channel intensity bins (256/32)
+
+
+@query(
+    "mm_image_histogram",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+               CAST((doc_id * 3) % 12 + 1 AS BIGINT) AS h
+        FROM documents WHERE doc_id < {MM_DOC_LIMIT}
+    ), px AS (
+        SELECT doc_id, i % 3 AS channel,
+               ((doc_id * 31 + i * 7) % 256) // {256 // HIST_BINS} AS bin
+        FROM dims, unnest(range(0, w * h * 3)) AS t(i)
+    )
+    SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id, channel, bin
+    """,
+)
+def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mm9 — per-channel color histograms: REAL P6/PPM bytes parsed back
+    to the interleaved RGB raster inside one Arrow-batched
+    ``mapInPandas``, intensities folded into 8 bins per channel — the
+    color-statistics pass an image training pipeline uses for
+    over/under-exposure and near-constant-image filtering. Long-format
+    (doc, channel, bin, count) output; the oracle regenerates every
+    pixel from the deterministic raster formula without touching bytes
+    (the ``mm_audio_energy`` pattern).
+
+    Shape: decode + histogram fold stay in the Python worker next to the
+    payload; only ≤24 small rows per image shuffle."""
+    d = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < MM_DOC_LIMIT
+    )
+    bin_df = _gen_payloads(d, make_ppm)
+    width = 256 // HIST_BINS
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, bins, ns = [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, raster = _ppm_raster(bytes(p))
+                counts: dict[tuple[int, int], int] = {}
+                for i, v in enumerate(raster):
+                    key = (i % 3, v // width)
+                    counts[key] = counts.get(key, 0) + 1
+                for (ch, b), n in sorted(counts.items()):
+                    ids.append(int(did))
+                    chs.append(ch)
+                    bins.append(b)
+                    ns.append(n)
+            yield pd.DataFrame(
+                {"doc_id": ids, "channel": chs, "bin": bins, "n_px": ns}
+            )
+
+    return bin_df.mapInPandas(
+        hist, "doc_id bigint, channel bigint, bin bigint, n_px bigint"
+    )

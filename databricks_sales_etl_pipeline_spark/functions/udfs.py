@@ -373,3 +373,64 @@ def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         )
     )
+
+
+@query(
+    "udtf_analyze_dynamic",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           COALESCE(toks[1], '') AS tok0,
+           COALESCE(toks[2], '') AS tok1,
+           COALESCE(toks[3], '') AS tok2,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM t
+    """,
+)
+def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is computed AT PLAN TIME from the call's literal argument —
+    ``head_tokens(text, 3)`` resolves to columns tok0..tok2 + n_tokens,
+    ``head_tokens(text, 5)`` would resolve to five. This is the
+    table-function contract Catalyst needs to prune/propagate columns it
+    cannot see inside Python: the schema is fixed before execution, so
+    downstream projection pushdown still works. The oracle is the static
+    3-column equivalent, proving the dynamic resolution lands on exactly
+    the declared shape."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class HeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)  # literal argument, available at plan time
+            fields = [StructField(f"tok{i}", StringType()) for i in range(n)]
+            fields.append(StructField("n_tokens", LongType()))
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, text: str, k: int):
+            toks = [t for t in text.lower().split() if t]
+            yield tuple(
+                (toks[i] if i < len(toks) else "") for i in range(k)
+            ) + (len(toks),)
+
+    spark.udtf.register("head_tokens", udtf(HeadTokens))
+    load(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs2")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok0, t.tok1, t.tok2, t.n_tokens
+        FROM udtf_docs2 d, LATERAL head_tokens(d.text, 3) t
+        WHERE d.doc_id < 60
+        """
+    )
