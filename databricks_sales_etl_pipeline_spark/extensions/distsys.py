@@ -1,0 +1,281 @@
+"""Distributed-systems primitives as data operators (north-star §2.7
+widening; reference scope per REFERENCE_MAP.md — no reference
+counterpart): differentially-private counts, rendezvous-hash partition
+assignment, and Merkle-tree integrity digests.
+
+All three are built on the repo's cross-engine md5 primitives
+(CLAUDE.md): noise and placement come from ``md5_band`` (bit-identical
+in Spark and DuckDB), digests from plain ``md5`` over canonically
+ordered concatenations — so every output is hash-checkable.
+
+Scale shapes:
+- DP counts: noise is a PER-GROUP pure function of the group key — the
+  aggregation is the ordinary groupBy; the mechanism adds zero shuffle.
+- rendezvous hashing: an 8-node broadcast fan-out + one key-grouped
+  argmax — the assignment every key computes independently, which is
+  exactly why HRW needs no coordination at 100 TB.
+- Merkle tree: per-partition digests reduce leaf-locally (the heavy
+  concat stays inside each partition's group), then fold up a
+  calendar-bounded tree — the parallel counterpart of the sequential
+  ``ext_audit_hash_chain``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+    md5_band,
+    md5_band_sql,
+)
+from databricks_sales_etl_pipeline_spark.registry import query
+
+# --- two-sided geometric mechanism, alpha = 1/2 (epsilon = ln 2) ---
+#
+# P(k) = (1/3)(1/2)^|k|;  cum(k<=0) = (2/3)(1/2)^(-k);
+# cum(k>=0) = 1 - (1/3)(1/2)^k.  Thresholds on a 2^20 uniform grid,
+# precomputed in exact Python arithmetic so no libm enters either plan.
+_DP_GRID = 1 << 20
+_DP_KMIN, _DP_KMAX = -8, 8
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    out = []
+    for k in range(_DP_KMIN, _DP_KMAX):
+        if k <= 0:
+            num, den = 2 * _DP_GRID, 3 * (1 << (-k))
+            t = num // den
+        else:
+            t = _DP_GRID - (_DP_GRID // (3 * (1 << k)))
+        out.append((k, t))
+    return out
+
+
+_DP_CASE = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in _dp_thresholds()
+) + f" ELSE {_DP_KMAX} END"
+
+
+@query(
+    "ext_dp_geometric",
+    oracle=f"""
+    WITH counts AS (
+        SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    ), noised AS (
+        SELECT n_name, true_n,
+               {md5_band_sql('n_name', _DP_GRID, 'dpgeo:')} AS u
+        FROM counts
+    )
+    SELECT n_name, true_n,
+           CAST({_DP_CASE} AS BIGINT) AS noise,
+           CAST(GREATEST(0, true_n + {_DP_CASE}) AS BIGINT) AS noisy_n
+    FROM noised
+    """,
+)
+def ext_dp_geometric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ds1 — differentially-private counts via the GEOMETRIC mechanism
+    (the discrete Laplace; Ghosh–Roughgarden–Sundararajan's universally
+    optimal mechanism for counts) at alpha=1/2 (epsilon = ln 2). The
+    noise CDF is dyadic-rational, so its inverse is a precomputed
+    integer threshold ladder on a 2^20 grid — no libm, no RNG: the
+    uniform draw is the cross-engine md5 coin on the group key, making
+    the mechanism reproducible and oracle-checkable (a production
+    release would key the coin on a rotating secret and drop ``true_n``
+    — documented, the mechanism is the operator under test). Noisy
+    counts clamp at 0 (post-processing preserves DP).
+
+    Shape: the ordinary groupBy plus per-row integer CASE — the privacy
+    layer costs nothing at scale."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    counts = (
+        c.join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    )
+    noised = counts.withColumn("u", md5_band(F.col("n_name"), _DP_GRID, "dpgeo:"))
+    return noised.select(
+        "n_name",
+        "true_n",
+        F.expr(_DP_CASE).cast("bigint").alias("noise"),
+        F.expr(f"GREATEST(0, true_n + {_DP_CASE})").cast("bigint").alias(
+            "noisy_n"
+        ),
+    )
+
+
+N_RDV_NODES = 8
+_RDV_BAND = 1 << 31
+_LOST_NODE = 3
+
+
+@query(
+    "ext_rendezvous_hash",
+    oracle=f"""
+    WITH keys AS (
+        SELECT c_custkey FROM customer
+    ), nodes AS (
+        SELECT CAST(i AS BIGINT) AS node_id
+        FROM unnest(range(0, {N_RDV_NODES})) AS t(i)
+    ), weighted AS (
+        SELECT c_custkey, node_id,
+               {md5_band_sql(
+                   "('n' || node_id || ':' || c_custkey)", _RDV_BAND, 'rdv:'
+               )} * {N_RDV_NODES} + node_id AS w
+        FROM keys CROSS JOIN nodes
+    ), owners AS (
+        SELECT c_custkey,
+               CAST(MAX(w) % {N_RDV_NODES} AS BIGINT) AS owner,
+               CAST(MAX(CASE WHEN node_id <> {_LOST_NODE} THEN w END)
+                    % {N_RDV_NODES} AS BIGINT) AS owner_after_loss
+        FROM weighted GROUP BY c_custkey
+    )
+    SELECT owner, owner_after_loss,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM owners GROUP BY owner, owner_after_loss
+    """,
+)
+def ext_rendezvous_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ds2 — rendezvous (highest-random-weight) hashing: every key
+    independently scores all {8} nodes with the md5 coin and the top
+    score owns the key — the coordination-free placement scheme behind
+    consistent shard assignment. The weight is ``band·N + node_id`` so
+    ties are impossible and the winner is recovered with one ``% N``
+    (no struct/argmax cells for the driver canonicalizer to choke on).
+    The report simulates losing node {3}: the (owner, owner-after-loss)
+    census PROVES the HRW contract — only the lost node's keys move
+    (off-diagonal rows exist only for owner={3}; unit-asserted), i.e.
+    1/N of data reshuffles on membership change instead of nearly all
+    (naive ``hash % N``).
+
+    Shape: an 8-row broadcast fan-out + one key groupBy — at 100 TB
+    this is how you compute a placement map without a coordinator."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    nodes = spark.range(N_RDV_NODES).select(F.col("id").cast("bigint").alias("node_id"))
+    w = (
+        md5_band(
+            F.concat(
+                F.lit("n"),
+                F.col("node_id"),
+                F.lit(":"),
+                F.col("c_custkey"),
+            ),
+            _RDV_BAND,
+            "rdv:",
+        )
+        * N_RDV_NODES
+        + F.col("node_id")
+    )
+    weighted = c.crossJoin(broadcast(nodes)).select(
+        "c_custkey", "node_id", w.alias("w")
+    )
+    owners = weighted.groupBy("c_custkey").agg(
+        (F.max("w") % N_RDV_NODES).cast("bigint").alias("owner"),
+        (
+            F.max(F.when(F.col("node_id") != _LOST_NODE, F.col("w")))
+            % N_RDV_NODES
+        )
+        .cast("bigint")
+        .alias("owner_after_loss"),
+    )
+    return owners.groupBy("owner", "owner_after_loss").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+
+
+@query(
+    "ext_merkle_partition_tree",
+    oracle="""
+    WITH rows_d AS (
+        SELECT (year(CAST(l_shipdate AS DATE)) * 100
+                + month(CAST(l_shipdate AS DATE))) AS ym,
+               year(CAST(l_shipdate AS DATE)) AS y,
+               md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) AS d
+        FROM lineitem
+    ), leaves AS (
+        SELECT ym, y, md5(string_agg(d, '' ORDER BY d)) AS digest,
+               CAST(COUNT(*) AS BIGINT) AS n_children
+        FROM rows_d GROUP BY ym, y
+    ), years AS (
+        SELECT y, md5(string_agg(digest, '' ORDER BY digest)) AS digest,
+               CAST(COUNT(*) AS BIGINT) AS n_children
+        FROM leaves GROUP BY y
+    ), root AS (
+        SELECT md5(string_agg(digest, '' ORDER BY digest)) AS digest,
+               CAST(COUNT(*) AS BIGINT) AS n_children
+        FROM years
+    )
+    SELECT CAST(0 AS BIGINT) AS level, 'ym:' || ym AS node_key,
+           digest, n_children FROM leaves
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'y:' || y, digest, n_children FROM years
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'root', digest, n_children FROM root
+    """,
+)
+def ext_merkle_partition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ds3 — Merkle integrity tree over table partitions: md5 row
+    digests fold into per-month leaf digests (canonical digest order),
+    months into years, years into one root — so two replicas compare
+    ONE hash, and a mismatch bisects down the tree to the exact
+    partition that diverged, in O(log) comparisons instead of a full
+    re-scan. The parallel counterpart of ``ext_audit_hash_chain``
+    (sequential tamper-evidence) — this one is associative on purpose,
+    so every level reduces distributed.
+
+    Shape: the heavy concat runs once per LEAF group (partition-local
+    at 100 TB when the table is written partition-per-month); upper
+    levels touch only digests."""
+    li = load(spark, sf_dir, "lineitem")
+    ymd = li.select(
+        (
+            F.year(F.col("l_shipdate").cast("date")) * 100
+            + F.month(F.col("l_shipdate").cast("date"))
+        ).alias("ym"),
+        F.year(F.col("l_shipdate").cast("date")).alias("y"),
+        F.md5(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+        ).alias("d"),
+    )
+    leaves = ymd.groupBy("ym", "y").agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("d")))).alias(
+            "digest"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_children"),
+    )
+    years = leaves.groupBy("y").agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("digest")))).alias(
+            "digest"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_children"),
+    )
+    root = years.agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("digest")))).alias(
+            "digest"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_children"),
+    )
+    lv0 = leaves.select(
+        F.lit(0).cast("bigint").alias("level"),
+        F.concat(F.lit("ym:"), F.col("ym").cast("string")).alias("node_key"),
+        "digest",
+        "n_children",
+    )
+    lv1 = years.select(
+        F.lit(1).cast("bigint").alias("level"),
+        F.concat(F.lit("y:"), F.col("y").cast("string")).alias("node_key"),
+        "digest",
+        "n_children",
+    )
+    lv2 = root.select(
+        F.lit(2).cast("bigint").alias("level"),
+        F.lit("root").alias("node_key"),
+        "digest",
+        "n_children",
+    )
+    return lv0.unionAll(lv1).unionAll(lv2)
