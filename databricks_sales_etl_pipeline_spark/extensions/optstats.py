@@ -1,0 +1,159 @@
+"""Optimizer-statistics operators (north-star §2.7 widening; reference
+scope per REFERENCE_MAP.md — no reference counterpart): the statistics
+objects a cost-based optimizer keeps, built and VALIDATED as queries —
+an equi-height histogram and the System-R join-cardinality estimate
+scored against the exact answer.
+
+These complement ``tbl_analyze_stats`` (basic column stats) and
+``ext_skew_diagnose`` (hot keys): the histogram is what partition-range
+pruning and selectivity estimation read; the cardinality report
+measures how wrong the uniformity assumption gets on real key
+distributions — the number that decides whether a join plan survives.
+
+Parity: ntile over a fully-pinned ordering; all counts/estimates in
+exact BIGINT with truncating division on non-negatives.
+
+Scale shapes:
+- histogram: the fixture uses exact global ntile (a global sort) —
+  documented swap to approx_percentile boundaries at 100 TB, where the
+  histogram is built from a sample or sketch, never a full sort (the
+  ``ext_length_bucketing`` discipline).
+- cardinality: per-key count tables are groupBys bounded by NDV; the
+  exact answer joins the two COUNT TABLES (NDV-sized), never the fact
+  tables themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
+from databricks_sales_etl_pipeline_spark.registry import query
+
+HIST_BUCKETS = 16
+CARD_BUCKETS = 16
+
+
+@query(
+    "ext_histogram_equiheight",
+    oracle=f"""
+    WITH v AS (
+        SELECT o_orderkey, {cents_sql('o_totalprice')} AS val FROM orders
+    ), tiled AS (
+        SELECT val,
+               ntile({HIST_BUCKETS}) OVER (ORDER BY val, o_orderkey) AS bucket
+        FROM v
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MIN(val) AS BIGINT) AS lo_cents,
+           CAST(MAX(val) AS BIGINT) AS hi_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv
+    FROM tiled GROUP BY bucket
+    """,
+)
+def ext_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Os1 — equi-HEIGHT histogram over order totals (exact cents): 16
+    equal-count buckets via ntile on a fully-pinned ordering, each
+    reporting its value range, row count and distinct-value count —
+    the selectivity-estimation object behind `WHERE total BETWEEN a
+    AND b` costing, where equi-height (not equi-width) is what keeps
+    per-bucket error bounded on skewed money distributions.
+
+    The fixture computes exact boundaries (one global sort, fine at
+    fixture scale); the 100 TB build swaps the ntile for
+    approx_percentile boundaries + one scan-side CASE assignment —
+    same output contract, no global sort (the ext_length_bucketing
+    swap, documented not hand-waved)."""
+    o = load(spark, sf_dir, "orders")
+    v = o.select("o_orderkey", cents(F.col("o_totalprice")).alias("val"))
+    w = Window.orderBy("val", "o_orderkey")
+    tiled = v.select("val", F.ntile(HIST_BUCKETS).over(w).alias("bucket"))
+    return tiled.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.min("val").cast("bigint").alias("lo_cents"),
+        F.max("val").cast("bigint").alias("hi_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("val").cast("bigint").alias("ndv"),
+    )
+
+
+@query(
+    "ext_join_card_estimate",
+    oracle=f"""
+    WITH a AS (
+        SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_suppkey
+    ), b AS (
+        SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_suppkey
+    ), per_bucket AS (
+        SELECT a.k % {CARD_BUCKETS} AS bucket,
+               CAST(SUM(a.c) AS BIGINT) AS n_a,
+               CAST(SUM(b.c) AS BIGINT) AS n_b,
+               CAST(COUNT(a.k) AS BIGINT) AS ndv_a,
+               CAST(COUNT(b.k) AS BIGINT) AS ndv_b,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS true_card
+        FROM a JOIN b ON a.k = b.k
+        GROUP BY a.k % {CARD_BUCKETS}
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_a, n_b, ndv_a, ndv_b,
+           true_card,
+           CAST(n_a * n_b // GREATEST(ndv_a, ndv_b) AS BIGINT) AS est_card,
+           CAST(ABS(n_a * n_b // GREATEST(ndv_a, ndv_b) - true_card)
+                * 1000000 // true_card AS BIGINT) AS err_ppm
+    FROM per_bucket
+    """,
+)
+def ext_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Os2 — join-cardinality estimation audit: the System-R estimate
+    ``|A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B)`` (the uniformity
+    assumption every cost-based optimizer starts from) scored against
+    the EXACT join size ``Σ_k c_A(k)·c_B(k)`` — per key-hash bucket, so
+    the report shows where skew makes uniformity lie. A = open lines,
+    B = returned lines, joined on suppkey (genuinely n:m).
+
+    The exact answer is computed from the two per-key COUNT TABLES
+    (NDV-sized) joined on the key — the fact tables are each scanned
+    once and never joined to each other: cardinality validation at
+    100 TB must never cost the join it is predicting."""
+    li = load(spark, sf_dir, "lineitem")
+    a = (
+        li.where(F.col("l_linestatus") == "O")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_a"))
+    )
+    b = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
+    )
+    per_bucket = (
+        a.join(b, "k")
+        .groupBy((F.col("k") % CARD_BUCKETS).cast("bigint").alias("bucket"))
+        .agg(
+            F.sum("c_a").cast("bigint").alias("n_a"),
+            F.sum("c_b").cast("bigint").alias("n_b"),
+            F.count("k").cast("bigint").alias("ndv_a"),
+            F.count("k").cast("bigint").alias("ndv_b"),
+            F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("true_card"),
+        )
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "ndv_a",
+        "ndv_b",
+        "true_card",
+        F.expr("n_a * n_b DIV GREATEST(ndv_a, ndv_b)")
+        .cast("bigint")
+        .alias("est_card"),
+        F.expr(
+            "ABS(n_a * n_b DIV GREATEST(ndv_a, ndv_b) - true_card)"
+            " * 1000000 DIV true_card"
+        )
+        .cast("bigint")
+        .alias("err_ppm"),
+    )

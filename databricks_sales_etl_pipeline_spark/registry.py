@@ -56,6 +56,7 @@ _OPERATOR_MODULES = [
     "databricks_sales_etl_pipeline_spark.extensions.textmeta",
     "databricks_sales_etl_pipeline_spark.extensions.trees",
     "databricks_sales_etl_pipeline_spark.extensions.distsys",
+    "databricks_sales_etl_pipeline_spark.extensions.optstats",
     "databricks_sales_etl_pipeline_spark.extensions.dedup_substring",
     "databricks_sales_etl_pipeline_spark.extensions.similarity",
     "databricks_sales_etl_pipeline_spark.extensions.textstats",
