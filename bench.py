@@ -65,6 +65,11 @@ HEADLINE = [
     "ext_basket_rules",
     "ext_rolling_wau_bitmap",
     "ext_scd2_build",
+    # round-6 third wave: scan-conversion Lindley queue (one shuffle, two
+    # chained windows), histogram-mode stump training, next-fit packing
+    "ext_queue_wait",
+    "ext_gbm_stump",
+    "ext_pack_bins_greedy",
 ]
 
 

@@ -987,3 +987,93 @@ def ext_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_GAP_CHOICES_S)}, {stack_args}) AS "
         "(gap_seconds, n_users, n_events, n_boundaries, n_sessions)"
     )
+
+
+@query(
+    "ext_peak_concurrency",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), flagged AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > {SESSION_GAP_MIN} * 60000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid,
+               us
+        FROM flagged
+    ), ivals AS (
+        SELECT user_id, sid, MIN(us) AS s, MAX(us) + 1 AS e
+        FROM sess GROUP BY user_id, sid
+    ), deltas AS (
+        SELECT s AS t, 1 AS delta, user_id, sid FROM ivals
+        UNION ALL
+        SELECT e AS t, -1 AS delta, user_id, sid FROM ivals
+    ), timeline AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, delta DESC, user_id, sid
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM deltas
+    )
+    SELECT CAST(t // 3600000000 AS BIGINT) AS hour_bucket,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) AS BIGINT) AS n_changes
+    FROM timeline GROUP BY 1
+    """,
+)
+def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An9 — peak concurrent sessions per hour: sessionize (the shared
+    30-min-gap cut), convert each session to (+1 at start, −1 at
+    end+1 µs) deltas, and a running sum over the global (t, +1-first)
+    order gives the live-session count at every change point; the hourly
+    MAX is the capacity-planning number (how many concurrent users must
+    the serving tier hold). Deterministic tie order (delta DESC, user,
+    sid) pins the hash.
+
+    Shape: the session build rides the usual ONE user_id shuffle; the
+    delta timeline is 2 rows/session. The fixture's global running sum
+    is one ordered window — at 100 TB the same scan splits into the
+    classic two-phase prefix sum (per-partition sums + broadcast
+    offsets), an associative refactor the delta representation is
+    chosen for."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_MIN * 60_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ivals = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s"), (F.max("us") + 1).alias("e")
+    )
+    deltas = ivals.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", "sid"
+    ).unionAll(
+        ivals.select(
+            F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "sid"
+        )
+    )
+    wt = Window.orderBy(
+        "t", F.col("delta").desc(), "user_id", "sid"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    timeline = deltas.select("t", F.sum("delta").over(wt).alias("conc"))
+    return timeline.groupBy(
+        F.expr("t DIV 3600000000").cast("bigint").alias("hour_bucket")
+    ).agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+        F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+    )

@@ -550,3 +550,99 @@ def ext_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE num * 1000 DIV den END AS BIGINT)"
         ).alias("acf_milli"),
     )
+
+
+@query(
+    "ext_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), tr AS (
+        SELECT d, x, (d + 3) % 7 AS dow,
+               SUM(x) OVER w AS trend7_sum,
+               COUNT(*) OVER w AS wn
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), interior AS (
+        SELECT d, x, dow, trend7_sum, 7 * x - trend7_sum AS detrend7
+        FROM tr WHERE wn = 7
+    ), seas AS (
+        SELECT dow, CAST(SUM(detrend7) AS BIGINT) AS s_num,
+               CAST(COUNT(*) AS BIGINT) AS s_den
+        FROM interior GROUP BY dow
+    )
+    SELECT i.d, i.x, CAST(i.dow AS BIGINT) AS dow,
+           CAST(i.trend7_sum AS BIGINT) AS trend7_sum,
+           CAST(i.detrend7 AS BIGINT) AS detrend7,
+           CAST(CASE WHEN s.s_num < 0
+                     THEN -((-s.s_num) * 1000 // (7 * s.s_den))
+                     ELSE s.s_num * 1000 // (7 * s.s_den) END AS BIGINT)
+               AS seasonal_milli,
+           CAST(CASE WHEN i.detrend7 * s.s_den - s.s_num < 0
+                     THEN -((-(i.detrend7 * s.s_den - s.s_num)) * 1000
+                            // (7 * s.s_den))
+                     ELSE (i.detrend7 * s.s_den - s.s_num) * 1000
+                          // (7 * s.s_den) END AS BIGINT) AS resid_milli
+    FROM interior i JOIN seas s ON s.dow = i.dow
+    """,
+)
+def ext_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr7 — trend/seasonal/residual decomposition of the daily order
+    series (STL-lite): centered 7-day moving-average trend (interior
+    days only — the window must be full), detrended values SCALED BY 7
+    so they stay exact integers, day-of-week seasonal component as the
+    per-dow mean deviation, residual = detrended − seasonal — both
+    reported in signed milli-units with the sign factored out of the
+    truncating division (the Spark-DIV/DuckDB-floor discipline).
+    Day-of-week is pure integer arithmetic ``(epoch_day + 3) % 7``
+    (0 = Monday) — never the engines' clashing dayofweek conventions.
+
+    Shape: one calendar-bounded groupBy, one ordered window over the
+    tiny daily series, one 7-row broadcast join back."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "x",
+        ((F.col("d") + 3) % 7).alias("dow"),
+        F.sum("x").over(w).alias("trend7_sum"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    interior = tr.where(F.col("wn") == 7).select(
+        "d",
+        "x",
+        "dow",
+        "trend7_sum",
+        (7 * F.col("x") - F.col("trend7_sum")).alias("detrend7"),
+    )
+    seas = interior.groupBy("dow").agg(
+        F.sum("detrend7").cast("bigint").alias("s_num"),
+        F.count(F.lit(1)).cast("bigint").alias("s_den"),
+    )
+    joined = interior.join(broadcast(seas), "dow")
+    return joined.select(
+        "d",
+        "x",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("trend7_sum").cast("bigint").alias("trend7_sum"),
+        F.col("detrend7").cast("bigint").alias("detrend7"),
+        F.expr(
+            "CAST(CASE WHEN s_num < 0 THEN -((-s_num) * 1000 DIV (7 * s_den))"
+            " ELSE s_num * 1000 DIV (7 * s_den) END AS BIGINT)"
+        ).alias("seasonal_milli"),
+        F.expr(
+            "CAST(CASE WHEN detrend7 * s_den - s_num < 0"
+            " THEN -((-(detrend7 * s_den - s_num)) * 1000 DIV (7 * s_den))"
+            " ELSE (detrend7 * s_den - s_num) * 1000 DIV (7 * s_den)"
+            " END AS BIGINT)"
+        ).alias("resid_milli"),
+    )

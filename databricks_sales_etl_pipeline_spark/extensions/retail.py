@@ -487,3 +487,70 @@ def ext_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CUPED_RAW).alias("raw_lift_cents"),
         F.expr(_CUPED_ADJ).alias("cuped_lift_cents"),
     )
+
+
+@query(
+    "ext_inventory_abc",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS part_id,
+               CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')})
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT part_id, rev_cents,
+               SUM(rev_cents) OVER (ORDER BY rev_cents DESC, part_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               SUM(rev_cents) OVER () AS total_cents,
+               ROW_NUMBER() OVER (ORDER BY rev_cents DESC, part_id) AS rk
+        FROM rev
+    )
+    SELECT part_id, rev_cents,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           CAST(rk AS BIGINT) AS rk,
+           CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def ext_inventory_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt5 — ABC (Pareto) classification of parts by revenue: rank parts
+    by exact integer-cents revenue, cumulative share cut at 80% (A) and
+    95% (B) via cross-multiplied integer comparisons — no percentage
+    doubles anywhere, full (revenue, part) tiebreak so the class
+    boundary is deterministic. The inventory-policy segmentation every
+    retail planner runs (count A-parts daily, C-parts quarterly).
+
+    Shape: one partkey groupBy, then windows over the PART-level
+    aggregate (dim-sized sort, never the fact table)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    wc = Window.orderBy(F.col("rev_cents").desc(), "part_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    wr = Window.orderBy(F.col("rev_cents").desc(), "part_id")
+    ranked = rev.select(
+        "part_id",
+        "rev_cents",
+        F.sum("rev_cents").over(wc).alias("cum_cents"),
+        F.sum("rev_cents").over(wt).alias("total_cents"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    return ranked.select(
+        "part_id",
+        "rev_cents",
+        F.col("cum_cents").cast("bigint").alias("cum_cents"),
+        F.col("rk").cast("bigint").alias("rk"),
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A"
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

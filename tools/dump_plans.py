@@ -137,6 +137,33 @@ COMMENTARY = {
         "window; reassembly rides the doc_id shuffle. At 100 TB the "
         "shuffle key becomes the 16-byte block md5."
     ),
+    "ext_queue_wait": (
+        "Scan-conversion (round 6): the Lindley queue recursion as ONE "
+        "suppkey Exchange feeding two chained running windows over the same "
+        "sort order (Spark reuses the sort — a single Window operator pair, "
+        "no re-shuffle) then a partial→final aggregate. The sequential "
+        "recurrence costs exactly one shuffle at any scale."
+    ),
+    "ext_gbm_stump": (
+        "Histogram-mode split search (round 6): the fact scan folds into a "
+        "≤50-row (feature-value, count, Σy) hash aggregate — map-side "
+        "partials mean the shuffle carries 50 rows per task; all window "
+        "work (prefix sums, argmax) runs on the tiny histogram in a single "
+        "partition. The corpus is scanned once regardless of split count."
+    ),
+    "ext_bm25_rank": (
+        "Ranked retrieval (round 6): postings build = explode + (term, doc) "
+        "hash aggregate riding one shuffle; df and corpus constants come "
+        "back as broadcasts (BroadcastExchange ×2), so scoring is map-side; "
+        "top-k per term is a bounded ranking window over ≤ terms×docs' "
+        "matched rows, never the corpus."
+    ),
+    "ext_join_card_estimate": (
+        "Optimizer-stats validation (round 6): two filtered aggregations of "
+        "the SAME lineitem relation produce NDV-sized count tables; the "
+        "exact join size comes from joining THOSE (ndv rows a side), so the "
+        "plan never materializes the fact⋈fact join it is predicting."
+    ),
 }
 
 
