@@ -17,6 +17,10 @@ from databricks_sales_etl_pipeline_spark.extensions.textstats import (
     _LANG_ORACLE,
     ext_lang_id,
 )
+from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+    md5_band,
+    md5_band_sql,
+)
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
 
@@ -544,4 +548,110 @@ def ext_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.withColumn(
         "bleu2_ppm", F.expr(_BLEU_GEOMEAN.format(div="DIV")).cast("bigint")
+    )
+
+
+BOOT_REPS = 32  # deterministic half-sample replicates
+
+
+@query(
+    "ext_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, {{cents}} AS v
+        FROM orders
+    ), reps AS (
+        SELECT CAST(b AS BIGINT) AS rep, o_orderkey, v,
+               {md5_band_sql("(o_orderkey || ':' || b)", 2, 'boot:')} AS coin
+        FROM base, unnest(range(0, {BOOT_REPS})) AS t(b)
+    ), rep_means AS (
+        SELECT rep,
+               CAST(SUM(CASE WHEN coin = 0 THEN v END)
+                    // COUNT(CASE WHEN coin = 0 THEN 1 END) AS BIGINT)
+                   AS mean_cents,
+               CAST(COUNT(CASE WHEN coin = 0 THEN 1 END) AS BIGINT) AS n_rows
+        FROM reps GROUP BY rep
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY mean_cents, rep) AS rk
+        FROM rep_means
+    ), full_est AS (
+        SELECT CAST(SUM(v) // COUNT(*) AS BIGINT) AS est FROM base
+    )
+    SELECT CAST({BOOT_REPS} AS BIGINT) AS n_reps,
+           f.est AS est_mean_cents,
+           CAST(MIN(CASE WHEN rk = 2 THEN mean_cents END) AS BIGINT)
+               AS lo_mean_cents,
+           CAST(MIN(CASE WHEN rk = {BOOT_REPS - 1} THEN mean_cents END)
+                AS BIGINT) AS hi_mean_cents,
+           CAST(MIN(mean_cents) AS BIGINT) AS rep_min,
+           CAST(MAX(mean_cents) AS BIGINT) AS rep_max
+    FROM ranked, full_est f
+    GROUP BY f.est
+    """.replace("{cents}", cents_sql("o_totalprice")),
+)
+def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev9 — subsampling confidence interval for a corpus metric (mean
+    order value in cents) with DETERMINISTIC replicates: 32 half-sample
+    replicates drawn by the cross-engine md5 coin on (row, replicate) —
+    no RNG, layout-independent (the ``df.sample`` per-partition-seed
+    trap, CLAUDE.md), reproducible run to run. The CI is the 2nd/31st
+    order statistic of the replicate means (~94% coverage under
+    exchangeability) — the practical way to put error bars on any
+    pipeline metric without distributional assumptions.
+
+    Shape: ONE pass over orders×32 exploded replicate rows (at 100 TB:
+    conditional aggregation per replicate instead of the explode — same
+    math, 32 agg columns, zero fan-out; documented swap), then order
+    statistics on the 32-row replicate table."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", cents(F.col("o_totalprice")).alias("v"))
+    reps = base.select(
+        "o_orderkey",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("rep"),
+    ).withColumn(
+        "coin",
+        md5_band(
+            F.concat(F.col("o_orderkey"), F.lit(":"), F.col("rep")), 2, "boot:"
+        ),
+    )
+    rep_means = reps.groupBy(F.col("rep").cast("bigint").alias("rep")).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN coin = 0 THEN v END)"
+            " DIV COUNT(CASE WHEN coin = 0 THEN 1 END) AS BIGINT)"
+        ).alias("mean_cents"),
+        F.expr("CAST(COUNT(CASE WHEN coin = 0 THEN 1 END) AS BIGINT)").alias(
+            "n_rows"
+        ),
+    )
+    from pyspark.sql import Window
+
+    ranked = rep_means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean_cents", "rep"))
+    )
+    full_est = base.agg(
+        F.expr("CAST(SUM(v) DIV COUNT(*) AS BIGINT)").alias("est")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full_est))
+        .groupBy("est")
+        .agg(
+            F.lit(BOOT_REPS).cast("bigint").alias("n_reps"),
+            F.min(F.when(F.col("rk") == 2, F.col("mean_cents")))
+            .cast("bigint")
+            .alias("lo_mean_cents"),
+            F.min(F.when(F.col("rk") == BOOT_REPS - 1, F.col("mean_cents")))
+            .cast("bigint")
+            .alias("hi_mean_cents"),
+            F.min("mean_cents").cast("bigint").alias("rep_min"),
+            F.max("mean_cents").cast("bigint").alias("rep_max"),
+        )
+        .select(
+            "n_reps",
+            F.col("est").alias("est_mean_cents"),
+            "lo_mean_cents",
+            "hi_mean_cents",
+            "rep_min",
+            "rep_max",
+        )
     )

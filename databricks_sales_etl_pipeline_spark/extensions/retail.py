@@ -554,3 +554,130 @@ def ext_inventory_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+TRIPLE_PAIR_MINSUP_PPM = 2000  # pair must appear in ≥0.2% of orders
+
+
+@query(
+    "ext_basket_triples",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM b
+    ), pairs AS (
+        SELECT a.brand AS x, c.brand AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+        GROUP BY 1, 2
+    ), freq AS (
+        SELECT x, y FROM pairs, n
+        WHERE cnt * 1000000 >= n_orders * {TRIPLE_PAIR_MINSUP_PPM}
+    ), triples AS (
+        SELECT a.brand AS brand_a, c.brand AS brand_b, d.brand AS brand_c,
+               CAST(COUNT(*) AS BIGINT) AS triple_cnt
+        FROM b a
+        JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+        JOIN b d ON a.ok = d.ok AND c.brand < d.brand
+        GROUP BY 1, 2, 3
+    ), pruned AS (
+        SELECT t.* FROM triples t
+        JOIN freq f1 ON f1.x = t.brand_a AND f1.y = t.brand_b
+        JOIN freq f2 ON f2.x = t.brand_a AND f2.y = t.brand_c
+        JOIN freq f3 ON f3.x = t.brand_b AND f3.y = t.brand_c
+    )
+    SELECT brand_a, brand_b, brand_c, triple_cnt,
+           CAST(triple_cnt * 1000000 // n.n_orders AS BIGINT) AS support_ppm
+    FROM pruned, n
+    ORDER BY triple_cnt DESC, brand_a, brand_b, brand_c LIMIT 20
+    """,
+)
+def ext_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt6 — a-priori LEVEL 3: frequent brand TRIPLES, with the step
+    that makes a-priori a-priori — candidate triples survive only if
+    ALL THREE of their sub-pairs are frequent (≥0.2% of orders), the
+    downward-closure prune that keeps level-k candidate counts from
+    exploding. Triple enumeration rides the same order-key relation as
+    ``ext_basket_rules`` (two ordered self-joins on ok — per-order cost
+    k³ in basket size, never corpus³); the frequent-pair gate is a
+    broadcast triple-semijoin. Top-20 by count with full tiebreaks.
+
+    At 100 TB the freq table is the model artifact between levels —
+    KB-sized — exactly how distributed FP-growth alternatives stage."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = b.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    b1 = b.alias("a")
+    b2 = b.alias("c")
+    b3 = b.alias("d")
+    pairs = (
+        b1.join(
+            b2,
+            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.brand") < F.col("c.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("x"), F.col("c.brand").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    freq = (
+        pairs.crossJoin(broadcast(n))
+        .where(
+            F.col("cnt") * 1_000_000
+            >= F.col("n_orders") * TRIPLE_PAIR_MINSUP_PPM
+        )
+        .select("x", "y")
+    )
+    triples = (
+        b1.join(
+            b2,
+            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.brand") < F.col("c.brand")),
+        )
+        .join(
+            b3,
+            (F.col("a.ok") == F.col("d.ok")) & (F.col("c.brand") < F.col("d.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("c.brand").alias("brand_b"),
+            F.col("d.brand").alias("brand_c"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triple_cnt"))
+    )
+    f1 = freq.alias("f1")
+    f2 = freq.alias("f2")
+    f3 = freq.alias("f3")
+    pruned = (
+        triples.join(
+            broadcast(f1),
+            (F.col("f1.x") == F.col("brand_a")) & (F.col("f1.y") == F.col("brand_b")),
+        )
+        .join(
+            broadcast(f2),
+            (F.col("f2.x") == F.col("brand_a")) & (F.col("f2.y") == F.col("brand_c")),
+        )
+        .join(
+            broadcast(f3),
+            (F.col("f3.x") == F.col("brand_b")) & (F.col("f3.y") == F.col("brand_c")),
+        )
+        .select("brand_a", "brand_b", "brand_c", "triple_cnt")
+    )
+    out = pruned.crossJoin(broadcast(n)).select(
+        "brand_a",
+        "brand_b",
+        "brand_c",
+        "triple_cnt",
+        F.expr("triple_cnt * 1000000 DIV n_orders").cast("bigint").alias(
+            "support_ppm"
+        ),
+    )
+    return out.orderBy(
+        F.col("triple_cnt").desc(), "brand_a", "brand_b", "brand_c"
+    ).limit(20)

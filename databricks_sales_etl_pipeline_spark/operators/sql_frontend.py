@@ -326,3 +326,41 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY ALL ORDER BY ALL LIMIT 8
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')})
+                AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 — SQL PIPE syntax (Spark 4's ``|>`` operator chain, the
+    GoogleSQL/ZetaSQL linear form): the query reads top-to-bottom as a
+    dataflow — FROM |> WHERE |> EXTEND (computed column) |> AGGREGATE
+    ... GROUP BY |> ORDER BY — instead of the inside-out SELECT
+    nesting. Same Catalyst plan as the classic form (the parser is the
+    only difference), which the classic-SQL oracle proves: filters
+    still push down, aggregates still partial-combine.
+
+    The pipe form is the SQL the DataFrame API always was — useful as
+    the migration bridge for users porting notebook SQL to pipelines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |> EXTEND {cents_sql('l_extendedprice * (1 - l_discount)')} AS net_cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(net_cents) AS BIGINT) AS rev_cents
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )
