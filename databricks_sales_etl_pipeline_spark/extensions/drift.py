@@ -523,19 +523,24 @@ def ext_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     den = dev.agg(F.sum(F.col("e") * F.col("e")).cast("bigint").alias("den"))
-    # lag pairing without a join: lead(e, k) per k over the one ordered pass
-    parts = []
-    for k in range(1, ACF_MAX_LAG + 1):
-        parts.append(
-            dev.select(
-                F.lit(k).cast("bigint").alias("lag"),
-                F.col("e").alias("e0"),
-                F.lead("e", k).over(wd.orderBy("rn")).alias("ek"),
-            ).where(F.col("ek").isNotNull())
-        )
-    stacked = parts[0]
-    for p in parts[1:]:
-        stacked = stacked.unionAll(p)
+    # lag pairing without a join OR a union: ALL seven leads come out of
+    # ONE window pass (a union of per-k branches would recompute the
+    # groupBy+window per branch — 16 shuffles, caught by the plan-hygiene
+    # guard), then stack() unpivots (k, e0, ek) rows map-side.
+    wr = wd.orderBy("rn")
+    leads = dev.select(
+        F.col("e").alias("e0"),
+        *[
+            F.lead("e", k).over(wr).alias(f"ek{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), ek{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    stacked = leads.select(
+        "e0", F.expr(f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag, ek)")
+    ).where(F.col("ek").isNotNull())
     pairs = stacked.groupBy("lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(F.col("e0") * F.col("ek")).cast("bigint").alias("num"),

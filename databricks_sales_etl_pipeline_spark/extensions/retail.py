@@ -607,24 +607,32 @@ def ext_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB-sized — exactly how distributed FP-growth alternatives stage."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    b = (
+    # ONE orderkey shuffle builds the sorted distinct-brand baskets (the
+    # ext_basket_rules relation); pair AND triple candidates are expanded
+    # IN-ROW from the basket array — k²/k³ per order over ≤~10-brand
+    # baskets, never a self-join of the order relation (a two-level
+    # self-join plan costs 17 shuffles; this one costs 4 — plan-guarded).
+    baskets = (
         li.join(broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("basket"))
         .localCheckpoint(eager=False)
     )
-    n = b.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
-    b1 = b.alias("a")
-    b2 = b.alias("c")
-    b3 = b.alias("d")
+    n = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "basket",
+                lambda x: F.transform(
+                    "basket", lambda y: F.struct(x.alias("x"), y.alias("y"))
+                ),
+            )
+        ),
+        lambda s: s["x"] < s["y"],
+    )
     pairs = (
-        b1.join(
-            b2,
-            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.brand") < F.col("c.brand")),
-        )
-        .groupBy(
-            F.col("a.brand").alias("x"), F.col("c.brand").alias("y")
-        )
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     freq = (
@@ -635,19 +643,31 @@ def ext_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("x", "y")
     )
+    triple_structs = F.filter(
+        F.flatten(
+            F.flatten(
+                F.transform(
+                    "basket",
+                    lambda x: F.transform(
+                        "basket",
+                        lambda y: F.transform(
+                            "basket",
+                            lambda z: F.struct(
+                                x.alias("a"), y.alias("b"), z.alias("c")
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ),
+        lambda s: (s["a"] < s["b"]) & (s["b"] < s["c"]),
+    )
     triples = (
-        b1.join(
-            b2,
-            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.brand") < F.col("c.brand")),
-        )
-        .join(
-            b3,
-            (F.col("a.ok") == F.col("d.ok")) & (F.col("c.brand") < F.col("d.brand")),
-        )
+        baskets.select(F.explode(triple_structs).alias("tr"))
         .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("c.brand").alias("brand_b"),
-            F.col("d.brand").alias("brand_c"),
+            F.col("tr.a").alias("brand_a"),
+            F.col("tr.b").alias("brand_b"),
+            F.col("tr.c").alias("brand_c"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("triple_cnt"))
     )

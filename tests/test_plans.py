@@ -138,6 +138,19 @@ _NLJ_ALLOWED = {
     "ext_changepoint_cusum",
     # inherits ext_similarity_topk's sanctioned bounded-query-set NLJ
     "ext_eval_ndcg",
+    # round-6 third wave — all the same sanctioned patterns:
+    # 1-row corpus-constants (N, total tokens) broadcast into BM25 scoring
+    "ext_bm25_rank",
+    # tiny-distinct grid cross join (groups × segments, 25×5) + 1-row total
+    "ext_t_closeness",
+    # 1-row denominator/total aggregates broadcast back onto tiny series
+    "ext_acf_daily",
+    "ext_bootstrap_ci",
+    # 8-row node table fanned out to every key — the HRW scoring shape
+    "ext_rendezvous_hash",
+    # 1-row order-total broadcast into support/lift denominators (appears
+    # once per frequent-pair reference in the plan string)
+    "ext_basket_triples",
     "ext_eval_mrr",
     # inherits ext_quality_classifier's 1-row class-counts broadcast
     # (fairness adds the 1-row max-rate bound on top)
