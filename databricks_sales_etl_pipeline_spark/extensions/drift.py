@@ -651,3 +651,64 @@ def ext_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("resid_milli"),
     )
+
+
+@query(
+    "ext_theilsen_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT CASE WHEN (b.x - a.x) < 0
+                    THEN -((-(b.x - a.x)) * 1000 // (b.d - a.d))
+                    ELSE (b.x - a.x) * 1000 // (b.d - a.d) END AS slope_milli
+        FROM daily a JOIN daily b ON b.d > a.d
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           quantile_cont(slope_milli, 0.5) AS slope_milli_median,
+           CAST(MIN(slope_milli) AS BIGINT) AS slope_min,
+           CAST(MAX(slope_milli) AS BIGINT) AS slope_max
+    FROM pairs
+    """,
+)
+def ext_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr8 — Theil–Sen robust trend: the MEDIAN of all pairwise slopes of
+    the daily order series — the 29%-breakdown estimator that shrugs off
+    outlier days where OLS (``ext_regress_slope``) gets dragged. Slopes
+    are integer milli-units with sign factored out of the truncating
+    division; the median is Spark ``percentile`` ↔ DuckDB
+    ``quantile_cont`` on integers — midpoint interpolation of ints is
+    bit-exact cross-engine (CLAUDE.md).
+
+    Shape: the all-pairs join is calendar² (~2400² /2 ≈ 2.9 M tiny rows
+    — the DAILY series, never the fact table), the sanctioned bounded
+    nested-loop; at 100 TB the calendar doesn't grow with the data, so
+    this stays constant-cost after the one date groupBy."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        F.expr(
+            "CASE WHEN (b.x - a.x) < 0"
+            " THEN -((-(b.x - a.x)) * 1000 DIV (b.d - a.d))"
+            " ELSE (b.x - a.x) * 1000 DIV (b.d - a.d) END"
+        ).alias("slope_milli")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope_milli, 0.5)").alias("slope_milli_median"),
+        F.min("slope_milli").cast("bigint").alias("slope_min"),
+        F.max("slope_milli").cast("bigint").alias("slope_max"),
+    ).crossJoin(broadcast(n_days)).select(
+        "n_days", "n_pairs", "slope_milli_median", "slope_min", "slope_max"
+    )

@@ -151,6 +151,9 @@ _NLJ_ALLOWED = {
     # 1-row order-total broadcast into support/lift denominators (appears
     # once per frequent-pair reference in the plan string)
     "ext_basket_triples",
+    # calendar² pairwise-slope inequality join (daily series ≈ 2400 rows a
+    # side, data-size-independent) + the 1-row n_days broadcast
+    "ext_theilsen_slope",
     "ext_eval_mrr",
     # inherits ext_quality_classifier's 1-row class-counts broadcast
     # (fairness adds the 1-row max-rate bound on top)
