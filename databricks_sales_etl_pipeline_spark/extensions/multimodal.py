@@ -1339,3 +1339,133 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bin_df.mapInPandas(
         hist, "doc_id bigint, channel bigint, bin bigint, n_px bigint"
     )
+
+
+_KEYFRAME_ORACLE = f"""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 + 2 AS BIGINT) AS n_scenes,
+               CAST(doc_id % 2 + 2 AS BIGINT) AS per_scene
+        FROM documents WHERE doc_id < {MM_DOC_LIMIT}
+    ), px AS (
+        SELECT doc_id, f, i,
+               ((doc_id % 40) * 31 + (f // per_scene) * 97 + i * 11) % 200
+                   + (doc_id * 7 + i) % 2 AS p
+        FROM meta,
+             unnest(range(0, n_scenes * per_scene)) AS tf(f),
+             unnest(range(0, 64)) AS ti(i)
+    ), sums AS (
+        SELECT doc_id, f, CAST(SUM(p) AS BIGINT) AS s
+        FROM px GROUP BY doc_id, f
+    ), bands AS (
+        SELECT px.doc_id, px.f, CAST(i // 16 AS BIGINT) AS j,
+               CAST(SUM(CASE WHEN p * 64 > s THEN 1 ELSE 0 END
+                        * CAST(power(2, i % 16) AS BIGINT)) AS BIGINT) AS b
+        FROM px JOIN sums ON sums.doc_id = px.doc_id AND sums.f = px.f
+        GROUP BY px.doc_id, px.f, i // 16
+    ), fbands AS (
+        SELECT doc_id, f,
+               MAX(CASE WHEN j = 0 THEN b END) AS b0,
+               MAX(CASE WHEN j = 1 THEN b END) AS b1,
+               MAX(CASE WHEN j = 2 THEN b END) AS b2,
+               MAX(CASE WHEN j = 3 THEN b END) AS b3
+        FROM bands GROUP BY doc_id, f
+    ), flags AS (
+        SELECT doc_id, f, b0, b1, b2, b3,
+               CASE WHEN lag(b0) OVER w IS NOT NULL AND
+                    bit_count(xor(b0, lag(b0) OVER w))
+                    + bit_count(xor(b1, lag(b1) OVER w))
+                    + bit_count(xor(b2, lag(b2) OVER w))
+                    + bit_count(xor(b3, lag(b3) OVER w)) > {_SCENE_HAM_T}
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM fbands WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ), scened AS (
+        SELECT doc_id, f,
+               SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                                 ROWS UNBOUNDED PRECEDING) AS scene_idx
+        FROM flags
+    )
+    SELECT sc.doc_id, CAST(sc.scene_idx AS BIGINT) AS scene_idx,
+           CAST(MIN(sc.f) AS BIGINT) AS keyframe_f,
+           CAST(MIN(s.s) AS BIGINT) AS keyframe_pixel_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_in_scene
+    FROM scened sc JOIN sums s ON s.doc_id = sc.doc_id AND s.f = sc.f
+    GROUP BY sc.doc_id, sc.scene_idx
+"""
+
+
+@query("mm_video_keyframe", oracle=_KEYFRAME_ORACLE)
+def mm_video_keyframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mm10 — per-shot KEYFRAME selection, the step after scene-cut
+    detection: assign every frame its shot id (running cut count), then
+    pick each shot's representative frame — the shot's first frame, the
+    standard cheap policy (within the fixture's shots all frames are
+    identical, so first-frame IS the argmax of any detail metric) —
+    carrying its pixel sum as the exposure feature. These (video, shot,
+    frame) pointers are exactly what the downstream vision-training
+    sampler reads instead of a fixed stride (long static shots no
+    longer dominate the sample).
+
+    Shape: decode emits (4 band ints + 1 sum)/frame from mapInPandas;
+    cut flags, shot ids and the per-shot argmin all ride ONE per-video
+    window partition."""
+    d = load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < MM_DOC_LIMIT
+    )
+    bin_df = _gen_payloads(d, make_scene_video)
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                if p[:4] != b"VID0":
+                    raise ValueError(f"bad video magic {p[:4]!r}")
+                (n,) = struct.unpack_from("<I", p, 4)
+                pos = 8
+                for f in range(n):
+                    (flen,) = struct.unpack_from("<I", p, pos)
+                    pos += 4
+                    frame = p[pos : pos + flen]
+                    b0, b1, b2, b3 = _phash_bands(frame)
+                    # grey pixel sum: every 3rd raster byte (r == g == b)
+                    raster = frame.split(b"255\n", 1)[1]
+                    psum = sum(raster[0::3])
+                    pos += flen
+                    rows.append((int(did), f, b0, b1, b2, b3, psum))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "f", "b0", "b1", "b2", "b3", "psum"],
+            )
+
+    fb = bin_df.mapInPandas(
+        feat_batches,
+        "doc_id long, f long, b0 long, b1 long, b2 long, b3 long, psum long",
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("f")
+    ham = sum(F.bit_count(F.expr(f"b{j} ^ p{j}")) for j in range(4))
+    flags = fb.select(
+        "doc_id",
+        "f",
+        "psum",
+        *[F.lag(f"b{j}").over(w).alias(f"p{j}") for j in range(4)],
+        *[F.col(f"b{j}") for j in range(4)],
+    ).withColumn(
+        "is_cut",
+        (F.col("p0").isNotNull() & (ham > _SCENE_HAM_T)).cast("bigint"),
+    )
+    scened = flags.withColumn(
+        "scene_idx",
+        F.sum("is_cut").over(w.rowsBetween(_W.unboundedPreceding, 0)),
+    )
+    return scened.groupBy(
+        "doc_id", F.col("scene_idx").cast("bigint").alias("scene_idx")
+    ).agg(
+        F.min("f").cast("bigint").alias("keyframe_f"),
+        F.min_by("psum", "f").cast("bigint").alias("keyframe_pixel_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames_in_scene"),
+    )

@@ -280,3 +280,151 @@ def ext_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).cast("bigint").alias("rk"),
     )
     return ranked.where(F.col("rk") <= BM25_TOPK)
+
+
+AUTOC_MAX_PREFIX = 4
+AUTOC_TOPK = 3
+
+
+@query(
+    "ext_prefix_autocomplete",
+    oracle=f"""
+    WITH toks AS (
+        SELECT tok FROM (
+            SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+        )
+    ), pref AS (
+        SELECT substring(tok, 1, CAST(k AS INT)) AS prefix, tok
+        FROM toks, unnest(range(1, least({AUTOC_MAX_PREFIX}, length(tok)) + 1))
+                       AS u(k)
+    ), counted AS (
+        SELECT prefix, tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM pref GROUP BY prefix, tok
+    ), ranked AS (
+        SELECT prefix, word, freq,
+               ROW_NUMBER() OVER (PARTITION BY prefix
+                                  ORDER BY freq DESC, word) AS rk
+        FROM counted
+    )
+    SELECT prefix, CAST(rk AS BIGINT) AS rk, word, freq
+    FROM ranked WHERE rk <= {AUTOC_TOPK}
+    """,
+)
+def ext_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tm4 — type-ahead autocomplete index: for every 1–4-char prefix,
+    the top-3 completions by corpus frequency (deterministic word
+    tiebreak) — the precomputed table a search box serves from. Prefix
+    fan-out is bounded (≤4 rows per token occurrence), the index is one
+    (prefix, word) groupBy + a bounded per-prefix ranking window.
+
+    At 100 TB the same plan holds: the index size is vocabulary-bounded
+    (prefix set ≪ corpus), and the heavy groupBy is map-side-combined
+    token counting."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok")
+    )
+    pref = toks.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, least({AUTOC_MAX_PREFIX}, "
+                f"length(tok))), k -> substring(tok, 1, k))"
+            )
+        ).alias("prefix"),
+        F.col("tok").alias("word"),
+    )
+    counted = pref.groupBy("prefix", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    wr = Window.partitionBy("prefix").orderBy(F.col("freq").desc(), "word")
+    return (
+        counted.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rk") <= AUTOC_TOPK)
+        .select("prefix", "rk", "word", "freq")
+    )
+
+
+RRF_K = 60
+RRF_TOPK = 10
+
+
+@query(
+    "ext_retrieval_rrf",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), posts AS (
+        SELECT doc_id, toks[CAST(i AS INT)] AS term,
+               CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(MIN(i) AS BIGINT) AS first_pos
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        WHERE toks[CAST(i AS INT)] IN {_TERMS_SQL}
+        GROUP BY doc_id, term
+    ), ranked AS (
+        SELECT term, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS rank_tf,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY first_pos, doc_id) AS rank_pos
+        FROM posts
+    ), fused AS (
+        SELECT term, doc_id,
+               CAST(rank_tf AS BIGINT) AS rank_tf,
+               CAST(rank_pos AS BIGINT) AS rank_pos,
+               CAST(1000000 // ({RRF_K} + rank_tf)
+                    + 1000000 // ({RRF_K} + rank_pos) AS BIGINT) AS rrf_ppm
+        FROM ranked
+    )
+    SELECT term, doc_id, rank_tf, rank_pos, rrf_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                                       ORDER BY rrf_ppm DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= {RRF_TOPK}
+    """,
+)
+def ext_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tm5 — reciprocal-rank fusion (Cormack et al.), the standard
+    hybrid-search combiner: two independent rankers over the same
+    postings — term frequency (relevance) and first-occurrence position
+    (prominence) — fused by ``Σ 1e6 // (60 + rank)``, which needs no
+    score calibration between systems (only ranks enter). Exact integer
+    ppm; top-10 per query term with full tiebreaks.
+
+    Shape: ONE postings build (explode + (term, doc) groupBy carrying
+    both tf and min-pos), two ranking windows over the matched set, one
+    fusion projection — never the corpus after the postings shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    posts = (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+        .where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            (F.min("pos") + 1).cast("bigint").alias("first_pos"),
+        )
+    )
+    w_tf = Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    w_pos = Window.partitionBy("term").orderBy("first_pos", "doc_id")
+    ranked = posts.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w_tf).cast("bigint").alias("rank_tf"),
+        F.row_number().over(w_pos).cast("bigint").alias("rank_pos"),
+    )
+    fused = ranked.withColumn(
+        "rrf_ppm",
+        F.expr(
+            f"CAST(1000000 DIV ({RRF_K} + rank_tf)"
+            f" + 1000000 DIV ({RRF_K} + rank_pos) AS BIGINT)"
+        ),
+    )
+    wf = Window.partitionBy("term").orderBy(F.col("rrf_ppm").desc(), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rk") <= RRF_TOPK)
+        .select("term", "doc_id", "rank_tf", "rank_pos", "rrf_ppm", "rk")
+    )
