@@ -712,3 +712,71 @@ def ext_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(broadcast(n_days)).select(
         "n_days", "n_pairs", "slope_milli_median", "slope_min", "slope_max"
     )
+
+
+ROLL_MED_W = 27  # rolling frame: current day + 27 preceding = 28 days
+
+
+@query(
+    "ext_rolling_median_band",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), rolled AS (
+        SELECT d, x,
+               quantile_cont(x, 0.5) OVER w AS med,
+               COUNT(*) OVER w AS wn,
+               CAST(MIN(x) OVER w AS BIGINT) AS wmin,
+               CAST(MAX(x) OVER w AS BIGINT) AS wmax
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN {ROLL_MED_W} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT d, x, med, wmin, wmax,
+           CAST(CASE WHEN CAST(x AS DOUBLE) > med + (wmax - wmin)
+                     THEN 1 ELSE 0 END AS BIGINT) AS breach_hi
+    FROM rolled WHERE wn = {ROLL_MED_W + 1}
+    """,
+)
+def ext_rolling_median_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr9 — rolling 28-day median band over the daily order series: a
+    LOCAL robust baseline (vs ``ext_anomaly_days``' global median/MAD),
+    the form that tracks regime changes instead of flagging the whole
+    new regime as anomalous. The rolling median is Spark ``percentile``
+    ↔ DuckDB ``quantile_cont`` over an identical row frame — midpoint
+    interpolation of integers is bit-exact cross-engine (CLAUDE.md) —
+    and the breach flag compares through one shared expression. Only
+    full frames report (warm-up days dropped).
+
+    Shape: the window runs on the calendar-bounded daily rollup; the
+    fact table pays one date groupBy."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("d").rowsBetween(-ROLL_MED_W, 0)
+    rolled = daily.select(
+        "d",
+        "x",
+        F.expr("percentile(x, 0.5)").over(w).alias("med"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.min("x").over(w).cast("bigint").alias("wmin"),
+        F.max("x").over(w).cast("bigint").alias("wmax"),
+    )
+    return rolled.where(F.col("wn") == ROLL_MED_W + 1).select(
+        "d",
+        "x",
+        "med",
+        "wmin",
+        "wmax",
+        F.expr(
+            "CAST(CASE WHEN CAST(x AS DOUBLE) > med + (wmax - wmin)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("breach_hi"),
+    )

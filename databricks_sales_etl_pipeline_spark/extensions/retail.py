@@ -701,3 +701,113 @@ def ext_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("triple_cnt").desc(), "brand_a", "brand_b", "brand_c"
     ).limit(20)
+
+
+GINI_DECILES = 10
+
+
+@query(
+    "ext_gini_concentration",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS part_id,
+               CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')})
+                    AS BIGINT) AS r
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT r,
+               ROW_NUMBER() OVER (ORDER BY r, part_id) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(r) OVER () AS t,
+               SUM(r) OVER (ORDER BY r, part_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM rev
+    ), gsums AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n_parts,
+               CAST(MAX(t) AS BIGINT) AS total_cents,
+               CAST(SUM((2 * i - n - 1) * r) AS BIGINT) AS s,
+               CAST(MAX(n) * MAX(t) AS BIGINT) AS dd
+        FROM ranked
+    ), gini AS (
+        -- exact floor(s*1e6/dd) by 3-level long division (x100 each):
+        -- s*1e6 overflows int64 at sf>=0.01, the staged quotients never do
+        SELECT n_parts, total_cents,
+               CAST((s * 100 // dd) * 10000
+                    + ((s * 100 % dd) * 100 // dd) * 100
+                    + (((s * 100 % dd) * 100 % dd) * 100 // dd)
+                    AS BIGINT) AS gini_ppm
+        FROM gsums
+    ), deciles AS (
+        SELECT CAST((i - 1) * {GINI_DECILES} // n + 1 AS BIGINT) AS decile,
+               CAST(MAX(cum) AS BIGINT) AS cum_cents,
+               CAST(MAX(cum) * 1000000 // MAX(t) AS BIGINT) AS lorenz_ppm
+        FROM ranked GROUP BY 1
+    )
+    SELECT d.decile, d.cum_cents, d.lorenz_ppm,
+           g.n_parts, g.total_cents, g.gini_ppm
+    FROM deciles d CROSS JOIN gini g
+    """,
+)
+def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt7 — revenue-concentration audit: the Lorenz curve at deciles
+    plus the Gini coefficient over per-part revenue, all exact integers
+    — Gini via the order-statistics identity
+    ``Σ(2i − n − 1)·x_(i) / (n·Σx)`` in ppm (no mean-difference double
+    sums), Lorenz points as cumulative revenue share at each ascending
+    decile. The scalar complement of ``ext_inventory_abc``'s classes:
+    one number to trend concentration over time.
+
+    Shape: windows over the part-level aggregate; Σ(2i−n−1)x stays in
+    int64 (i ≤ 2e5 parts × cents sums < 2^63 at any tested sf)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("bigint")
+        .alias("r")
+    )
+    wo = Window.orderBy("r", "part_id")
+    wt = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("r").over(wt).alias("t"),
+        F.sum("r").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    gsums = ranked.agg(
+        F.max("n").cast("bigint").alias("n_parts"),
+        F.max("t").cast("bigint").alias("total_cents"),
+        F.expr("CAST(SUM((2 * i - n - 1) * r) AS BIGINT)").alias("s"),
+        F.expr("CAST(MAX(n) * MAX(t) AS BIGINT)").alias("dd"),
+    )
+    # exact floor(s*1e6/dd) by 3-level long division (x100 per level):
+    # s*1e6 overflows int64 at sf>=0.01 (ANSI would throw), the staged
+    # quotients and remainders stay under 2^63 through sf0.1; at sf>=1
+    # quantize r to dollars first (documented switch)
+    gini = gsums.select(
+        "n_parts",
+        "total_cents",
+        F.expr(
+            "CAST((s * 100 DIV dd) * 10000"
+            " + ((s * 100 % dd) * 100 DIV dd) * 100"
+            " + (((s * 100 % dd) * 100 % dd) * 100 DIV dd) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+    deciles = ranked.groupBy(
+        F.expr(f"CAST((i - 1) * {GINI_DECILES} DIV n + 1 AS BIGINT)").alias(
+            "decile"
+        )
+    ).agg(
+        F.max("cum").cast("bigint").alias("cum_cents"),
+        F.expr("CAST(MAX(cum) * 1000000 DIV MAX(t) AS BIGINT)").alias(
+            "lorenz_ppm"
+        ),
+    )
+    return deciles.crossJoin(broadcast(gini)).select(
+        "decile",
+        "cum_cents",
+        "lorenz_ppm",
+        "n_parts",
+        "total_cents",
+        "gini_ppm",
+    )
