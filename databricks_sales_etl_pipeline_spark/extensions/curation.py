@@ -1091,3 +1091,53 @@ def ext_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.substring(m, 1, 8), F.lit("***")).alias("redacted"),
         F.length(m).cast("bigint").alias("match_len"),
     )
+
+
+@query("ext_compression_ratio")  # rows-only: no zlib in the SQL oracle
+def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu10 — zlib compression ratio per document, the classic
+    low-information / boilerplate detector (Gopher and CCNet both gate
+    on it): highly repetitive or templated text compresses far below
+    natural prose, near-random gibberish barely compresses at all.
+    Level-6 zlib over UTF-8 bytes inside one Arrow-batched mapInPandas;
+    ratio in exact ppm of the original byte length plus a 3-way
+    keep/review/drop verdict at the standard cut points.
+
+    No DuckDB oracle (no SQL zlib) — rows-only driver check; the unit
+    test recomputes every row with Python zlib directly, and flags that
+    at 100 TB this pass runs decode-local like the multimodal family
+    (bytes never shuffle; 4 ints per doc come out)."""
+    import pandas as pd  # noqa: F401
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def comp(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+            cmp_ = pdf["text"].map(
+                lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw,
+                    "zlib_bytes": cmp_,
+                    "ratio_ppm": [
+                        c * 1_000_000 // r for c, r in zip(cmp_, raw)
+                    ],
+                }
+            )
+
+    out = d.mapInPandas(
+        comp, "doc_id long, raw_bytes long, zlib_bytes long, ratio_ppm long"
+    )
+    return out.withColumn(
+        "verdict",
+        F.when(F.col("ratio_ppm") < 200_000, F.lit("drop_repetitive"))
+        .when(F.col("ratio_ppm") > 900_000, F.lit("review_gibberish"))
+        .otherwise(F.lit("keep")),
+    )

@@ -1154,3 +1154,76 @@ def ext_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bands_match").cast("double") / 8).alias("est_jaccard"),
         exact.alias("exact_jaccard"),
     )
+
+
+#: (rows, bands) configurations whose S-curves the tuning report plots.
+LSH_TUNE_CONFIGS = ((2, 4), (4, 8), (8, 16))
+
+
+def _scurve_sql(r: int, b: int, div: str = "DIV") -> str:
+    """Exact fixed-point S-curve 1 − (1 − s^r)^b in ppm: every multiply
+    is followed by a truncating DIV 1e6, and the b-th power uses a FIXED
+    square chain — both engines execute the identical integer sequence,
+    so the (deliberately quantized) curve is bit-identical. ``b`` must
+    be a power of two."""
+    # s^r by left-to-right multiply chain
+    p = "s_ppm"
+    for _ in range(r - 1):
+        p = f"(({p}) * s_ppm {div} 1000000)"
+    q = f"(1000000 - {p})"
+    k = b
+    while k > 1:
+        q = f"(({q}) * ({q}) {div} 1000000)"
+        k //= 2
+    return f"(1000000 - {q})"
+
+
+@query(
+    "ext_lsh_tuning_curve",
+    oracle="""
+    WITH grid AS (
+        SELECT CAST(k * 50000 AS BIGINT) AS s_ppm
+        FROM unnest(range(0, 21)) AS t(k)
+    )
+    SELECT s_ppm, CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b,
+           CAST(p AS BIGINT) AS p_collision_ppm
+    FROM (
+        SELECT s_ppm, 2 AS r, 4 AS b, (1000000 - (((((1000000 - ((s_ppm) * s_ppm // 1000000))) * ((1000000 - ((s_ppm) * s_ppm // 1000000))) // 1000000)) * ((((1000000 - ((s_ppm) * s_ppm // 1000000))) * ((1000000 - ((s_ppm) * s_ppm // 1000000))) // 1000000)) // 1000000)) AS p FROM grid
+        UNION ALL
+        SELECT s_ppm, 4 AS r, 8 AS b, (1000000 - (((((((1000000 - ((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) * ((((1000000 - ((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) // 1000000)) * ((((((1000000 - ((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) * ((((1000000 - ((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) // 1000000)) // 1000000)) AS p FROM grid
+        UNION ALL
+        SELECT s_ppm, 8 AS r, 16 AS b, (1000000 - (((((((((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) * ((((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) // 1000000)) * ((((((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) * ((((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) // 1000000)) // 1000000)) * ((((((((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) * ((((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) // 1000000)) * ((((((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) * ((((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) * ((1000000 - ((((((((((((((s_ppm) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000)) * s_ppm // 1000000))) // 1000000)) // 1000000)) // 1000000)) // 1000000)) AS p FROM grid
+    )
+    """,
+)
+def ext_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — LSH band-tuning S-curves: for candidate (rows, bands)
+    signature layouts, the collision probability 1 − (1 − s^r)^b over a
+    similarity grid — the THEORY side of ``ext_minhash_calibration``
+    (which measures the built index empirically): pick (r, b) so the
+    curve's knee sits at the dedup threshold before paying for the
+    index. Computed in exact fixed-point ppm — each multiply truncates
+    through DIV 1e6 in a FIXED chain (square-chain for the band power),
+    so no libm pow and no cross-engine drift; quantization error is the
+    same on both sides by construction.
+
+    Shape: a 21-row grid × 3 configs — pure projection, zero shuffle."""
+    grid = spark.range(0, 21).select(
+        (F.col("id") * 50000).cast("bigint").alias("s_ppm")
+    )
+    parts = []
+    for r, b in LSH_TUNE_CONFIGS:
+        parts.append(
+            grid.select(
+                "s_ppm",
+                F.lit(r).cast("bigint").alias("r"),
+                F.lit(b).cast("bigint").alias("b"),
+                F.expr(_scurve_sql(r, b)).cast("bigint").alias(
+                    "p_collision_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -780,3 +780,103 @@ def ext_rolling_median_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("breach_hi"),
     )
+
+
+#: KS significance gate at alpha=0.05 — ONE shared expression string
+#: (sqrt on integer-derived doubles; the ext_rank_wilson discipline).
+_KS_FLAG = (
+    "CAST(CASE WHEN CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) > "
+    "CAST('1.358' AS DOUBLE) * SQRT((CAST(n1 AS DOUBLE) + n2) / "
+    "(CAST(n1 AS DOUBLE) * n2)) THEN 1 ELSE 0 END AS BIGINT)"
+)
+
+
+@query(
+    "ext_ks_test",
+    oracle=f"""
+    WITH s AS (
+        SELECT {cents_sql('o_totalprice')} AS v,
+               (month(CAST(o_orderdate AS DATE)) <= 6) AS g1
+        FROM orders
+    ), tot AS (
+        SELECT CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        FROM s
+    ), per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        FROM s GROUP BY v
+    ), cums AS (
+        SELECT v,
+               SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+               SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+        FROM per_v
+    ), dmax AS (
+        SELECT CAST(MAX(abs(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT) AS d_num,
+               CAST(MIN(CASE WHEN abs(cum1 * t.n2 - cum2 * t.n1) = m
+                        THEN v END) AS BIGINT) AS at_value_cents
+        FROM (SELECT *, MAX(abs(cum1 * t0.n2 - cum2 * t0.n1)) OVER () AS m
+              FROM cums, tot t0), tot t
+    )
+    SELECT t.n1, t.n2, d.d_num, d.at_value_cents,
+           CAST(d.d_num * 1000000 // (t.n1 * t.n2) AS BIGINT) AS ks_ppm,
+           {_KS_FLAG.replace('d_num', 'd.d_num')
+                    .replace('n1 ', 't.n1 ').replace('n2)', 't.n2)')
+                    .replace('* n2', '* t.n2')} AS reject_h0
+    FROM dmax d, tot t
+    """,
+)
+def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr10 — two-sample Kolmogorov–Smirnov test between first-half and
+    second-half order amounts: D = max |F1 − F2| computed EXACTLY as
+    max |cum1·n2 − cum2·n1| over the merged value grid (cross-multiplied
+    integers — no float CDFs), reported in ppm with the argmax amount
+    (where the distributions diverge most — the actionable part) and the
+    α=0.05 decision via one shared sqrt expression string. The
+    continuous-distribution complement of ``ext_drift_report``'s binned
+    chi-square: KS needs no band choices.
+
+    Shape: one value-grid groupBy + one ordered window over distinct
+    amounts (bounded by value NDV, not rows) + a 1-row broadcast."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        cents(F.col("o_totalprice")).alias("v"),
+        (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("g1"),
+    )
+    tot = s.agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("n2"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_v.select(
+        "v",
+        F.sum("c1").over(wv).alias("cum1"),
+        F.sum("c2").over(wv).alias("cum2"),
+    ).crossJoin(broadcast(tot))
+    diff = cums.withColumn(
+        "ad", F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    )
+    wall = Window.partitionBy()
+    dmax = (
+        diff.withColumn("m", F.max("ad").over(wall))
+        .agg(
+            F.max("ad").cast("bigint").alias("d_num"),
+            F.min(F.when(F.col("ad") == F.col("m"), F.col("v")))
+            .cast("bigint")
+            .alias("at_value_cents"),
+        )
+    )
+    out = dmax.crossJoin(broadcast(tot)).select(
+        "n1",
+        "n2",
+        "d_num",
+        "at_value_cents",
+        F.expr("CAST(d_num * 1000000 DIV (n1 * n2) AS BIGINT)").alias("ks_ppm"),
+        F.expr(_KS_FLAG).alias("reject_h0"),
+    )
+    return out
