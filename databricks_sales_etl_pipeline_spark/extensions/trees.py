@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
@@ -130,4 +131,119 @@ def ext_gbm_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "is_best",
         F.when(F.row_number().over(wb) == 1, 1).otherwise(0).cast("bigint"),
+    )
+
+
+GAIN_LABEL_CENTS = 15_000_000  # binary label: order total > 150k units
+
+
+@query(
+    "ext_feature_gini_gain",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN {cents_sql('o_totalprice')} > {GAIN_LABEL_CENTS}
+                    THEN 1 ELSE 0 END AS y,
+               o_orderpriority, o_orderstatus,
+               CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR) AS om
+        FROM orders
+    ), longf AS (
+        SELECT 'priority' AS feature, o_orderpriority AS fv, y FROM base
+        UNION ALL
+        SELECT 'status', o_orderstatus, y FROM base
+        UNION ALL
+        SELECT 'month', om, y FROM base
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS c1
+        FROM base
+    ), per_v AS (
+        SELECT feature, fv,
+               CAST(COUNT(*) AS BIGINT) AS nv,
+               CAST(SUM(y) AS BIGINT) AS cv1
+        FROM longf GROUP BY feature, fv
+    ), child AS (
+        SELECT feature,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM((nv * nv - cv1 * cv1 - (nv - cv1) * (nv - cv1))
+                        * 1000000 // (nv * t.n)) AS BIGINT)
+                   AS child_gini_ppm
+        FROM per_v, tot t GROUP BY feature
+    ), parent AS (
+        SELECT CAST((n * n - c1 * c1 - (n - c1) * (n - c1)) * 1000000
+                    // (n * n) AS BIGINT) AS parent_gini_ppm
+        FROM tot
+    ), gains AS (
+        SELECT c.feature, c.n_values, p.parent_gini_ppm, c.child_gini_ppm,
+               p.parent_gini_ppm - c.child_gini_ppm AS gain_ppm
+        FROM child c CROSS JOIN parent p
+    )
+    SELECT feature, n_values, parent_gini_ppm, child_gini_ppm,
+           CAST(gain_ppm AS BIGINT) AS gain_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY gain_ppm DESC, feature)
+                AS BIGINT) AS rk
+    FROM gains
+    """,
+)
+def ext_feature_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tr2 — feature ranking by GINI GAIN (the CART split criterion, the
+    classification sibling of ``ext_gbm_stump``'s variance reduction):
+    for each candidate categorical feature, the impurity drop from
+    splitting on it against a binary high-value label. Impurities are
+    exact rationals ``(n² − Σc²)/n²`` cross-multiplied into ppm with one
+    truncating division per feature value (identical quantization both
+    engines) — the information-gain alternative would need libm logs;
+    Gini needs none, which is exactly why CART chose it.
+
+    Shape: ONE scan explodes 3 (feature, value, label) rows per order;
+    per-feature stats are a bounded groupBy; nothing else moves."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(cents(F.col("o_totalprice")) > GAIN_LABEL_CENTS, 1)
+        .otherwise(0)
+        .alias("y"),
+        "o_orderpriority",
+        "o_orderstatus",
+        F.month(F.col("o_orderdate").cast("date")).cast("string").alias("om"),
+    )
+    longf = (
+        base.select(F.lit("priority").alias("feature"), F.col("o_orderpriority").alias("fv"), "y")
+        .unionAll(base.select(F.lit("status"), F.col("o_orderstatus"), "y"))
+        .unionAll(base.select(F.lit("month"), F.col("om"), "y"))
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("c1"),
+    )
+    per_v = longf.groupBy("feature", "fv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv"),
+        F.sum("y").cast("bigint").alias("cv1"),
+    )
+    child = per_v.crossJoin(broadcast(tot)).groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.expr(
+            "CAST(SUM((nv * nv - cv1 * cv1 - (nv - cv1) * (nv - cv1))"
+            " * 1000000 DIV (nv * n)) AS BIGINT)"
+        ).alias("child_gini_ppm"),
+    )
+    parent = tot.select(
+        F.expr(
+            "CAST((n * n - c1 * c1 - (n - c1) * (n - c1)) * 1000000"
+            " DIV (n * n) AS BIGINT)"
+        ).alias("parent_gini_ppm")
+    )
+    gains = child.crossJoin(broadcast(parent)).select(
+        "feature",
+        "n_values",
+        "parent_gini_ppm",
+        "child_gini_ppm",
+        (F.col("parent_gini_ppm") - F.col("child_gini_ppm")).alias("gain_ppm"),
+    )
+    wr = Window.orderBy(F.col("gain_ppm").desc(), "feature")
+    return gains.select(
+        "feature",
+        "n_values",
+        "parent_gini_ppm",
+        "child_gini_ppm",
+        F.col("gain_ppm").cast("bigint").alias("gain_ppm"),
+        F.row_number().over(wr).cast("bigint").alias("rk"),
     )
