@@ -159,3 +159,81 @@ def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_tok").alias("n_bpe_tokens"))
     )
+
+
+def sym_counts(syms: DataFrame) -> DataFrame:
+    """Per-symbol corpus counts (weighted by word frequency) — the
+    denominator of the WordPiece likelihood score."""
+    return (
+        syms.select(F.explode("syms").alias("sym"), "n")
+        .groupBy("sym")
+        .agg(F.sum("n").alias("sym_count"))
+    )
+
+
+def train_wordpiece(docs: DataFrame, n_merges: int = N_MERGES):
+    """Learn ``n_merges`` WordPiece merges: same loop as BPE but the
+    winning pair maximizes the LIKELIHOOD score count(ab)/(count(a)·
+    count(b)) (Schuster–Nakajima) instead of the raw pair count — in
+    exact integer fixed-point ``p*1e12 DIV (ca*cb)`` with a pair-ASC
+    tiebreak, so the Python reference agrees bit for bit."""
+    syms = to_symbols(word_freqs(docs))
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = pair_counts(syms)
+        sc = sym_counts(syms)
+        a_side = pc.withColumn("a_sym", F.split("pair", " ")[0]).withColumn(
+            "b_sym", F.split("pair", " ")[1]
+        )
+        scored = (
+            a_side.join(
+                F.broadcast(sc.withColumnRenamed("sym", "a_sym")
+                            .withColumnRenamed("sym_count", "ca")),
+                "a_sym",
+            )
+            .join(
+                F.broadcast(sc.withColumnRenamed("sym", "b_sym")
+                            .withColumnRenamed("sym_count", "cb")),
+                "b_sym",
+            )
+            .withColumn(
+                "score",
+                F.expr("pair_count * 1000000000000 DIV (ca * cb)"),
+            )
+        )
+        top = scored.orderBy(
+            F.desc("score"), F.asc("pair")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ")
+        merges.append(
+            (
+                step,
+                a,
+                b,
+                a + b,
+                int(top[0]["pair_count"]),
+                int(top[0]["score"]),
+            )
+        )
+        syms = syms.select(apply_merge(F.col("syms"), a, b).alias("syms"), "n")
+        syms = syms.localCheckpoint(eager=False)
+    return merges
+
+
+@query("ext_wordpiece_train")  # rows-only: iterative argmax has no SQL twin
+def ext_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training variant: the first 5 WORDPIECE merges — the
+    likelihood criterion count(ab)/(count(a)·count(b)) that prefers
+    pairs which co-occur beyond their parts' popularity, vs BPE's raw
+    frequency (the two sequences diverge on this corpus; unit-asserted
+    against a pure-Python reference). Same distributed shape as
+    ``ext_bpe_train``: all statistics live on the distinct-word table,
+    one groupBy per iteration, a 1-row argmax artifact on the driver."""
+    d = load(spark, sf_dir, "documents")
+    return spark.createDataFrame(
+        train_wordpiece(d),
+        "step int, left string, right string, merged string, "
+        "pair_count bigint, score_e12 bigint",
+    )

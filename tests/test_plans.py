@@ -154,6 +154,11 @@ _NLJ_ALLOWED = {
     # calendar² pairwise-slope inequality join (daily series ≈ 2400 rows a
     # side, data-size-independent) + the 1-row n_days broadcast
     "ext_theilsen_slope",
+    # 1-row scalar-aggregate broadcasts again (gini totals / KS sample
+    # sizes / parent-impurity + label totals)
+    "ext_gini_concentration",
+    "ext_ks_test",
+    "ext_feature_gini_gain",
     "ext_eval_mrr",
     # inherits ext_quality_classifier's 1-row class-counts broadcast
     # (fairness adds the 1-row max-rate bound on top)
