@@ -364,3 +364,35 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_rebalance_hint",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS gross_cents
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_rebalance_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 — the AQE REBALANCE hint: ask adaptive execution to even out
+    partition sizes (splitting skewed ones, coalescing tiny ones) before
+    the downstream consumer — the declarative cure for the
+    skewed-output-files problem that `repartition(n)` can only guess at,
+    because AQE decides from MEASURED map statistics at runtime. The
+    hint is semantics-preserving (the plain-aggregate oracle hash-equals
+    it); `tests/test_plans.py` asserts the RebalancePartitions node
+    actually lands in the plan so the hint can never silently rot."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ REBALANCE(l_returnflag) */
+               l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS gross_cents
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """
+    )

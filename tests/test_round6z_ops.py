@@ -76,3 +76,22 @@ class TestWordpieceTrain:
         ]
         wp = [(a, b) for _, a, b, _, _, _ in got]
         assert wp != bpe
+
+
+class TestSqlRebalanceHint:
+    def test_rebalance_node_lands_and_is_semantics_preserving(self, spark):
+        q = QUERIES["sql_rebalance_hint"](spark, SF_DIR)
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "RebalancePartitions" in plan
+        rows = {(r["l_returnflag"], r["l_linestatus"]): r for r in q.collect()}
+        import duckdb
+
+        want = duckdb.sql(
+            f"""SELECT l_returnflag, l_linestatus, COUNT(*),
+                       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                FROM '{SF_DIR}/lineitem.parquet' GROUP BY 1, 2"""
+        ).fetchall()
+        assert len(rows) == len(want)
+        for rf, ls, n, g in want:
+            r = rows[(rf, ls)]
+            assert r["n_lines"] == n and r["gross_cents"] == g
