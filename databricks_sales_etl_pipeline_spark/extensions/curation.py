@@ -1141,3 +1141,73 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("ratio_ppm") > 900_000, F.lit("review_gibberish"))
         .otherwise(F.lit("keep")),
     )
+
+
+#: mojibake fixture + repair table: each pair is (corrupt latin-1
+#: misdecoding of the UTF-8 bytes, intended char). Both engines build
+#: the identical corrupted suffix from doc_id.
+_MOJI_PAIRS = (("Ã©", "é"),   # Ã© → é
+               ("Ã¨", "è"),   # Ã¨ → è
+               ("Ã¤", "ä"))   # Ã¤ → ä
+
+_MOJI_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN ' caf" + _MOJI_PAIRS[0][0] + "'"
+    " WHEN doc_id % 4 = 1 THEN ' cr" + _MOJI_PAIRS[1][0] + "me'"
+    " WHEN doc_id % 4 = 2 THEN ' " + _MOJI_PAIRS[2][0] + "ra'"
+    " ELSE ' clean' END"
+)
+
+
+@query(
+    "ext_mojibake_detect",
+    oracle=f"""
+    WITH txt AS (
+        SELECT doc_id, text || {_MOJI_SQL} AS body FROM documents
+    ), hits AS (
+        SELECT doc_id, body,
+               CAST(len(regexp_extract_all(body,
+                    '{_MOJI_PAIRS[0][0]}|{_MOJI_PAIRS[1][0]}|{_MOJI_PAIRS[2][0]}'))
+                    AS BIGINT) AS n_hits
+        FROM txt
+    )
+    SELECT doc_id, n_hits,
+           CAST(length(body) AS BIGINT) AS len_before,
+           CAST(length(replace(replace(replace(body,
+                '{_MOJI_PAIRS[0][0]}', '{_MOJI_PAIRS[0][1]}'),
+                '{_MOJI_PAIRS[1][0]}', '{_MOJI_PAIRS[1][1]}'),
+                '{_MOJI_PAIRS[2][0]}', '{_MOJI_PAIRS[2][1]}')) AS BIGINT)
+               AS len_after,
+           md5(replace(replace(replace(body,
+                '{_MOJI_PAIRS[0][0]}', '{_MOJI_PAIRS[0][1]}'),
+                '{_MOJI_PAIRS[1][0]}', '{_MOJI_PAIRS[1][1]}'),
+                '{_MOJI_PAIRS[2][0]}', '{_MOJI_PAIRS[2][1]}')) AS repaired_md5
+    FROM hits WHERE n_hits > 0
+    """,
+)
+def ext_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu11 — mojibake (double-encoding) detection and repair: the
+    'Ã©'-class signatures that appear when UTF-8 bytes are misread as
+    Latin-1 — the single most common text-corruption mode in web-crawl
+    corpora. Detection is a signature-alternation regexp count; repair
+    is the known-pair replacement table (each repaired char shortens the
+    string by one — len_before/len_after make the fix auditable, and the
+    md5 pins the repaired text). The fixture plants three corruption
+    forms in 3 of every 4 documents.
+
+    Shape: zero-shuffle codegen scan, flagged rows only out."""
+    d = load(spark, sf_dir, "documents")
+    body = F.concat(F.col("text"), F.expr(_MOJI_SQL))
+    pat = "|".join(p for p, _ in _MOJI_PAIRS)
+    repaired = body
+    for corrupt, fixed in _MOJI_PAIRS:
+        repaired = F.replace(repaired, F.lit(corrupt), F.lit(fixed))
+    hits = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(body, F.lit(pat), 0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.length(body).cast("bigint").alias("len_before"),
+        F.length(repaired).cast("bigint").alias("len_after"),
+        F.md5(repaired).alias("repaired_md5"),
+    )
+    return hits.where(F.col("n_hits") > 0)

@@ -901,3 +901,85 @@ def ext_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_OLS2_B2} AS beta_disc_cents",
         f"{_OLS2_B0} AS intercept_cents",
     )
+
+
+NZV_FREQ_RATIO_PCT = 95   # top value covers ≥95% of rows → degenerate
+NZV_UNIQUE_PPM = 1000     # NDV/rows below 0.1% → near-constant
+
+
+@query(
+    "ext_nzv_filter",
+    oracle=f"""
+    WITH feats AS (
+        SELECT 'priority' AS feature, o_orderpriority AS fv FROM orders
+        UNION ALL
+        SELECT 'status', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'qty', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'returnflag', l_returnflag FROM lineitem
+    ), per_v AS (
+        SELECT feature, fv, CAST(COUNT(*) AS BIGINT) AS c
+        FROM feats GROUP BY feature, fv
+    ), stats AS (
+        SELECT feature,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS ndv,
+               CAST(MAX(c) AS BIGINT) AS top_count
+        FROM per_v GROUP BY feature
+    )
+    SELECT feature, n_rows, ndv, top_count,
+           CAST(top_count * 100 // n_rows AS BIGINT) AS top_share_pct,
+           CAST(ndv * 1000000 // n_rows AS BIGINT) AS unique_ppm,
+           CAST(CASE WHEN top_count * 100 >= n_rows * {NZV_FREQ_RATIO_PCT}
+                          OR ndv * 1000000 < n_rows * {NZV_UNIQUE_PPM}
+                THEN 1 ELSE 0 END AS BIGINT) AS nzv_flag
+    FROM stats
+    """,
+)
+def ext_nzv_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe8 — near-zero-variance feature screen (caret's nearZeroVar, the
+    first cut of any feature-selection pass): flag features whose top
+    value dominates (≥95% of rows) or whose distinct-value ratio is
+    near-constant (<0.1%) — both tests as cross-multiplied integer
+    comparisons, no ratios materialized. Degenerate features burn model
+    capacity and leak pipeline bugs (a column that went constant
+    upstream shows up HERE first).
+
+    Shape: one long-format union scan + two bounded groupBys (value
+    grid, then feature)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    feats = (
+        o.select(F.lit("priority").alias("feature"), F.col("o_orderpriority").alias("fv"))
+        .unionAll(o.select(F.lit("status"), F.col("o_orderstatus")))
+        .unionAll(
+            li.select(
+                F.lit("qty"), F.col("l_quantity").cast("bigint").cast("string")
+            )
+        )
+        .unionAll(li.select(F.lit("returnflag"), F.col("l_returnflag")))
+    )
+    per_v = feats.groupBy("feature", "fv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stats = per_v.groupBy("feature").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.max("c").cast("bigint").alias("top_count"),
+    )
+    return stats.select(
+        "feature",
+        "n_rows",
+        "ndv",
+        "top_count",
+        F.expr("CAST(top_count * 100 DIV n_rows AS BIGINT)").alias(
+            "top_share_pct"
+        ),
+        F.expr("CAST(ndv * 1000000 DIV n_rows AS BIGINT)").alias("unique_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN top_count * 100 >= n_rows * {NZV_FREQ_RATIO_PCT}"
+            f" OR ndv * 1000000 < n_rows * {NZV_UNIQUE_PPM}"
+            f" THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("nzv_flag"),
+    )
