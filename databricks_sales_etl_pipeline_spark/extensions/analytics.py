@@ -1077,3 +1077,123 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").cast("bigint").alias("peak_concurrency"),
         F.count(F.lit(1)).cast("bigint").alias("n_changes"),
     )
+
+
+#: Shapley channel inventory (bit positions) and conversion event.
+SHAP_CHANNELS = ("click", "error", "signup", "view")
+SHAP_CONV = "purchase"
+#: 24·w(|S|) for k=4: s!·(3−s)!  (integer Shapley weights, no division)
+_SHAP_W24 = (6, 2, 2, 6)
+
+
+@query(
+    "ext_attribution_shapley",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(CASE WHEN bool_or(event_type = 'click')  THEN 1 ELSE 0 END
+                  + CASE WHEN bool_or(event_type = 'error')  THEN 2 ELSE 0 END
+                  + CASE WHEN bool_or(event_type = 'signup') THEN 4 ELSE 0 END
+                  + CASE WHEN bool_or(event_type = 'view')   THEN 8 ELSE 0 END
+                  AS BIGINT) AS bmp,
+               CAST(CASE WHEN bool_or(event_type = '{SHAP_CONV}')
+                    THEN 1 ELSE 0 END AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ), by_set AS (
+        SELECT bmp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS n_conv
+        FROM per_user GROUP BY bmp
+    ), rates AS (
+        SELECT CAST(s AS BIGINT) AS s,
+               CAST(COALESCE(n_conv * 1000000 // n, 0) AS BIGINT) AS rate_ppm,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_users
+        FROM unnest(range(0, 16)) AS t(s)
+        LEFT JOIN by_set ON by_set.bmp = s
+    ), channels AS (
+        SELECT 0 AS c, 'click' AS channel UNION ALL
+        SELECT 1, 'error' UNION ALL
+        SELECT 2, 'signup' UNION ALL
+        SELECT 3, 'view'
+    ), contrib AS (
+        SELECT ch.channel,
+               CASE bit_count(r0.s) WHEN 0 THEN {_SHAP_W24[0]}
+                    WHEN 1 THEN {_SHAP_W24[1]} WHEN 2 THEN {_SHAP_W24[2]}
+                    ELSE {_SHAP_W24[3]} END
+               * (r1.rate_ppm - r0.rate_ppm) AS term,
+               r0.n_users AS base_users
+        FROM channels ch
+        JOIN rates r0 ON (CAST(r0.s AS BIGINT) >> ch.c) % 2 = 0
+        JOIN rates r1 ON r1.s = r0.s + (1 << ch.c)
+    )
+    SELECT channel,
+           CAST(SUM(term) AS BIGINT) AS phi24_ppm,
+           CAST(SUM(base_users) AS BIGINT) AS n_base_users
+    FROM contrib GROUP BY channel
+    """,
+)
+def ext_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An10 — SHAPLEY data-driven attribution (the modern standard above
+    last-touch/position/markov, completing the attribution ladder): the
+    value function is the observed conversion rate per exact exposure
+    set (4 channel bits → 16 subsets), and each channel's credit is the
+    exact Shapley sum Σ w(|S|)·[v(S∪c) − v(S)]. Weights are the integer
+    24·w(s) = s!(3−s)! — credits come out as signed integer ppm×24 with
+    NO division at all (empty subsets contribute v=0, documented).
+
+    Shape: ONE user_id groupBy folds the corpus to 150 rows; everything
+    after runs on a 16-row subset table — at 100 TB the model stays a
+    16-row artifact no matter the event volume."""
+    e = load(spark, sf_dir, "events")
+    flags = [
+        F.when(
+            F.max(F.when(F.col("event_type") == ch, 1).otherwise(0)) == 1,
+            1 << i,
+        ).otherwise(0)
+        for i, ch in enumerate(SHAP_CHANNELS)
+    ]
+    per_user = e.groupBy("user_id").agg(
+        sum(flags[1:], flags[0]).cast("bigint").alias("bmp"),
+        F.max(F.when(F.col("event_type") == SHAP_CONV, 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
+    by_set = per_user.groupBy("bmp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    subsets = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    rates = (
+        subsets.join(by_set, subsets["s"] == by_set["bmp"], "left")
+        .select(
+            "s",
+            F.coalesce(
+                F.expr("n_conv * 1000000 DIV n"), F.lit(0)
+            ).cast("bigint").alias("rate_ppm"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_users"),
+        )
+    )
+    channels = spark.createDataFrame(
+        [(i, ch) for i, ch in enumerate(SHAP_CHANNELS)], "c int, channel string"
+    )
+    r0 = rates.alias("r0")
+    r1 = rates.alias("r1")
+    w24 = (
+        F.when(F.bit_count(F.col("r0.s")) == 0, _SHAP_W24[0])
+        .when(F.bit_count(F.col("r0.s")) == 1, _SHAP_W24[1])
+        .when(F.bit_count(F.col("r0.s")) == 2, _SHAP_W24[2])
+        .otherwise(_SHAP_W24[3])
+    )
+    contrib = (
+        F.broadcast(channels)
+        .join(r0, F.expr("(r0.s >> c) % 2 = 0"))
+        .join(r1, F.expr("r1.s = r0.s + shiftleft(1, c)"))
+        .select(
+            "channel",
+            (w24 * (F.col("r1.rate_ppm") - F.col("r0.rate_ppm"))).alias("term"),
+            F.col("r0.n_users").alias("base_users"),
+        )
+    )
+    return contrib.groupBy("channel").agg(
+        F.sum("term").cast("bigint").alias("phi24_ppm"),
+        F.sum("base_users").cast("bigint").alias("n_base_users"),
+    )
