@@ -944,3 +944,81 @@ def ext_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_extract("line", rx_bytes, 1).cast("long").alias("n_bytes"),
     )
+
+
+VOCAB_GRID_STEPS = 10
+
+
+@query(
+    "ext_vocab_growth",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ), firsts AS (
+        SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM toks
+        GROUP BY tok
+    ), nd AS (
+        SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM toks
+    ), grid AS (
+        SELECT CAST(k * n_docs // {VOCAB_GRID_STEPS} AS BIGINT) AS upto
+        FROM unnest(range(1, {VOCAB_GRID_STEPS} + 1)) AS t(k), nd
+    ), curve AS (
+        SELECT g.upto,
+               CAST(COUNT(f.tok) AS BIGINT) AS vocab
+        FROM grid g LEFT JOIN firsts f ON f.first_doc < g.upto
+        GROUP BY g.upto
+    )
+    SELECT upto AS docs_seen, vocab,
+           vocab - LAG(vocab, 1, CAST(0 AS BIGINT)) OVER (ORDER BY upto)
+               AS new_tokens
+    FROM curve
+    """,
+)
+def ext_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 — vocabulary growth curve (Heaps' law, measured): distinct
+    token count after each tenth of the corpus in doc_id order, with the
+    per-decile new-token increment — the curve that forecasts tokenizer
+    vocabulary size and OOV rates as the corpus scales. Computed without
+    any cumulative distinct-count scan: each token reduces to its FIRST
+    document (one groupBy), and the curve is a tiny grid join over those
+    firsts — the trick that makes "distinct-so-far" linear instead of
+    quadratic.
+
+    Shape: one (token) groupBy carries everything; the grid join is
+    10 × vocab, map-side broadcastable at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    nd = toks.agg((F.max("doc_id") + 1).cast("bigint").alias("n_docs"))
+    grid = (
+        spark.range(1, VOCAB_GRID_STEPS + 1)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.expr(f"CAST(id * n_docs DIV {VOCAB_GRID_STEPS} AS BIGINT)").alias(
+                "upto"
+            )
+        )
+    )
+    curve = (
+        grid.join(firsts, F.col("first_doc") < F.col("upto"), "left")
+        .groupBy("upto")
+        .agg(F.count("tok").cast("bigint").alias("vocab"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("upto")
+    return curve.select(
+        F.col("upto").alias("docs_seen"),
+        "vocab",
+        (F.col("vocab") - F.lag("vocab", 1, 0).over(w)).alias("new_tokens"),
+    )

@@ -60,3 +60,34 @@ class TestAttributionShapley:
         if all(s in by_set for s in range(16)):
             total = sum(want.values())
             assert total == 24 * (rate(15) - rate(0))
+
+
+class TestVocabGrowth:
+    def test_matches_python_cumulative_distinct(self, spark):
+        docs = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        )
+        from databricks_sales_etl_pipeline_spark.extensions.textstats import (
+            VOCAB_GRID_STEPS,
+        )
+
+        n_docs = docs[-1][0] + 1
+        out = sorted(
+            QUERIES["ext_vocab_growth"](spark, SF_DIR).collect(),
+            key=lambda r: r["docs_seen"],
+        )
+        assert len(out) == VOCAB_GRID_STEPS
+        prev = 0
+        for r in out:
+            seen = set()
+            for doc_id, text in docs:
+                if doc_id < r["docs_seen"]:
+                    seen.update(t for t in text.lower().split() if t)
+            assert r["vocab"] == len(seen), r["docs_seen"]
+            assert r["new_tokens"] == len(seen) - prev
+            prev = len(seen)
+        assert out[-1]["docs_seen"] == n_docs
+        # growth is monotone and decelerating on a natural-ish corpus
+        vocabs = [r["vocab"] for r in out]
+        assert vocabs == sorted(vocabs)
