@@ -198,3 +198,142 @@ def ext_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("live_cents"),
         F.sum("k").cast("bigint").alias("key_checksum"),
     )
+
+
+#: perturbed second source for linkage: case-mangled names, slightly
+#: shifted balances, some segments dropped — same custkey = true match.
+_LINK_B_SQL = """
+    SELECT c_custkey AS b_key, c_nationkey AS b_nat,
+           upper(c_name) AS b_name,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+               + CASE WHEN c_custkey % 4 = 0 THEN 7 ELSE 0 END AS b_bal,
+           CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS b_seg
+    FROM customer
+"""
+
+
+@query(
+    "ext_fellegi_weights",
+    oracle=f"""
+    WITH a AS (
+        SELECT c_custkey AS a_key, c_nationkey AS a_nat,
+               c_name AS a_name,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS a_bal,
+               c_mktsegment AS a_seg
+        FROM customer
+    ), b AS ({_LINK_B_SQL}),
+    pairs AS (
+        SELECT (a_key = b_key) AS is_match,
+               CASE WHEN lower(a_name) = lower(b_name) THEN 1 ELSE 0 END
+                   AS ag_name,
+               CASE WHEN abs(a_bal - b_bal) <= 10 THEN 1 ELSE 0 END AS ag_bal,
+               CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END AS ag_seg
+        FROM a JOIN b ON b_nat = a_nat
+    ), longf AS (
+        SELECT is_match, 'name' AS field, ag_name AS ag FROM pairs
+        UNION ALL SELECT is_match, 'balance', ag_bal FROM pairs
+        UNION ALL SELECT is_match, 'segment', ag_seg FROM pairs
+    ), mu AS (
+        SELECT field,
+               CAST(SUM(CASE WHEN is_match THEN ag ELSE 0 END) * 1000000
+                    // SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m_ppm,
+               CAST(SUM(CASE WHEN is_match THEN 0 ELSE ag END) * 1000000
+                    // SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT)
+                   AS u_ppm,
+               CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match_pairs,
+               CAST(SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_nonmatch_pairs
+        FROM longf GROUP BY field
+    )
+    SELECT field, m_ppm, u_ppm, n_match_pairs, n_nonmatch_pairs,
+           CAST(CASE WHEN u_ppm > 0 THEN m_ppm * 1000000 // u_ppm END
+                AS BIGINT) AS w_agree_e6,
+           CAST(CASE WHEN u_ppm < 1000000
+                THEN (1000000 - m_ppm) * 1000000 // (1000000 - u_ppm) END
+                AS BIGINT) AS w_disagree_e6
+    FROM mu
+    """,
+)
+def ext_fellegi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Md2 — Fellegi–Sunter record-linkage model training: from blocked
+    candidate pairs (nation blocks) between the clean source and a
+    perturbed twin, estimate each comparison field's m = P(agree|match)
+    and u = P(agree|non-match) in exact integer ppm, and the
+    agree/disagree likelihood-ratio weights m/u and (1−m)/(1−u) in
+    fixed-point ×1e6 — the probabilistic-matching model that replaces
+    hand-tuned fuzzy thresholds (labels here come from the fixture's
+    known truth; production swaps in EM on the same sufficient
+    statistics — the aggregation shape is identical). High-m/low-u
+    fields (name) earn dominant weights; weak fields (shifted balances,
+    dropped segments) earn weak ones — asserted in the unit test.
+
+    Shape: the blocked pair space rides ONE nation-key join (never the
+    full cross product); all statistics are one long-format groupBy."""
+    c = load(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_nationkey").alias("a_nat"),
+        F.col("c_name").alias("a_name"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("a_bal"),
+        F.col("c_mktsegment").alias("a_seg"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_nationkey").alias("b_nat"),
+        F.upper("c_name").alias("b_name"),
+        (
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+            + F.when(F.col("c_custkey") % 4 == 0, 7).otherwise(0)
+        ).alias("b_bal"),
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+    )
+    pairs = a.join(b, F.col("b_nat") == F.col("a_nat")).select(
+        (F.col("a_key") == F.col("b_key")).alias("is_match"),
+        F.when(F.lower("a_name") == F.lower("b_name"), 1).otherwise(0).alias(
+            "ag_name"
+        ),
+        F.when(F.abs(F.col("a_bal") - F.col("b_bal")) <= 10, 1)
+        .otherwise(0)
+        .alias("ag_bal"),
+        F.when(F.col("a_seg") == F.col("b_seg"), 1).otherwise(0).alias("ag_seg"),
+    )
+    longf = (
+        pairs.select("is_match", F.lit("name").alias("field"), F.col("ag_name").alias("ag"))
+        .unionAll(pairs.select("is_match", F.lit("balance"), F.col("ag_bal")))
+        .unionAll(pairs.select("is_match", F.lit("segment"), F.col("ag_seg")))
+    )
+    mu = longf.groupBy("field").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN is_match THEN ag ELSE 0 END) * 1000000"
+            " DIV SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("m_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_match THEN 0 ELSE ag END) * 1000000"
+            " DIV SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT)"
+        ).alias("u_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_match_pairs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT)"
+        ).alias("n_nonmatch_pairs"),
+    )
+    return mu.select(
+        "field",
+        "m_ppm",
+        "u_ppm",
+        "n_match_pairs",
+        "n_nonmatch_pairs",
+        F.expr(
+            "CAST(CASE WHEN u_ppm > 0 THEN m_ppm * 1000000 DIV u_ppm END"
+            " AS BIGINT)"
+        ).alias("w_agree_e6"),
+        F.expr(
+            "CAST(CASE WHEN u_ppm < 1000000 THEN (1000000 - m_ppm) * 1000000"
+            " DIV (1000000 - u_ppm) END AS BIGINT)"
+        ).alias("w_disagree_e6"),
+    )

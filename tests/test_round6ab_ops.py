@@ -91,3 +91,58 @@ class TestVocabGrowth:
         # growth is monotone and decelerating on a natural-ish corpus
         vocabs = [r["vocab"] for r in out]
         assert vocabs == sorted(vocabs)
+
+
+class TestFellegiWeights:
+    def test_matches_python_mu_estimation(self, spark):
+        import duckdb
+        from collections import defaultdict
+
+        cust = duckdb.sql(
+            f"""SELECT c_custkey, c_nationkey, c_name,
+                       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT),
+                       c_mktsegment
+                FROM '{SF_DIR}/customer.parquet'"""
+        ).fetchall()
+        by_nat = defaultdict(list)
+        for k, nat, name, bal, seg in cust:
+            by_nat[nat].append((k, name, bal, seg))
+        stats = {f: [0, 0, 0, 0] for f in ("name", "balance", "segment")}
+        # [agree_match, n_match, agree_nonmatch, n_nonmatch]
+        for nat, recs in by_nat.items():
+            for ak, aname, abal, aseg in recs:
+                for bk, bname, bbal, bseg in recs:
+                    b_name = bname.upper()
+                    b_bal = bbal + (7 if bk % 4 == 0 else 0)
+                    b_seg = None if bk % 5 == 0 else bseg
+                    is_m = ak == bk
+                    ags = {
+                        "name": 1 if aname.lower() == b_name.lower() else 0,
+                        "balance": 1 if abs(abal - b_bal) <= 10 else 0,
+                        "segment": 1 if (b_seg is not None and aseg == b_seg) else 0,
+                    }
+                    for f, ag in ags.items():
+                        if is_m:
+                            stats[f][0] += ag
+                            stats[f][1] += 1
+                        else:
+                            stats[f][2] += ag
+                            stats[f][3] += 1
+        out = {r["field"]: r for r in QUERIES["ext_fellegi_weights"](spark, SF_DIR).collect()}
+        assert set(out) == set(stats)
+        for f, (am, nm, an, nn) in stats.items():
+            r = out[f]
+            assert r["n_match_pairs"] == nm and r["n_nonmatch_pairs"] == nn
+            assert r["m_ppm"] == am * 1_000_000 // nm
+            assert r["u_ppm"] == an * 1_000_000 // nn
+        # discriminative structure: name is a perfect discriminator
+        # (m = 1, u = 0 → agreement weight is infinite, reported NULL),
+        # segment is weak (dropped for 1 in 5, and non-matches agree often)
+        assert out["name"]["m_ppm"] == 1_000_000  # case-insensitive: all match
+        assert out["name"]["u_ppm"] == 0  # customer names are unique
+        assert out["name"]["w_agree_e6"] is None  # infinite likelihood ratio
+        assert out["segment"]["u_ppm"] > 100_000  # 1-in-5 chance agreement
+        assert out["segment"]["w_agree_e6"] is not None
+        assert out["segment"]["w_agree_e6"] < 10_000_000  # weak field
+        # disagreeing on a perfect field vetoes the match
+        assert out["name"]["w_disagree_e6"] == 0
