@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.registry import query
@@ -1196,4 +1197,117 @@ def ext_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("channel").agg(
         F.sum("term").cast("bigint").alias("phi24_ppm"),
         F.sum("base_users").cast("bigint").alias("n_base_users"),
+    )
+
+
+HAZ_CENSOR_DAYS = 14  # active within 14 days of horizon → censored
+
+
+@query(
+    "ext_hazard_lifetable",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), horizon AS (
+        SELECT MAX(ts) AS h FROM e
+    ), pu AS (
+        SELECT user_id,
+               CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                              MAX(CAST(ts AS DATE))) // 7 AS BIGINT)
+                   AS tenure_w,
+               (MAX(ts) < (SELECT h FROM horizon)
+                          - INTERVAL {HAZ_CENSOR_DAYS} DAY) AS churned
+        FROM e GROUP BY user_id
+    ), weeks AS (
+        SELECT CAST(w AS BIGINT) AS w
+        FROM unnest(range(0, (SELECT MAX(tenure_w) FROM pu) + 1)) AS t(w)
+    ), lifetable AS (
+        SELECT w,
+               CAST((SELECT COUNT(*) FROM pu WHERE tenure_w >= w) AS BIGINT)
+                   AS at_risk,
+               CAST((SELECT COUNT(*) FROM pu
+                     WHERE tenure_w = w AND churned) AS BIGINT) AS events,
+               CAST((SELECT COUNT(*) FROM pu
+                     WHERE tenure_w = w AND NOT churned) AS BIGINT)
+                   AS censored
+        FROM weeks
+    )
+    SELECT w AS tenure_week, at_risk, events, censored,
+           CAST(CASE WHEN at_risk > 0
+                THEN events * 1000000 // at_risk END AS BIGINT) AS hazard_ppm
+    FROM lifetable WHERE at_risk > 0
+    """,
+)
+def ext_hazard_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An11 — discrete-time hazard LIFE TABLE over user tenure weeks,
+    with right-censoring done properly: users still active within
+    {14} days of the data horizon are CENSORED (they leave the risk
+    set without counting as churn — the mistake naive churn rates
+    make), everyone else contributes a churn event in their final
+    tenure week. Per week: at-risk count, events, censored exits and
+    the hazard in exact ppm — the tenure-based complement of
+    ``ext_retention_cohorts``' calendar grid, and the exact input a
+    discrete survival regression trains on.
+
+    Shape: one user groupBy → a users-sized table; the weekly risk
+    sets come from a tiny week-spine join (at-risk = tenure ≥ w),
+    never a per-week rescan of events."""
+    from pyspark.sql import Window as _W
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    horizon = e.agg(F.max("ts").alias("h"))
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_d"),
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+            F.max("ts").alias("last_ts"),
+        )
+        .crossJoin(broadcast(horizon))
+        .select(
+            F.expr("CAST(datediff(last_d, first_d) DIV 7 AS BIGINT)").alias(
+                "tenure_w"
+            ),
+            (
+                F.col("last_ts")
+                < F.col("h") - F.expr(f"INTERVAL {HAZ_CENSOR_DAYS} DAY")
+            ).alias("churned"),
+        )
+    )
+    maxw = pu.agg(F.max("tenure_w").alias("mw"))
+    weeks = (
+        spark.range(0, 1000)
+        .crossJoin(broadcast(maxw))
+        .where(F.col("id") <= F.col("mw"))
+        .select(F.col("id").cast("bigint").alias("w"))
+    )
+    lifetable = (
+        weeks.join(pu, F.col("tenure_w") >= F.col("w"), "left")
+        .groupBy("w")
+        .agg(
+            F.count("tenure_w").cast("bigint").alias("at_risk"),
+            F.sum(
+                F.when((F.col("tenure_w") == F.col("w")) & F.col("churned"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("events"),
+            F.sum(
+                F.when(
+                    (F.col("tenure_w") == F.col("w")) & ~F.col("churned"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("censored"),
+        )
+    )
+    return lifetable.where(F.col("at_risk") > 0).select(
+        F.col("w").alias("tenure_week"),
+        "at_risk",
+        "events",
+        "censored",
+        F.expr(
+            "CAST(CASE WHEN at_risk > 0 THEN events * 1000000 DIV at_risk END"
+            " AS BIGINT)"
+        ).alias("hazard_ppm"),
     )

@@ -146,3 +146,46 @@ class TestFellegiWeights:
         assert out["segment"]["w_agree_e6"] < 10_000_000  # weak field
         # disagreeing on a perfect field vetoes the match
         assert out["name"]["w_disagree_e6"] == 0
+
+
+class TestHazardLifetable:
+    def test_matches_python_lifetable(self, spark):
+        import duckdb
+        from collections import defaultdict
+        from datetime import timedelta
+
+        rows = duckdb.sql(
+            f"SELECT user_id, ts FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+        from databricks_sales_etl_pipeline_spark.extensions.analytics import (
+            HAZ_CENSOR_DAYS,
+        )
+
+        per = defaultdict(list)
+        for u, ts in rows:
+            per[u].append(ts)
+        horizon = max(ts for _, ts in rows)
+        users = []
+        for u, tss in per.items():
+            first, last = min(tss), max(tss)
+            tenure_w = (last.date() - first.date()).days // 7
+            churned = last < horizon - timedelta(days=HAZ_CENSOR_DAYS)
+            users.append((tenure_w, churned))
+        maxw = max(w for w, _ in users)
+        out = {r["tenure_week"]: r for r in QUERIES["ext_hazard_lifetable"](spark, SF_DIR).collect()}
+        for w in range(maxw + 1):
+            at_risk = sum(1 for t, _ in users if t >= w)
+            events = sum(1 for t, c in users if t == w and c)
+            cens = sum(1 for t, c in users if t == w and not c)
+            if at_risk == 0:
+                assert w not in out
+                continue
+            r = out[w]
+            assert (r["at_risk"], r["events"], r["censored"]) == (
+                at_risk,
+                events,
+                cens,
+            )
+            assert r["hazard_ppm"] == events * 1_000_000 // at_risk
+        # censoring exists on this fixture (users active near the horizon)
+        assert any(r["censored"] > 0 for r in out.values())
