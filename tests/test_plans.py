@@ -159,6 +159,13 @@ _NLJ_ALLOWED = {
     "ext_gini_concentration",
     "ext_ks_test",
     "ext_feature_gini_gain",
+    # tiny-relation inequality joins by construction: the 16-row subset
+    # lattice (Shapley), the 10-row decile grid vs first-occurrence table
+    # (vocab growth), and the week spine vs the users-sized tenure table
+    # (life table) — each bounded independent of corpus size
+    "ext_attribution_shapley",
+    "ext_vocab_growth",
+    "ext_hazard_lifetable",
     "ext_eval_mrr",
     # inherits ext_quality_classifier's 1-row class-counts broadcast
     # (fairness adds the 1-row max-rate bound on top)
