@@ -811,3 +811,97 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         "gini_ppm",
     )
+
+
+@query(
+    "ext_arc_elasticity",
+    oracle=f"""
+    WITH halves AS (
+        SELECT l_partkey AS part_id,
+               (month(CAST(l_shipdate AS DATE)) <= 6) AS h1,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM({cents_sql('l_extendedprice')}) AS BIGINT) AS spend_c
+        FROM lineitem GROUP BY 1, 2
+    ), wide AS (
+        SELECT part_id,
+               MAX(CASE WHEN h1 THEN q END) AS q1,
+               MAX(CASE WHEN NOT h1 THEN q END) AS q2,
+               MAX(CASE WHEN h1 THEN spend_c END) AS s1,
+               MAX(CASE WHEN NOT h1 THEN spend_c END) AS s2
+        FROM halves GROUP BY part_id
+        HAVING MAX(CASE WHEN h1 THEN q END) IS NOT NULL
+           AND MAX(CASE WHEN NOT h1 THEN q END) IS NOT NULL
+    ), priced AS (
+        -- unit prices in cents via truncating division (identical both
+        -- engines); elasticity from the arc (midpoint) formula with
+        -- every product exact int64
+        SELECT part_id, q1, q2,
+               s1 // q1 AS p1_c, s2 // q2 AS p2_c
+        FROM wide
+    )
+    SELECT part_id, CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+           CAST(p1_c AS BIGINT) AS p1_cents, CAST(p2_c AS BIGINT) AS p2_cents,
+           CAST(CASE WHEN p2_c <> p1_c THEN
+                CASE WHEN (q2 - q1) * (p1_c + p2_c) < 0
+                     THEN -(((-((q2 - q1) * (p1_c + p2_c))) * 1000)
+                            // abs((q1 + q2) * (p2_c - p1_c)))
+                     ELSE ((q2 - q1) * (p1_c + p2_c)) * 1000
+                          // abs((q1 + q2) * (p2_c - p1_c)) END
+                * CASE WHEN p2_c > p1_c THEN 1 ELSE -1 END
+                END AS BIGINT) AS elasticity_milli
+    FROM priced
+    """,
+)
+def ext_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt8 — ARC (midpoint) price elasticity of demand per part between
+    the two ship-date halves: e = [(q2−q1)(p1+p2)] / [(q1+q2)(p2−p1)],
+    the log-free elasticity form — evaluated in exact int64 with the
+    sign factored out of the truncating division (numerator sign and
+    price-direction sign composed separately so both engines truncate
+    the same magnitude; CLAUDE.md discipline). Parts whose unit price
+    did not move report NULL rather than a division blow-up.
+
+    Shape: one (part, half) groupBy + a part-level pivot — fact scanned
+    once; the elasticity table is dim-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    halves = li.groupBy(
+        F.col("l_partkey").alias("part_id"),
+        (F.month(F.col("l_shipdate").cast("date")) <= 6).alias("h1"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+        F.sum(cents("l_extendedprice")).cast("bigint").alias("spend_c"),
+    )
+    wide = (
+        halves.groupBy("part_id")
+        .agg(
+            F.max(F.when(F.col("h1"), F.col("q"))).alias("q1"),
+            F.max(F.when(~F.col("h1"), F.col("q"))).alias("q2"),
+            F.max(F.when(F.col("h1"), F.col("spend_c"))).alias("s1"),
+            F.max(F.when(~F.col("h1"), F.col("spend_c"))).alias("s2"),
+        )
+        .where(F.col("q1").isNotNull() & F.col("q2").isNotNull())
+    )
+    priced = wide.select(
+        "part_id",
+        "q1",
+        "q2",
+        F.expr("s1 DIV q1").alias("p1_c"),
+        F.expr("s2 DIV q2").alias("p2_c"),
+    )
+    return priced.select(
+        "part_id",
+        F.col("q1").cast("bigint").alias("q1"),
+        F.col("q2").cast("bigint").alias("q2"),
+        F.col("p1_c").cast("bigint").alias("p1_cents"),
+        F.col("p2_c").cast("bigint").alias("p2_cents"),
+        F.expr(
+            "CAST(CASE WHEN p2_c <> p1_c THEN"
+            " CASE WHEN (q2 - q1) * (p1_c + p2_c) < 0"
+            " THEN -(((-((q2 - q1) * (p1_c + p2_c))) * 1000)"
+            " DIV abs((q1 + q2) * (p2_c - p1_c)))"
+            " ELSE ((q2 - q1) * (p1_c + p2_c)) * 1000"
+            " DIV abs((q1 + q2) * (p2_c - p1_c)) END"
+            " * CASE WHEN p2_c > p1_c THEN 1 ELSE -1 END"
+            " END AS BIGINT)"
+        ).alias("elasticity_milli"),
+    )

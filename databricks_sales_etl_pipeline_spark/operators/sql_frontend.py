@@ -396,3 +396,61 @@ def sql_rebalance_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+PAGE_SIZE = 25
+
+
+@query(
+    "sql_keyset_pagination",
+    oracle=f"""
+    WITH page2_last AS (
+        SELECT o_orderkey FROM orders
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 1 OFFSET {2 * PAGE_SIZE - 1}
+    ), page2_anchor AS (
+        SELECT o.o_orderdate AS ad, o.o_orderkey AS ak
+        FROM orders o JOIN page2_last p ON p.o_orderkey = o.o_orderkey
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    FROM orders o, page2_anchor a
+    WHERE (o.o_orderdate, o.o_orderkey) > (a.ad, a.ak)
+    ORDER BY o.o_orderdate, o.o_orderkey
+    LIMIT {PAGE_SIZE}
+    """,
+)
+def sql_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 — KEYSET (seek) pagination: fetch page 3 as ``WHERE (date,
+    key) > (last_date, last_key) ORDER BY ... LIMIT 25`` instead of
+    ``OFFSET 50`` — the API-serving pattern whose cost is O(page) not
+    O(pages·page): the row-value predicate pushes into the scan and the
+    LIMIT compiles to TakeOrdered, while OFFSET must produce and discard
+    every earlier row. The oracle anchors the same page through the
+    OFFSET form, proving the two formulations return the identical page
+    (the unique (date, key) sort makes the cut tie-free).
+
+    This is also the only RESTARTABLE pagination at 100 TB: the anchor
+    is a value, not a position, so concurrent inserts never shift the
+    page boundary."""
+    register_views(spark, sf_dir)
+    anchor = spark.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS ad, o_orderkey AS ak FROM orders
+        ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        LIMIT 1 OFFSET {2 * PAGE_SIZE - 1}
+        """
+    ).collect()[0]
+    # row-value comparison decomposed at DATE granularity (orderdate is
+    # date-grained), immune to the driver's historical timestamp-shape
+    # churn (CLAUDE.md) — the anchor is re-derived from the live read
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) > DATE '{anchor["ad"]}'
+           OR (CAST(o_orderdate AS DATE) = DATE '{anchor["ad"]}'
+               AND o_orderkey > CAST({anchor["ak"]} AS BIGINT))
+        ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        LIMIT {PAGE_SIZE}
+        """
+    )
