@@ -262,3 +262,88 @@ def ext_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+BUDGET_TOKENS = 6000  # corpus-selection token budget (fixture-scaled)
+
+
+@query(
+    "ext_budget_select",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(tk, x -> x IN
+                    ('the','a','of','and','to','in','is'))) * 1000
+                    // len(tk) AS BIGINT) AS quality_permille
+        FROM toks WHERE len(tk) > 0
+    ), ranked AS (
+        SELECT doc_id, n_tokens, quality_permille,
+               SUM(n_tokens) OVER (ORDER BY quality_permille DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, quality_permille,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(CASE WHEN cum_tokens <= {BUDGET_TOKENS}
+                THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM ranked
+    """,
+)
+def ext_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cr5 — corpus selection under a TOKEN BUDGET: rank documents by
+    quality (the shared stopword-permille fluency proxy), take greedily
+    until the cumulative token count exhausts the budget — the greedy
+    knapsack whose prefix-sum form needs NO iteration (unlike bin
+    packing, the running total never resets, so one ordered window
+    decides every selection flag). Output carries every document with
+    its cumulative position so the marginal document — the one the next
+    budget dollar buys — is visible, not just the selected set.
+
+    Shape: one token-count scan + one ordered window over the DOC-level
+    table; at 100 TB the global sort swaps for quality-band bucketing +
+    per-band prefix sums (the ext_token_shards discipline), same
+    output contract."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    scored = d.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        (
+            F.size(
+                F.filter(
+                    tk,
+                    lambda x: x.isin("the", "a", "of", "and", "to", "in", "is"),
+                )
+            )
+            * 1000
+        ).alias("stop_x1000"),
+    ).where(F.col("n_tokens") > 0)
+    scored = scored.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("stop_x1000 DIV n_tokens").cast("bigint").alias(
+            "quality_permille"
+        ),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("quality_permille").desc(), "doc_id").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "quality_permille",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.when(F.col("cum_tokens") <= BUDGET_TOKENS, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("selected"),
+    )

@@ -880,3 +880,65 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KS_FLAG).alias("reject_h0"),
     )
     return out
+
+
+@query(
+    "ext_dispersion_index",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), moments AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sxx,
+           CAST((n * sxx - sx * sx) * 1000 // (n * sx) AS BIGINT)
+               AS dispersion_milli,
+           CAST(CASE WHEN (n * sxx - sx * sx) * 1000 // (n * sx) > 1500
+                THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+    FROM moments
+    """,
+)
+def ext_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr11 — index of dispersion (variance-to-mean ratio) of the daily
+    count series per event type, in exact integer milli-units:
+    ``(n·Σx² − (Σx)²) / (n·Σx)`` — the Poisson-ness screen run BEFORE
+    fitting any count model (Poisson assumes ≈1000 milli; bursty/
+    clumped arrivals push it up, and the 1.5 flag marks the series that
+    need a negative-binomial or a burst investigation). No variance
+    doubles anywhere — the n-scaled moment identity stays in int64.
+
+    Shape: one (type, day) groupBy then a 5-row moment aggregate."""
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = e.groupBy("event_type", day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return moments.select(
+        "event_type",
+        "n",
+        "sx",
+        "sxx",
+        F.expr(
+            "CAST((n * sxx - sx * sx) * 1000 DIV (n * sx) AS BIGINT)"
+        ).alias("dispersion_milli"),
+        F.expr(
+            "CAST(CASE WHEN (n * sxx - sx * sx) * 1000 DIV (n * sx) > 1500"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("overdispersed"),
+    )
