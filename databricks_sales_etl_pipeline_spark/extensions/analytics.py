@@ -1311,3 +1311,117 @@ def ext_hazard_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("hazard_ppm"),
     )
+
+
+@query(
+    "ext_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treated,
+               CASE WHEN month(CAST(o.o_orderdate AS DATE)) > 6
+                    THEN 1 ELSE 0 END AS post,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), agg AS (
+        SELECT
+          CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_t_pre,
+          CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN v ELSE 0 END)
+               AS BIGINT) AS s_t_pre,
+          CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_t_post,
+          CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS s_t_post,
+          CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_c_pre,
+          CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN v ELSE 0 END)
+               AS BIGINT) AS s_c_pre,
+          CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_c_post,
+          CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN v ELSE 0 END)
+               AS BIGINT) AS s_c_post
+        FROM cells
+    )
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           CAST(s_t_pre * 1000 // n_t_pre AS BIGINT) AS m_t_pre,
+           CAST(s_t_post * 1000 // n_t_post AS BIGINT) AS m_t_post,
+           CAST(s_c_pre * 1000 // n_c_pre AS BIGINT) AS m_c_pre,
+           CAST(s_c_post * 1000 // n_c_post AS BIGINT) AS m_c_post,
+           CAST((s_t_post * 1000 // n_t_post - s_t_pre * 1000 // n_t_pre)
+                - (s_c_post * 1000 // n_c_post - s_c_pre * 1000 // n_c_pre)
+                AS BIGINT) AS did_millicents
+    FROM agg
+    """,
+)
+def ext_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An12 — difference-in-differences: the workhorse causal estimator
+    when treatment wasn't randomized. Treated cohort = BUILDING-segment
+    customers, periods = H1 (pre) vs H2 (post); DiD = (treated post −
+    treated pre) − (control post − control pre) of mean order value —
+    the control arm's trend nets out seasonality that a naive pre/post
+    on the treated arm alone would book as treatment effect. All four
+    cell means are exact integer milli-cents (sum·1000 DIV n, identical
+    truncating division in both engines — Spark ``DIV`` == DuckDB ``//``
+    on non-negatives), so the estimate is hash-checkable; sum·1000
+    stays in int64 below ~9·10¹⁵ cents (≈ $90 T) per cell.
+
+    Shape: one broadcast customer join + ONE conditional-sum pass (no
+    groupBy shuffle at all — the 2×2 grid lives in eight running
+    aggregates). At 100 TB the only data-sized cost is the fact scan."""
+    from databricks_sales_etl_pipeline_spark.functions.money import cents
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = o.join(broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.month(F.col("o_orderdate").cast("date")) > 6, 1)
+        .otherwise(0)
+        .alias("post"),
+        cents(F.col("o_totalprice")).alias("v"),
+    )
+
+    def _cell(tr: int, po: int, expr, name: str):
+        return (
+            F.sum(
+                F.when(
+                    (F.col("treated") == tr) & (F.col("post") == po), expr
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    agg = cells.agg(
+        _cell(1, 0, F.lit(1), "n_t_pre"),
+        _cell(1, 0, F.col("v"), "s_t_pre"),
+        _cell(1, 1, F.lit(1), "n_t_post"),
+        _cell(1, 1, F.col("v"), "s_t_post"),
+        _cell(0, 0, F.lit(1), "n_c_pre"),
+        _cell(0, 0, F.col("v"), "s_c_pre"),
+        _cell(0, 1, F.lit(1), "n_c_post"),
+        _cell(0, 1, F.col("v"), "s_c_post"),
+    )
+    return agg.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.expr("CAST(s_t_pre * 1000 DIV n_t_pre AS BIGINT)").alias("m_t_pre"),
+        F.expr("CAST(s_t_post * 1000 DIV n_t_post AS BIGINT)").alias(
+            "m_t_post"
+        ),
+        F.expr("CAST(s_c_pre * 1000 DIV n_c_pre AS BIGINT)").alias("m_c_pre"),
+        F.expr("CAST(s_c_post * 1000 DIV n_c_post AS BIGINT)").alias(
+            "m_c_post"
+        ),
+        F.expr(
+            "CAST((s_t_post * 1000 DIV n_t_post - s_t_pre * 1000 DIV n_t_pre)"
+            " - (s_c_post * 1000 DIV n_c_post - s_c_pre * 1000 DIV n_c_pre)"
+            " AS BIGINT)"
+        ).alias("did_millicents"),
+    )

@@ -942,3 +942,132 @@ def ext_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("overdispersed"),
     )
+
+
+#: Mann–Whitney normal approximation with tie correction — ONE shared
+#: expression string over exact-integer inputs (two_u1, n1, n2, tie_sum),
+#: so the z value is bit-identical in both engines (the ext_rank_wilson
+#: discipline: /, * and SQRT are IEEE correctly rounded).
+_MW_Z = (
+    "((CAST(two_u1 AS DOUBLE) / CAST(2 AS DOUBLE))"
+    " - (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / CAST(2 AS DOUBLE))"
+    " / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12 AS DOUBLE))"
+    "   * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + CAST(1 AS DOUBLE))"
+    "      - CAST(tie_sum AS DOUBLE)"
+    "        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    "           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)"
+    "              - CAST(1 AS DOUBLE)))))"
+)
+
+_MW_REJECT = (
+    f"CAST(CASE WHEN ABS({_MW_Z}) > CAST('1.96' AS DOUBLE)"
+    " THEN 1 ELSE 0 END AS BIGINT)"
+)
+
+
+@query(
+    "ext_mann_whitney",
+    oracle=f"""
+    WITH s AS (
+        SELECT {cents_sql('o_totalprice')} AS v,
+               (month(CAST(o_orderdate AS DATE)) <= 6) AS g1
+        FROM orders
+    ), tot AS (
+        SELECT CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        FROM s
+    ), per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        FROM s GROUP BY v
+    ), cums AS (
+        SELECT v, c1, c2,
+               CAST(SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) - (c1 + c2) AS below
+        FROM per_v
+    ), agg AS (
+        SELECT CAST(SUM(c1 * (2 * below + c1 + c2 + 1)) AS BIGINT) AS two_r1,
+               CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+                    AS BIGINT) AS tie_sum
+        FROM cums
+    ), u AS (
+        SELECT t.n1, t.n2, a.two_r1, a.tie_sum,
+               CAST(a.two_r1 - t.n1 * (t.n1 + 1) AS BIGINT) AS two_u1
+        FROM agg a, tot t
+    )
+    SELECT n1, n2, two_r1, two_u1,
+           CAST(2 * n1 * n2 - two_u1 AS BIGINT) AS two_u2,
+           tie_sum,
+           {_MW_Z} AS z_value,
+           {_MW_REJECT} AS reject_h0
+    FROM u
+    """,
+)
+def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr12 — Mann–Whitney U rank-sum test between first-half and
+    second-half order amounts: the nonparametric location-shift
+    complement of ``ext_ks_test`` (KS asks "same distribution?",
+    Mann–Whitney asks "does one half stochastically dominate?").
+    Midranks under ties are kept EXACT by working in doubled units —
+    2·midrank(v) = 2·|below v| + |tied at v| + 1 is always an integer —
+    so 2R₁, 2U₁, 2U₂ and the tie term Σ(t³−t) are all int64, and the
+    only doubles are the final z (one shared expression string, IEEE
+    bit-identical in both engines) and its α=0.05 verdict.
+
+    Shape: one value-grid groupBy + one ordered window over distinct
+    amounts (bounded by value NDV, not rows) + a 1-row broadcast —
+    identical cost profile to ``ext_ks_test``. 2R₁ ≤ 2n² stays in int64
+    through ~2·10⁹ rows per test cell; beyond that, test on a hash
+    sample band (the ``ext_sample_bernoulli`` primitive)."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        cents(F.col("o_totalprice")).alias("v"),
+        (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("g1"),
+    )
+    tot = s.agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("n2"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_v.select(
+        "v",
+        "c1",
+        "c2",
+        (
+            F.sum(F.col("c1") + F.col("c2")).over(wv)
+            - (F.col("c1") + F.col("c2"))
+        ).alias("below"),
+    )
+    t = F.col("c1") + F.col("c2")
+    agg = cums.agg(
+        F.sum(F.col("c1") * (2 * F.col("below") + t + 1))
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie_sum"),
+    )
+    u = agg.crossJoin(broadcast(tot)).select(
+        "n1",
+        "n2",
+        "two_r1",
+        "tie_sum",
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+        .cast("bigint")
+        .alias("two_u1"),
+    )
+    return u.select(
+        "n1",
+        "n2",
+        "two_r1",
+        "two_u1",
+        (2 * F.col("n1") * F.col("n2") - F.col("two_u1"))
+        .cast("bigint")
+        .alias("two_u2"),
+        "tie_sum",
+        F.expr(_MW_Z).alias("z_value"),
+        F.expr(_MW_REJECT).alias("reject_h0"),
+    )

@@ -655,3 +655,117 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_max",
         )
     )
+
+
+#: McNemar classifier-A decision threshold (cents) — mid-range of the
+#: fixture's order totals; shared by Spark, oracle and tests.
+MCNEMAR_A_CENTS = 25_000_000
+
+
+@query(
+    "ext_mcnemar_test",
+    oracle=f"""
+    WITH truth AS (
+        SELECT l_orderkey,
+               CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ), paired AS (
+        SELECT COALESCE(t.y, 0) AS y,
+               CASE WHEN {cents_sql('o.o_totalprice')} > {MCNEMAR_A_CENTS}
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS b
+        FROM orders o LEFT JOIN truth t ON o.o_orderkey = t.l_orderkey
+    ), cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN a = y AND b = y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_correct,
+               CAST(SUM(CASE WHEN a <> y AND b <> y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_wrong,
+               CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a_only,
+               CAST(SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b_only
+        FROM paired
+    )
+    SELECT n_pairs, both_correct, both_wrong, a_only, b_only,
+           CAST(CASE WHEN a_only + b_only > 0 THEN
+                (abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)
+                * 1000 // (a_only + b_only) END AS BIGINT) AS chi2_milli,
+           CAST(CASE WHEN a_only + b_only > 0 AND
+                (abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)
+                * 1000 // (a_only + b_only) > 3841
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+    FROM cells
+    """,
+)
+def ext_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev10 — McNemar's paired test: do two classifiers of the same
+    orders (A: total above a price threshold; B: urgent/high priority)
+    differ in accuracy against the returned-order label? The test uses
+    ONLY the discordant pairs (A right & B wrong vs the reverse) — the
+    statistically honest comparison when both classifiers saw the same
+    items (two independent accuracy CIs ignore the pairing). Statistic
+    is the Edwards continuity-corrected χ² = (|b−c|−1)²/(b+c) in exact
+    integer milli-units (staged nothing — (b−c)² ≤ n² stays in int64
+    through ~3·10⁶ discordant pairs per evaluation slice; larger eval
+    sets test on hash-sampled slices), with the χ²₁ α=0.05 verdict
+    (3.841). NULL statistic when there are no discordant pairs.
+
+    Shape: one lineitem groupBy (the label), one broadcast-joinable
+    probe, one 1-row aggregate. The label aggregation is the only
+    shuffle that scales with data."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    truth = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    paired = o.join(
+        truth, o["o_orderkey"] == truth["l_orderkey"], "left"
+    ).select(
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        F.when(cents(F.col("o_totalprice")) > MCNEMAR_A_CENTS, 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    cells = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when((F.col("a") == F.col("y")) & (F.col("b") == F.col("y")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_correct"),
+        F.sum(F.when((F.col("a") != F.col("y")) & (F.col("b") != F.col("y")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_wrong"),
+        F.sum(F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_only"),
+        F.sum(F.when((F.col("a") != F.col("y")) & (F.col("b") == F.col("y")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_only"),
+    )
+    return cells.select(
+        "n_pairs",
+        "both_correct",
+        "both_wrong",
+        "a_only",
+        "b_only",
+        F.expr(
+            "CAST(CASE WHEN a_only + b_only > 0 THEN"
+            " (abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)"
+            " * 1000 DIV (a_only + b_only) END AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "CAST(CASE WHEN a_only + b_only > 0 AND"
+            " (abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)"
+            " * 1000 DIV (a_only + b_only) > 3841"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_h0"),
+    )

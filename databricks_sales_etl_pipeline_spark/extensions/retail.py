@@ -905,3 +905,79 @@ def ext_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("elasticity_milli"),
     )
+
+
+@query(
+    "ext_twap",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               event_id,
+               CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_milli
+        FROM events
+    ), seg AS (
+        SELECT event_type, v_milli,
+               lead(us) OVER (PARTITION BY event_type
+                              ORDER BY us, event_id) - us AS dur_us
+        FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(SUM(v_milli * dur_us) // SUM(dur_us) AS BIGINT)
+               AS twap_milli,
+           CAST(SUM(v_milli) // COUNT(*) AS BIGINT) AS mean_milli
+    FROM seg WHERE dur_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ext_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt9 — time-weighted average value per event type: each reading is
+    weighted by how long it was the CURRENT reading (microseconds until
+    the next event of the same type), beside the naive per-event mean it
+    corrects — the metric that makes irregularly-sampled gauges (queue
+    depth, price, temperature) comparable across periods with different
+    sampling cadences. Weights are exact integer micros (``unix_micros``
+    ↔ ``epoch_us``, CLAUDE.md), values exact integer milli-units, so the
+    weighted sum is int64-exact: Σ(v·dur) ≤ max_v_milli · total span,
+    safe through ~10⁴-unit gauges over ~30-year spans. Ordering within
+    equal timestamps is pinned by event_id.
+
+    Shape: ONE event_type hash shuffle feeding both the lead() window
+    and the aggregate — the session/attribution cost profile; the final
+    per-type grid is K rows."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_milli"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    seg = e.select(
+        "event_type",
+        "v_milli",
+        (F.lead("us").over(w) - F.col("us")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+            F.sum(F.col("v_milli") * F.col("dur_us")).alias("wsum"),
+            F.sum("v_milli").alias("vsum"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            "total_dur_us",
+            F.expr("CAST(wsum DIV total_dur_us AS BIGINT)").alias(
+                "twap_milli"
+            ),
+            F.expr("CAST(vsum DIV n_intervals AS BIGINT)").alias(
+                "mean_milli"
+            ),
+        )
+    )
