@@ -1071,3 +1071,120 @@ def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MW_Z).alias("z_value"),
         F.expr(_MW_REJECT).alias("reject_h0"),
     )
+
+
+#: chi-square 5x5 independence grid — the fixture's full label sets,
+#: shared by Spark, oracle and tests (order fixes the expression tree).
+CHI2_SEGS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE", "BUILDING"]
+CHI2_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _chi2_exprs() -> tuple[str, str, str]:
+    """(margin-sum select fragment, S-sum expr, full shared tail) for the
+    5x5 grid — ONE programmatically-built expression string evaluated by
+    both engines, so the only doubles (chi2, Cramer's V) are bit-exact.
+    Uses the identity chi2 = n*(S - 1), S = sum o_ij^2/(r_i*c_j)."""
+    margins = []
+    for i in range(5):
+        margins.append(
+            "CAST(" + " + ".join(f"o_{i}_{j}" for j in range(5))
+            + f" AS BIGINT) AS r_{i}"
+        )
+    for j in range(5):
+        margins.append(
+            "CAST(" + " + ".join(f"o_{i}_{j}" for i in range(5))
+            + f" AS BIGINT) AS c_{j}"
+        )
+    margins.append(
+        "CAST(" + " + ".join(f"o_{i}_{j}" for i in range(5) for j in range(5))
+        + " AS BIGINT) AS n"
+    )
+    s_sum = " + ".join(
+        f"CAST(o_{i}_{j} AS DOUBLE) * CAST(o_{i}_{j} AS DOUBLE)"
+        f" / (CAST(r_{i} AS DOUBLE) * CAST(c_{j} AS DOUBLE))"
+        for i in range(5)
+        for j in range(5)
+    )
+    chi2 = f"CAST(n AS DOUBLE) * (({s_sum}) - CAST(1 AS DOUBLE))"
+    return ", ".join(margins), chi2, (
+        f"SQRT(({chi2}) / (CAST(n AS DOUBLE) * CAST(4 AS DOUBLE)))"
+    )
+
+
+_CHI2_MARGINS, _CHI2_EXPR, _CRAMERS_EXPR = _chi2_exprs()
+
+
+def _chi2_cells_sql() -> str:
+    cells = []
+    for i, sg in enumerate(CHI2_SEGS):
+        for j, pr in enumerate(CHI2_PRIOS):
+            cells.append(
+                "CAST(SUM(CASE WHEN c.c_mktsegment = '" + sg
+                + "' AND o.o_orderpriority = '" + pr
+                + f"' THEN 1 ELSE 0 END) AS BIGINT) AS o_{i}_{j}"
+            )
+    return ", ".join(cells)
+
+
+@query(
+    "ext_chi2_independence",
+    oracle=f"""
+    WITH obs AS (
+        SELECT {_chi2_cells_sql()}
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), marg AS (
+        SELECT *, {_CHI2_MARGINS} FROM obs
+    )
+    SELECT n,
+           CAST(16 AS BIGINT) AS dof,
+           {_CHI2_EXPR} AS chi2_value,
+           {_CRAMERS_EXPR} AS cramers_v,
+           CAST(CASE WHEN {_CHI2_EXPR} > CAST('26.296' AS DOUBLE)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+    FROM marg
+    """,
+)
+def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr13 — chi-square test of independence between customer market
+    segment and order priority over the full 5x5 contingency grid, with
+    Cramer's V effect size (the scale-free companion the raw chi2
+    lacks — chi2 grows with n even for negligible association). All 25
+    observed cells and 10 margins are EXACT integers from ONE
+    conditional-sum pass (no groupBy shuffle — the ext_diff_in_diff
+    grid discipline); the only doubles are the final chi2 = n*(S-1)
+    (S = sum o^2/(r*c)) and V, each ONE programmatically-built shared
+    expression string with a fixed evaluation order, so both engines
+    fold the identical IEEE tree and the values hash-match. Verdict at
+    alpha=0.05, dof=16 (26.296).
+
+    Shape: one broadcast dim join + one 25-aggregate pass; nothing but
+    the fact scan scales with data."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+    obs = j.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("c_mktsegment") == sg)
+                    & (F.col("o_orderpriority") == pr),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"o_{i}_{j_}")
+            for i, sg in enumerate(CHI2_SEGS)
+            for j_, pr in enumerate(CHI2_PRIOS)
+        ]
+    )
+    marg = obs.selectExpr("*", *_CHI2_MARGINS.split(", "))
+    return marg.select(
+        "n",
+        F.lit(16).cast("bigint").alias("dof"),
+        F.expr(_CHI2_EXPR).alias("chi2_value"),
+        F.expr(_CRAMERS_EXPR).alias("cramers_v"),
+        F.expr(
+            f"CAST(CASE WHEN {_CHI2_EXPR} > CAST('26.296' AS DOUBLE)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_h0"),
+    )

@@ -518,3 +518,74 @@ def ext_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("v").alias("brand"), F.col("dist").cast("bigint").alias("dist")
     )
+
+
+HITS_TOP_K = 20
+
+
+@query(
+    "ext_hits_bipartite",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), auth AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY p
+    ), hub AS (
+        SELECT e.s,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(a.a1) AS BIGINT) AS h1
+        FROM e JOIN auth a ON a.p = e.p
+        GROUP BY e.s
+    ), mx AS (
+        SELECT CAST(MAX(h1) AS BIGINT) AS hmax FROM hub
+    )
+    SELECT s AS suppkey, n_parts, h1,
+           CAST(h1 * 1000000 // hmax AS BIGINT) AS hub_ppm
+    FROM hub, mx
+    ORDER BY h1 DESC, suppkey
+    LIMIT {HITS_TOP_K}
+    """,
+)
+def ext_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HITS iteration over the supplier-part bipartite graph (the
+    natural hub/authority split: suppliers are hubs, parts are
+    authorities). From uniform hubs, authority a1(p) = #suppliers
+    carrying p; the hub update h1(s) = sum of a1 over s's catalog then
+    rewards suppliers whose PARTS are widely carried — a different
+    ranking than raw catalog size (a supplier of obscure parts scores
+    low however many it sells). Kleinberg's mutual reinforcement in
+    exact int64; ppm normalization by the max hub replaces the usual
+    L2 norm so no float enters the hashed output. Top-{HITS_TOP_K}
+    with suppkey tiebreak.
+
+    Shape: distinct-edge projection, one part groupBy, one edge-auth
+    join (authority side is part-keyed — broadcastable at dim scale),
+    one supplier groupBy + top-k. Further iterations repeat the same
+    two joins — each is one shuffle of (key, int) pairs."""
+    e = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    auth = e.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
+    hub = (
+        e.join(auth, "p")
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("a1").cast("bigint").alias("h1"),
+        )
+    )
+    mx = hub.agg(F.max("h1").cast("bigint").alias("hmax"))
+    out = (
+        hub.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("s").alias("suppkey"),
+            "n_parts",
+            "h1",
+            F.expr("CAST(h1 * 1000000 DIV hmax AS BIGINT)").alias("hub_ppm"),
+        )
+        .orderBy(F.col("h1").desc(), "suppkey")
+        .limit(HITS_TOP_K)
+    )
+    return out

@@ -981,3 +981,109 @@ def ext_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ITEMCF_MIN_CO = 2   #: minimum co-purchase support for a candidate pair
+ITEMCF_TOP_K = 5    #: neighbors kept per item
+
+
+@query(
+    "ext_recsys_itemcf",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+    ), freq AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY i
+    ), pairs AS (
+        SELECT a.i AS ia, b.i AS ib, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM dt a JOIN dt b ON a.o = b.o AND a.i < b.i
+        GROUP BY a.i, b.i
+        HAVING COUNT(*) >= {ITEMCF_MIN_CO}
+    ), sym AS (
+        SELECT ia AS item, ib AS neighbor, n_ab FROM pairs
+        UNION ALL
+        SELECT ib AS item, ia AS neighbor, n_ab FROM pairs
+    ), scored AS (
+        SELECT s.item, s.neighbor, s.n_ab, fa.n AS n_item, fb.n AS n_neighbor,
+               CAST(s.n_ab * s.n_ab * 1000000 // (fa.n * fb.n) AS BIGINT)
+                   AS cosine2_ppm
+        FROM sym s
+        JOIN freq fa ON fa.i = s.item
+        JOIN freq fb ON fb.i = s.neighbor
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY item
+                   ORDER BY cosine2_ppm DESC, n_ab DESC, neighbor) AS rk
+        FROM scored
+    )
+    SELECT item, neighbor, n_ab, n_item, n_neighbor, cosine2_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {ITEMCF_TOP_K}
+    """,
+)
+def ext_recsys_itemcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt10 — item-item collaborative filtering (the Amazon-style
+    "customers also bought"): for every part, its top-{ITEMCF_TOP_K}
+    neighbors by co-purchase COSINE similarity over order baskets.
+    Cosine enters hashed output as exact squared-ppm — cos^2 =
+    n_ab^2/(n_a*n_b) preserves the ranking (all quantities
+    non-negative) while keeping sqrt out of the comparison; support
+    floor {ITEMCF_MIN_CO} prunes noise pairs. Ranking fully pinned
+    (score, support, neighbor id). The lift variant of this pairing is
+    ext_cooccurrence_lift on tokens; this one is the recommender
+    contract on baskets.
+
+    Shape: one basket self-join bounded by lines-per-order^2 (TPC-H
+    baskets are ~5 lines), two dim-sized frequency joins, one top-k
+    window partitioned by item. At 100 TB the self-join shuffles
+    (order, item) int pairs only — never payloads; skewed mega-baskets
+    would be capped upstream (ext_cap_per_group is the guard)."""
+    dt = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    freq = dt.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= ITEMCF_MIN_CO)
+    )
+    sym = pairs.select(
+        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "n_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "n_ab"
+        )
+    )
+    fa = freq.select(F.col("i").alias("item"), F.col("n").alias("n_item"))
+    fb = freq.select(
+        F.col("i").alias("neighbor"), F.col("n").alias("n_neighbor")
+    )
+    scored = (
+        sym.join(fa, "item")
+        .join(fb, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "n_ab",
+            "n_item",
+            "n_neighbor",
+            F.expr(
+                "CAST(n_ab * n_ab * 1000000 DIV (n_item * n_neighbor)"
+                " AS BIGINT)"
+            ).alias("cosine2_ppm"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine2_ppm").desc(), F.col("n_ab").desc(), "neighbor"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= ITEMCF_TOP_K)
+        .select(
+            "item", "neighbor", "n_ab", "n_item", "n_neighbor",
+            "cosine2_ppm", "rk",
+        )
+    )
