@@ -1188,3 +1188,76 @@ def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_h0"),
     )
+
+
+#: c-chart 3-sigma limits — ONE shared expression string over the exact
+#: integer totals (sx, nd), IEEE bit-identical in both engines.
+_C_UCL = (
+    "(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)"
+    " + CAST(3 AS DOUBLE) * SQRT(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)))"
+)
+_C_LCL = (
+    "GREATEST(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)"
+    " - CAST(3 AS DOUBLE) * SQRT(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)),"
+    " CAST(0 AS DOUBLE))"
+)
+
+
+@query(
+    "ext_control_chart_c",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS sx
+        FROM daily
+    )
+    SELECT d, x,
+           CAST(sx * 1000 // nd AS BIGINT) AS cbar_milli,
+           CAST(CASE WHEN CAST(x AS DOUBLE) > {_C_UCL}
+                THEN 1 ELSE 0 END AS BIGINT) AS breach_hi,
+           CAST(CASE WHEN CAST(x AS DOUBLE) < {_C_LCL}
+                THEN 1 ELSE 0 END AS BIGINT) AS breach_lo
+    FROM daily, tot
+    """,
+)
+def ext_control_chart_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr14 — Shewhart c-chart over the daily order-count series: count
+    data control limits cbar +/- 3*sqrt(cbar) (the Poisson 3-sigma
+    rule), with per-day breach flags — the SPC screen that catches
+    pipeline outages (low breach) and ingest storms (high breach)
+    before they poison downstream aggregates. The center line is exact
+    integer milli; the limits are doubles from ONE shared expression
+    string over the exact totals, so the flags hash-match. The
+    companion ext_dispersion_index tells you whether the Poisson
+    assumption behind the +/-3*sqrt(cbar) width even holds.
+
+    Shape: one date groupBy + a 1-row totals broadcast fanned onto the
+    calendar-sized daily table."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    return daily.crossJoin(broadcast(tot)).select(
+        "d",
+        "x",
+        F.expr("CAST(sx * 1000 DIV nd AS BIGINT)").alias("cbar_milli"),
+        F.expr(
+            f"CAST(CASE WHEN CAST(x AS DOUBLE) > {_C_UCL}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("breach_hi"),
+        F.expr(
+            f"CAST(CASE WHEN CAST(x AS DOUBLE) < {_C_LCL}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("breach_lo"),
+    )

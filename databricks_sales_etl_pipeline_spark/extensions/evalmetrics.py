@@ -769,3 +769,128 @@ def ext_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_h0"),
     )
+
+
+#: isotonic calibration band width (cents) — 10 equal bands over the
+#: fixture's order-total range; shared by Spark, oracle and tests.
+ISO_BAND_CENTS = 5_000_000
+
+
+@query(
+    "ext_isotonic_calibration",
+    oracle=f"""
+    WITH truth AS (
+        SELECT l_orderkey,
+               CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ), scored AS (
+        SELECT {cents_sql('o.o_totalprice')} // {ISO_BAND_CENTS} AS band,
+               COALESCE(t.y, 0) AS y
+        FROM orders o LEFT JOIN truth t ON o.o_orderkey = t.l_orderkey
+    ), bands AS (
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM scored GROUP BY band
+    ), intervals AS (
+        SELECT s.band AS s, t.band AS t,
+               CAST(SUM(m.pos) * 1000 // SUM(m.n) AS BIGINT) AS avg_milli
+        FROM bands s
+        JOIN bands t ON s.band <= t.band
+        JOIN bands m ON m.band BETWEEN s.band AND t.band
+        GROUP BY s.band, t.band
+    ), lower_env AS (
+        SELECT b.band, i.s, CAST(MIN(i.avg_milli) AS BIGINT) AS m1
+        FROM bands b JOIN intervals i ON i.s <= b.band AND i.t >= b.band
+        GROUP BY b.band, i.s
+    ), fitted AS (
+        SELECT band, CAST(MAX(m1) AS BIGINT) AS iso_milli
+        FROM lower_env GROUP BY band
+    )
+    SELECT b.band, b.n, b.pos,
+           CAST(b.pos * 1000 // b.n AS BIGINT) AS raw_milli,
+           f.iso_milli
+    FROM bands b JOIN fitted f ON f.band = b.band
+    """,
+)
+def ext_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev11 — isotonic-regression calibration curve: fit the
+    non-decreasing step function closest to the per-band return rate
+    (bands = fixed {ISO_BAND_CENTS}-cent slices of order total, the
+    "score"), via the MINIMAX identity iso(i) = max_(s<=i) min_(t>=i)
+    avg(s..t) — the closed form of pool-adjacent-violators that needs
+    NO iteration, just two groupBys over the interval lattice of the
+    BAND table (10 rows; intervals 55, membership 220 — all constant
+    regardless of corpus size). Rates are exact truncated milli, and
+    the max-of-min composition is monotone for ANY inner function, so
+    the fixed-point fit is provably non-decreasing (unit-tested) and
+    hash-checkable. This is the calibrator behind every "calibrated
+    probability" claim; production applies the fitted steps back to
+    raw scores with a range join.
+
+    Shape: one label groupBy + one band groupBy scale with data; the
+    lattice math is O(B^3) on B=10 rows."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    truth = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    scored = o.join(
+        truth, o["o_orderkey"] == truth["l_orderkey"], "left"
+    ).select(
+        F.expr(
+            f"CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            f" DIV {ISO_BAND_CENTS}"
+        ).alias("band"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    # 10-row model table consumed FIVE times by the lattice below —
+    # checkpoint once so the corpus aggregation isn't re-run per alias
+    bands = (
+        scored.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .localCheckpoint()
+    )
+    s = bands.select(F.col("band").alias("s"))
+    t = bands.select(F.col("band").alias("t"))
+    m = bands.select(
+        F.col("band").alias("mb"), F.col("n").alias("mn"),
+        F.col("pos").alias("mpos"),
+    )
+    intervals = (
+        s.join(t, F.col("s") <= F.col("t"))
+        .join(m, (F.col("mb") >= F.col("s")) & (F.col("mb") <= F.col("t")))
+        .groupBy("s", "t")
+        .agg(
+            F.expr("CAST(SUM(mpos) * 1000 DIV SUM(mn) AS BIGINT)").alias(
+                "avg_milli"
+            )
+        )
+    )
+    idx = bands.select(F.col("band").alias("i"))
+    lower_env = (
+        idx.join(
+            intervals, (F.col("s") <= F.col("i")) & (F.col("t") >= F.col("i"))
+        )
+        .groupBy("i", "s")
+        .agg(F.min("avg_milli").cast("bigint").alias("m1"))
+    )
+    fitted = lower_env.groupBy("i").agg(
+        F.max("m1").cast("bigint").alias("iso_milli")
+    )
+    return (
+        bands.join(fitted, bands["band"] == fitted["i"])
+        .select(
+            "band",
+            "n",
+            "pos",
+            F.expr("CAST(pos * 1000 DIV n AS BIGINT)").alias("raw_milli"),
+            "iso_milli",
+        )
+    )

@@ -562,10 +562,13 @@ def ext_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (authority side is part-keyed — broadcastable at dim scale),
     one supplier groupBy + top-k. Further iterations repeat the same
     two joins — each is one shuffle of (key, int) pairs."""
+    # distinct edge projection feeds BOTH the authority and the hub pass —
+    # materialize once (the dedup-pipeline localCheckpoint discipline)
     e = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint()
     )
     auth = e.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
     hub = (

@@ -99,3 +99,105 @@ def ext_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_ppm").cast("bigint").alias("score_ppm_sum"),
         F.expr("CAST(SUM(p_ppm) DIV COUNT(*) AS BIGINT)").alias("mean_p_ppm"),
     )
+
+
+@query(
+    "ext_zipf_check",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY tok
+    ), ranked AS (
+        SELECT tok, f,
+               CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT) AS r
+        FROM freq
+    ), bucketed AS (
+        SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS rank_log2,
+               f,
+               CAST(length(bin(f)) - 1 AS BIGINT) AS flog2
+        FROM ranked
+    ), per_b AS (
+        SELECT rank_log2,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(f) AS BIGINT) AS total_freq,
+               CAST(MAX(f) AS BIGINT) AS max_freq,
+               CAST(SUM(flog2) * 1000 // COUNT(*) AS BIGINT)
+                   AS mean_flog2_milli
+        FROM bucketed GROUP BY rank_log2
+    )
+    SELECT rank_log2, n_tokens, total_freq, max_freq, mean_flog2_milli,
+           CAST(lag(mean_flog2_milli, 1, mean_flog2_milli)
+                OVER (ORDER BY rank_log2) - mean_flog2_milli AS BIGINT)
+               AS drop_milli
+    FROM per_b
+    """,
+)
+def ext_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lm2 — Zipf's-law conformance check over the token frequency
+    table: bucket tokens by floor(log2(rank)) (doubling buckets) and
+    report the mean floor(log2(frequency)) per bucket plus its drop
+    from the previous bucket — under Zipf (f proportional to 1/rank)
+    the drop is ~1000 milli per bucket, and large deviations flag
+    corpora that are boilerplate-heavy (flat head) or OCR-noisy
+    (overlong tail). Both log2 floors use the bit-length identity
+    length(bin(n)) - 1 (CLAUDE.md: libm log2 is not floor-safe near
+    integer boundaries), so the whole report is exact int64 — no libm
+    anywhere. The first bucket's lag defaults to itself (drop 0), so
+    no NULL-bearing integer column enters the hashed output.
+
+    Shape: one token groupBy (vocabulary-sized), one global rank
+    window over the vocab table, one ~log2(V)-row aggregate. At 100 TB
+    the rank window is the only global sort and it runs on the VOCAB
+    table, not the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    wr = Window.orderBy(F.col("f").desc(), "tok")
+    ranked = freq.select(
+        "f", F.row_number().over(wr).cast("bigint").alias("r")
+    )
+    bucketed = ranked.select(
+        (F.length(F.bin("r")) - 1).cast("bigint").alias("rank_log2"),
+        "f",
+        (F.length(F.bin("f")) - 1).cast("bigint").alias("flog2"),
+    )
+    per_b = bucketed.groupBy("rank_log2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("f").cast("bigint").alias("total_freq"),
+        F.max("f").cast("bigint").alias("max_freq"),
+        F.expr("CAST(SUM(flog2) * 1000 DIV COUNT(*) AS BIGINT)").alias(
+            "mean_flog2_milli"
+        ),
+    )
+    wb = Window.orderBy("rank_log2")
+    return per_b.select(
+        "rank_log2",
+        "n_tokens",
+        "total_freq",
+        "max_freq",
+        "mean_flog2_milli",
+        (
+            F.lag("mean_flog2_milli", 1, None).over(wb)
+        ).alias("_prev"),
+    ).select(
+        "rank_log2",
+        "n_tokens",
+        "total_freq",
+        "max_freq",
+        "mean_flog2_milli",
+        (
+            F.coalesce(F.col("_prev"), F.col("mean_flog2_milli"))
+            - F.col("mean_flog2_milli")
+        )
+        .cast("bigint")
+        .alias("drop_milli"),
+    )

@@ -1032,38 +1032,63 @@ def ext_recsys_itemcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_cooccurrence_lift on tokens; this one is the recommender
     contract on baskets.
 
-    Shape: one basket self-join bounded by lines-per-order^2 (TPC-H
-    baskets are ~5 lines), two dim-sized frequency joins, one top-k
-    window partitioned by item. At 100 TB the self-join shuffles
-    (order, item) int pairs only — never payloads; skewed mega-baskets
-    would be capped upstream (ext_cap_per_group is the guard)."""
-    dt = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
-        .distinct()
+    Shape: ONE order-key shuffle builds sorted basket arrays; candidate
+    pairs are generated IN-ROW from each basket (bounded by
+    lines-per-order^2, ~5 lines in TPC-H — the higher-order filter runs
+    on a 5-element array, inside the documented tiny-array exemption to
+    the CodegenFallback rule), so no basket self-join shuffle exists at
+    all; one (ia, ib) groupBy, two BROADCAST joins against the
+    part-dim-sized frequency table, one top-k window partitioned by
+    item. 5 shuffles total at any scale; skewed mega-baskets would be
+    capped upstream (ext_cap_per_group is the guard)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
     )
-    freq = dt.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a, b = dt.alias("a"), dt.alias("b")
+    baskets = li.groupBy("o").agg(
+        F.sort_array(F.collect_set("i")).alias("items")
+    )
+    exploded = baskets.select("o", F.explode("items").alias("ia"), "items")
+    # part-dim-sized model table: checkpoint once so the two broadcast
+    # probes below don't re-run the corpus scan (and the final plan stays
+    # within the shuffle budget)
+    freq = (
+        exploded.groupBy(F.col("ia").alias("i"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.i") < F.col("b.i")))
-        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        exploded.select(
+            F.col("ia"),
+            F.explode(
+                F.filter(F.col("items"), lambda x: x > F.col("ia"))
+            ).alias("ib"),
+        )
+        .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .where(F.col("n_ab") >= ITEMCF_MIN_CO)
     )
+    # both directions emitted in-row (array explode), NOT via union —
+    # a union would duplicate the whole pairs subtree in the plan
     sym = pairs.select(
-        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "n_ab"
-    ).unionAll(
-        pairs.select(
-            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "n_ab"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("item"), F.col("ib").alias("neighbor")
+                ),
+                F.struct(
+                    F.col("ib").alias("item"), F.col("ia").alias("neighbor")
+                ),
+            )
+        ).alias("e"),
+        "n_ab",
+    ).select("e.item", "e.neighbor", "n_ab")
     fa = freq.select(F.col("i").alias("item"), F.col("n").alias("n_item"))
     fb = freq.select(
         F.col("i").alias("neighbor"), F.col("n").alias("n_neighbor")
     )
     scored = (
-        sym.join(fa, "item")
-        .join(fb, "neighbor")
+        sym.join(broadcast(fa), "item")
+        .join(broadcast(fb), "neighbor")
         .select(
             "item",
             "neighbor",

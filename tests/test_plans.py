@@ -174,6 +174,17 @@ _NLJ_ALLOWED = {
     # chain of 1-row census aggregates (before/after/subjects/residual ×2
     # tables) — the erasure report is six scalar broadcasts
     "ext_gdpr_erasure",
+    # round-6 wave 34/35: 1-row scalar-aggregate broadcasts again — the
+    # (n1, n2) sample sizes fanned into the rank-sum statistic, and the
+    # 1-row max-hub normalizer fanned onto the supplier hub table
+    "ext_mann_whitney",
+    "ext_hits_bipartite",
+    # round-6 wave 36: the constant-size band lattice (10 bands → 55
+    # intervals → 220 memberships) is pure inequality joins by
+    # construction, and the c-chart fans a 1-row totals broadcast onto
+    # the calendar-sized daily table
+    "ext_isotonic_calibration",
+    "ext_control_chart_c",
 }
 
 
