@@ -1425,3 +1425,115 @@ def ext_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("did_millicents"),
     )
+
+
+#: uplift score-band width (cents) — shared by Spark, oracle and tests.
+QINI_BAND_CENTS = 5_000_000
+
+
+@query(
+    "ext_uplift_qini",
+    oracle=f"""
+    WITH truth AS (
+        SELECT l_orderkey,
+               CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ), scored AS (
+        SELECT CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                   // {QINI_BAND_CENTS} AS band,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS t,
+               COALESCE(tr.y, 0) AS y
+        FROM orders o LEFT JOIN truth tr ON o.o_orderkey = tr.l_orderkey
+    ), bands AS (
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(SUM(t) AS BIGINT) AS n_t,
+               CAST(SUM(t * y) AS BIGINT) AS pos_t,
+               CAST(SUM(1 - t) AS BIGINT) AS n_c,
+               CAST(SUM((1 - t) * y) AS BIGINT) AS pos_c
+        FROM scored GROUP BY band
+    ), cum AS (
+        SELECT band, n_t, pos_t, n_c, pos_c,
+               CAST(SUM(n_t) OVER w AS BIGINT) AS cn_t,
+               CAST(SUM(pos_t) OVER w AS BIGINT) AS cp_t,
+               CAST(SUM(n_c) OVER w AS BIGINT) AS cn_c,
+               CAST(SUM(pos_c) OVER w AS BIGINT) AS cp_c
+        FROM bands
+        WINDOW w AS (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT band, cn_t, cp_t, cn_c, cp_c,
+           CAST(cp_t * 1000000 // cn_t - cp_c * 1000000 // cn_c AS BIGINT)
+               AS uplift_ppm,
+           CAST(cp_t - cp_c * cn_t // cn_c AS BIGINT) AS qini_value
+    FROM cum
+    """,
+)
+def ext_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An13 — uplift / Qini curve: rank orders by a targeting score
+    (price band, descending), split by treatment exposure
+    (urgent/high priority) vs control, and report at each cutoff the
+    cumulative treated-minus-control conversion lift (ppm) and the
+    Qini value cp_t − cp_c·cn_t/cn_c (incremental conversions after
+    scaling the control arm to the treated arm's size). This is THE
+    evaluation curve for incrementality models — plain conversion
+    curves reward targeting people who convert anyway; Qini rewards
+    targeting people whose behavior the treatment CHANGES. All counts
+    exact int64; ratios truncating division identical in both engines.
+
+    Shape: one label groupBy, one band groupBy, one ordered window
+    over the constant band table. Only the two fact aggregations scale
+    with data."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    truth = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    scored = o.join(
+        truth, o["o_orderkey"] == truth["l_orderkey"], "left"
+    ).select(
+        F.expr(
+            f"CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            f" DIV {QINI_BAND_CENTS}"
+        ).alias("band"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("t"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    bands = scored.groupBy("band").agg(
+        F.sum("t").cast("bigint").alias("n_t"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("pos_t"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n_c"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("bigint").alias("pos_c"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("band").desc()).rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    cum = bands.select(
+        "band",
+        F.sum("n_t").over(w).cast("bigint").alias("cn_t"),
+        F.sum("pos_t").over(w).cast("bigint").alias("cp_t"),
+        F.sum("n_c").over(w).cast("bigint").alias("cn_c"),
+        F.sum("pos_c").over(w).cast("bigint").alias("cp_c"),
+    )
+    return cum.select(
+        "band",
+        "cn_t",
+        "cp_t",
+        "cn_c",
+        "cp_c",
+        F.expr(
+            "CAST(cp_t * 1000000 DIV cn_t - cp_c * 1000000 DIV cn_c"
+            " AS BIGINT)"
+        ).alias("uplift_ppm"),
+        F.expr("CAST(cp_t - cp_c * cn_t DIV cn_c AS BIGINT)").alias(
+            "qini_value"
+        ),
+    )

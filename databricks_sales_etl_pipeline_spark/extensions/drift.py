@@ -1261,3 +1261,115 @@ def ext_control_chart_c(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("breach_lo"),
     )
+
+
+#: Wald–Wolfowitz normal approximation — ONE shared expression string
+#: over the exact integers (r_runs, n1, n2).
+_RUNS_Z = (
+    "(CAST(r_runs AS DOUBLE)"
+    " - (CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + CAST(1 AS DOUBLE)))"
+    " / SQRT(CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "   * (CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "      - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))"
+    "   / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    "      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    "      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE))))"
+)
+
+_RUNS_REJECT = (
+    f"CAST(CASE WHEN ABS({_RUNS_Z}) > CAST('1.96' AS DOUBLE)"
+    " THEN 1 ELSE 0 END AS BIGINT)"
+)
+
+
+@query(
+    "ext_runs_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), moves AS (
+        SELECT d,
+               CASE WHEN x > lag(x) OVER (ORDER BY d) THEN 1
+                    WHEN x < lag(x) OVER (ORDER BY d) THEN -1
+                    ELSE 0 END AS s
+        FROM daily
+    ), signs AS (
+        SELECT d, s,
+               lag(s) OVER (ORDER BY d) AS prev_s
+        FROM (SELECT * FROM moves WHERE s <> 0)
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(1 + SUM(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                            THEN 1 ELSE 0 END) AS BIGINT) AS r_runs
+        FROM signs
+    )
+    SELECT n1, n2, r_runs,
+           {_RUNS_Z} AS z_value,
+           {_RUNS_REJECT} AS reject_h0
+    FROM agg
+    """,
+)
+def ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr15 — Wald–Wolfowitz runs test on the daily-revenue up/down
+    sequence: too FEW runs means the series trends or drifts (moves
+    cluster), too MANY means oscillation / overcorrection — either way
+    the i.i.d. assumption behind most monitoring thresholds is broken.
+    Ties (flat days) are dropped per the standard treatment. Runs are
+    counted exactly (1 + sign changes, all int64); the z normal
+    approximation and its alpha=0.05 verdict are ONE shared IEEE
+    expression string over (r_runs, n1, n2).
+
+    Shape: one date groupBy, two ordered windows over the
+    calendar-sized daily table, one 1-row aggregate."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day.alias("d")).agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("x")
+    )
+    wd = Window.orderBy("d")
+    moves = daily.select(
+        "d",
+        F.when(F.col("x") > F.lag("x").over(wd), 1)
+        .when(F.col("x") < F.lag("x").over(wd), -1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    signs = (
+        moves.where(F.col("s") != 0)
+        .select("d", "s", F.lag("s").over(wd).alias("prev_s"))
+    )
+    agg = signs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("s") != F.col("prev_s")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r_runs"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "r_runs",
+        F.expr(_RUNS_Z).alias("z_value"),
+        F.expr(_RUNS_REJECT).alias("reject_h0"),
+    )

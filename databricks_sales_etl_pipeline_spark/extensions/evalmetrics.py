@@ -894,3 +894,83 @@ def ext_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iso_milli",
         )
     )
+
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles + the absolute
+#: minimum-detectable-effect — STRING literals so both engines parse the
+#: identical doubles (CLAUDE.md: bare decimals parse as DECIMAL).
+_POWER_EXPR = (
+    "CEIL(CAST(2 AS DOUBLE)"
+    " * (CAST('1.959963984540054' AS DOUBLE)"
+    "    + CAST('0.8416212335729143' AS DOUBLE))"
+    " * (CAST('1.959963984540054' AS DOUBLE)"
+    "    + CAST('0.8416212335729143' AS DOUBLE))"
+    " * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(1 AS DOUBLE) - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST('0.02' AS DOUBLE) * CAST('0.02' AS DOUBLE)))"
+)
+
+
+@query(
+    "ext_power_analysis",
+    oracle=f"""
+    WITH truth AS (
+        SELECT l_orderkey,
+               CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COALESCE(t.y, 0)) AS BIGINT) AS pos,
+               CAST(COUNT(DISTINCT CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                   AS n_days
+        FROM orders o LEFT JOIN truth t ON o.o_orderkey = t.l_orderkey
+    )
+    SELECT n, pos, n_days,
+           CAST(pos * 1000 // n AS BIGINT) AS p_milli,
+           CAST({_POWER_EXPR} AS BIGINT) AS n_per_arm,
+           CAST((CAST({_POWER_EXPR} AS BIGINT) * 2 * n_days + n - 1) // n
+                AS BIGINT) AS est_days
+    FROM base
+    """,
+)
+def ext_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev12 — A/B sample-size & duration calculator from observed data:
+    baseline conversion p (returned-order rate) measured exactly, then
+    n per arm = 2(z_a + z_b)^2 p(1-p) / delta^2 for a two-sided
+    alpha=0.05, power=0.80 test at a 2-point absolute MDE — the
+    pre-registration arithmetic every experiment should run BEFORE
+    launch (underpowered tests ship noise). The normal quantiles and
+    the MDE are fixed STRING-literal doubles inside ONE shared
+    expression, so the only floats are bit-identical in both engines;
+    CEIL on a double is exact, and the traffic-based duration estimate
+    ceil(2·n_per_arm / daily_rate) is integer ceiling division.
+
+    Shape: one label groupBy + a single 1-row scan aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    truth = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    base = o.join(
+        truth, o["o_orderkey"] == truth["l_orderkey"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.coalesce(F.col("y"), F.lit(0))).cast("bigint").alias("pos"),
+        F.countDistinct(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("n_days"),
+    )
+    return base.select(
+        "n",
+        "pos",
+        "n_days",
+        F.expr("CAST(pos * 1000 DIV n AS BIGINT)").alias("p_milli"),
+        F.expr(f"CAST({_POWER_EXPR} AS BIGINT)").alias("n_per_arm"),
+        F.expr(
+            f"CAST((CAST({_POWER_EXPR} AS BIGINT) * 2 * n_days + n - 1)"
+            " DIV n AS BIGINT)"
+        ).alias("est_days"),
+    )
