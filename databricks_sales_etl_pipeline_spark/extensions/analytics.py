@@ -1537,3 +1537,123 @@ def ext_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qini_value"
         ),
     )
+
+
+#: standardized mean difference from exact per-arm moments — ONE shared
+#: expression string (pooled-SD denominator sqrt((v_t + v_c)/2)).
+_SMD_EXPR = (
+    "((CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+    "  - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))"
+    " / SQRT((("
+    "   (CAST(ss_t AS DOUBLE)"
+    "    - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE))"
+    "   / (CAST(n_t AS DOUBLE) - CAST(1 AS DOUBLE))"
+    "  ) + ("
+    "   (CAST(ss_c AS DOUBLE)"
+    "    - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))"
+    "   / (CAST(n_c AS DOUBLE) - CAST(1 AS DOUBLE))"
+    "  )) / CAST(2 AS DOUBLE)))"
+)
+
+
+@query(
+    "ext_covariate_balance",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS t,
+               CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS price_dollars,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num
+        FROM orders
+    ), long AS (
+        SELECT t, 'price_dollars' AS covariate, price_dollars AS v FROM base
+        UNION ALL
+        SELECT t, 'day_num' AS covariate, day_num AS v FROM base
+    ), m AS (
+        SELECT covariate,
+               CAST(SUM(t) AS BIGINT) AS n_t,
+               CAST(SUM(t * v) AS BIGINT) AS s_t,
+               CAST(SUM(t * v * v) AS BIGINT) AS ss_t,
+               CAST(SUM(1 - t) AS BIGINT) AS n_c,
+               CAST(SUM((1 - t) * v) AS BIGINT) AS s_c,
+               CAST(SUM((1 - t) * v * v) AS BIGINT) AS ss_c
+        FROM long GROUP BY covariate
+    )
+    SELECT covariate, n_t, s_t, ss_t, n_c, s_c, ss_c,
+           {_SMD_EXPR} AS smd,
+           CAST(CASE WHEN ABS({_SMD_EXPR}) > CAST('0.1' AS DOUBLE)
+                THEN 1 ELSE 0 END AS BIGINT) AS imbalanced
+    FROM m
+    """,
+)
+def ext_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An14 — covariate balance table (standardized mean differences):
+    before trusting any observational comparison (ext_diff_in_diff,
+    uplift curves), check that treated and control arms look alike on
+    pre-treatment covariates — SMD = (m_t - m_c)/sqrt((v_t + v_c)/2),
+    flagged at the conventional |SMD| > 0.1 imbalance threshold. Per-arm
+    counts/sums/sums-of-squares are exact int64 from ONE conditional
+    pass over the long-format covariate union; the SMD itself is one
+    shared IEEE expression string. The price covariate is WHOLE
+    DOLLARS (half-up), not cents: sum-of-squares of 10^6-cent prices
+    overflows int64 within ~10^4 rows, while dollar units hold to
+    ~10^9 rows per arm (the round-6 ppm-overflow lesson, CLAUDE.md).
+
+    Shape: one in-row unpivot (union of column projections), one
+    grouped moment aggregate — covariate count bounds the output."""
+    o = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("t"),
+        F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias(
+            "price_dollars"
+        ),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day_num"),
+    )
+    long = o.select(
+        "t",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("price_dollars").alias("covariate"),
+                    F.col("price_dollars").alias("v"),
+                ),
+                F.struct(
+                    F.lit("day_num").alias("covariate"),
+                    F.col("day_num").alias("v"),
+                ),
+            )
+        ).alias("e"),
+    ).select("t", "e.covariate", "e.v")
+    m = long.groupBy("covariate").agg(
+        F.sum("t").cast("bigint").alias("n_t"),
+        F.sum(F.col("t") * F.col("v")).cast("bigint").alias("s_t"),
+        F.sum(F.col("t") * F.col("v") * F.col("v"))
+        .cast("bigint")
+        .alias("ss_t"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n_c"),
+        F.sum((1 - F.col("t")) * F.col("v")).cast("bigint").alias("s_c"),
+        F.sum((1 - F.col("t")) * F.col("v") * F.col("v"))
+        .cast("bigint")
+        .alias("ss_c"),
+    )
+    return m.select(
+        "covariate",
+        "n_t",
+        "s_t",
+        "ss_t",
+        "n_c",
+        "s_c",
+        "ss_c",
+        F.expr(_SMD_EXPR).alias("smd"),
+        F.expr(
+            f"CAST(CASE WHEN ABS({_SMD_EXPR}) > CAST('0.1' AS DOUBLE)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("imbalanced"),
+    )

@@ -1373,3 +1373,145 @@ def ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_RUNS_Z).alias("z_value"),
         F.expr(_RUNS_REJECT).alias("reject_h0"),
     )
+
+
+#: Granger F-statistic from the exact centered cross-moments
+#: Cab = n*Sab - Sa*Sb (all int64): RSS_r ∝ Cww - Cuw^2/Cuu,
+#: RSS_u ∝ Cww - (Cuw*(Cvv*Cuw - Cuv*Cvw) + Cvw*(Cuu*Cvw - Cuv*Cuw))/det
+#: — the common n^2 scaling cancels in the F ratio. ONE shared string.
+_GRANGER_RSS_R = (
+    "(CAST(cww AS DOUBLE)"
+    " - CAST(cuw AS DOUBLE) * CAST(cuw AS DOUBLE) / CAST(cuu AS DOUBLE))"
+)
+_GRANGER_RSS_U = (
+    "(CAST(cww AS DOUBLE)"
+    " - (CAST(cuw AS DOUBLE)"
+    "    * (CAST(cvv AS DOUBLE) * CAST(cuw AS DOUBLE)"
+    "       - CAST(cuv AS DOUBLE) * CAST(cvw AS DOUBLE))"
+    "    + CAST(cvw AS DOUBLE)"
+    "      * (CAST(cuu AS DOUBLE) * CAST(cvw AS DOUBLE)"
+    "         - CAST(cuv AS DOUBLE) * CAST(cuw AS DOUBLE)))"
+    "   / (CAST(cuu AS DOUBLE) * CAST(cvv AS DOUBLE)"
+    "      - CAST(cuv AS DOUBLE) * CAST(cuv AS DOUBLE)))"
+)
+_GRANGER_F = (
+    f"(({_GRANGER_RSS_R} - {_GRANGER_RSS_U})"
+    f" * (CAST(n AS DOUBLE) - CAST(3 AS DOUBLE)) / {_GRANGER_RSS_U})"
+)
+
+
+@query(
+    "ext_granger_causality",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), lagged AS (
+        SELECT y AS w,
+               lag(y) OVER (ORDER BY d) AS u,
+               lag(x) OVER (ORDER BY d) AS v
+        FROM daily
+    ), rows_ AS (
+        SELECT * FROM lagged WHERE u IS NOT NULL
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(u*u) AS BIGINT) AS suu,
+               CAST(SUM(v*v) AS BIGINT) AS svv,
+               CAST(SUM(u*v) AS BIGINT) AS suv,
+               CAST(SUM(u*w) AS BIGINT) AS suw,
+               CAST(SUM(v*w) AS BIGINT) AS svw,
+               CAST(SUM(w*w) AS BIGINT) AS sww
+        FROM rows_
+    ), c AS (
+        SELECT n,
+               CAST(n*suu - su*su AS BIGINT) AS cuu,
+               CAST(n*svv - sv*sv AS BIGINT) AS cvv,
+               CAST(n*suv - su*sv AS BIGINT) AS cuv,
+               CAST(n*suw - su*sw AS BIGINT) AS cuw,
+               CAST(n*svw - sv*sw AS BIGINT) AS cvw,
+               CAST(n*sww - sw*sw AS BIGINT) AS cww
+        FROM m
+    )
+    SELECT n, cuu, cvv, cuv, cuw, cvw, cww,
+           {_GRANGER_F} AS f_value,
+           CAST(CASE WHEN {_GRANGER_F} > CAST(4 AS DOUBLE)
+                THEN 1 ELSE 0 END AS BIGINT) AS f_gt_4
+    FROM c
+    """,
+)
+def ext_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr16 — Granger-style predictive-causality F-test: do yesterday's
+    CLICKS improve the forecast of today's PURCHASES beyond what
+    yesterday's purchases already explain? Compares the restricted OLS
+    y_t ~ (1, y_{{t-1}}) against the unrestricted y_t ~ (1, y_{{t-1}},
+    x_{{t-1}}) via F = (RSS_r - RSS_u)(n-3)/RSS_u. Every sufficient
+    statistic is an exact int64 cross-moment (Cab = n*Sab - Sa*Sb); the
+    RSS quotients live in ONE shared expression string whose common n^2
+    scaling cancels in the ratio, so the F value is bit-identical in
+    both engines. The 4.0 flag approximates the F(1, n-3) 5% critical
+    value (4.17-4.23 for the fixture's month of days) — the CONTRACT is
+    the statistic; the verdict column is a convenience screen.
+
+    Shape: one date groupBy, one ordered lag window over the
+    calendar-sized table, one 1-row moment aggregate."""
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = e.groupBy(day.alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    wd = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("y").alias("w"),
+        F.lag("y").over(wd).alias("u"),
+        F.lag("x").over(wd).alias("v"),
+    ).where(F.col("u").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("suu"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+        F.sum(F.col("u") * F.col("v")).cast("bigint").alias("suv"),
+        F.sum(F.col("u") * F.col("w")).cast("bigint").alias("suw"),
+        F.sum(F.col("v") * F.col("w")).cast("bigint").alias("svw"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+    )
+    c = m.selectExpr(
+        "n",
+        "CAST(n*suu - su*su AS BIGINT) AS cuu",
+        "CAST(n*svv - sv*sv AS BIGINT) AS cvv",
+        "CAST(n*suv - su*sv AS BIGINT) AS cuv",
+        "CAST(n*suw - su*sw AS BIGINT) AS cuw",
+        "CAST(n*svw - sv*sw AS BIGINT) AS cvw",
+        "CAST(n*sww - sw*sw AS BIGINT) AS cww",
+    )
+    return c.select(
+        "n",
+        "cuu",
+        "cvv",
+        "cuv",
+        "cuw",
+        "cvw",
+        "cww",
+        F.expr(_GRANGER_F).alias("f_value"),
+        F.expr(
+            f"CAST(CASE WHEN {_GRANGER_F} > CAST(4 AS DOUBLE)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("f_gt_4"),
+    )

@@ -1112,3 +1112,59 @@ def ext_recsys_itemcf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine2_ppm", "rk",
         )
     )
+
+
+#: geometric adstock weights floor(1e6 * 0.5^k), k = 0..7 — precomputed
+#: integers so no float power enters either engine.
+ADSTOCK_W = [1_000_000, 500_000, 250_000, 125_000, 62_500, 31_250, 15_625,
+             7_812]
+
+
+@query(
+    "ext_adstock_decay",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY 1
+    )
+    SELECT d, x,
+           CAST({' + '.join(f"lag(x, {k}, 0) OVER (ORDER BY d) * {w}"
+                            for k, w in enumerate(ADSTOCK_W))}
+                AS BIGINT) AS adstock_micro
+    FROM daily
+    """,
+)
+def ext_adstock_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt11 — geometric adstock (advertising carry-over) of the daily
+    click series: adstock_t = sum over k of x_(t-k) * 0.5^k over an
+    8-day horizon — the marketing-mix-model transform that credits
+    today's conversions to the decayed stock of past exposure rather
+    than same-day clicks only. The half-life weights are PRECOMPUTED
+    integer micro-units (floor(1e6 * 0.5^k)), so the convolution is an
+    exact int64 dot product of 8 lag() terms with zero defaults — no
+    float powers, no NULL-bearing columns, hash-exact.
+
+    Shape: one date groupBy + ONE ordered window evaluating all 8 lags
+    in a single pass over the calendar-sized daily table. Per-channel
+    variants partition the window by channel — same single shuffle."""
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = e.groupBy(day.alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x")
+    )
+    wd = Window.orderBy("d")
+    conv = None
+    for k, wgt in enumerate(ADSTOCK_W):
+        term = F.lag("x", k, 0).over(wd) * F.lit(wgt)
+        conv = term if conv is None else conv + term
+    return daily.select(
+        "d", "x", conv.cast("bigint").alias("adstock_micro")
+    )
