@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.extensions.similarity import int_dot, quantize
@@ -195,4 +196,68 @@ def ext_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("p").getField("dim").alias("dim"),
         F.col("p").getField("value").alias("value"),
+    )
+
+
+@query(
+    "ext_pca_power_step",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), g AS (
+        SELECT r.range AS dim,
+               CAST(SUM(q.qv[r.range] * q.qv[1]) AS BIGINT) AS gram_0d
+        FROM q, range(1, 65) r
+        GROUP BY r.range
+    ), mx AS (
+        SELECT CAST(MAX(abs(gram_0d)) AS BIGINT) AS gmax FROM g
+    )
+    SELECT g.dim, g.gram_0d,
+           CAST((CASE WHEN g.gram_0d < 0 THEN -1 ELSE 1 END)
+                * (abs(g.gram_0d) * 1000000 // m.gmax) AS BIGINT)
+               AS component_ppm
+    FROM g, mx m
+    """,
+)
+def ext_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Em — one PCA power-iteration step in exact int64: starting from
+    the first basis vector e1, compute w = X^T X e1 — i.e. column 0 of
+    the (uncentered) Gram matrix, Sum_i qv_i[d] * qv_i[0] per dimension
+    — over milli-quantized embeddings. Iterating this map (normalize,
+    re-multiply) converges to the top principal direction; ONE step is
+    already the variance-aligned projection axis screeners use, and
+    keeping it integer makes the step hash-checkable (the documented
+    bound: milli-units ~2e3, products ~4e6, safe to ~10^12 vectors).
+    Normalization is ppm-by-max-|component| with the sign composed
+    OUTSIDE the division (negative numerators floor vs truncate
+    differently across engines, CLAUDE.md) — no sqrt in hashed output.
+
+    Shape: one posexplode + one 64-group aggregate (partial aggregation
+    map-side), one 1-row max broadcast. Further iterations re-broadcast
+    the 64-int vector back into the same scan — the MLlib
+    driver-orchestration pattern (CLAUDE.md)."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("bigint"),
+    )
+    q = e.select(qv.alias("qv"))
+    expl = q.select(
+        F.posexplode("qv").alias("pos", "val"),
+        F.col("qv").getItem(0).alias("v0"),
+    )
+    g = expl.groupBy((F.col("pos") + 1).alias("dim")).agg(
+        F.sum(F.col("val") * F.col("v0")).cast("bigint").alias("gram_0d")
+    )
+    mx = g.agg(F.max(F.abs(F.col("gram_0d"))).cast("bigint").alias("gmax"))
+    return g.crossJoin(broadcast(mx)).select(
+        "dim",
+        "gram_0d",
+        F.expr(
+            "CAST((CASE WHEN gram_0d < 0 THEN -1 ELSE 1 END)"
+            " * (abs(gram_0d) * 1000000 DIV gmax) AS BIGINT)"
+        ).alias("component_ppm"),
     )

@@ -1168,3 +1168,84 @@ def ext_adstock_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d", "x", conv.cast("bigint").alias("adstock_micro")
     )
+
+
+@query(
+    "ext_hhi_concentration",
+    oracle="""
+    WITH mkt AS (
+        SELECT p.p_brand AS brand, l.l_suppkey AS s,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT brand, CAST(SUM(rev) AS BIGINT) AS total_rev,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM mkt GROUP BY brand
+    ), shares AS (
+        SELECT m.brand, m.s,
+               CAST(m.rev * 1000000 // t.total_rev AS BIGINT) AS share_ppm,
+               row_number() OVER (PARTITION BY m.brand
+                                  ORDER BY m.rev DESC, m.s) AS rk
+        FROM mkt m JOIN tot t ON t.brand = m.brand
+    )
+    SELECT s.brand, t.n_suppliers, t.total_rev,
+           CAST(SUM(s.share_ppm * s.share_ppm) // 1000000 AS BIGINT)
+               AS hhi_ppm,
+           CAST(SUM(CASE WHEN s.rk <= 4 THEN s.share_ppm ELSE 0 END)
+                AS BIGINT) AS cr4_ppm
+    FROM shares s JOIN tot t ON t.brand = s.brand
+    GROUP BY s.brand, t.n_suppliers, t.total_rev
+    """,
+)
+def ext_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt12 — market-concentration audit per brand market: the
+    Herfindahl–Hirschman index (sum of squared supplier revenue shares;
+    DOJ thresholds: <1500 ppm*10 unconcentrated, >2500 highly
+    concentrated) beside the four-firm concentration ratio CR4 — the
+    complement of ext_gini_concentration (inequality of the whole
+    distribution vs weight of the head). Shares are truncated integer
+    ppm FIRST, then squared and rescaled — a documented fixed-point
+    contract both engines compute identically with every intermediate
+    < 10^16; supplier ranking is fully pinned (revenue, suppkey).
+
+    Shape: one (brand, supplier) revenue groupBy on the fact, then all
+    math on the brand-market-sized table (one brand totals aggregate,
+    one ranked window, one final groupBy)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mkt = (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.sum(cents(F.col("l_extendedprice"))).cast("bigint").alias("rev"))
+    )
+    tot = mkt.groupBy("brand").agg(
+        F.sum("rev").cast("bigint").alias("total_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    wr = Window.partitionBy("brand").orderBy(F.col("rev").desc(), "s")
+    shares = (
+        mkt.join(tot, "brand")
+        .select(
+            "brand",
+            "n_suppliers",
+            "total_rev",
+            F.expr("CAST(rev * 1000000 DIV total_rev AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.row_number().over(wr).alias("rk"),
+        )
+    )
+    return shares.groupBy("brand", "n_suppliers", "total_rev").agg(
+        F.expr(
+            "CAST(SUM(share_ppm * share_ppm) DIV 1000000 AS BIGINT)"
+        ).alias("hhi_ppm"),
+        F.sum(F.when(F.col("rk") <= 4, F.col("share_ppm")).otherwise(0))
+        .cast("bigint")
+        .alias("cr4_ppm"),
+    )

@@ -428,3 +428,65 @@ def ext_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= RRF_TOPK)
         .select("term", "doc_id", "rank_tf", "rank_pos", "rrf_ppm", "rk")
     )
+
+
+@query(
+    "ext_template_mining",
+    oracle="""
+    WITH sk AS (
+        SELECT doc_id, text,
+               array_to_string(list_slice(list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                   '\\s+'), x -> x <> ''), 1, 8), ' ') AS head
+        FROM documents
+    )
+    SELECT md5(head) AS skeleton_md5,
+           CAST(MIN(length(head)) AS BIGINT) AS head_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+    FROM sk
+    GROUP BY md5(head)
+    HAVING COUNT(*) >= 2
+    """,
+)
+def ext_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tm — header-template mining: normalize every document (lowercase,
+    collapse digit runs to '#'), take the first 8 tokens as the HEAD
+    skeleton, and group by its md5 — the detector for templated
+    openings (boilerplate headers, scraped page chrome, numbered form
+    letters) that exact dedup misses because bodies or fill-in numbers
+    differ. n_distinct_texts > 1 inside a group is the signature: same
+    opening, different bodies — down-weighting candidates for an LLM
+    corpus where template spam dominates token counts. Reported only
+    for groups of >= 2; the md5 key is engine-portable.
+
+    Shape: one scan + one skeleton-hash groupBy (shuffles a 32-char
+    hash + doc id per row, never the text twice); the normalization is
+    a single linear regex pass per document."""
+    d = load(spark, sf_dir, "documents")
+    head = F.concat_ws(
+        " ",
+        F.slice(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.lower("text"), "[0-9]+", "#"),
+                    r"\s+",
+                ),
+                lambda x: x != "",
+            ),
+            1,
+            8,
+        ),
+    )
+    sk = d.select("doc_id", "text", head.alias("head"))
+    return (
+        sk.groupBy(F.md5("head").alias("skeleton_md5"))
+        .agg(
+            F.min(F.length("head")).cast("bigint").alias("head_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("text").cast("bigint").alias("n_distinct_texts"),
+            F.min("doc_id").cast("bigint").alias("example_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

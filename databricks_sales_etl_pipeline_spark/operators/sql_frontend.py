@@ -454,3 +454,53 @@ def sql_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT {PAGE_SIZE}
         """
     )
+
+
+@query(
+    "sql_session_variable",
+    oracle=f"""
+    WITH thresh AS (
+        SELECT CAST(SUM({_ORDER_CENTS}) // COUNT(*) AS BIGINT) AS v
+        FROM orders
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(SUM({_ORDER_CENTS}) AS BIGINT) AS rev_above_cents
+    FROM orders o, thresh t
+    WHERE {_ORDER_CENTS} > t.v
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2f — SQL session variables (Spark 4 DECLARE VARIABLE / SET
+    VAR): compute the mean-order-value threshold ONCE into a typed
+    session variable, then reference it from a later statement — the
+    multi-statement scripting pattern (dashboards, notebooks, ETL
+    steps sharing derived scalars) that previously required string
+    splicing or temp views. The variable binds as a typed literal, so
+    Catalyst constant-folds and pushes the predicate into the scan
+    exactly like a hand-written constant. DECLARE OR REPLACE keeps the
+    query idempotent in a shared session; the oracle inlines the same
+    scalar through a CTE.
+
+    Threshold arithmetic is exact integer cents (truncating mean), so
+    the cut is hash-stable across engines."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE sgv_mean_cents BIGINT DEFAULT 0"
+    )
+    spark.sql(
+        f"""SET VAR sgv_mean_cents =
+            (SELECT CAST(SUM({_ORDER_CENTS}) DIV COUNT(*) AS BIGINT)
+             FROM orders)"""
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_above,
+               CAST(SUM({_ORDER_CENTS}) AS BIGINT) AS rev_above_cents
+        FROM orders
+        WHERE {_ORDER_CENTS} > sgv_mean_cents
+        GROUP BY o_orderpriority
+        """
+    )

@@ -185,6 +185,9 @@ _NLJ_ALLOWED = {
     # the calendar-sized daily table
     "ext_isotonic_calibration",
     "ext_control_chart_c",
+    # round-6 wave 39: 1-row max-|component| normalizer broadcast onto
+    # the 64-row Gram column
+    "ext_pca_power_step",
 }
 
 
