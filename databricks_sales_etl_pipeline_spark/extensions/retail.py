@@ -1249,3 +1249,173 @@ def ext_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cr4_ppm"),
     )
+
+
+@query(
+    "ext_chain_ladder",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST((year(CAST(o_orderdate AS DATE)) - 1995) * 12
+                    + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS rc
+        FROM orders
+    ), coh AS (
+        SELECT *, MIN(m) OVER (PARTITION BY o_custkey) AS cohort FROM o
+    ), grid AS (
+        SELECT cohort, m - cohort AS dev,
+               CAST(SUM(rc) AS BIGINT) AS rev
+        FROM coh GROUP BY 1, 2
+    ), cum0 AS (
+        SELECT cohort, dev,
+               CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY dev
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM grid
+    ), cum AS (
+        SELECT cohort, dev, c,
+               lead(dev) OVER (PARTITION BY cohort ORDER BY dev) AS next_dev,
+               CAST(lead(c) OVER (PARTITION BY cohort ORDER BY dev)
+                    AS BIGINT) AS next_c
+        FROM cum0
+    )
+    SELECT CAST(dev AS BIGINT) AS dev,
+           CAST(COUNT(*) AS BIGINT) AS n_cohorts,
+           CAST(SUM(c) AS BIGINT) AS sum_c,
+           CAST(SUM(next_c) AS BIGINT) AS sum_next_c,
+           CAST(SUM(next_c) * 1000000 // SUM(c) AS BIGINT) AS factor_ppm
+    FROM cum
+    WHERE next_dev = dev + 1
+    GROUP BY dev
+    """,
+)
+def ext_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt13 — chain-ladder development factors over the customer-cohort
+    revenue triangle: cohorts by first-order month, cumulative revenue
+    by development age, and the age-to-age factor f_j = sum_i C[i,j+1]
+    / sum_i C[i,j] in exact ppm over cohorts where BOTH ages are
+    observed — the actuarial projection machinery (loss triangles)
+    applied to LTV: multiplying out the remaining factors projects
+    young cohorts' ultimate value from old cohorts' maturation. Pairs
+    are formed by lead() within cohort, so only consecutive observed
+    ages contribute (zero-revenue gap months are skipped — the
+    documented transactional-triangle contract).
+
+    Shape: the ext_cohort_ltv dataflow (one custkey window, one grid
+    groupBy) + one cohort-partitioned lead window + a dev-age
+    aggregate. Nothing beyond the first pass scales with data."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (F.year(F.col("o_orderdate").cast("date")) - 1995) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("m"),
+        cents("o_totalprice").alias("rc"),
+    )
+    coh = o.withColumn(
+        "cohort", F.min("m").over(Window.partitionBy("o_custkey"))
+    )
+    grid = coh.groupBy(
+        "cohort", (F.col("m") - F.col("cohort")).alias("dev")
+    ).agg(F.sum("rc").cast("bigint").alias("rev"))
+    wc = Window.partitionBy("cohort").orderBy("dev")
+    wcum = wc.rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "cohort",
+        "dev",
+        F.sum("rev").over(wcum).cast("bigint").alias("c"),
+    ).select(
+        "cohort",
+        "dev",
+        "c",
+        F.lead("dev").over(wc).alias("next_dev"),
+        F.lead("c").over(wc).cast("bigint").alias("next_c"),
+    )
+    pairs = cum.where(F.col("next_dev") == F.col("dev") + 1)
+    return pairs.groupBy(F.col("dev").cast("bigint").alias("dev")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum("next_c").cast("bigint").alias("sum_next_c"),
+        F.expr(
+            "CAST(SUM(next_c) * 1000000 DIV SUM(c) AS BIGINT)"
+        ).alias("factor_ppm"),
+    )
+
+
+#: newsvendor critical fractile (service-level target) — shared constant.
+NEWSVENDOR_FRACTILE = "0.8"
+
+
+@query(
+    "ext_newsvendor_stock",
+    oracle=f"""
+    WITH daily AS (
+        SELECT p.p_brand AS brand,
+               CAST(l.l_shipdate AS DATE) AS d,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), lvl AS (
+        SELECT brand,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               quantile_cont(qty, CAST('{NEWSVENDOR_FRACTILE}' AS DOUBLE))
+                   AS stock_qty
+        FROM daily GROUP BY brand
+    )
+    SELECT d.brand, l.n_days, l.stock_qty,
+           CAST(SUM(CASE WHEN CAST(d.qty AS DOUBLE) > l.stock_qty
+                    THEN 1 ELSE 0 END) AS BIGINT) AS stockout_days,
+           CAST((l.n_days - SUM(CASE WHEN CAST(d.qty AS DOUBLE) > l.stock_qty
+                                THEN 1 ELSE 0 END)) * 1000000 // l.n_days
+                AS BIGINT) AS service_ppm
+    FROM daily d JOIN lvl l ON l.brand = d.brand
+    GROUP BY d.brand, l.n_days, l.stock_qty
+    """,
+)
+def ext_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt14 — newsvendor stocking level per brand: the critical-fractile
+    solution stock = Q_demand({NEWSVENDOR_FRACTILE}) of the DAILY demand
+    distribution (optimal when underage:overage costs are 4:1), plus the
+    realized service level it would have delivered — the inventory
+    policy that a mean-based stock systematically misses (demand is
+    right-skewed; the mean under-serves). The interpolated percentile on
+    integer quantities is bit-exact across engines (midpoint
+    interpolation of ints < 2^52, CLAUDE.md), and the breach comparison
+    casts through the identical double.
+
+    Shape: one (brand, day) groupBy on the fact, one percentile
+    aggregate and one join-back on the brand-market-sized daily table."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+        .localCheckpoint()
+    )
+    lvl = daily.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            f"percentile(qty, CAST('{NEWSVENDOR_FRACTILE}' AS DOUBLE))"
+        ).alias("stock_qty"),
+    )
+    j = daily.join(broadcast(lvl), "brand")
+    return j.groupBy("brand", "n_days", "stock_qty").agg(
+        F.sum(
+            F.when(F.col("qty").cast("double") > F.col("stock_qty"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("stockout_days"),
+        F.expr(
+            "CAST((n_days - SUM(CASE WHEN CAST(qty AS DOUBLE) > stock_qty"
+            " THEN 1 ELSE 0 END)) * 1000000 DIV n_days AS BIGINT)"
+        ).alias("service_ppm"),
+    )

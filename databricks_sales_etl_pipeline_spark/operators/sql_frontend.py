@@ -504,3 +504,34 @@ def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2g — star-except projection (Spark 4 ``SELECT * EXCEPT``):
+    project everything BUT the named columns — the schema-evolution-safe
+    way to drop a sensitive or wide column (here the money column)
+    without enumerating the survivors, so new upstream columns flow
+    through without editing the query. Catalyst resolves the except-list
+    at analysis time, so column pruning in the scan is identical to the
+    enumerated form (the oracle IS the enumerated form — proving the
+    equivalence).
+
+    Timestamp columns survive as-is; the driver's date canonicalization
+    handles o_orderdate in both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_totalprice)
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        """
+    )
