@@ -1657,3 +1657,112 @@ def ext_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("imbalanced"),
     )
+
+
+@query(
+    "ext_repurchase_cycle",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        FROM orders
+    ), seq AS (
+        SELECT o_custkey, d,
+               lag(d) OVER (PARTITION BY o_custkey ORDER BY d) AS prev_d
+        FROM (SELECT DISTINCT o_custkey, d FROM o)
+    ), gaps AS (
+        SELECT c.c_mktsegment AS segment, s.d - s.prev_d AS gap_d
+        FROM seq s JOIN customer c ON c.c_custkey = s.o_custkey
+        WHERE s.prev_d IS NOT NULL
+    ), lvl AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               quantile_cont(gap_d, CAST('0.5' AS DOUBLE)) AS median_gap_days,
+               quantile_cont(gap_d, CAST('0.9' AS DOUBLE)) AS p90_gap_days
+        FROM gaps GROUP BY segment
+    ), last_seen AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               MAX(o.d) AS last_d,
+               (SELECT MAX(d) FROM o) AS horizon
+        FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT l.segment, l.n_gaps, l.median_gap_days, l.p90_gap_days,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN CAST(ls.horizon - ls.last_d AS DOUBLE)
+                              > l.p90_gap_days
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overdue
+    FROM last_seen ls JOIN lvl l ON l.segment = ls.segment
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def ext_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An15 — repurchase-cycle profile per market segment: the
+    inter-purchase gap distribution (median and p90 days between
+    consecutive order days per customer) plus the OVERDUE count —
+    customers whose open gap since their last order already exceeds the
+    segment's p90 cycle, i.e. the statistically-grounded at-risk list a
+    fixed '30 days inactive' rule fakes. Gaps are exact integer days
+    (same-day orders collapse via DISTINCT); percentiles are
+    interpolated on ints (bit-exact); the overdue comparison casts
+    through the identical double.
+
+    Shape: ONE custkey shuffle drives both the lag window and the
+    last-seen aggregate; segment percentile and the final count run on
+    segment-sized relations. The horizon is the data's own max date, so
+    the report is reproducible (no wall clock)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from pyspark.sql import Window as _W
+
+    od = o.distinct().localCheckpoint()
+    wc = _W.partitionBy("o_custkey").orderBy("d")
+    seq = od.select("o_custkey", "d", F.lag("d").over(wc).alias("prev_d"))
+    gaps = (
+        seq.where(F.col("prev_d").isNotNull())
+        .join(broadcast(c), seq["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("d") - F.col("prev_d")).alias("gap_d"),
+        )
+    )
+    lvl = gaps.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.expr("percentile(gap_d, CAST('0.5' AS DOUBLE))").alias(
+            "median_gap_days"
+        ),
+        F.expr("percentile(gap_d, CAST('0.9' AS DOUBLE))").alias(
+            "p90_gap_days"
+        ),
+    )
+    horizon = od.agg(F.max("d").alias("horizon"))
+    last_seen = (
+        od.groupBy("o_custkey")
+        .agg(F.max("d").alias("last_d"))
+        .join(broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .select(F.col("c_mktsegment").alias("segment"), "last_d")
+        .crossJoin(broadcast(horizon))
+    )
+    j = last_seen.join(broadcast(lvl), "segment")
+    return j.groupBy(
+        "segment", "n_gaps", "median_gap_days", "p90_gap_days"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(
+            F.when(
+                (F.col("horizon") - F.col("last_d")).cast("double")
+                > F.col("p90_gap_days"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_overdue"),
+    )

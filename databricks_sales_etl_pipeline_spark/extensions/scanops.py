@@ -363,3 +363,128 @@ def ext_pack_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[["doc_id", "bucket", "n_tokens", "bin_idx", "offset_in_bin"]]
 
     return toks.groupBy("bucket").applyInPandas(pack, schema)
+
+
+#: ship-lag SLA (days) — shared by Spark, oracle and tests.
+SLA_DAYS = 90
+
+
+@query(
+    "ext_sla_lag_percentiles",
+    oracle=f"""
+    WITH lags AS (
+        SELECT o.o_orderpriority AS prio,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_d
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(lag_d, CAST('0.5' AS DOUBLE)) AS p50_days,
+           quantile_cont(lag_d, CAST('0.9' AS DOUBLE)) AS p90_days,
+           quantile_cont(lag_d, CAST('0.99' AS DOUBLE)) AS p99_days,
+           CAST(SUM(CASE WHEN lag_d > {SLA_DAYS} THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS breach_ppm
+    FROM lags GROUP BY prio
+    """,
+)
+def ext_sla_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — order-to-ship SLA report per priority class: the p50/p90/p99
+    of the line-level ship lag (days from order to ship) plus the
+    {SLA_DAYS}-day breach rate in exact ppm — tail percentiles are the
+    operational contract (a healthy p50 hides a rotting p99, which is
+    where customer escalations live). Interpolated percentiles on
+    integer day counts are bit-exact across engines (midpoint
+    interpolation of ints, CLAUDE.md).
+
+    Shape: one orderkey join (the orders side projects two columns),
+    one per-priority aggregate computing all three percentiles in a
+    single pass."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lags = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("lag_d"),
+    )
+    return lags.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.expr("percentile(lag_d, CAST('0.5' AS DOUBLE))").alias("p50_days"),
+        F.expr("percentile(lag_d, CAST('0.9' AS DOUBLE))").alias("p90_days"),
+        F.expr("percentile(lag_d, CAST('0.99' AS DOUBLE))").alias(
+            "p99_days"
+        ),
+        F.expr(
+            f"CAST(SUM(CASE WHEN lag_d > {SLA_DAYS} THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("breach_ppm"),
+    )
+
+
+@query(
+    "ext_otif_rate",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderpriority AS prio,
+               CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE))) AS BIGINT)
+                   AS worst_lag
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN worst_lag <= {SLA_DAYS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_otif,
+           CAST(SUM(CASE WHEN worst_lag <= {SLA_DAYS} THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS otif_ppm
+    FROM per_order GROUP BY prio
+    """,
+)
+def ext_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — OTIF (on-time-in-full) rate per priority: an order counts
+    only if EVERY line shipped within the {SLA_DAYS}-day SLA — the
+    two-level aggregate (max lag per order, then rate over orders) that
+    line-level breach rates systematically overstate: one late line in
+    a 7-line order fails the ORDER, so OTIF is always <= the line-level
+    on-time share. This is the metric supply-chain contracts actually
+    bind on.
+
+    Shape: the same single orderkey join as ext_sla_lag_percentiles,
+    then order-grain max + priority-grain rate — two aggregations, one
+    data-sized shuffle."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    per_order = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            o["o_orderkey"], F.col("o_orderpriority").alias("prio")
+        )
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            )
+            .cast("bigint")
+            .alias("worst_lag")
+        )
+    )
+    return per_order.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("worst_lag") <= SLA_DAYS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_otif"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN worst_lag <= {SLA_DAYS} THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("otif_ppm"),
+    )

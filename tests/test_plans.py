@@ -188,6 +188,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 39: 1-row max-|component| normalizer broadcast onto
     # the 64-row Gram column
     "ext_pca_power_step",
+    # round-6 wave 41: 1-row data-horizon (max order day) broadcast onto
+    # the per-customer last-seen table — the reproducible-clock pattern
+    "ext_repurchase_cycle",
 }
 
 
