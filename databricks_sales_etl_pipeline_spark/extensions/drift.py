@@ -1515,3 +1515,181 @@ def ext_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("f_gt_4"),
     )
+
+
+#: TV-distance band width (cents) — the fixture's 10 equal price bands.
+TV_BAND_CENTS = 5_000_000
+
+
+@query(
+    "ext_tv_distance",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   // {TV_BAND_CENTS} AS band,
+               (month(CAST(o_orderdate AS DATE)) <= 6) AS g1
+        FROM orders
+    ), tot AS (
+        SELECT CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        FROM s
+    ), bands AS (
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        FROM s GROUP BY band
+    ), shares AS (
+        SELECT b.band, b.c1, b.c2,
+               CAST(b.c1 * 1000000 // t.n1 AS BIGINT) AS p_ppm,
+               CAST(b.c2 * 1000000 // t.n2 AS BIGINT) AS q_ppm
+        FROM bands b, tot t
+    )
+    SELECT band, c1, c2, p_ppm, q_ppm,
+           CAST(abs(p_ppm - q_ppm) AS BIGINT) AS abs_diff_ppm,
+           CAST(CAST(SUM(abs(p_ppm - q_ppm)) OVER () AS BIGINT) // 2
+                AS BIGINT) AS tv_ppm
+    FROM shares
+    """,
+)
+def ext_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr17 — total-variation distance between first-half and
+    second-half order-amount band distributions: TV = (1/2) sum_b
+    |p_b - q_b|, the metric with the operational reading the
+    chi-square lacks — TV is exactly the maximum probability mass any
+    event can differ by, i.e. the worst-case rate error a model
+    trained on H1 makes on H2. Band shares are truncated integer ppm
+    (the documented fixed-point contract), per-band |gaps| are listed
+    (the actionable part: WHICH bands moved), and the scalar TV rides
+    every row via a whole-relation window total.
+
+    Shape: one band groupBy + a 1-row totals broadcast + one
+    10-row window. Nothing but the scan scales."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        F.expr(
+            f"CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            f" DIV {TV_BAND_CENTS}"
+        ).alias("band"),
+        (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("g1"),
+    )
+    tot = s.agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("n2"),
+    )
+    bands = s.groupBy("band").agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
+    )
+    shares = bands.crossJoin(broadcast(tot)).select(
+        F.col("band").cast("bigint").alias("band"),
+        "c1",
+        "c2",
+        F.expr("CAST(c1 * 1000000 DIV n1 AS BIGINT)").alias("p_ppm"),
+        F.expr("CAST(c2 * 1000000 DIV n2 AS BIGINT)").alias("q_ppm"),
+    )
+    wall = Window.partitionBy()
+    return shares.select(
+        "band",
+        "c1",
+        "c2",
+        "p_ppm",
+        "q_ppm",
+        F.abs(F.col("p_ppm") - F.col("q_ppm"))
+        .cast("bigint")
+        .alias("abs_diff_ppm"),
+        F.expr(
+            "CAST(CAST(SUM(abs(p_ppm - q_ppm)) OVER () AS BIGINT) DIV 2"
+            " AS BIGINT)"
+        ).alias("tv_ppm"),
+    )
+
+
+@query(
+    "ext_wasserstein_shift",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v,
+               (month(CAST(o_orderdate AS DATE)) <= 6) AS g1
+        FROM orders
+    ), tot AS (
+        SELECT CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        FROM s
+    ), per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        FROM s GROUP BY v
+    ), cums AS (
+        SELECT v,
+               CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum1,
+               CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum2,
+               lead(v) OVER (ORDER BY v) AS next_v
+        FROM per_v
+    ), seg AS (
+        SELECT CAST(SUM(abs(cum1 * t.n2 - cum2 * t.n1) * (next_v - v))
+                    AS BIGINT) AS d_sum
+        FROM cums, tot t WHERE next_v IS NOT NULL
+    )
+    SELECT t.n1, t.n2, s.d_sum,
+           CAST(s.d_sum // (t.n1 * t.n2) AS BIGINT) AS w1_dollars
+    FROM seg s, tot t
+    """,
+)
+def ext_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr18 — 1-Wasserstein (earth-mover) distance between first-half
+    and second-half order amounts: W1 = integral |F1 - F2| dv over the
+    merged value grid, computed EXACTLY as sum of |cum1*n2 - cum2*n1| *
+    segment-width with one final division — the drift metric that
+    answers "HOW FAR did the distribution move, in dollars" where KS
+    answers "did it move" and TV "how much mass". Values are whole
+    dollars (half-up) so the integrand stays in int64 through ~10^6
+    rows per arm at the fixture's $500k range (cents would overflow
+    100x sooner; beyond that, sample via hash bands).
+
+    Shape: the ext_ks_test scaffold exactly — one value-grid groupBy,
+    one ordered window (cumulative + lead) over distinct values, a
+    1-row total. Cost is bounded by value NDV, not rows."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("v"),
+        (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("g1"),
+    )
+    tot = s.agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("n2"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
+    )
+    wv = Window.orderBy("v")
+    wcum = wv.rowsBetween(Window.unboundedPreceding, 0)
+    cums = per_v.select(
+        "v",
+        F.sum("c1").over(wcum).cast("bigint").alias("cum1"),
+        F.sum("c2").over(wcum).cast("bigint").alias("cum2"),
+        F.lead("v").over(wv).alias("next_v"),
+    )
+    seg = (
+        cums.where(F.col("next_v").isNotNull())
+        .crossJoin(broadcast(tot))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+                )
+                * (F.col("next_v") - F.col("v"))
+            )
+            .cast("bigint")
+            .alias("d_sum")
+        )
+    )
+    return seg.crossJoin(broadcast(tot)).select(
+        "n1",
+        "n2",
+        "d_sum",
+        F.expr("CAST(d_sum DIV (n1 * n2) AS BIGINT)").alias("w1_dollars"),
+    )

@@ -974,3 +974,123 @@ def ext_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV n AS BIGINT)"
         ).alias("est_days"),
     )
+
+
+_CAL_SCORED_SQL = f"""
+        SELECT (1000 * len(list_filter(toks,
+                    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))))
+                   // len(toks) AS p,
+               CASE WHEN len(toks) >= {CAL_LONG_DOC_TOKENS} THEN 1 ELSE 0 END
+                   AS y
+        FROM (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents) t
+        WHERE len(toks) > 0
+"""
+
+
+@query(
+    "ext_brier_score",
+    oracle=f"""
+    WITH scored AS ({_CAL_SCORED_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM((p - 1000 * y) * (p - 1000 * y)) AS BIGINT) AS sum_sq,
+           CAST(SUM((p - 1000 * y) * (p - 1000 * y)) // COUNT(*) AS BIGINT)
+               AS brier_micro
+    FROM scored
+    """,
+)
+def ext_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev13 — Brier score of the stopword-permille classifier against
+    the long-document label: mean squared error of the probabilistic
+    forecast, in EXACT integer micro-units — predictions live in
+    permille, so (p - 1000y)^2 is int64 all the way (<= 10^6 per row,
+    safe to ~10^12 rows) and the mean is one truncating division. The
+    strictly-proper-scoring-rule companion of ext_calibration_report:
+    calibration can be gamed by predicting the base rate everywhere;
+    Brier punishes that with the resolution term.
+
+    Shape: one scan, one 1-row aggregate."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    base = d.select(toks.alias("toks")).where(F.size("toks") > 0)
+    scored = base.select(
+        F.expr(
+            "(1000 * size(filter(toks, x -> array_contains("
+            "array('the','a','of','and','to','in','is'), x)))) DIV size(toks)"
+        ).alias("p"),
+        F.when(F.size("toks") >= CAL_LONG_DOC_TOKENS, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum((F.col("p") - 1000 * F.col("y")) * (F.col("p") - 1000 * F.col("y")))
+        .cast("bigint")
+        .alias("sum_sq"),
+        F.expr(
+            "CAST(SUM((p - 1000 * y) * (p - 1000 * y)) DIV COUNT(*)"
+            " AS BIGINT)"
+        ).alias("brier_micro"),
+    )
+
+
+@query(
+    "ext_ece",
+    oracle=f"""
+    WITH scored AS ({_CAL_SCORED_SQL}),
+    buckets AS (
+        SELECT p // 100 AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(y) AS BIGINT) AS pos_b,
+               CAST(SUM(p) AS BIGINT) AS sum_p_b
+        FROM scored GROUP BY 1
+    )
+    SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(abs(1000 * pos_b - sum_p_b)) AS BIGINT) AS total_gap,
+           CAST(SUM(abs(1000 * pos_b - sum_p_b)) * 1000 // SUM(n_b)
+                AS BIGINT) AS ece_micro
+    FROM buckets
+    """,
+)
+def ext_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev14 — expected calibration error, EXACTLY: ECE = sum_b (n_b/n) *
+    |acc_b - conf_b| telescopes to sum_b |1000*pos_b - sum_p_b| / (1000n)
+    — every per-bucket rational shares the same denominator, so the
+    whole statistic is two integer sums and ONE truncating division
+    (reported in micro). The scalar headline over
+    ext_calibration_report's per-decile table and the acceptance gate
+    for ext_isotonic_calibration (recalibrate when ECE is high).
+
+    Shape: one scan, one decile groupBy, one 1-row aggregate."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    base = d.select(toks.alias("toks")).where(F.size("toks") > 0)
+    scored = base.select(
+        F.expr(
+            "(1000 * size(filter(toks, x -> array_contains("
+            "array('the','a','of','and','to','in','is'), x)))) DIV size(toks)"
+        ).alias("p"),
+        F.when(F.size("toks") >= CAL_LONG_DOC_TOKENS, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    buckets = scored.groupBy(F.expr("p DIV 100").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("pos_b"),
+        F.sum("p").cast("bigint").alias("sum_p_b"),
+    )
+    return buckets.agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.abs(1000 * F.col("pos_b") - F.col("sum_p_b")))
+        .cast("bigint")
+        .alias("total_gap"),
+        F.expr(
+            "CAST(SUM(abs(1000 * pos_b - sum_p_b)) * 1000 DIV SUM(n_b)"
+            " AS BIGINT)"
+        ).alias("ece_micro"),
+    )

@@ -191,6 +191,10 @@ _NLJ_ALLOWED = {
     # round-6 wave 41: 1-row data-horizon (max order day) broadcast onto
     # the per-customer last-seen table — the reproducible-clock pattern
     "ext_repurchase_cycle",
+    # round-6 wave 42: 1-row (n1, n2) sample-size broadcasts onto the
+    # band / value-grid tables — the ext_ks_test scaffold
+    "ext_tv_distance",
+    "ext_wasserstein_shift",
 }
 
 
