@@ -1766,3 +1766,92 @@ def ext_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_overdue"),
     )
+
+
+#: bot screen: minimum gaps per user and the CV^2 x10000 threshold.
+BOT_MIN_GAPS = 5
+BOT_CV2_X10K = 100   # CV^2 < 0.01 → metronome-regular
+
+
+@query(
+    "ext_bot_regularity",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+               event_id
+        FROM events
+    ), seq AS (
+        SELECT user_id,
+               s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+                   AS gap_s
+        FROM e
+    ), m AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_s) AS BIGINT) AS sg,
+               CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+        FROM seq WHERE gap_s IS NOT NULL
+        GROUP BY user_id HAVING COUNT(*) >= {BOT_MIN_GAPS}
+    )
+    SELECT user_id, n_gaps, sg, sgg,
+           CAST(CASE WHEN sg > 0 THEN
+                (n_gaps * sgg - sg * sg) * 10000 // (sg * sg) END
+                AS BIGINT) AS cv2_x10000,
+           CAST(CASE WHEN sg > 0 AND
+                (n_gaps * sgg - sg * sg) * 10000 // (sg * sg)
+                    < {BOT_CV2_X10K}
+                THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+    FROM m
+    """,
+)
+def ext_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An16 — bot/automation screen by inter-event regularity: humans
+    produce bursty gaps (CV^2 around 1 for Poisson-ish arrivals); cron
+    jobs and scrapers produce metronome gaps (CV^2 near 0). Per user
+    with >= {BOT_MIN_GAPS} gaps, the squared coefficient of variation
+    is computed as the exact cross-multiplied integer
+    (n*sum(g^2) - sum(g)^2) * 10000 / sum(g)^2 — second-granularity
+    gaps keep every intermediate in int64 through multi-year spans —
+    and flagged below {BOT_CV2_X10K}/10000. On the fixture's random
+    arrivals nobody should flag (the CONTRACT is the measurement; the
+    unit test asserts the no-false-positive side).
+
+    Shape: ONE user_id shuffle drives the lag window and the moment
+    aggregate — the session-family cost profile."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(1000000)).cast("bigint").alias("s"),
+        "event_id",
+    )
+    from pyspark.sql import Window as _W
+
+    wu = _W.partitionBy("user_id").orderBy("s", "event_id")
+    seq = e.select(
+        "user_id", (F.col("s") - F.lag("s").over(wu)).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    m = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("sg"),
+            F.sum(F.col("gap_s") * F.col("gap_s"))
+            .cast("bigint")
+            .alias("sgg"),
+        )
+        .where(F.col("n_gaps") >= BOT_MIN_GAPS)
+    )
+    return m.select(
+        "user_id",
+        "n_gaps",
+        "sg",
+        "sgg",
+        F.expr(
+            "CAST(CASE WHEN sg > 0 THEN"
+            " (n_gaps * sgg - sg * sg) * 10000 DIV (sg * sg) END AS BIGINT)"
+        ).alias("cv2_x10000"),
+        F.expr(
+            f"CAST(CASE WHEN sg > 0 AND"
+            f" (n_gaps * sgg - sg * sg) * 10000 DIV (sg * sg)"
+            f" < {BOT_CV2_X10K} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("bot_flag"),
+    )

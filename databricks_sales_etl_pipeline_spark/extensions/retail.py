@@ -1419,3 +1419,162 @@ def ext_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END)) * 1000000 DIV n_days AS BIGINT)"
         ).alias("service_ppm"),
     )
+
+
+@query(
+    "ext_price_index",
+    oracle="""
+    WITH lines AS (
+        SELECT l_partkey AS pk,
+               (month(CAST(l_shipdate AS DATE)) <= 6) AS base,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS rev,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ), per_part AS (
+        SELECT pk,
+               CAST(SUM(CASE WHEN base THEN qty ELSE 0 END) AS BIGINT) AS q0,
+               CAST(SUM(CASE WHEN base THEN rev ELSE 0 END) AS BIGINT) AS r0,
+               CAST(SUM(CASE WHEN base THEN 0 ELSE qty END) AS BIGINT) AS q1,
+               CAST(SUM(CASE WHEN base THEN 0 ELSE rev END) AS BIGINT) AS r1
+        FROM lines GROUP BY pk
+    ), priced AS (
+        SELECT pk, q0, q1,
+               CAST(r0 * 1000 // q0 AS BIGINT) AS u0_milli,
+               CAST(r1 * 1000 // q1 AS BIGINT) AS u1_milli
+        FROM per_part WHERE q0 > 0 AND q1 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(u0_milli * q0) AS BIGINT) AS base_basket_milli,
+           CAST(((SUM(u1_milli * q0) * 100 // SUM(u0_milli * q0)) * 10000 + (((SUM(u1_milli * q0) * 100) % SUM(u0_milli * q0)) * 100 // SUM(u0_milli * q0)) * 100 + ((((SUM(u1_milli * q0) * 100) % SUM(u0_milli * q0)) * 100) % SUM(u0_milli * q0)) * 100 // SUM(u0_milli * q0))
+                AS BIGINT) AS laspeyres_ppm,
+           CAST(((SUM(u1_milli * q1) * 100 // SUM(u0_milli * q1)) * 10000 + (((SUM(u1_milli * q1) * 100) % SUM(u0_milli * q1)) * 100 // SUM(u0_milli * q1)) * 100 + ((((SUM(u1_milli * q1) * 100) % SUM(u0_milli * q1)) * 100) % SUM(u0_milli * q1)) * 100 // SUM(u0_milli * q1))
+                AS BIGINT) AS paasche_ppm
+    FROM priced
+    """,
+)
+def ext_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt15 — Laspeyres and Paasche price indices between ship-date
+    halves: the same part basket priced at both periods' unit prices,
+    weighted by base-period quantities (Laspeyres — "what the OLD
+    basket costs now") and current quantities (Paasche — the
+    substitution-aware lower bound; Laspeyres >= Paasche when demand
+    shifts toward cheaper goods). Unit prices are truncated integer
+    milli-cents (rev*1000 DIV qty — the documented fixed-point
+    contract), so both indices are exact integer ppm ratios — via
+    STAGED long division (x100 levels), since basket-sum * 10^6
+    overflows int64 exactly as the round-6 gini lesson warns
+    (CLAUDE.md); only parts traded in BOTH periods enter (the
+    matched-model rule).
+
+    Shape: one part groupBy on the fact (conditional sums fold both
+    periods into one pass), then all math on the part-dim-sized table."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        (F.month(F.col("l_shipdate").cast("date")) <= 6).alias("base"),
+        cents(F.col("l_extendedprice")).alias("rev"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    per_part = li.groupBy("pk").agg(
+        F.sum(F.when(F.col("base"), F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("q0"),
+        F.sum(F.when(F.col("base"), F.col("rev")).otherwise(0))
+        .cast("bigint")
+        .alias("r0"),
+        F.sum(F.when(F.col("base"), 0).otherwise(F.col("qty")))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("base"), 0).otherwise(F.col("rev")))
+        .cast("bigint")
+        .alias("r1"),
+    )
+    priced = per_part.where((F.col("q0") > 0) & (F.col("q1") > 0)).select(
+        "pk",
+        "q0",
+        "q1",
+        F.expr("CAST(r0 * 1000 DIV q0 AS BIGINT)").alias("u0_milli"),
+        F.expr("CAST(r1 * 1000 DIV q1 AS BIGINT)").alias("u1_milli"),
+    )
+    return priced.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.col("u0_milli") * F.col("q0"))
+        .cast("bigint")
+        .alias("base_basket_milli"),
+        F.expr(
+            "CAST(((SUM(u1_milli * q0) * 100 DIV SUM(u0_milli * q0)) * 10000 + (((SUM(u1_milli * q0) * 100) % SUM(u0_milli * q0)) * 100 DIV SUM(u0_milli * q0)) * 100 + ((((SUM(u1_milli * q0) * 100) % SUM(u0_milli * q0)) * 100) % SUM(u0_milli * q0)) * 100 DIV SUM(u0_milli * q0)) AS BIGINT)"
+        ).alias("laspeyres_ppm"),
+        F.expr(
+            "CAST(((SUM(u1_milli * q1) * 100 DIV SUM(u0_milli * q1)) * 10000 + (((SUM(u1_milli * q1) * 100) % SUM(u0_milli * q1)) * 100 DIV SUM(u0_milli * q1)) * 100 + ((((SUM(u1_milli * q1) * 100) % SUM(u0_milli * q1)) * 100) % SUM(u0_milli * q1)) * 100 DIV SUM(u0_milli * q1)) AS BIGINT)"
+        ).alias("paasche_ppm"),
+    )
+
+
+#: price-dispersion report size.
+DISPERSION_TOP_K = 20
+
+
+@query(
+    "ext_price_dispersion",
+    oracle=f"""
+    WITH units AS (
+        SELECT l_partkey AS pk,
+               CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * 1000 // CAST(l_quantity AS BIGINT) AS BIGINT)
+                   AS unit_milli
+        FROM lineitem
+    ), stats AS (
+        SELECT pk,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(MIN(unit_milli) AS BIGINT) AS min_milli,
+               CAST(MAX(unit_milli) AS BIGINT) AS max_milli
+        FROM units GROUP BY pk HAVING COUNT(*) >= 3
+    )
+    SELECT pk, n_lines, min_milli, max_milli,
+           CAST((max_milli - min_milli) * 1000000 // min_milli AS BIGINT)
+               AS spread_ppm
+    FROM stats
+    ORDER BY spread_ppm DESC, pk
+    LIMIT {DISPERSION_TOP_K}
+    """,
+)
+def ext_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt16 — same-SKU price-dispersion audit: unit price (exact
+    truncated milli-cents) min/max per part over all lines, ranked by
+    relative spread — the pricing-DQ tripwire that catches currency
+    mixups, decimal-shift typos and unauthorized discounting, where a
+    per-order check sees each price as individually plausible. Support
+    floor of 3 lines avoids flagging single-quote noise; top-
+    {DISPERSION_TOP_K} fully pinned (spread, partkey).
+
+    Shape: one part groupBy + TakeOrdered top-k — one data-sized
+    shuffle."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.expr(
+            "CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            " * 1000 DIV CAST(l_quantity AS BIGINT) AS BIGINT)"
+        ).alias("unit_milli"),
+    )
+    stats = (
+        li.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("unit_milli").cast("bigint").alias("min_milli"),
+            F.max("unit_milli").cast("bigint").alias("max_milli"),
+        )
+        .where(F.col("n_lines") >= 3)
+    )
+    return (
+        stats.select(
+            "pk",
+            "n_lines",
+            "min_milli",
+            "max_milli",
+            F.expr(
+                "CAST((max_milli - min_milli) * 1000000 DIV min_milli"
+                " AS BIGINT)"
+            ).alias("spread_ppm"),
+        )
+        .orderBy(F.col("spread_ppm").desc(), "pk")
+        .limit(DISPERSION_TOP_K)
+    )
