@@ -1855,3 +1855,91 @@ def ext_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" < {BOT_CV2_X10K} THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("bot_flag"),
     )
+
+
+#: segment-migration revenue band width (cents per half-year spend).
+MIGRATION_BAND_CENTS = 50_000_000
+
+
+@query(
+    "ext_segment_migration",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               (month(CAST(o_orderdate AS DATE)) <= 6) AS h1,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2
+    ), bands AS (
+        SELECT o_custkey,
+               CAST(COALESCE(MAX(CASE WHEN h1 THEN rev END), 0)
+                    // {MIGRATION_BAND_CENTS} AS BIGINT) AS band_h1,
+               CAST(COALESCE(MAX(CASE WHEN NOT h1 THEN rev END), 0)
+                    // {MIGRATION_BAND_CENTS} AS BIGINT) AS band_h2
+        FROM spend GROUP BY o_custkey
+    ), mat AS (
+        SELECT LEAST(band_h1, 3) AS from_band, LEAST(band_h2, 3) AS to_band,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(from_band AS BIGINT) AS from_band,
+           CAST(to_band AS BIGINT) AS to_band,
+           n_customers,
+           CAST(n_customers * 1000000 //
+                CAST(SUM(n_customers) OVER (PARTITION BY from_band)
+                     AS BIGINT) AS BIGINT) AS row_share_ppm
+    FROM mat
+    """,
+)
+def ext_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An17 — customer segment-migration (roll-rate) matrix: band each
+    customer's H1 and H2 spend into value tiers (capped at tier 3) and
+    count the from->to transitions, with each row normalized to ppm —
+    the retention diagonal, upgrade upper-triangle and churn-to-zero
+    column that a single-period segmentation (ext_rfm_segmentation)
+    cannot show. Missing-period customers land in band 0 (the
+    new/lapsed tier), so acquisition and churn appear as moves through
+    band 0 rather than silently dropping out.
+
+    Shape: one custkey groupBy (conditional per-half sums), a tiny
+    matrix aggregate, one 4-row window for row shares."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("h1"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "rc"
+        ),
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("h1"), F.col("rc"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rev_h1"),
+        F.coalesce(
+            F.sum(F.when(~F.col("h1"), F.col("rc"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rev_h2"),
+    )
+    bands = spend.select(
+        F.least(
+            F.expr(f"rev_h1 DIV {MIGRATION_BAND_CENTS}"), F.lit(3)
+        ).alias("from_band"),
+        F.least(
+            F.expr(f"rev_h2 DIV {MIGRATION_BAND_CENTS}"), F.lit(3)
+        ).alias("to_band"),
+    )
+    mat = bands.groupBy("from_band", "to_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    return mat.select(
+        F.col("from_band").cast("bigint").alias("from_band"),
+        F.col("to_band").cast("bigint").alias("to_band"),
+        "n_customers",
+        F.expr(
+            "CAST(n_customers * 1000000 DIV"
+            " CAST(SUM(n_customers) OVER (PARTITION BY from_band) AS BIGINT)"
+            " AS BIGINT)"
+        ).alias("row_share_ppm"),
+    )

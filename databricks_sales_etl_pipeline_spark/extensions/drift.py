@@ -1693,3 +1693,56 @@ def ext_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_sum",
         F.expr("CAST(d_sum DIV (n1 * n2) AS BIGINT)").alias("w1_dollars"),
     )
+
+
+@query(
+    "ext_cvar_tail",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS prio,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+    ), var_ AS (
+        SELECT prio,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(v, CAST('0.95' AS DOUBLE)) AS var95
+        FROM s GROUP BY prio
+    )
+    SELECT s.prio, t.n, t.var95,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(SUM(s.v) AS BIGINT) AS tail_sum_cents,
+           CAST(SUM(s.v) // COUNT(*) AS BIGINT) AS cvar_cents
+    FROM s JOIN var_ t ON t.prio = s.prio
+    WHERE CAST(s.v AS DOUBLE) > t.var95
+    GROUP BY s.prio, t.n, t.var95
+    """,
+)
+def ext_cvar_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr19 — VaR / CVaR tail report per priority class: the 95%
+    value-at-risk (interpolated percentile of order amounts, bit-exact
+    on integer cents) and the conditional VaR — the MEAN of the
+    exceedances — which is the coherent risk measure VaR famously
+    isn't (VaR ignores how bad the tail is once crossed; CVaR prices
+    it). Exceedance selection compares through the identical double;
+    the tail mean is one truncating integer division.
+
+    Shape: one percentile aggregate + one broadcast join-back of the
+    5-row VaR table onto the scan — two passes, one data-sized
+    shuffle each."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        cents(F.col("o_totalprice")).alias("v"),
+    )
+    var_ = s.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(v, CAST('0.95' AS DOUBLE))").alias("var95"),
+    )
+    j = s.join(broadcast(var_), "prio").where(
+        F.col("v").cast("double") > F.col("var95")
+    )
+    return j.groupBy("prio", "n", "var95").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum("v").cast("bigint").alias("tail_sum_cents"),
+        F.expr("CAST(SUM(v) DIV COUNT(*) AS BIGINT)").alias("cvar_cents"),
+    )

@@ -1578,3 +1578,103 @@ def ext_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("spread_ppm").desc(), "pk")
         .limit(DISPERSION_TOP_K)
     )
+
+
+@query(
+    "ext_inventory_xyz",
+    oracle="""
+    WITH daily AS (
+        SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS d,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ), m AS (
+        SELECT pk,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(q * q) AS BIGINT) AS sqq
+        FROM daily GROUP BY pk
+    ), rev AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM lineitem GROUP BY 1
+    ), abc AS (
+        SELECT pk, r,
+               CAST(SUM(r) OVER (ORDER BY r DESC, pk
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(r) OVER () AS BIGINT) AS tot
+        FROM rev
+    ), classes AS (
+        SELECT m.pk,
+               CASE WHEN a.cum * 10 <= a.tot * 8 THEN 'A'
+                    WHEN a.cum * 100 <= a.tot * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CASE WHEN 4 * (m.n * m.sqq - m.sq * m.sq) < m.sq * m.sq
+                         THEN 'X'
+                    WHEN m.n * m.sqq - m.sq * m.sq < m.sq * m.sq THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM m JOIN abc a ON a.pk = m.pk
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM classes GROUP BY 1, 2
+    """,
+)
+def ext_inventory_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt17 — the ABC-XYZ inventory matrix: ABC classes by cumulative
+    revenue share (A = first 80%, B = to 95%, C = rest — the
+    ext_inventory_abc cut, via cross-multiplied integer comparisons, no
+    ratios) crossed with XYZ demand-variability classes from the DAILY
+    demand series — X steady (CV^2 < 1/4), Y variable (CV^2 < 1),
+    Z erratic — where CV^2 thresholds are EXACT integer
+    cross-multiplications of the raw moments (4(n*sqq - sq^2) < sq^2
+    etc., no division at all). The 9-cell grid is the planning
+    policy map: AX = automate replenishment, CZ = make-to-order.
+
+    Shape: two fact groupBys (daily demand moments; revenue), one
+    part-dim window for the ABC cut, one 9-row aggregate."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        cents(F.col("l_extendedprice")).alias("rc"),
+    ).localCheckpoint(eager=False)
+    daily = li.groupBy("pk", "d").agg(
+        F.sum("q").cast("bigint").alias("q")
+    )
+    m = daily.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+    )
+    rev = li.groupBy("pk").agg(F.sum("rc").cast("bigint").alias("r"))
+    wr = Window.orderBy(F.col("r").desc(), "pk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    abc = rev.select(
+        "pk",
+        F.sum("r").over(wr).cast("bigint").alias("cum"),
+        F.sum("r").over(wall).cast("bigint").alias("tot"),
+    )
+    classes = m.join(abc, "pk").select(
+        F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(
+            4 * (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"))
+            < F.col("sq") * F.col("sq"),
+            "X",
+        )
+        .when(
+            F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+            < F.col("sq") * F.col("sq"),
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return classes.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
