@@ -1943,3 +1943,131 @@ def ext_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("row_share_ppm"),
     )
+
+
+#: pooled two-proportion z — ONE shared expression over exact counts.
+_PROP_Z = (
+    "((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "  - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    " / SQRT(((CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE))"
+    "         / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)))"
+    "   * (CAST(1 AS DOUBLE)"
+    "      - (CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE))"
+    "        / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)))"
+    "   * (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "      + CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE))))"
+)
+
+_PROP_GUARD = "x1 + x0 > 0 AND x1 + x0 < n1 + n0"
+
+
+@query(
+    "ext_prop_ztest",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               {_AB_VARIANT_SQL} AS variant,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END)
+                       > SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT
+          CAST(SUM(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN variant = 'treatment' THEN conv ELSE 0 END)
+               AS BIGINT) AS x1,
+          CAST(SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN variant = 'control' THEN conv ELSE 0 END)
+               AS BIGINT) AS x0
+        FROM users
+    )
+    SELECT n1, x1, n0, x0,
+           CAST(x1 * 10000 // n1 - x0 * 10000 // n0 AS BIGINT) AS lift_bp,
+           CASE WHEN {_PROP_GUARD} THEN {_PROP_Z} END AS z_value,
+           CAST(CASE WHEN {_PROP_GUARD}
+                     AND ABS({_PROP_Z}) > CAST('1.96' AS DOUBLE)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+    FROM cells
+    """,
+)
+def ext_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An18 — pooled two-proportion z-test on the ext_ab_lift
+    experiment frame: the significance verdict the rate readout alone
+    doesn't give (a 30bp lift on 1500 users/arm is noise; on 1.5M it's
+    real). Deterministic md5 arm assignment; conversion = the user
+    made more purchases than clicks — a per-user event whose success
+    probability sits strictly inside (0,1) at every scale (an
+    everyone-converts definition degenerates the pooled variance to
+    zero, which ANSI mode turns into a divide-by-zero — the round-6
+    lesson behind the explicit guard). The z is ONE shared IEEE
+    expression over the four exact counts, NULL when degenerate; the
+    alpha=0.05 verdict rides it. Run ext_ab_srm_check FIRST — a
+    sample-ratio mismatch invalidates this test regardless of z.
+
+    Shape: ONE user groupBy computes arm + conversion together, then a
+    1-row conditional aggregate."""
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+        md5_band,
+    )
+
+    e = load(spark, sf_dir, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                > F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("conv")
+        )
+        .select(
+            F.when(md5_band(F.col("user_id"), 2, "ab:") == 0, "control")
+            .otherwise("treatment")
+            .alias("variant"),
+            "conv",
+        )
+    )
+    cells = users.agg(
+        F.sum(F.when(F.col("variant") == "treatment", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("variant") == "treatment", F.col("conv")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x1"),
+        F.sum(F.when(F.col("variant") == "control", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(
+            F.when(F.col("variant") == "control", F.col("conv")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x0"),
+    )
+    return cells.select(
+        "n1",
+        "x1",
+        "n0",
+        "x0",
+        F.expr(
+            "CAST(x1 * 10000 DIV n1 - x0 * 10000 DIV n0 AS BIGINT)"
+        ).alias("lift_bp"),
+        F.expr(f"CASE WHEN {_PROP_GUARD} THEN {_PROP_Z} END").alias(
+            "z_value"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN {_PROP_GUARD}"
+            f" AND ABS({_PROP_Z}) > CAST('1.96' AS DOUBLE)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_h0"),
+    )

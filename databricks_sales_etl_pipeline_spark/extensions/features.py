@@ -983,3 +983,73 @@ def ext_nzv_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("nzv_flag"),
     )
+
+
+#: empirical-Bayes prior strength (pseudo-trials) — fixed, data-independent.
+EB_PRIOR_K = 100
+
+
+@query(
+    "ext_eb_shrinkage",
+    oracle=f"""
+    WITH b AS (
+        SELECT p.p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS trials,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS succ
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    ), g AS (
+        SELECT CAST(SUM(trials) AS BIGINT) AS gt,
+               CAST(SUM(succ) AS BIGINT) AS gs
+        FROM b
+    )
+    SELECT b.brand, b.trials, b.succ,
+           CAST(b.succ * 1000000 // b.trials AS BIGINT) AS raw_ppm,
+           CAST((b.succ * g.gt + {EB_PRIOR_K} * g.gs) * 1000000
+                // (g.gt * (b.trials + {EB_PRIOR_K})) AS BIGINT)
+               AS shrunk_ppm
+    FROM b, g
+    """,
+)
+def ext_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe6 — empirical-Bayes rate shrinkage: per-brand return rates
+    pulled toward the global rate by {EB_PRIOR_K} pseudo-trials of
+    prior — shrunk = (succ + K*m)/(trials + K) with m the global rate —
+    the James-Stein move that stops a 2/3 brand from outranking a
+    240/1000 one (the additive-smoothing cousin of ext_rank_wilson's
+    confidence bound: Wilson widens intervals, EB moves the point
+    estimate). Multiplying through by the global-trials denominator
+    makes the whole estimate ONE exact integer expression —
+    (succ*GT + K*GS)*10^6 / (GT*(trials+K)) — no rational intermediates
+    (int64-safe to ~10^6 trials per brand at 10^7 global; beyond that,
+    stage the division per CLAUDE.md).
+
+    Shape: one brand groupBy behind a broadcast dim join + a 1-row
+    global-moments broadcast."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("trials"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("succ"),
+        )
+    )
+    g = b.agg(
+        F.sum("trials").cast("bigint").alias("gt"),
+        F.sum("succ").cast("bigint").alias("gs"),
+    )
+    return b.crossJoin(broadcast(g)).select(
+        "brand",
+        "trials",
+        "succ",
+        F.expr("CAST(succ * 1000000 DIV trials AS BIGINT)").alias("raw_ppm"),
+        F.expr(
+            f"CAST((succ * gt + {EB_PRIOR_K} * gs) * 1000000"
+            f" DIV (gt * (trials + {EB_PRIOR_K})) AS BIGINT)"
+        ).alias("shrunk_ppm"),
+    )

@@ -1678,3 +1678,91 @@ def ext_inventory_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classes.groupBy("abc_class", "xyz_class").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts")
     )
+
+
+def _npv_factors(n: int = 80) -> list[int]:
+    """Truncating 1%-per-month discount curve in integer micro-units:
+    f_0 = 10^6, f_k = f_{k-1} * 99 DIV 100 — pure integer recurrence, so
+    Spark, DuckDB and the tests share the identical table with no float
+    powers anywhere."""
+    f, out = 1_000_000, []
+    for _ in range(n):
+        out.append(f)
+        f = f * 99 // 100
+    return out
+
+
+NPV_FACTORS = _npv_factors()
+
+_NPV_ARRAY_SQL = "[" + ", ".join(str(f) for f in NPV_FACTORS) + "]"
+_NPV_ARRAY_SPARK = "array(" + ", ".join(str(f) for f in NPV_FACTORS) + ")"
+
+
+@query(
+    "ext_npv_ltv",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST((year(CAST(o_orderdate AS DATE)) - 1995) * 12
+                    + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS rc
+        FROM orders
+    ), coh AS (
+        SELECT *, MIN(m) OVER (PARTITION BY o_custkey) AS cohort FROM o
+    ), grid AS (
+        SELECT cohort,
+               LEAST(m - cohort, {len(NPV_FACTORS) - 1}) AS offs,
+               CAST(SUM(rc) AS BIGINT) AS rev
+        FROM coh GROUP BY 1, 2
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(SUM(rev) AS BIGINT) AS nominal_cents,
+           CAST(SUM(rev * {_NPV_ARRAY_SQL}[offs + 1] // 1000000)
+                AS BIGINT) AS npv_cents,
+           CAST(SUM(rev * {_NPV_ARRAY_SQL}[offs + 1] // 1000000)
+                * 1000000 // SUM(rev) AS BIGINT) AS npv_ratio_ppm
+    FROM grid GROUP BY cohort
+    """,
+)
+def ext_npv_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt18 — discounted (NPV) cohort lifetime value: the
+    ext_cohort_ltv revenue grid re-valued at a 1%-per-month discount,
+    so late revenue counts less — the finance-grade LTV that decides
+    how much acquisition spend a cohort actually justifies (nominal
+    LTV overpays for slow-maturing cohorts; the npv/nominal ratio IS
+    the maturity-speed score). The discount curve is a PRECOMPUTED
+    integer-truncating recurrence shared verbatim by both engines
+    (array literal indexing — no float pow), offsets clamped to the
+    table length; each month's revenue is discounted with one integer
+    multiply-divide.
+
+    Shape: identical cost to ext_cohort_ltv — one custkey window, one
+    (cohort, offset) groupBy, then cohort-grid math only."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (F.year(F.col("o_orderdate").cast("date")) - 1995) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("m"),
+        cents("o_totalprice").alias("rc"),
+    )
+    coh = o.withColumn(
+        "cohort", F.min("m").over(Window.partitionBy("o_custkey"))
+    )
+    grid = coh.groupBy(
+        "cohort",
+        F.least(
+            F.col("m") - F.col("cohort"), F.lit(len(NPV_FACTORS) - 1)
+        ).alias("offs"),
+    ).agg(F.sum("rc").cast("bigint").alias("rev"))
+    disc = f"rev * element_at({_NPV_ARRAY_SPARK}, CAST(offs + 1 AS INT)) DIV 1000000"
+    return grid.groupBy(F.col("cohort").cast("bigint").alias("cohort")).agg(
+        F.sum("rev").cast("bigint").alias("nominal_cents"),
+        F.expr(f"CAST(SUM({disc}) AS BIGINT)").alias("npv_cents"),
+        F.expr(
+            f"CAST(SUM({disc}) * 1000000 DIV SUM(rev) AS BIGINT)"
+        ).alias("npv_ratio_ppm"),
+    )

@@ -195,6 +195,9 @@ _NLJ_ALLOWED = {
     # band / value-grid tables — the ext_ks_test scaffold
     "ext_tv_distance",
     "ext_wasserstein_shift",
+    # round-6 wave 45: 1-row global-moments broadcast into the
+    # shrinkage denominator (the scalar-subquery pattern)
+    "ext_eb_shrinkage",
 }
 
 
