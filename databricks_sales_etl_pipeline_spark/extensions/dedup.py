@@ -1227,3 +1227,80 @@ def ext_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+#: SimHash Hamming radius considered "agreement" with a verified dup.
+AGREE_HAMMING = 6
+
+
+@query(
+    "ext_dedup_agreement",
+    oracle=f"""
+    WITH pairs AS ({_MINHASH_VERIFIED_ORACLE}),
+    sk AS ({_simhash_oracle()})
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT)
+               AS hamming,
+           CAST(CASE WHEN bit_count(xor(a.simhash32, b.simhash32))
+                          <= {AGREE_HAMMING}
+                THEN 1 ELSE 0 END AS BIGINT) AS agree,
+           CAST(CAST(SUM(CASE WHEN bit_count(xor(a.simhash32, b.simhash32))
+                                   <= {AGREE_HAMMING} THEN 1 ELSE 0 END)
+                     OVER () AS BIGINT) * 1000000
+                // CAST(COUNT(*) OVER () AS BIGINT) AS BIGINT)
+               AS agree_share_ppm
+    FROM pairs p
+    JOIN sk a ON a.doc_id = p.doc_a
+    JOIN sk b ON b.doc_id = p.doc_b
+    """,
+)
+def ext_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e — dedup-method AGREEMENT audit: take the verified near-dup
+    pairs (banded MinHash candidates, exact-Jaccard >= 0.5) and ask
+    whether the much cheaper SimHash sketch would have caught each one
+    (Hamming distance <= {AGREE_HAMMING} on the 32-bit sketch). The
+    agreement share is the measured RECALL of the one-pass sketch
+    against the verified index — the number that decides whether a
+    100 TB pipeline can run SimHash-only on low-risk tiers and reserve
+    MinHash+verify for the rest. Both pipelines are the md5-derived
+    bit-identical twins, so pair set, sketches, Hamming distances and
+    the ppm share all hash-check; xor/bit_count exist in both engines
+    (CLAUDE.md).
+
+    Shape: composes the two existing pipelines (candidate generation
+    bounded by banding, sketches one pass) + two doc-keyed joins whose
+    right side is the doc-count-sized sketch table."""
+    pairs = ext_dedup_minhash_verified(spark, sf_dir)
+    sk = ext_dedup_simhash_verified(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    a = sk.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash32").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("sk_b")
+    )
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    from pyspark.sql import Window as _W
+
+    wall = _W.partitionBy()
+    hamming = F.bit_count(
+        F.col("sk_a").bitwiseXOR(F.col("sk_b"))
+    ).cast("bigint")
+    out = j.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        hamming.alias("hamming"),
+        F.when(hamming <= AGREE_HAMMING, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("agree"),
+    )
+    return out.withColumn(
+        "agree_share_ppm",
+        F.expr(
+            "CAST(CAST(SUM(agree) OVER () AS BIGINT) * 1000000"
+            " DIV CAST(COUNT(*) OVER () AS BIGINT) AS BIGINT)"
+        ),
+    )

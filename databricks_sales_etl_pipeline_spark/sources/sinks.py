@@ -145,3 +145,99 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp_path("part")
     write_table(o, path, mode="overwrite", partition_by=["order_month"])
     return read_table(spark, path).where(F.col("order_month") == "1996-03")
+
+
+@query(
+    "sink_dynamic_overwrite",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CASE WHEN n_regionkey = 0 THEN 'patched' ELSE 'base' END AS src
+    FROM nation
+    """,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — DYNAMIC partition overwrite: write the full table
+    partitioned by region, then overwrite ONLY region 0 with a patched
+    batch under partitionOverwriteMode=dynamic — the other four
+    partitions must survive untouched (STATIC mode, the default, would
+    have deleted them: the classic destroy-the-table incident this
+    setting exists to prevent). The conf is set scoped and restored in
+    ``finally`` so the shared session keeps its default.
+
+    At 100 TB this is THE idempotent daily-reload primitive: re-run a
+    day's batch and only that day's directory is replaced, no
+    read-modify-write of the table and no window where other partitions
+    are missing."""
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _tmp_path("dynover")
+    base = n.withColumn("src", F.lit("base"))
+    write_table(base, path, mode="overwrite", partition_by=["n_regionkey"])
+    patched = (
+        n.where(F.col("n_regionkey") == 0)
+        .withColumn("src", F.lit("patched"))
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        write_table(
+            patched, path, mode="overwrite", partition_by=["n_regionkey"]
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    out = read_table(spark, path)
+    return out.select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+        "src",
+    )
+
+
+@query(
+    "src_file_metadata",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — the hidden ``_metadata`` file columns: every file-source row
+    carries _metadata.file_name / file_path / file_size — the lineage
+    columns that let a pipeline attribute bad rows to the exact input
+    file without a custom reader. Demonstrated by writing nation
+    partitioned by region (repartition(1) → exactly ONE file per
+    region directory) and aggregating rows BY SOURCE FILE: per region,
+    the row count and the distinct-file count, which the write layout
+    pins to 1. File names themselves are writer-generated UUIDs, so
+    the oracle checks the metadata-derived STRUCTURE (counts), not the
+    random names.
+
+    At 100 TB _metadata is how quarantine reports point at offending
+    ingest files; it is projection-pruned like any other column."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    path = _tmp_path("filemeta")
+    n.repartition(1).write.mode("overwrite").partitionBy(
+        "n_regionkey"
+    ).parquet(path)
+    df = spark.read.parquet(path)
+    return (
+        df.select(
+            F.col("n_regionkey").cast("bigint").alias("region"),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("file_name"),
+        )
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("file_name").cast("bigint").alias("n_files"),
+        )
+    )
