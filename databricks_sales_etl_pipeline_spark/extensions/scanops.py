@@ -488,3 +488,93 @@ def ext_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV COUNT(*) AS BIGINT)"
         ).alias("otif_ppm"),
     )
+
+
+@query(
+    "ext_penny_allocation",
+    oracle="""
+    WITH lines AS (
+        SELECT l.l_orderkey AS ok, l.l_linenumber AS ln,
+               CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS lc
+        FROM lineitem l
+    ), hdr AS (
+        SELECT ok, CAST(SUM(lc) AS BIGINT) AS total_lc,
+               CAST(SUM(lc) // 20 AS BIGINT) AS freight
+        FROM lines GROUP BY ok
+    ), base AS (
+        SELECT l.ok, l.ln, l.lc, h.freight, h.total_lc,
+               CAST(h.freight * l.lc // h.total_lc AS BIGINT) AS base_c,
+               CAST(h.freight * l.lc % h.total_lc AS BIGINT) AS rem,
+               row_number() OVER (PARTITION BY l.ok
+                   ORDER BY h.freight * l.lc % h.total_lc DESC, l.lc, l.ln)
+                   AS rk
+        FROM lines l JOIN hdr h ON h.ok = l.ok
+    ), short AS (
+        SELECT ok, CAST(MIN(freight) - SUM(base_c) AS BIGINT) AS pennies
+        FROM base GROUP BY ok
+    )
+    SELECT b.ok, b.ln, b.lc,
+           CAST(b.base_c + CASE WHEN b.rk <= s.pennies THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM base b JOIN short s ON s.ok = b.ok
+    """,
+)
+def ext_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — largest-remainder penny allocation: prorate a header-level
+    charge (freight = 5% of the order's line total) across lines in
+    proportion to line value, in EXACT cents — floor every share, then
+    hand the leftover pennies to the largest remainders (linenumber
+    tiebreak). This is THE finance-grade allocation algorithm: naive
+    rounding leaks or mints pennies; largest-remainder guarantees
+    sum(line allocations) == header charge on every order (asserted in
+    the unit test), which is what reconciliation jobs check. The
+    remainder ranking is pinned by (remainder, line value, linenumber)
+    — the fixture's linenumber is NOT unique within an order, and rows
+    identical in all three are allocation-symmetric, so the output SET
+    is deterministic either way.
+
+    Shape: one orderkey groupBy (header totals), one orderkey window
+    (remainder ranking) — all on the single fact shuffle; integer
+    products freight*lc stay under 10^16 at fixture prices."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "lc"
+        ),
+    )
+    hdr = li.groupBy("ok").agg(
+        F.sum("lc").cast("bigint").alias("total_lc"),
+        F.expr("CAST(SUM(lc) DIV 20 AS BIGINT)").alias("freight"),
+    )
+    j = li.join(hdr, "ok")
+    base = j.select(
+        "ok",
+        "ln",
+        "lc",
+        "freight",
+        F.expr("CAST(freight * lc DIV total_lc AS BIGINT)").alias("base_c"),
+        F.expr("CAST(freight * lc % total_lc AS BIGINT)").alias("rem"),
+    )
+    wo = Window.partitionBy("ok").orderBy(
+        F.col("rem").desc(), "lc", "ln"
+    )
+    ranked = base.withColumn("rk", F.row_number().over(wo))
+    ws = Window.partitionBy("ok")
+    out = ranked.withColumn(
+        "pennies",
+        (F.min("freight").over(ws) - F.sum("base_c").over(ws)).cast(
+            "bigint"
+        ),
+    )
+    return out.select(
+        "ok",
+        "ln",
+        "lc",
+        (
+            F.col("base_c")
+            + F.when(F.col("rk") <= F.col("pennies"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
+    )

@@ -764,3 +764,61 @@ def ext_write_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + {TARGET_FILE_BYTES - 1}) DIV {TARGET_FILE_BYTES})"
         ).cast("bigint").alias("bytes_per_file"),
     )
+
+
+@query(
+    "ext_inferred_members",
+    oracle="""
+    WITH arrived AS (
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer WHERE c_mktsegment <> 'BUILDING'
+    ), orphans AS (
+        SELECT DISTINCT o.o_custkey AS c_custkey
+        FROM orders o
+        LEFT JOIN arrived a ON a.c_custkey = o.o_custkey
+        WHERE a.c_custkey IS NULL
+    )
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(0 AS BIGINT) AS inferred
+    FROM arrived
+    UNION ALL
+    SELECT c_custkey,
+           'INFERRED-' || CAST(c_custkey AS VARCHAR) AS c_name,
+           'UNKNOWN' AS c_mktsegment,
+           CAST(1 AS BIGINT) AS inferred
+    FROM orphans
+    """,
+)
+def ext_inferred_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh — late-arriving dimension (inferred members): facts referencing
+    a dimension key the dim feed hasn't delivered yet (simulated by
+    holding back the BUILDING segment) must NOT be dropped or parked —
+    the Kimball pattern inserts PLACEHOLDER members keyed by the orphan
+    keys so fact loads stay complete, and a later dim delivery updates
+    them in place (the SCD machinery, ext_scd2_build, takes over from
+    there). Output is the patched dimension with the inferred flag —
+    every fact row joins again, zero orphans (unit-asserted).
+
+    Shape: one distinct on fact keys + one anti-join against the
+    broadcastable dim; the union adds orphan-count rows."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    arrived = c.where(F.col("c_mktsegment") != "BUILDING")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    orphans = o.distinct().join(
+        broadcast(arrived.select("c_custkey")), "c_custkey", "left_anti"
+    )
+    inferred = orphans.select(
+        "c_custkey",
+        F.concat(F.lit("INFERRED-"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit("UNKNOWN").alias("c_mktsegment"),
+        F.lit(1).cast("bigint").alias("inferred"),
+    )
+    return arrived.withColumn(
+        "inferred", F.lit(0).cast("bigint")
+    ).unionByName(inferred)

@@ -459,3 +459,102 @@ def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
+
+
+def _profile_col_sql(col: str, canon: str) -> str:
+    """One UNION ALL leg of the profiler oracle: canonical min/max as
+    VARCHAR of engine-portable forms (bigints / ISO dates / raw strings)."""
+    return f"""
+        SELECT '{col}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({canon}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {canon}) AS BIGINT) AS n_distinct,
+               CAST(MIN({canon}) AS VARCHAR) AS min_value,
+               CAST(MAX({canon}) AS VARCHAR) AS max_value
+        FROM orders"""
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_totalprice_cents", "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+    ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"),
+]
+
+
+@query(
+    "dq_profile_table",
+    oracle="\n        UNION ALL\n".join(
+        _profile_col_sql(c, e) for c, e in _PROFILE_COLS
+    ),
+)
+def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — one-pass table profiler: per column, row count, null count,
+    exact distinct count and min/max — the first report any new dataset
+    gets, in long format so the schema of the REPORT never changes when
+    the table's does. Every min/max is canonicalized to an
+    engine-portable form before stringification (bigints, integer
+    cents, ISO dates — raw double/timestamp formatting differs across
+    engines); the money column profiles as exact cents.
+
+    Shape: ONE scan with per-column conditional aggregates unioned
+    in-row via explode — the column count bounds the output, and Spark
+    computes all profiles in a single pass (the oracle's UNION ALL per
+    column is the semantic spec, not the plan)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr("CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+               " AS STRING)").alias("o_totalprice_cents"),
+        F.col("o_orderdate").cast("date").cast("string").alias(
+            "o_orderdate"
+        ),
+    )
+    long = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).alias("v"),
+                        # numeric columns must ORDER numerically for
+                        # min/max — carry a sort key alongside
+                        F.lit(
+                            1 if c in ("o_orderkey", "o_custkey",
+                                       "o_totalprice_cents") else 0
+                        ).alias("numeric"),
+                    )
+                    for c, _ in _PROFILE_COLS
+                ]
+            )
+        ).alias("e")
+    ).select("e.column_name", "e.v", "e.numeric")
+    prof = long.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_null"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        F.min(
+            F.when(F.col("numeric") == 1, F.col("v").cast("bigint"))
+        ).alias("_min_num"),
+        F.max(
+            F.when(F.col("numeric") == 1, F.col("v").cast("bigint"))
+        ).alias("_max_num"),
+        F.min(F.when(F.col("numeric") == 0, F.col("v"))).alias("_min_str"),
+        F.max(F.when(F.col("numeric") == 0, F.col("v"))).alias("_max_str"),
+    )
+    return prof.select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        F.coalesce(F.col("_min_num").cast("string"), F.col("_min_str")).alias(
+            "min_value"
+        ),
+        F.coalesce(F.col("_max_num").cast("string"), F.col("_max_str")).alias(
+            "max_value"
+        ),
+    )
