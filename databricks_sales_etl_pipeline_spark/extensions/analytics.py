@@ -2071,3 +2071,301 @@ def ext_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_h0"),
     )
+
+
+@query(
+    "ext_post_stratification",
+    oracle=f"""
+    WITH users AS (
+        SELECT e.user_id,
+               {_AB_VARIANT_SQL} AS variant,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(MIN(e.user_id % 5) AS BIGINT) AS stratum
+        FROM events e GROUP BY e.user_id
+    ), cells AS (
+        SELECT stratum, variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM users GROUP BY 1, 2
+    ), pop AS (
+        SELECT stratum, CAST(SUM(n) AS BIGINT) AS pop_n FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM cells
+    )
+    SELECT c.variant,
+           CAST(SUM(c.n) AS BIGINT) AS n_users,
+           CAST(SUM(c.sy) * 1000 // SUM(c.n) AS BIGINT) AS naive_milli,
+           CAST(SUM((c.sy * 1000 // c.n) * p.pop_n) // MIN(t.big_n)
+                AS BIGINT) AS poststrat_milli
+    FROM cells c JOIN pop p ON p.stratum = c.stratum CROSS JOIN tot t
+    GROUP BY c.variant
+    """,
+)
+def ext_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An19 — post-stratified A/B estimate: re-weight each arm's
+    per-stratum mean purchases (strata = user_id mod 5, the stand-in
+    for a pre-treatment covariate) to the POPULATION stratum shares —
+    the estimator that removes chance covariate imbalance between arms
+    after the fact (the deterministic cousin of CUPED: CUPED regresses
+    it out, post-stratification reweights it out). Both the naive and
+    the post-stratified per-arm means are exact fixed-point
+    milli-purchases (stratum means truncated first, then
+    population-weighted — the documented truncation contract), so the
+    correction itself is hash-checkable.
+
+    Shape: one user groupBy, then all math on the strata x arm grid."""
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+        md5_band,
+    )
+
+    e = load(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        F.when(md5_band(F.col("user_id"), 2, "ab:") == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        (F.col("user_id") % 5).cast("bigint").alias("stratum"),
+        "y",
+    )
+    cells = users.groupBy("stratum", "variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    ).localCheckpoint()
+    pop = cells.groupBy("stratum").agg(
+        F.sum("n").cast("bigint").alias("pop_n")
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("big_n"))
+    j = cells.join(broadcast(pop), "stratum").crossJoin(broadcast(tot))
+    return j.groupBy("variant").agg(
+        F.sum("n").cast("bigint").alias("n_users"),
+        F.expr("CAST(SUM(sy) * 1000 DIV SUM(n) AS BIGINT)").alias(
+            "naive_milli"
+        ),
+        F.expr(
+            "CAST(SUM((sy * 1000 DIV n) * pop_n) DIV MIN(big_n) AS BIGINT)"
+        ).alias("poststrat_milli"),
+    )
+
+
+@query(
+    "ext_iv_wald",
+    oracle=f"""
+    WITH users AS (
+        SELECT e.user_id,
+               {_AB_VARIANT_SQL} AS variant,
+               CAST(CASE WHEN SUM(CASE WHEN e.event_type = 'signup'
+                                  THEN 1 ELSE 0 END) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS took,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events e GROUP BY e.user_id
+    ), cells AS (
+        SELECT
+          CAST(SUM(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN variant = 'treatment' THEN y ELSE 0 END)
+               AS BIGINT) AS sy1,
+          CAST(SUM(CASE WHEN variant = 'treatment' THEN took ELSE 0 END)
+               AS BIGINT) AS sd1,
+          CAST(SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN variant = 'control' THEN y ELSE 0 END)
+               AS BIGINT) AS sy0,
+          CAST(SUM(CASE WHEN variant = 'control' THEN took ELSE 0 END)
+               AS BIGINT) AS sd0
+        FROM users
+    )
+    SELECT n1, sy1, sd1, n0, sy0, sd0,
+           CAST(sy1 * n0 - sy0 * n1 AS BIGINT) AS itt_num,
+           CAST(sd1 * n0 - sd0 * n1 AS BIGINT) AS uptake_num,
+           CAST(CASE WHEN sd1 * n0 - sd0 * n1 <> 0 THEN
+                (CASE WHEN (sy1 * n0 - sy0 * n1) < 0 THEN -1 ELSE 1 END)
+                * (CASE WHEN (sd1 * n0 - sd0 * n1) < 0 THEN -1 ELSE 1 END)
+                * (abs(sy1 * n0 - sy0 * n1) * 1000
+                   // abs(sd1 * n0 - sd0 * n1)) END AS BIGINT)
+               AS wald_milli
+    FROM cells
+    """,
+)
+def ext_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An20 — instrumental-variable Wald (LATE) estimator: when the
+    randomized instrument (md5 arm) only ENCOURAGES treatment uptake
+    (proxy: the user signed up), the intention-to-treat effect
+    understates the effect ON THE TREATED; Wald = ITT / uptake-difference
+    rescales it to the compliers. Both differences are cross-multiplied
+    exact integers (sy1*n0 - sy0*n1 — no per-arm division at all), and
+    the final milli ratio composes the SIGNS outside the truncating
+    division (negative numerators floor vs truncate differently across
+    engines, CLAUDE.md); NULL when the instrument moved no uptake.
+
+    Shape: one user groupBy + a 1-row conditional aggregate."""
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+        md5_band,
+    )
+
+    e = load(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("took"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        F.when(md5_band(F.col("user_id"), 2, "ab:") == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        "took",
+        "y",
+    )
+    cells = users.agg(
+        F.sum(F.when(F.col("variant") == "treatment", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("variant") == "treatment", F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy1"),
+        F.sum(
+            F.when(F.col("variant") == "treatment", F.col("took")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sd1"),
+        F.sum(F.when(F.col("variant") == "control", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == "control", F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy0"),
+        F.sum(
+            F.when(F.col("variant") == "control", F.col("took")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sd0"),
+    )
+    return cells.select(
+        "n1",
+        "sy1",
+        "sd1",
+        "n0",
+        "sy0",
+        "sd0",
+        F.expr("CAST(sy1 * n0 - sy0 * n1 AS BIGINT)").alias("itt_num"),
+        F.expr("CAST(sd1 * n0 - sd0 * n1 AS BIGINT)").alias("uptake_num"),
+        F.expr(
+            "CAST(CASE WHEN sd1 * n0 - sd0 * n1 <> 0 THEN"
+            " (CASE WHEN (sy1 * n0 - sy0 * n1) < 0 THEN -1 ELSE 1 END)"
+            " * (CASE WHEN (sd1 * n0 - sd0 * n1) < 0 THEN -1 ELSE 1 END)"
+            " * (abs(sy1 * n0 - sy0 * n1) * 1000"
+            "    DIV abs(sd1 * n0 - sd0 * n1)) END AS BIGINT)"
+        ).alias("wald_milli"),
+    )
+
+
+#: sharp-RDD cutoff and rectangular-kernel bandwidth (cents).
+RDD_CUTOFF_CENTS = 25_000_000
+RDD_BANDWIDTH_CENTS = 5_000_000
+
+
+@query(
+    "ext_reg_discontinuity",
+    oracle=f"""
+    WITH truth AS (
+        SELECT l_orderkey,
+               CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ), local_ AS (
+        SELECT CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS v,
+               COALESCE(t.y, 0) AS y
+        FROM orders o LEFT JOIN truth t ON o.o_orderkey = t.l_orderkey
+        WHERE CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+              BETWEEN {RDD_CUTOFF_CENTS - RDD_BANDWIDTH_CENTS}
+                  AND {RDD_CUTOFF_CENTS + RDD_BANDWIDTH_CENTS - 1}
+    ), sides AS (
+        SELECT CAST(SUM(CASE WHEN v >= {RDD_CUTOFF_CENTS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above,
+               CAST(SUM(CASE WHEN v >= {RDD_CUTOFF_CENTS} THEN y ELSE 0 END)
+                    AS BIGINT) AS pos_above,
+               CAST(SUM(CASE WHEN v < {RDD_CUTOFF_CENTS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN v < {RDD_CUTOFF_CENTS} THEN y ELSE 0 END)
+                    AS BIGINT) AS pos_below
+        FROM local_
+    )
+    SELECT n_above, pos_above, n_below, pos_below,
+           CAST(pos_above * 1000000 // n_above AS BIGINT) AS rate_above_ppm,
+           CAST(pos_below * 1000000 // n_below AS BIGINT) AS rate_below_ppm,
+           CAST(pos_above * 1000000 // n_above
+                - pos_below * 1000000 // n_below AS BIGINT) AS jump_ppm
+    FROM sides
+    """,
+)
+def ext_reg_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An21 — sharp regression discontinuity: compare the return rate
+    just ABOVE vs just BELOW a price cutoff within a narrow bandwidth
+    (rectangular kernel) — the causal design for threshold-assigned
+    treatments (free shipping over X, credit over a score) where units
+    just each side of the cutoff are exchangeable. The jump in exact
+    ppm IS the local treatment effect estimate; on the fixture's
+    threshold-free data it should be statistically indistinguishable
+    from zero (the unit test bounds it), which is the placebo check a
+    real RDD runs at fake cutoffs.
+
+    Shape: the bandwidth predicate pushes into the scan (only the
+    local window is read at 100 TB with value-clustered layout), one
+    label groupBy, one 1-row aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    truth = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v = F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+    local_ = (
+        o.join(truth, o["o_orderkey"] == truth["l_orderkey"], "left")
+        .select(
+            v.alias("v"), F.coalesce(F.col("y"), F.lit(0)).alias("y")
+        )
+        .where(
+            (F.col("v") >= RDD_CUTOFF_CENTS - RDD_BANDWIDTH_CENTS)
+            & (F.col("v") < RDD_CUTOFF_CENTS + RDD_BANDWIDTH_CENTS)
+        )
+    )
+    above = F.col("v") >= RDD_CUTOFF_CENTS
+    sides = local_.agg(
+        F.sum(F.when(above, 1).otherwise(0)).cast("bigint").alias("n_above"),
+        F.sum(F.when(above, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("pos_above"),
+        F.sum(F.when(~above, 1).otherwise(0)).cast("bigint").alias("n_below"),
+        F.sum(F.when(~above, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("pos_below"),
+    )
+    return sides.select(
+        "n_above",
+        "pos_above",
+        "n_below",
+        "pos_below",
+        F.expr("CAST(pos_above * 1000000 DIV n_above AS BIGINT)").alias(
+            "rate_above_ppm"
+        ),
+        F.expr("CAST(pos_below * 1000000 DIV n_below AS BIGINT)").alias(
+            "rate_below_ppm"
+        ),
+        F.expr(
+            "CAST(pos_above * 1000000 DIV n_above"
+            " - pos_below * 1000000 DIV n_below AS BIGINT)"
+        ).alias("jump_ppm"),
+    )

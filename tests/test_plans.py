@@ -198,6 +198,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 45: 1-row global-moments broadcast into the
     # shrinkage denominator (the scalar-subquery pattern)
     "ext_eb_shrinkage",
+    # round-6 wave 48: 1-row population-total broadcast onto the
+    # strata x arm grid (the scalar-subquery pattern again)
+    "ext_post_stratification",
 }
 
 
