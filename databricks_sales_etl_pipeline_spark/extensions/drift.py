@@ -1746,3 +1746,246 @@ def ext_cvar_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("bigint").alias("tail_sum_cents"),
         F.expr("CAST(SUM(v) DIV COUNT(*) AS BIGINT)").alias("cvar_cents"),
     )
+
+
+#: QQ probe points — 5%..95% step 5, shared by both engines and tests.
+QQ_PROBS = [p / 100 for p in range(5, 100, 5)]
+
+_QQ_LIST = "[" + ", ".join(f"CAST('{p}' AS DOUBLE)" for p in QQ_PROBS) + "]"
+_QQ_ARRAY = "array(" + ", ".join(f"CAST('{p}' AS DOUBLE)" for p in QQ_PROBS) + ")"
+
+
+@query(
+    "ext_qq_table",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               (month(CAST(o_orderdate AS DATE)) <= 6) AS g1
+        FROM orders
+    ), q AS (
+        SELECT quantile_cont(v, {_QQ_LIST}) FILTER (WHERE g1) AS q1,
+               quantile_cont(v, {_QQ_LIST}) FILTER (WHERE NOT g1) AS q2
+        FROM s
+    )
+    SELECT CAST(r.range * 5 AS BIGINT) AS pct,
+           q.q1[r.range] AS q_h1,
+           q.q2[r.range] AS q_h2,
+           q.q1[r.range] - q.q2[r.range] AS qq_gap
+    FROM q, range(1, {len(QQ_PROBS) + 1}) r
+    """,
+)
+def ext_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr20 — quantile-quantile table between first-half and second-half
+    order amounts: the 5..95% quantiles of both periods side by side
+    with their gap — the table behind a QQ plot, and the drift view
+    that says WHERE in the distribution the shift lives (KS gives the
+    max, W1 the integral, TV the mass; QQ localizes it by quantile).
+    All 19 quantiles per side come from ONE interpolated-percentile
+    aggregate on integer cents (bit-exact across engines), and the gap
+    subtracts bit-identical doubles.
+
+    Shape: one scan, one 2-cell aggregate, a 19-row expansion."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
+        (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("g1"),
+    )
+    q = s.agg(
+        F.expr(
+            f"percentile(CASE WHEN g1 THEN v END, {_QQ_ARRAY})"
+        ).alias("q1"),
+        F.expr(
+            f"percentile(CASE WHEN NOT g1 THEN v END, {_QQ_ARRAY})"
+        ).alias("q2"),
+    )
+    expl = q.select(
+        F.posexplode(F.arrays_zip("q1", "q2")).alias("pos", "z")
+    )
+    return expl.select(
+        ((F.col("pos") + 1) * 5).cast("bigint").alias("pct"),
+        F.col("z.q1").alias("q_h1"),
+        F.col("z.q2").alias("q_h2"),
+        (F.col("z.q1") - F.col("z.q2")).alias("qq_gap"),
+    )
+
+
+#: top-k multivariate outliers reported.
+MAHAL_TOP_K = 20
+
+#: 2-D Mahalanobis distance-squared — ONE shared expression string over
+#: per-row (x, y) and the exact global moments (n, sx, sy, sxx, syy, sxy).
+_MAHAL_D2 = (
+    "(((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "  * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "  * ((CAST(syy AS DOUBLE)"
+    "      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "     / CAST(n AS DOUBLE))"
+    "  - CAST(2 AS DOUBLE)"
+    "    * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "    * (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "    * ((CAST(sxy AS DOUBLE)"
+    "        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "       / CAST(n AS DOUBLE))"
+    "  + (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "    * (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "    * ((CAST(sxx AS DOUBLE)"
+    "        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "       / CAST(n AS DOUBLE)))"
+    " / (((CAST(sxx AS DOUBLE)"
+    "      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "     / CAST(n AS DOUBLE))"
+    "    * ((CAST(syy AS DOUBLE)"
+    "        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "       / CAST(n AS DOUBLE))"
+    "    - ((CAST(sxy AS DOUBLE)"
+    "        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "       / CAST(n AS DOUBLE))"
+    "      * ((CAST(sxy AS DOUBLE)"
+    "          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "         / CAST(n AS DOUBLE))))"
+)
+
+
+@query(
+    "ext_mahalanobis_2d",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderkey AS ok,
+               CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS x,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        FROM orders
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x*x) AS BIGINT) AS sxx,
+               CAST(SUM(y*y) AS BIGINT) AS syy,
+               CAST(SUM(x*y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT p.ok, p.x, p.y, {_MAHAL_D2} AS d2
+    FROM pts p, m
+    ORDER BY d2 DESC, p.ok
+    LIMIT {MAHAL_TOP_K}
+    """,
+)
+def ext_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr21 — 2-D Mahalanobis outliers over (order value, order day):
+    the multivariate distance that catches points UNUSUAL IN
+    COMBINATION (a normal price on a normal day can still be an
+    outlier if the two never co-occur) where per-column z-scores see
+    nothing. The 2x2 covariance inverts in closed form (Cramer), so
+    the whole distance is ONE shared IEEE expression over the six
+    exact integer moments plus the per-row point — bit-exact, no
+    matrix library. Top-{MAHAL_TOP_K} by distance with orderkey
+    tiebreak. Dollar units keep the x-moments in int64 (the
+    ext_covariate_balance lesson).
+
+    Shape: one 1-row moment aggregate broadcast back onto the scan +
+    TakeOrdered top-k — two passes, no shuffle beyond them."""
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("ok"),
+        F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return (
+        pts.crossJoin(broadcast(m))
+        .select("ok", "x", "y", F.expr(_MAHAL_D2).alias("d2"))
+        .orderBy(F.col("d2").desc(), "ok")
+        .limit(MAHAL_TOP_K)
+    )
+
+
+#: ship-lag spec limits (days) for the capability study.
+CPK_LSL, CPK_USL = 0, 90
+
+#: Cp / Cpk — ONE shared expression over exact (n, s, ss).
+_CPK_SD = (
+    "SQRT((CAST(ss AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))"
+)
+_CPK_CP = f"((CAST({CPK_USL} AS DOUBLE) - CAST({CPK_LSL} AS DOUBLE)) / (CAST(6 AS DOUBLE) * {_CPK_SD}))"
+_CPK_CPK = (
+    f"(LEAST(CAST({CPK_USL} AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE),"
+    f" CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST({CPK_LSL} AS DOUBLE))"
+    f" / (CAST(3 AS DOUBLE) * {_CPK_SD}))"
+)
+
+
+@query(
+    "ext_process_capability",
+    oracle=f"""
+    WITH lags AS (
+        SELECT o.o_orderpriority AS prio,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), m AS (
+        SELECT prio,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS s,
+               CAST(SUM(d * d) AS BIGINT) AS ss
+        FROM lags GROUP BY prio
+    )
+    SELECT prio, n, s, ss,
+           {_CPK_CP} AS cp,
+           {_CPK_CPK} AS cpk,
+           CAST(CASE WHEN {_CPK_CPK} > CAST('1.33' AS DOUBLE)
+                THEN 1 ELSE 0 END AS BIGINT) AS capable
+    FROM m
+    """,
+)
+def ext_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr22 — process-capability indices Cp / Cpk of the ship-lag
+    process against a [{CPK_LSL}, {CPK_USL}]-day spec window: Cp asks
+    whether the process VARIATION fits the spec at all, Cpk whether it
+    fits WHERE THE PROCESS ACTUALLY SITS (an off-center process can
+    have great Cp and terrible Cpk) — the SPC pair that complements
+    the c-chart (stability) with adequacy, at the conventional 1.33
+    capability bar. Moments are exact int64; Cp/Cpk are shared IEEE
+    expression strings.
+
+    Shape: one orderkey join + one per-priority moment aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lags = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    m = lags.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("ss"),
+    )
+    return m.select(
+        "prio",
+        "n",
+        "s",
+        "ss",
+        F.expr(_CPK_CP).alias("cp"),
+        F.expr(_CPK_CPK).alias("cpk"),
+        F.expr(
+            f"CAST(CASE WHEN {_CPK_CPK} > CAST('1.33' AS DOUBLE)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("capable"),
+    )

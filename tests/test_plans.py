@@ -201,6 +201,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 48: 1-row population-total broadcast onto the
     # strata x arm grid (the scalar-subquery pattern again)
     "ext_post_stratification",
+    # round-6 wave 49: 1-row covariance-moments broadcast back onto the
+    # scan for the per-row distance (the scalar-subquery pattern)
+    "ext_mahalanobis_2d",
 }
 
 
