@@ -1989,3 +1989,100 @@ def ext_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("capable"),
     )
+
+
+#: rolling-correlation window (days, RANGE frame inclusive).
+ROLL_CORR_W = 6
+
+#: Pearson r from exact windowed moments — ONE shared expression,
+#: guarded NULL when either variance is degenerate in the window.
+_RCORR_NUM = (
+    "(CAST(wn AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_RCORR_DEN = (
+    "SQRT((CAST(wn AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(wn AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+_RCORR_GUARD = (
+    "wn * sxx - sx * sx > 0 AND wn * syy - sy * sy > 0"
+)
+
+
+@query(
+    "ext_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), rolled AS (
+        SELECT d, x, y,
+               CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+        FROM daily
+        WINDOW w AS (ORDER BY d RANGE BETWEEN {ROLL_CORR_W} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT d, x, y, wn,
+           CASE WHEN {_RCORR_GUARD}
+                THEN {_RCORR_NUM} / {_RCORR_DEN} END AS corr_7d
+    FROM rolled WHERE wn = {ROLL_CORR_W} + 1
+    """,
+)
+def ext_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr23 — rolling 7-day Pearson correlation between the daily click
+    and purchase series: the relationship-stability monitor (a healthy
+    funnel keeps clicks and purchases co-moving; a decoupling window —
+    correlation collapsing — flags tracking breakage or bot traffic
+    long before either series' own level alarms). All six windowed
+    moments are exact int64 over a RANGE frame (calendar gaps handled
+    by value, not row position); r is ONE shared IEEE expression,
+    guarded NULL on degenerate windows; only complete windows emit.
+
+    Shape: one date groupBy + ONE ordered window computing all six
+    moments in a single pass over the calendar-sized table."""
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = e.groupBy(day.alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = Window.orderBy("d").rangeBetween(-ROLL_CORR_W, 0)
+    rolled = daily.select(
+        "d",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("wn"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    )
+    return rolled.where(F.col("wn") == ROLL_CORR_W + 1).select(
+        "d",
+        "x",
+        "y",
+        "wn",
+        F.expr(
+            f"CASE WHEN {_RCORR_GUARD} THEN {_RCORR_NUM} / {_RCORR_DEN} END"
+        ).alias("corr_7d"),
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band_sql
 from databricks_sales_etl_pipeline_spark.registry import query
 
 _WS = r"\s+"
@@ -200,4 +201,113 @@ def ext_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("drop_milli"),
+    )
+
+
+#: MLM mask selector — 1-in-8 tokens (12.5%), salted per (doc, position).
+MLM_MOD = 8
+
+
+@query(
+    "ext_mlm_masking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ), marked AS (
+        SELECT doc_id,
+               len(tk) AS n_tokens,
+               list_transform(range(1, len(tk) + 1), ti ->
+                   CASE WHEN {md5_band_sql("doc_id || ':' || (ti - 1)", MLM_MOD, "mlm:")} = 0
+                        THEN '<MASK>' ELSE tk[ti] END) AS masked,
+               list_filter(list_transform(range(1, len(tk) + 1), ti ->
+                   CASE WHEN {md5_band_sql("doc_id || ':' || (ti - 1)", MLM_MOD, "mlm:")} = 0
+                        THEN tk[ti] END), x -> x IS NOT NULL) AS targets
+        FROM toks WHERE len(tk) > 0
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(targets) AS BIGINT) AS n_masked,
+           CAST(len(targets) * 1000000 // n_tokens AS BIGINT)
+               AS mask_rate_ppm,
+           md5(array_to_string(masked, ' ')) AS masked_md5,
+           md5(COALESCE(array_to_string(targets, ' '), '')) AS targets_md5
+    FROM marked
+    """,
+)
+def ext_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lm3 — deterministic MLM training-pair generation: mask 1-in-
+    {MLM_MOD} tokens selected by the cross-engine md5 coin salted per
+    (doc, position) — NOT a random mask, so the dataset is REPRODUCIBLE
+    across reruns, engines and partition layouts (df.sample's
+    per-partition seeds are not, CLAUDE.md), which is what makes
+    training-data audits possible. Output pins the masked text and
+    the target sequence by md5 plus the realized mask rate — the
+    generator contract a 100 TB MLM pipeline materializes per epoch.
+
+    Shape: one posexplode + per-token hash (all JVM-side) + one doc
+    groupBy whose collect_list is sort_array-pinned by position. The
+    oracle's outer lambda variable is named ti, NOT i — md5_band_sql's
+    inner digit loop also binds i, and DuckDB resolves the innermost
+    binding (silent all-or-nothing masks otherwise)."""
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+        md5_band,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos", "tok"),
+    )
+    key = F.concat_ws(":", F.col("doc_id"), F.col("pos"))
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (md5_band(key, MLM_MOD, "mlm:") == 0).alias("is_masked"),
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("is_masked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("pos"),
+                    F.when(F.col("is_masked"), "<MASK>")
+                    .otherwise(F.col("tok"))
+                    .alias("out"),
+                )
+            )
+        ).alias("masked_arr"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("is_masked"), F.struct(F.col("pos"), F.col("tok"))
+                )
+            )
+        ).alias("target_arr"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        F.expr("CAST(n_masked * 1000000 DIV n_tokens AS BIGINT)").alias(
+            "mask_rate_ppm"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(F.col("masked_arr"), lambda s: s["out"])
+            )
+        ).alias("masked_md5"),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(F.col("target_arr"), lambda s: s["tok"])
+            )
+        ).alias("targets_md5"),
     )

@@ -535,3 +535,55 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderstatus = 'F'
         """
     )
+
+
+@query(
+    "sql_insert_by_name",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_ORDER_CENTS}) AS BIGINT) AS rev_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_insert_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2h — INSERT INTO ... BY NAME (Spark 3.5+/4): column matching
+    by NAME instead of position — the schema-evolution-safe insert that
+    survives a SELECT whose column order differs from the target table
+    (positional INSERT silently transposes values when upstream reorders
+    columns; BY NAME makes that a non-event). Demonstrated by inserting
+    a deliberately REORDERED aggregate into a typed target table and
+    reading it back; the oracle is the same aggregate in canonical
+    order. Table lifecycle follows the deterministic-name discipline
+    (DROP + rmtree the leftover warehouse dir, CLAUDE.md) so repeated
+    runs in fresh sessions stay idempotent."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    register_views(spark, sf_dir)
+    tbl = "sgv_byname_target"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    leftover = os.path.join(warehouse, tbl)
+    if os.path.exists(leftover):
+        shutil.rmtree(leftover)
+    spark.sql(
+        f"CREATE TABLE {tbl}"
+        " (o_orderpriority STRING, n_orders BIGINT, rev_cents BIGINT)"
+        " USING parquet"
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {tbl} BY NAME
+        SELECT CAST(SUM({_ORDER_CENTS}) AS BIGINT) AS rev_cents,
+               o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+    return spark.table(tbl).select(
+        "o_orderpriority", "n_orders", "rev_cents"
+    )
