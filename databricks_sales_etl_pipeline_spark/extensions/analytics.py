@@ -2369,3 +2369,80 @@ def ext_reg_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - pos_below * 1000000 DIV n_below AS BIGINT)"
         ).alias("jump_ppm"),
     )
+
+
+@query(
+    "ext_process_mining_ef",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id, event_type,
+               MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type AS from_type, b.event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM bounds a
+        JOIN bounds b ON b.user_id = a.user_id
+                     AND b.event_type <> a.event_type
+                     AND a.first_us < b.last_us
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total
+        FROM events
+    )
+    SELECT p.from_type, p.to_type, p.n_users,
+           CAST(p.n_users * 1000000 // t.n_total AS BIGINT) AS share_ppm
+    FROM pairs p, tot t
+    """,
+)
+def ext_process_mining_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An22 — process-mining EVENTUALLY-FOLLOWS matrix: for every event
+    -type pair (a, b), how many users ever did a before (any) b — the
+    long-range complement of the directly-follows matrix
+    (ext_markov_transitions sees only adjacent steps; conformance
+    questions like "did signup happen before ANY purchase" need
+    eventually-follows). Computed from per-user first/last timestamps
+    per type — the 2-number sufficient statistic that replaces scanning
+    every ordered pair (first_a < last_b <=> some a precedes some b),
+    so the join is over the user x type bounds table, never the raw
+    event pairs. Shares in exact ppm of the user population.
+
+    Shape: ONE (user, type) groupBy, a bounds self-join keyed on
+    user_id (bounded by types^2 per user), a 1-row population
+    broadcast."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    ).localCheckpoint(eager=False)
+    a = bounds.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.col("first_us").alias("a_first"),
+    )
+    b = bounds.select(
+        "user_id",
+        F.col("event_type").alias("to_type"),
+        F.col("last_us").alias("b_last"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .where(
+            (F.col("from_type") != F.col("to_type"))
+            & (F.col("a_first") < F.col("b_last"))
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    tot = e.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_total")
+    )
+    return pairs.crossJoin(broadcast(tot)).select(
+        "from_type",
+        "to_type",
+        "n_users",
+        F.expr("CAST(n_users * 1000000 DIV n_total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band_sql
 from databricks_sales_etl_pipeline_spark.extensions.textstats import STOPWORDS, _SW_SQL
 from databricks_sales_etl_pipeline_spark.registry import query
 
@@ -389,3 +390,209 @@ def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.join(postings, "term")
+
+
+@query(
+    "ext_source_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT source, shingle FROM (
+            SELECT source,
+                   unnest(list_transform(
+                       range(1, greatest(len(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) - 2, 0) + 1),
+                       si -> array_to_string(list_slice(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''), si, si + 2), ' ')))
+                   AS shingle
+            FROM documents
+        ) t
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM sh GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON b.shingle = a.shingle
+                           AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           i.n_common,
+           CAST(i.n_common * 1000000 // (sa.n_sh + sb.n_sh - i.n_common)
+                AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co — cross-SOURCE contamination matrix: pairwise Jaccard of the
+    distinct 3-gram shingle sets per source — the corpus-level view
+    that says which ingest feeds are re-crawling each other's content
+    (doc-level dedup then tells you which documents; this report tells
+    you which CONTRACTS to renegotiate). The shingle space is
+    vocabulary-bounded, so the pairwise intersection join runs on the
+    distinct (source, shingle) relation, never documents x documents;
+    Jaccard in exact ppm.
+
+    Shape: one distinct-shingle projection, one shingle-keyed
+    self-join (source-pair aggregated), two source-dim joins."""
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    # in-row shingle slicing (documents are short; slice is JVM-side)
+    sh = (
+        d.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(toks) - 2, F.lit(0)),
+                    ),
+                    lambda si: F.concat_ws(
+                        " ", F.slice(toks, si, 3)
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(broadcast(sa), "source_a")
+        .join(broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 DIV (n_a + n_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+#: term-trend knobs — snapshot split bands, support floor, report size.
+TREND_MIN_DF = 3
+TREND_TOP_K = 20
+
+
+@query(
+    "ext_term_trends",
+    oracle=f"""
+    WITH snap AS (
+        SELECT doc_id,
+               CASE WHEN {md5_band_sql('doc_id', 2, 'snap:')} = 0
+                    THEN 0 ELSE 1 END AS s,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   x -> x <> '')) AS toks
+        FROM documents
+    ), n_docs AS (
+        SELECT CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM snap
+    ), df AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+               CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+        FROM (SELECT s, unnest(toks) AS tok FROM snap) t
+        GROUP BY tok
+    )
+    SELECT d.tok, d.df0, d.df1,
+           CAST((d.df1 + 1) * (n.n0 + 1) * 1000
+                // ((d.df0 + 1) * (n.n1 + 1)) AS BIGINT) AS trend_milli
+    FROM df d, n_docs n
+    WHERE d.df1 >= {TREND_MIN_DF}
+    ORDER BY trend_milli DESC, d.tok
+    LIMIT {TREND_TOP_K}
+    """,
+)
+def ext_term_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co — rising-term detection between crawl snapshots: smoothed
+    document-frequency ratio (df1+1)(N0+1) / (df0+1)(N1+1) in exact
+    milli — the add-one smoothing keeps brand-new terms (df0 = 0)
+    finite and rankable instead of infinite. Snapshots are assigned by
+    the deterministic md5 coin on doc_id (the fixture has no crawl
+    timestamps; a dated corpus swaps the split expression and nothing
+    else). Top-{TREND_TOP_K} risers with a df1 >= {TREND_MIN_DF}
+    support floor and full tiebreaks — the topic-drift feed that tells
+    a training-data pipeline WHAT is newly dominating the crawl before
+    it shifts the model.
+
+    Shape: one distinct-token explode + one vocab-sized groupBy + a
+    1-row doc-count broadcast + TakeOrdered top-k."""
+    from pyspark.sql.functions import broadcast
+
+    from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+        md5_band,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    snap = d.select(
+        F.when(md5_band(F.col("doc_id"), 2, "snap:") == 0, 0)
+        .otherwise(1)
+        .alias("s"),
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("toks"),
+    ).localCheckpoint(eager=False)
+    n_docs = snap.agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    df = (
+        snap.select("s", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("df0"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("df1"),
+        )
+    )
+    return (
+        df.where(F.col("df1") >= TREND_MIN_DF)
+        .crossJoin(broadcast(n_docs))
+        .select(
+            "tok",
+            "df0",
+            "df1",
+            F.expr(
+                "CAST((df1 + 1) * (n0 + 1) * 1000"
+                " DIV ((df0 + 1) * (n1 + 1)) AS BIGINT)"
+            ).alias("trend_milli"),
+        )
+        .orderBy(F.col("trend_milli").desc(), "tok")
+        .limit(TREND_TOP_K)
+    )

@@ -204,6 +204,10 @@ _NLJ_ALLOWED = {
     # round-6 wave 49: 1-row covariance-moments broadcast back onto the
     # scan for the per-row distance (the scalar-subquery pattern)
     "ext_mahalanobis_2d",
+    # round-6 wave 51: 1-row population / doc-count broadcasts onto the
+    # pair matrix and the vocab-sized trend table
+    "ext_process_mining_ef",
+    "ext_term_trends",
 }
 
 
