@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band_sql
@@ -310,4 +311,180 @@ def ext_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ", F.transform(F.col("target_arr"), lambda s: s["tok"])
             )
         ).alias("targets_md5"),
+    )
+
+
+#: Good-Turing adjusted counts reported for r = 1..GT_MAX_R.
+GT_MAX_R = 5
+
+
+@query(
+    "ext_good_turing",
+    oracle=f"""
+    WITH tk AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), toks AS (
+        SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                   gi -> t[gi] || ' ' || t[gi+1] || ' ' || t[gi+2])) AS tok
+        FROM tk
+    ), freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM toks GROUP BY tok
+    ), fof AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM freq GROUP BY r
+    ), tot AS (
+        SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_r) AS BIGINT) AS vocab
+        FROM fof
+    )
+    SELECT f.r, f.n_r,
+           CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_r_plus_1,
+           CAST(CASE WHEN nx.n_r IS NOT NULL
+                THEN (f.r + 1) * nx.n_r * 1000 // f.n_r END AS BIGINT)
+               AS r_star_milli,
+           CAST((SELECT n_r FROM fof WHERE r = 1) * 1000000 // t.n_tokens
+                AS BIGINT) AS unseen_mass_ppm,
+           t.n_tokens, t.vocab
+    FROM fof f
+    LEFT JOIN fof nx ON nx.r = f.r + 1
+    CROSS JOIN tot t
+    WHERE f.r <= {GT_MAX_R}
+    """,
+)
+def ext_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lm4 — Good-Turing frequency smoothing table: the
+    frequency-of-frequencies N_r for rare counts, the adjusted count
+    r* = (r+1) N_(r+1) / N_r in exact milli, and the UNSEEN-probability
+    mass P0 = N_1/N in exact ppm — the classical answer to "how much
+    probability should the LM reserve for tokens it has never seen",
+    and the deleted-estimation input for every count-based smoother
+    (Katz backoff; Kneser-Ney's discounts approximate exactly this
+    table). Rows for r <= {GT_MAX_R} (smoothing only matters for rare
+    counts); r* is NULL where N_(r+1) is empty (the Gale gap, where
+    production smoothers regress log N_r).
+
+    Shape: one token groupBy (vocab-sized), one frequency-of-frequency
+    groupBy (tiny), a 1-row totals broadcast."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(tk) - 2, F.lit(0))
+                ),
+                lambda gi: F.concat_ws(" ", F.slice(tk, gi, 3)),
+            )
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    fof = freq.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    ).localCheckpoint()
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"),
+        F.sum("n_r").cast("bigint").alias("vocab"),
+    )
+    n1 = fof.where(F.col("r") == 1).select(
+        F.col("n_r").alias("n_singletons")
+    )
+    nx = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+    )
+    j = (
+        fof.join(nx, "r", "left")
+        .where(F.col("r") <= GT_MAX_R)
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(n1))
+    )
+    return j.select(
+        "r",
+        "n_r",
+        F.coalesce(F.col("n_next"), F.lit(0))
+        .cast("bigint")
+        .alias("n_r_plus_1"),
+        F.expr(
+            "CAST(CASE WHEN n_next IS NOT NULL"
+            " THEN (r + 1) * n_next * 1000 DIV n_r END AS BIGINT)"
+        ).alias("r_star_milli"),
+        F.expr(
+            "CAST(n_singletons * 1000000 DIV n_tokens AS BIGINT)"
+        ).alias("unseen_mass_ppm"),
+        "n_tokens",
+        "vocab",
+    )
+
+
+@query(
+    "ext_chao1_richness",
+    oracle="""
+    WITH tk AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), toks AS (
+        SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                   gi -> t[gi] || ' ' || t[gi+1] || ' ' || t[gi+2])) AS tok
+        FROM tk
+    ), freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM toks GROUP BY tok
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS observed_vocab,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS singletons,
+           CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS doubletons,
+           CAST(COUNT(*)
+                + SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                  * SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                  // (2 * GREATEST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END), 1))
+                AS BIGINT) AS chao1_estimate
+    FROM freq
+    """,
+)
+def ext_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lm5 — Chao1 vocabulary-richness estimate: observed vocab plus
+    the unseen-species correction N1^2 / (2 N2) from singleton and
+    doubleton counts — the lower-bound estimate of how many DISTINCT
+    tokens the full population contains, however much you crawl. The
+    ecology estimator that complements ext_vocab_growth (Heaps
+    extrapolates the curve; Chao1 bounds its limit) and calibrates
+    tokenizer-vocab sizing; richness is over TRIGRAM types (the
+    collocation space), where the fixture actually has unseen mass. All integer arithmetic; the N2 = 0 edge is
+    clamped per the bias-corrected convention.
+
+    Shape: one vocab-sized groupBy + one 1-row aggregate."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(tk) - 2, F.lit(0))
+                ),
+                lambda gi: F.concat_ws(" ", F.slice(tk, gi, 3)),
+            )
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    return freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed_vocab"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("singletons"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("doubletons"),
+        F.expr(
+            "CAST(COUNT(*)"
+            " + SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)"
+            "   * SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)"
+            "   DIV (2 * GREATEST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END), 1))"
+            " AS BIGINT)"
+        ).alias("chao1_estimate"),
     )

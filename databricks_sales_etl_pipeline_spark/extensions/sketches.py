@@ -602,3 +602,62 @@ def ext_rolling_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("stickiness_ppm"),
     )
+
+
+@query(
+    "ext_capture_recapture",
+    oracle="""
+    WITH caps AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(a) AS BIGINT) AS n1,
+           CAST(SUM(b) AS BIGINT) AS n2,
+           CAST(SUM(a * b) AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_observed,
+           CAST(CASE WHEN SUM(a * b) > 0
+                THEN SUM(a) * SUM(b) // SUM(a * b) END AS BIGINT)
+               AS lincoln_petersen,
+           CAST((SUM(a) + 1) * (SUM(b) + 1) // (SUM(a * b) + 1) - 1
+                AS BIGINT) AS chapman
+    FROM caps
+    """,
+)
+def ext_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sk9 — capture-recapture population estimate: treat the click
+    cohort and the purchase cohort as two independent "captures" of the
+    same user population; the overlap rate then estimates how many
+    users exist that NEITHER surface saw — Lincoln-Petersen
+    N = n1*n2/m and the small-sample Chapman correction
+    (n1+1)(n2+1)/(m+1) - 1, both exact integer ratios. This is the
+    estimator behind "how complete is our tracking" audits and
+    mark-recapture dedup-rate estimation; compare the estimate to the
+    observed distinct-user count to size the blind spot.
+
+    Shape: ONE user groupBy folding both capture flags, then a 1-row
+    aggregate."""
+    e = load(spark, sf_dir, "events")
+    caps = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "a"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("b"),
+    )
+    return caps.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n2"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_observed"),
+        F.expr(
+            "CAST(CASE WHEN SUM(a * b) > 0"
+            " THEN SUM(a) * SUM(b) DIV SUM(a * b) END AS BIGINT)"
+        ).alias("lincoln_petersen"),
+        F.expr(
+            "CAST((SUM(a) + 1) * (SUM(b) + 1) DIV (SUM(a * b) + 1) - 1"
+            " AS BIGINT)"
+        ).alias("chapman"),
+    )

@@ -208,6 +208,9 @@ _NLJ_ALLOWED = {
     # pair matrix and the vocab-sized trend table
     "ext_process_mining_ef",
     "ext_term_trends",
+    # round-6 wave 52: 1-row token-total and singleton-count broadcasts
+    # onto the tiny frequency-of-frequencies table
+    "ext_good_turing",
 }
 
 
