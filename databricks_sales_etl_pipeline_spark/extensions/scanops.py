@@ -578,3 +578,108 @@ def ext_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_cents"),
     )
+
+
+@query(
+    "ext_dtw_distance",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), xs AS (
+        SELECT list(x ORDER BY d) AS xv, list(y ORDER BY d) AS yv,
+               COUNT(*) AS n,
+               CAST(SUM(abs(x - y)) AS BIGINT) AS l1
+        FROM daily
+    ), dp AS (
+        SELECT 0 AS k, [abs(xv[1] - yv[1])] AS costs FROM xs
+        UNION ALL
+        SELECT dp.k + 1,
+               dp.costs || [
+                 abs(x.xv[(dp.k + 1) // x.n + 1]
+                     - x.yv[(dp.k + 1) % x.n + 1])
+                 + CASE
+                     WHEN (dp.k + 1) // x.n = 0
+                          THEN dp.costs[(dp.k + 1) % x.n]
+                     WHEN (dp.k + 1) % x.n = 0
+                          THEN dp.costs[dp.k + 1 - x.n + 1]
+                     ELSE least(dp.costs[dp.k + 1 - x.n + 1],
+                                dp.costs[dp.k + 1],
+                                dp.costs[dp.k + 1 - x.n])
+                   END
+               ]
+        FROM dp, xs x WHERE dp.k + 1 < x.n * x.n
+    )
+    SELECT CAST(x.n AS BIGINT) AS n_days,
+           CAST(d.costs[x.n * x.n] AS BIGINT) AS dtw_distance,
+           x.l1 AS l1_distance
+    FROM dp d, xs x WHERE d.k = x.n * x.n - 1
+    """,
+)
+def ext_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — dynamic time warping between the daily click and purchase
+    series: the minimum-cost alignment allowing local time stretching,
+    in exact integer units — the similarity measure that forgives the
+    1-2 day LAG between marketing touch and conversion that the rigid
+    L1 distance (reported beside it; DTW <= L1 always, since the
+    identity alignment is feasible) punishes as disagreement. The DP
+    recurrence D(i,j) = |x_i - y_j| + min(up, left, diag) is not
+    window-expressible, so Spark runs it in ONE Arrow-batched
+    applyInPandas task over the calendar-sized series (the sanctioned
+    escape hatch — the series is days-long however big the corpus);
+    the oracle is a cell-by-cell WITH RECURSIVE twin of the identical
+    integer recurrence.
+
+    Shape: one date groupBy; the O(days^2) DP runs on ~30-row state.
+    Per-entity DTW (one series pair per key) shards the same UDF
+    across keys — embarrassingly parallel."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = e.groupBy(day.alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def _dtw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d")
+        xs = pdf["x"].astype("int64").tolist()
+        ys = pdf["y"].astype("int64").tolist()
+        n = len(xs)
+        prev = None
+        for i in range(n):
+            cur = [0] * n
+            for j in range(n):
+                c = abs(xs[i] - ys[j])
+                if i == 0 and j == 0:
+                    cur[j] = c
+                elif i == 0:
+                    cur[j] = c + cur[j - 1]
+                elif j == 0:
+                    cur[j] = c + prev[j]
+                else:
+                    cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        l1 = sum(abs(a - b) for a, b in zip(xs, ys))
+        return pd.DataFrame(
+            {"n_days": [n], "dtw_distance": [prev[-1]], "l1_distance": [l1]}
+        )
+
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_dtw, "n_days long, dtw_distance long, l1_distance long")
+    )
