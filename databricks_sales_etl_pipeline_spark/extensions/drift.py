@@ -2086,3 +2086,125 @@ def ext_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {_RCORR_GUARD} THEN {_RCORR_NUM} / {_RCORR_DEN} END"
         ).alias("corr_7d"),
     )
+
+
+@query(
+    "ext_pattern_match",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), ctx AS (
+        SELECT d, x,
+               lag(x, 2)  OVER w AS p2,
+               lag(x, 1)  OVER w AS p1,
+               lead(x, 1) OVER w AS n1,
+               lead(x, 2) OVER w AS n2
+        FROM daily WINDOW w AS (ORDER BY d)
+    ), marks AS (
+        SELECT d, x,
+               CASE WHEN p1 IS NOT NULL AND n1 IS NOT NULL
+                         AND x > p1 AND x > n1 THEN 1 ELSE 0 END AS is_peak,
+               CASE WHEN p2 IS NOT NULL AND n2 IS NOT NULL
+                         AND p1 > p2 AND x > p1 AND n1 < x AND n2 < n1
+                    THEN 1 ELSE 0 END AS is_spike,
+               CASE WHEN p1 IS NOT NULL AND x > p1 THEN 1 ELSE 0 END AS up
+        FROM ctx
+    ), runs AS (
+        SELECT d, up,
+               d - CAST(SUM(up) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS grp
+        FROM marks
+    ), rally AS (
+        SELECT CAST(MAX(cnt) AS BIGINT) AS longest_rally FROM (
+            SELECT grp, COUNT(*) AS cnt FROM runs WHERE up = 1 GROUP BY grp
+        ) t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(is_peak) AS BIGINT) AS n_peaks,
+           CAST(SUM(is_spike) AS BIGINT) AS n_spikes,
+           CAST(MIN(CASE WHEN is_spike = 1 THEN d END) AS BIGINT)
+               AS first_spike_day,
+           (SELECT longest_rally FROM rally) AS longest_rally
+    FROM marks
+    """,
+)
+def ext_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr24 — row-pattern matching over the daily-revenue series
+    (the MATCH_RECOGNIZE workload, which Spark SQL lacks, emulated
+    with lag/lead windows): strict local PEAKS (up-down), 5-point
+    SPIKES (up-up-peak-down-down — the sustained-reversal shape that
+    distinguishes real demand events from single-day noise), and the
+    LONGEST RALLY (consecutive up-days) via the gaps-and-islands
+    grouping identity d − running_count(up). Every pattern predicate
+    is an exact integer comparison on cents sums, so counts and
+    locations hash-check.
+
+    Shape: one date groupBy + one ordered window carrying all four
+    neighbors + the islands window — calendar-sized state
+    throughout."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day.alias("d")).agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("d")
+    ctx = daily.select(
+        "d",
+        "x",
+        F.lag("x", 2).over(w).alias("p2"),
+        F.lag("x", 1).over(w).alias("p1"),
+        F.lead("x", 1).over(w).alias("n1"),
+        F.lead("x", 2).over(w).alias("n2"),
+    )
+    marks = ctx.select(
+        "d",
+        "x",
+        F.when(
+            F.col("p1").isNotNull()
+            & F.col("n1").isNotNull()
+            & (F.col("x") > F.col("p1"))
+            & (F.col("x") > F.col("n1")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_peak"),
+        F.when(
+            F.col("p2").isNotNull()
+            & F.col("n2").isNotNull()
+            & (F.col("p1") > F.col("p2"))
+            & (F.col("x") > F.col("p1"))
+            & (F.col("n1") < F.col("x"))
+            & (F.col("n2") < F.col("n1")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_spike"),
+        F.when(F.col("p1").isNotNull() & (F.col("x") > F.col("p1")), 1)
+        .otherwise(0)
+        .alias("up"),
+    ).localCheckpoint(eager=False)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    runs = marks.select(
+        "d", "up", (F.col("d") - F.sum("up").over(wcum)).alias("grp")
+    )
+    rally = (
+        runs.where(F.col("up") == 1)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.max("cnt").cast("bigint").alias("longest_rally"))
+    )
+    agg = marks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("is_peak").cast("bigint").alias("n_peaks"),
+        F.sum("is_spike").cast("bigint").alias("n_spikes"),
+        F.min(F.when(F.col("is_spike") == 1, F.col("d")))
+        .cast("bigint")
+        .alias("first_spike_day"),
+    )
+    return agg.crossJoin(broadcast(rally))

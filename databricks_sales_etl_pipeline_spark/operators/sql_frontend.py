@@ -587,3 +587,95 @@ def sql_insert_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl).select(
         "o_orderpriority", "n_orders", "rev_cents"
     )
+
+
+@query(
+    "sql_named_window",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           {_ORDER_CENTS} AS price_cents,
+           CAST(row_number() OVER w AS BIGINT) AS rk,
+           CAST(SUM({_ORDER_CENTS}) OVER w AS BIGINT) AS running_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY {_ORDER_CENTS} DESC, o_orderkey)
+    QUALIFY rk <= 3
+    """,
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2i — named WINDOW clause: define the frame ONCE and reference
+    it from several window functions — the deduplication that keeps
+    multi-metric window queries maintainable (copy-pasted inline frames
+    drift apart silently; a named window cannot). Both the ranking and
+    the running sum share the identical (priority, price DESC, key)
+    frame; top-3 per priority keeps the output bounded. The oracle
+    uses DuckDB's QUALIFY for the rank cut; Spark filters the aliased
+    rank — same rows, proving frame equivalence.
+
+    Fully pinned ordering (price, orderkey) per CLAUDE.md."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT * FROM (
+            SELECT o_orderkey, o_orderpriority,
+                   {_ORDER_CENTS} AS price_cents,
+                   CAST(row_number() OVER w AS BIGINT) AS rk,
+                   CAST(SUM({_ORDER_CENTS}) OVER w AS BIGINT)
+                       AS running_cents
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY {_ORDER_CENTS} DESC, o_orderkey)
+        ) t WHERE rk <= 3
+        """
+    )
+
+
+@query(
+    "sql_values_inline",
+    oracle="""
+    WITH tiers(tier_name, min_cents, max_cents) AS (
+        VALUES ('small',  CAST(0 AS BIGINT),        CAST(10000000 AS BIGINT)),
+               ('medium', CAST(10000000 AS BIGINT), CAST(30000000 AS BIGINT)),
+               ('large',  CAST(30000000 AS BIGINT), CAST(99999999999 AS BIGINT))
+    )
+    SELECT t.tier_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders o
+    JOIN tiers t
+      ON CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) >= t.min_cents
+     AND CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) < t.max_cents
+    GROUP BY t.tier_name
+    """,
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2j — inline VALUES relation: ship a small reference table
+    (price tiers) INSIDE the query instead of round-tripping a temp
+    view or a file — the idiom for band definitions, enum decodes and
+    tiny calendars that belong to the query, not the catalog. The
+    3-row VALUES side broadcasts into a range join against the fact
+    (the band-join shape of join_range_bands, here with an inline
+    build side).
+
+    At 100 TB the inline relation is driver-constant — zero scan cost,
+    and Catalyst folds the band predicates like any literal."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.tier_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders o
+        JOIN VALUES ('small',  CAST(0 AS BIGINT), CAST(10000000 AS BIGINT)),
+                    ('medium', CAST(10000000 AS BIGINT),
+                               CAST(30000000 AS BIGINT)),
+                    ('large',  CAST(30000000 AS BIGINT),
+                               CAST(99999999999 AS BIGINT))
+             AS t(tier_name, min_cents, max_cents)
+          ON CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) >= t.min_cents
+         AND CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) < t.max_cents
+        GROUP BY t.tier_name
+        """
+    )

@@ -211,6 +211,11 @@ _NLJ_ALLOWED = {
     # round-6 wave 52: 1-row token-total and singleton-count broadcasts
     # onto the tiny frequency-of-frequencies table
     "ext_good_turing",
+    # round-6 wave 54: 1-row rally-length broadcast onto the 1-row
+    # pattern census; 3-row inline VALUES band join (the
+    # join_range_bands shape with an inline build side)
+    "ext_pattern_match",
+    "sql_values_inline",
 }
 
 
