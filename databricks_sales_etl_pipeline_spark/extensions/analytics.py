@@ -2446,3 +2446,206 @@ def ext_process_mining_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+@query(
+    "ext_simpson_check",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(FLOOR(o.o_totalprice + 0.5) AS BIGINT) AS x,
+               CAST(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                    AS BIGINT) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), strata AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM base GROUP BY segment
+    ), pooled AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(sx) AS BIGINT) AS sx,
+               CAST(SUM(sy) AS BIGINT) AS sy,
+               CAST(SUM(sxy) AS BIGINT) AS sxy
+        FROM strata
+    )
+    SELECT s.segment, s.n,
+           CAST(CASE WHEN s.n * s.sxy - s.sx * s.sy > 0 THEN 1
+                     WHEN s.n * s.sxy - s.sx * s.sy < 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS stratum_sign,
+           CAST(CASE WHEN p.n * p.sxy - p.sx * p.sy > 0 THEN 1
+                     WHEN p.n * p.sxy - p.sx * p.sy < 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS pooled_sign,
+           CAST(CASE WHEN (CASE WHEN s.n * s.sxy - s.sx * s.sy > 0 THEN 1
+                                WHEN s.n * s.sxy - s.sx * s.sy < 0 THEN -1
+                                ELSE 0 END)
+                        * (CASE WHEN p.n * p.sxy - p.sx * p.sy > 0 THEN 1
+                                WHEN p.n * p.sxy - p.sx * p.sy < 0 THEN -1
+                                ELSE 0 END) < 0
+                THEN 1 ELSE 0 END AS BIGINT) AS reversal
+    FROM strata s, pooled p
+    """,
+)
+def ext_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An23 — Simpson's-paradox screen: the SIGN of the price-status
+    association (covariance numerator n*Sxy - Sx*Sy, an exact integer
+    whose sign needs no division) computed pooled AND within every
+    customer segment — a reversal row (stratum sign opposite the
+    pooled sign) is the canonical aggregation trap: any dashboard
+    reading the pooled number draws the OPPOSITE conclusion from every
+    subgroup. This is the automated version of the check every KPI
+    rollup should run before shipping a "correlation" claim.
+
+    Shape: one broadcast dim join + one segment moment groupBy + a
+    1-row pooled broadcast (the pooled moments are the strata sums —
+    no second scan). Dollar units keep x-moments in int64."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+    strata = base.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    ).localCheckpoint()
+    pooled = strata.agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("sx").cast("bigint").alias("psx"),
+        F.sum("sy").cast("bigint").alias("psy"),
+        F.sum("sxy").cast("bigint").alias("psxy"),
+    )
+    s_sign = (
+        "CASE WHEN n * sxy - sx * sy > 0 THEN 1"
+        " WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END"
+    )
+    p_sign = (
+        "CASE WHEN pn * psxy - psx * psy > 0 THEN 1"
+        " WHEN pn * psxy - psx * psy < 0 THEN -1 ELSE 0 END"
+    )
+    return strata.crossJoin(broadcast(pooled)).select(
+        "segment",
+        "n",
+        F.expr(f"CAST({s_sign} AS BIGINT)").alias("stratum_sign"),
+        F.expr(f"CAST({p_sign} AS BIGINT)").alias("pooled_sign"),
+        F.expr(
+            f"CAST(CASE WHEN ({s_sign}) * ({p_sign}) < 0"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reversal"),
+    )
+
+
+@query(
+    "ext_growth_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7
+                    AS BIGINT) AS w
+        FROM events
+    ), marked AS (
+        SELECT user_id, w,
+               MIN(w) OVER (PARTITION BY user_id) AS first_w,
+               lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w
+        FROM uw
+    ), states AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN w = first_w THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_users,
+               CAST(SUM(CASE WHEN prev_w = w - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS retained,
+               CAST(SUM(CASE WHEN w > first_w
+                             AND (prev_w IS NULL OR prev_w < w - 1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM marked GROUP BY w
+    ), churn AS (
+        SELECT w + 1 AS w,
+               CAST(COUNT(*) AS BIGINT) AS active_prev
+        FROM uw GROUP BY w
+    )
+    SELECT s.w,
+           s.new_users, s.retained, s.resurrected,
+           CAST(s.new_users + s.retained + s.resurrected AS BIGINT)
+               AS active,
+           CAST(COALESCE(c.active_prev, 0) - s.retained AS BIGINT)
+               AS churned_from_prev
+    FROM states s LEFT JOIN churn c ON c.w = s.w
+    """,
+)
+def ext_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An24 — growth accounting (the Social-Capital framework): each
+    week's active users split into NEW (first week ever), RETAINED
+    (also active last week) and RESURRECTED (returning after a gap),
+    with CHURNED = last week's actives who didn't retain — the
+    decomposition that says whether growth is acquisition or
+    engagement, which a bare DAU/WAU line can't (flat actives can hide
+    heavy churn masked by acquisition). The identity active = new +
+    retained + resurrected holds by construction and is unit-asserted,
+    as is churned = prev_active - retained.
+
+    Shape: ONE (user, week) distinct + one user-partitioned window
+    (first/lag) + a week groupBy — the session-family cost profile."""
+    e = load(spark, sf_dir, "events")
+    week = (
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        / 7
+    ).cast("bigint")
+    uw = e.select("user_id", F.expr(
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7 AS BIGINT)"
+    ).alias("w")).distinct().localCheckpoint()
+    from pyspark.sql import Window as _W
+
+    marked = uw.select(
+        "user_id",
+        "w",
+        F.min("w").over(_W.partitionBy("user_id")).alias("first_w"),
+        F.lag("w").over(_W.partitionBy("user_id").orderBy("w")).alias(
+            "prev_w"
+        ),
+    )
+    states = marked.groupBy("w").agg(
+        F.sum(F.when(F.col("w") == F.col("first_w"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("prev_w") == F.col("w") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("w") > F.col("first_w"))
+                & (
+                    F.col("prev_w").isNull()
+                    | (F.col("prev_w") < F.col("w") - 1)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    churn = uw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_prev")
+    ).select((F.col("w") + 1).alias("w"), "active_prev")
+    return states.join(churn, "w", "left").select(
+        "w",
+        "new_users",
+        "retained",
+        "resurrected",
+        (F.col("new_users") + F.col("retained") + F.col("resurrected"))
+        .cast("bigint")
+        .alias("active"),
+        (F.coalesce(F.col("active_prev"), F.lit(0)) - F.col("retained"))
+        .cast("bigint")
+        .alias("churned_from_prev"),
+    )

@@ -216,6 +216,9 @@ _NLJ_ALLOWED = {
     # join_range_bands shape with an inline build side)
     "ext_pattern_match",
     "sql_values_inline",
+    # round-6 wave 55: 1-row pooled-moments broadcast onto the
+    # 5-row strata table (the scalar-subquery pattern)
+    "ext_simpson_check",
 }
 
 
