@@ -2649,3 +2649,212 @@ def ext_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("churned_from_prev"),
     )
+
+
+#: per-arm OLS slope numerator/denominator from exact integer moments —
+#: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx); the DIFFERENCE of the two
+#: arms' slopes is the parallel-trends statistic. ONE shared string.
+_PT_SLOPE_T = (
+    "((CAST(nt AS DOUBLE) * CAST(sxyt AS DOUBLE)"
+    " - CAST(sxt AS DOUBLE) * CAST(syt AS DOUBLE))"
+    " / (CAST(nt AS DOUBLE) * CAST(sxxt AS DOUBLE)"
+    "    - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE)))"
+)
+_PT_SLOPE_C = (
+    "((CAST(nc AS DOUBLE) * CAST(sxyc AS DOUBLE)"
+    " - CAST(sxc AS DOUBLE) * CAST(syc AS DOUBLE))"
+    " / (CAST(nc AS DOUBLE) * CAST(sxxc AS DOUBLE)"
+    "    - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)))"
+)
+
+
+@query(
+    "ext_parallel_trends",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+               CAST(month(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS m,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE month(CAST(o.o_orderdate AS DATE)) <= 6
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT
+          CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(SUM(CASE WHEN t = 1 THEN m ELSE 0 END) AS BIGINT) AS sxt,
+          CAST(SUM(CASE WHEN t = 1 THEN rev ELSE 0 END) AS BIGINT) AS syt,
+          CAST(SUM(CASE WHEN t = 1 THEN m * m ELSE 0 END) AS BIGINT) AS sxxt,
+          CAST(SUM(CASE WHEN t = 1 THEN m * rev ELSE 0 END) AS BIGINT)
+              AS sxyt,
+          CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+          CAST(SUM(CASE WHEN t = 0 THEN m ELSE 0 END) AS BIGINT) AS sxc,
+          CAST(SUM(CASE WHEN t = 0 THEN rev ELSE 0 END) AS BIGINT) AS syc,
+          CAST(SUM(CASE WHEN t = 0 THEN m * m ELSE 0 END) AS BIGINT) AS sxxc,
+          CAST(SUM(CASE WHEN t = 0 THEN m * rev ELSE 0 END) AS BIGINT)
+              AS sxyc
+        FROM monthly
+    )
+    SELECT nt, nc,
+           {_PT_SLOPE_T} AS slope_treated,
+           {_PT_SLOPE_C} AS slope_control,
+           {_PT_SLOPE_T} - {_PT_SLOPE_C} AS slope_gap
+    FROM m
+    """,
+)
+def ext_parallel_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An25 — parallel-trends pretest for ext_diff_in_diff: fit the
+    PRE-period (H1) monthly-revenue slope separately for the treated
+    (BUILDING) and control arms and report the gap — DiD's entire
+    identification rests on the two arms trending alike before
+    treatment, and this is the standard falsification check run FIRST
+    (a material pre-period slope gap means the DiD estimate absorbs
+    divergent trends, not treatment). All ten moments are exact int64
+    from ONE conditional pass over the monthly grid; the slopes and
+    their gap are shared IEEE expression strings.
+
+    Shape: one broadcast dim join + one (arm, month) groupBy + a
+    1-row moment aggregate."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.month(F.col("o_orderdate").cast("date")).cast("bigint").alias("m"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "rc"
+        ),
+    ).where(F.col("m") <= 6)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("t"),
+            "m",
+        )
+        .agg(F.sum("rc").cast("bigint").alias("rev"))
+    )
+
+    def _m(t, expr, name):
+        return (
+            F.sum(F.when(F.col("t") == t, expr).otherwise(0))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    m = monthly.agg(
+        _m(1, F.lit(1), "nt"),
+        _m(1, F.col("m"), "sxt"),
+        _m(1, F.col("rev"), "syt"),
+        _m(1, F.col("m") * F.col("m"), "sxxt"),
+        _m(1, F.col("m") * F.col("rev"), "sxyt"),
+        _m(0, F.lit(1), "nc"),
+        _m(0, F.col("m"), "sxc"),
+        _m(0, F.col("rev"), "syc"),
+        _m(0, F.col("m") * F.col("m"), "sxxc"),
+        _m(0, F.col("m") * F.col("rev"), "sxyc"),
+    )
+    return m.select(
+        "nt",
+        "nc",
+        F.expr(_PT_SLOPE_T).alias("slope_treated"),
+        F.expr(_PT_SLOPE_C).alias("slope_control"),
+        F.expr(f"{_PT_SLOPE_T} - {_PT_SLOPE_C}").alias("slope_gap"),
+    )
+
+
+#: cross-correlation lag scan range (days either side).
+XCORR_MAX_LAG = 7
+
+#: windowed Pearson from exact per-lag moments — shared string, guarded.
+_XC_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_XC_DEN = (
+    "SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+_XC_GUARD = "n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+
+
+@query(
+    "ext_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), lagged AS (
+        SELECT b.d - a.d AS lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.x) AS BIGINT) AS sx,
+               CAST(SUM(b.y) AS BIGINT) AS sy,
+               CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+               CAST(SUM(b.y * b.y) AS BIGINT) AS syy,
+               CAST(SUM(a.x * b.y) AS BIGINT) AS sxy
+        FROM daily a JOIN daily b
+          ON b.d - a.d BETWEEN -{XCORR_MAX_LAG} AND {XCORR_MAX_LAG}
+        GROUP BY b.d - a.d
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN {_XC_GUARD} THEN {_XC_NUM} / {_XC_DEN} END AS xcorr
+    FROM lagged
+    """,
+)
+def ext_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An26 — lead-lag cross-correlation scan: Pearson correlation
+    between clicks on day d and purchases on day d+lag, for every lag
+    in [-{XCORR_MAX_LAG}, {XCORR_MAX_LAG}] — the argmax lag IS the
+    measured conversion delay, the single number that calibrates
+    attribution windows (ext_attribution_*) and the adstock horizon
+    (ext_adstock_decay) from data instead of convention. Per-lag
+    moments are exact int64 from a banded self-join of the
+    calendar-sized daily table; correlations are one shared IEEE
+    expression, guarded NULL on degenerate overlap.
+
+    Shape: one date groupBy + a (2*{XCORR_MAX_LAG}+1)-banded
+    self-join of the ~30-row daily table — constant beyond the scan."""
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = e.groupBy(day.alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint()
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    lagged = (
+        a.join(
+            b,
+            (F.col("db") - F.col("da") >= -XCORR_MAX_LAG)
+            & (F.col("db") - F.col("da") <= XCORR_MAX_LAG),
+        )
+        .groupBy((F.col("db") - F.col("da")).alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xa").cast("bigint").alias("sx"),
+            F.sum("yb").cast("bigint").alias("sy"),
+            F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("sxx"),
+            F.sum(F.col("yb") * F.col("yb")).cast("bigint").alias("syy"),
+            F.sum(F.col("xa") * F.col("yb")).cast("bigint").alias("sxy"),
+        )
+    )
+    return lagged.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.expr(
+            f"CASE WHEN {_XC_GUARD} THEN {_XC_NUM} / {_XC_DEN} END"
+        ).alias("xcorr"),
+    )

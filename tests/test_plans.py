@@ -219,6 +219,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 55: 1-row pooled-moments broadcast onto the
     # 5-row strata table (the scalar-subquery pattern)
     "ext_simpson_check",
+    # round-6 wave 56: banded inequality self-join of the ~30-row
+    # daily table (the ext_theilsen_slope calendar^2 pattern)
+    "ext_cross_correlation",
 }
 
 
