@@ -2208,3 +2208,197 @@ def ext_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_spike_day"),
     )
     return agg.crossJoin(broadcast(rally))
+
+
+@query(
+    "ext_kendall_tau",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT
+          CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS concordant,
+          CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS discordant,
+          CAST(SUM(CASE WHEN a.x = b.x OR a.y = b.y THEN 1 ELSE 0 END)
+               AS BIGINT) AS ties,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM daily a JOIN daily b ON a.d < b.d
+    )
+    SELECT concordant, discordant, ties, n_pairs,
+           CAST((CASE WHEN concordant >= discordant THEN 1 ELSE -1 END)
+                * (abs(concordant - discordant) * 1000 // n_pairs)
+                AS BIGINT) AS tau_a_milli
+    FROM pairs
+    """,
+)
+def ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr25 — Kendall's tau-a between the daily click and purchase
+    series: concordant minus discordant day-pairs over all pairs — the
+    rank correlation that is EXACTLY computable in integers (no ranks,
+    no sqrt: just pairwise sign agreement), robust to any monotone
+    transform of either series, and the basis of the Theil-Sen
+    estimator already in the suite (ext_theilsen_slope is tau's
+    regression twin). Sign composed OUTSIDE the truncating division
+    (CLAUDE.md); ties reported, tau-a convention (ties count in the
+    denominator).
+
+    Shape: one date groupBy + the calendar^2 pairwise join (~30^2
+    pairs, data-size-independent)."""
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = e.groupBy(day.alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint()
+    a = daily.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(F.when(prod > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when(prod < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum(
+            F.when(
+                (F.col("xa") == F.col("xb")) | (F.col("ya") == F.col("yb")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ties"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    return pairs.select(
+        "concordant",
+        "discordant",
+        "ties",
+        "n_pairs",
+        F.expr(
+            "CAST((CASE WHEN concordant >= discordant THEN 1 ELSE -1 END)"
+            " * (abs(concordant - discordant) * 1000 DIV n_pairs)"
+            " AS BIGINT)"
+        ).alias("tau_a_milli"),
+    )
+
+
+#: Spearman rho from exact doubled-midrank moments — ONE shared string.
+_SPEAR_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(srxy AS DOUBLE)"
+    " - CAST(srx AS DOUBLE) * CAST(sry AS DOUBLE))"
+)
+_SPEAR_DEN = (
+    "SQRT((CAST(n AS DOUBLE) * CAST(srxx AS DOUBLE)"
+    " - CAST(srx AS DOUBLE) * CAST(srx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sryy AS DOUBLE)"
+    " - CAST(sry AS DOUBLE) * CAST(sry AS DOUBLE)))"
+)
+
+
+@query(
+    "ext_spearman_rho",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS d,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT d,
+               CAST(2 * rank() OVER (ORDER BY x)
+                    + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+               CAST(2 * rank() OVER (ORDER BY y)
+                    + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+        FROM daily
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx2) AS BIGINT) AS srx,
+               CAST(SUM(ry2) AS BIGINT) AS sry,
+               CAST(SUM(rx2 * rx2) AS BIGINT) AS srxx,
+               CAST(SUM(ry2 * ry2) AS BIGINT) AS sryy,
+               CAST(SUM(rx2 * ry2) AS BIGINT) AS srxy
+        FROM ranked
+    )
+    SELECT n, srx, sry,
+           {_SPEAR_NUM} / {_SPEAR_DEN} AS rho
+    FROM m
+    """,
+)
+def ext_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr26 — Spearman rank correlation between the daily series:
+    Pearson over MIDRANKS, with ties handled exactly in doubled units
+    (2*midrank = 2*rank + tie_count - 1, the ext_eval_auc identity) so
+    every rank moment is int64 and rho is ONE shared IEEE expression —
+    the monotone-relationship measure to Pearson's linear one, and
+    Kendall's cheaper O(n log n)-at-scale sibling (the tau pair join
+    is exact but quadratic; rank moments need only two sort windows).
+
+    Shape: one date groupBy + two global rank windows over the
+    calendar-sized table + a 1-row moment aggregate."""
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = e.groupBy(day.alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    ranked = daily.select(
+        "d",
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("rx2"),
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("ry2"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("srx"),
+        F.sum("ry2").cast("bigint").alias("sry"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("srxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("sryy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("srxy"),
+    )
+    return m.select(
+        "n",
+        "srx",
+        "sry",
+        F.expr(f"{_SPEAR_NUM} / {_SPEAR_DEN}").alias("rho"),
+    )

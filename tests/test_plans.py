@@ -222,6 +222,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 56: banded inequality self-join of the ~30-row
     # daily table (the ext_theilsen_slope calendar^2 pattern)
     "ext_cross_correlation",
+    # round-6 wave 57: the same calendar^2 pairwise join for the
+    # concordance counts
+    "ext_kendall_tau",
 }
 
 
