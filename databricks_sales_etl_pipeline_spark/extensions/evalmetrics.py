@@ -1094,3 +1094,180 @@ def ext_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ece_micro"),
     )
+
+
+#: Cronbach's alpha over the 5 event-type "items" — ONE shared string
+#: from the exact per-item and total variance numerators (n-scaled:
+#: V(z) ∝ n*Szz - Sz^2, the common n^2 factor cancels in the ratio).
+_ALPHA_ITEMS = ["click", "view", "purchase", "signup", "error"]
+_ALPHA_VAR_SUM = " + ".join(
+    f"(CAST(n AS DOUBLE) * CAST(s{i}{i} AS DOUBLE)"
+    f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+    for i in range(len(_ALPHA_ITEMS))
+)
+_ALPHA_EXPR = (
+    f"(CAST({len(_ALPHA_ITEMS)} AS DOUBLE)"
+    f" / CAST({len(_ALPHA_ITEMS) - 1} AS DOUBLE))"
+    f" * (CAST(1 AS DOUBLE) - ({_ALPHA_VAR_SUM})"
+    " / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)"
+    "    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))"
+)
+
+
+@query(
+    "ext_cronbach_alpha",
+    oracle=f"""
+    WITH items AS (
+        SELECT user_id,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN event_type = '{it}' THEN 1 ELSE 0 "
+                   f"END) AS BIGINT) AS i{i}"
+                   for i, it in enumerate(_ALPHA_ITEMS))}
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {", ".join(
+                   f"CAST(SUM(i{i}) AS BIGINT) AS s{i}, "
+                   f"CAST(SUM(i{i} * i{i}) AS BIGINT) AS s{i}{i}"
+                   for i in range(len(_ALPHA_ITEMS)))},
+               CAST(SUM(i0 + i1 + i2 + i3 + i4) AS BIGINT) AS st,
+               CAST(SUM((i0 + i1 + i2 + i3 + i4)
+                        * (i0 + i1 + i2 + i3 + i4)) AS BIGINT) AS stt
+        FROM items
+    )
+    SELECT n, st, stt,
+           {_ALPHA_EXPR} AS alpha
+    FROM m
+    """,
+)
+def ext_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev15 — Cronbach's alpha over the five per-user event-type counts
+    treated as scale items: the internal-consistency coefficient that
+    says whether the items measure ONE underlying trait (overall
+    engagement) or five unrelated ones — the gate before averaging
+    item scores into a single engagement metric, exactly as survey
+    scales are validated. All item and total variance numerators are
+    exact n-scaled integer moments (the common n^2 factor cancels in
+    the variance ratio), so alpha is ONE shared IEEE expression; on
+    the fixture's independent-ish Poisson items alpha should sit near
+    0 (the unit test bounds it) — the honest reading, not a defect.
+
+    Shape: ONE user groupBy folding all five items + a 1-row moment
+    aggregate."""
+    e = load(spark, sf_dir, "events")
+    items = e.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == it, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"i{i}")
+            for i, it in enumerate(_ALPHA_ITEMS)
+        ]
+    )
+    total = sum(F.col(f"i{i}") for i in range(len(_ALPHA_ITEMS)))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i in range(len(_ALPHA_ITEMS)):
+        aggs.append(F.sum(F.col(f"i{i}")).cast("bigint").alias(f"s{i}"))
+        aggs.append(
+            F.sum(F.col(f"i{i}") * F.col(f"i{i}"))
+            .cast("bigint")
+            .alias(f"s{i}{i}")
+        )
+    aggs.append(F.sum(total).cast("bigint").alias("st"))
+    aggs.append(F.sum(total * total).cast("bigint").alias("stt"))
+    m = items.agg(*aggs)
+    return m.select("n", "st", "stt", F.expr(_ALPHA_EXPR).alias("alpha"))
+
+
+@query(
+    "ext_cohens_kappa",
+    oracle=f"""
+    WITH truth AS (
+        SELECT l_orderkey,
+               CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ), paired AS (
+        SELECT CASE WHEN {cents_sql('o.o_totalprice')} > {MCNEMAR_A_CENTS}
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS b
+        FROM orders o LEFT JOIN truth t ON o.o_orderkey = t.l_orderkey
+    ), cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM paired
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST((CASE WHEN n * (n11 + n00)
+                           - ((n11 + n10) * (n11 + n01)
+                              + (n01 + n00) * (n10 + n00)) >= 0
+                      THEN 1 ELSE -1 END)
+                * (abs(n * (n11 + n00)
+                       - ((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00))) * 1000
+                   // (n * n - ((n11 + n10) * (n11 + n01)
+                                + (n01 + n00) * (n10 + n00))))
+                AS BIGINT) AS kappa_milli
+    FROM cells
+    """,
+)
+def ext_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev16 — Cohen's kappa between the two order classifiers (price
+    threshold vs priority rule): chance-corrected agreement — raw
+    agreement flatters any pair of raters who both say "no" most of
+    the time; kappa subtracts the agreement their marginals would
+    produce by luck. The usual po/pe rationals share denominators n
+    and n^2, so kappa = (n*agree - expected) / (n^2 - expected) is
+    EXACT integer arithmetic end-to-end, reported in sign-composed
+    milli (CLAUDE.md truncating-division discipline). Completes the
+    agreement family: McNemar asks whether the raters' error RATES
+    differ; kappa asks how much they AGREE.
+
+    Shape: one label groupBy + one 1-row conditional aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    truth = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    paired = o.join(
+        truth, o["o_orderkey"] == truth["l_orderkey"], "left"
+    ).select(
+        F.when(cents(F.col("o_totalprice")) > MCNEMAR_A_CENTS, 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    cells = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    expected = (
+        "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    )
+    num = f"(n * (n11 + n00) - {expected})"
+    den = f"(n * n - {expected})"
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            f"CAST((CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"
+            f" * (abs({num}) * 1000 DIV {den}) AS BIGINT)"
+        ).alias("kappa_milli"),
+    )
