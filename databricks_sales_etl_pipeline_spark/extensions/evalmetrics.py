@@ -1271,3 +1271,178 @@ def ext_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * (abs({num}) * 1000 DIV {den}) AS BIGINT)"
         ).alias("kappa_milli"),
     )
+
+
+@query(
+    "ext_youden_threshold",
+    oracle=f"""
+    WITH scored AS ({_CAL_SCORED_SQL}),
+    tot AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - y) AS BIGINT) AS n_neg
+        FROM scored
+    ), bands AS (
+        SELECT p // 100 AS band,
+               CAST(SUM(y) AS BIGINT) AS pos_b,
+               CAST(SUM(1 - y) AS BIGINT) AS neg_b
+        FROM scored GROUP BY 1
+    ), sweep AS (
+        SELECT band AS threshold_decile,
+               CAST(SUM(pos_b) OVER w AS BIGINT) AS tp,
+               CAST(SUM(neg_b) OVER w AS BIGINT) AS fp
+        FROM bands
+        WINDOW w AS (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT s.threshold_decile, s.tp, s.fp, t.n_pos, t.n_neg,
+           CAST(s.tp * 1000000 // t.n_pos
+                - s.fp * 1000000 // t.n_neg AS BIGINT) AS youden_j_ppm,
+           CAST(CASE WHEN s.tp * 1000000 // t.n_pos
+                          - s.fp * 1000000 // t.n_neg
+                = MAX(s.tp * 1000000 // t.n_pos
+                      - s.fp * 1000000 // t.n_neg) OVER ()
+                THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM sweep s, tot t
+    """,
+)
+def ext_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev17 — threshold sweep with Youden's J: for every decile cutoff
+    of the score, the true-positive and false-positive rates and
+    J = TPR - FPR in exact ppm, with the argmax flagged — the
+    operating-point chooser that turns an AUC (a ranking statement)
+    into a deployable threshold. Predicting positive means score >=
+    cutoff, so the sweep is ONE descending cumulative window over the
+    decile bands; ties in J all flag best (the flag is a filter aid,
+    not a unique pick).
+
+    Shape: one scan + one 10-row band groupBy + one tiny window + a
+    1-row class-totals broadcast."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    base = d.select(toks.alias("toks")).where(F.size("toks") > 0)
+    scored = base.select(
+        F.expr(
+            "(1000 * size(filter(toks, x -> array_contains("
+            "array('the','a','of','and','to','in','is'), x)))) DIV size(toks)"
+        ).alias("p"),
+        F.when(F.size("toks") >= CAL_LONG_DOC_TOKENS, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    tot = scored.agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    bands = scored.groupBy(F.expr("p DIV 100").alias("band")).agg(
+        F.sum("y").cast("bigint").alias("pos_b"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg_b"),
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = bands.select(
+        F.col("band").alias("threshold_decile"),
+        F.sum("pos_b").over(w).cast("bigint").alias("tp"),
+        F.sum("neg_b").over(w).cast("bigint").alias("fp"),
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    j = sweep.crossJoin(_bc(tot))
+    jexpr = "tp * 1000000 DIV n_pos - fp * 1000000 DIV n_neg"
+    wall = Window.partitionBy()
+    return j.select(
+        "threshold_decile",
+        "tp",
+        "fp",
+        "n_pos",
+        "n_neg",
+        F.expr(f"CAST({jexpr} AS BIGINT)").alias("youden_j_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {jexpr} = MAX({jexpr}) OVER ()"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_best"),
+    )
+
+
+@query(
+    "ext_gains_table",
+    oracle=f"""
+    WITH scored AS ({_CAL_SCORED_SQL}),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM scored
+    ), bands AS (
+        SELECT p // 100 AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(y) AS BIGINT) AS pos_b
+        FROM scored GROUP BY 1
+    ), cum AS (
+        SELECT band,
+               CAST(SUM(n_b) OVER w AS BIGINT) AS cum_n,
+               CAST(SUM(pos_b) OVER w AS BIGINT) AS cum_pos
+        FROM bands
+        WINDOW w AS (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT c.band, c.cum_n, c.cum_pos,
+           CAST(c.cum_n * 1000000 // t.n AS BIGINT) AS depth_ppm,
+           CAST(c.cum_pos * 1000000 // t.n_pos AS BIGINT) AS gain_ppm,
+           CAST(c.cum_pos * t.n * 1000 // (t.n_pos * c.cum_n) AS BIGINT)
+               AS lift_milli
+    FROM cum c, tot t
+    """,
+)
+def ext_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev18 — cumulative gains & lift table: walking down the score
+    deciles, what share of ALL positives has been captured at each
+    population depth, and the lift over random targeting
+    (gain/depth) — the campaign-sizing chart ("call the top 30% and
+    reach 55% of responders") that AUC summarizes away. All three
+    ratios exact (ppm / milli); lift's cross-multiplied form
+    cum_pos*n / (n_pos*cum_n) never materializes a fraction. The
+    treated/control sibling is ext_uplift_qini; this is the
+    single-model version every scoring deployment reads first.
+
+    Shape: one scan + one 10-row band groupBy + one tiny window + a
+    1-row totals broadcast."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    base = d.select(toks.alias("toks")).where(F.size("toks") > 0)
+    scored = base.select(
+        F.expr(
+            "(1000 * size(filter(toks, x -> array_contains("
+            "array('the','a','of','and','to','in','is'), x)))) DIV size(toks)"
+        ).alias("p"),
+        F.when(F.size("toks") >= CAL_LONG_DOC_TOKENS, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    bands = scored.groupBy(F.expr("p DIV 100").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("pos_b"),
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bands.select(
+        "band",
+        F.sum("n_b").over(w).cast("bigint").alias("cum_n"),
+        F.sum("pos_b").over(w).cast("bigint").alias("cum_pos"),
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    return cum.crossJoin(_bc(tot)).select(
+        "band",
+        "cum_n",
+        "cum_pos",
+        F.expr("CAST(cum_n * 1000000 DIV n AS BIGINT)").alias("depth_ppm"),
+        F.expr("CAST(cum_pos * 1000000 DIV n_pos AS BIGINT)").alias(
+            "gain_ppm"
+        ),
+        F.expr(
+            "CAST(cum_pos * n * 1000 DIV (n_pos * cum_n) AS BIGINT)"
+        ).alias("lift_milli"),
+    )

@@ -225,6 +225,10 @@ _NLJ_ALLOWED = {
     # round-6 wave 57: the same calendar^2 pairwise join for the
     # concordance counts
     "ext_kendall_tau",
+    # round-6 wave 59: 1-row class-totals broadcast onto the 10-row
+    # decile sweep tables
+    "ext_youden_threshold",
+    "ext_gains_table",
 }
 
 
