@@ -2858,3 +2858,142 @@ def ext_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {_XC_GUARD} THEN {_XC_NUM} / {_XC_DEN} END"
         ).alias("xcorr"),
     )
+
+
+@query(
+    "ext_nn_matching",
+    oracle="""
+    WITH truth AS (
+        SELECT l_orderkey,
+               CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ), base AS (
+        SELECT o.o_orderkey AS ok,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS t,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               COALESCE(tr.y, 0) AS y
+        FROM orders o LEFT JOIN truth tr ON o.o_orderkey = tr.l_orderkey
+    ), lined AS (
+        SELECT ok, t, v, y,
+               last_value(CASE WHEN t = 0 THEN v END IGNORE NULLS)
+                   OVER wp AS pv,
+               last_value(CASE WHEN t = 0 THEN y END IGNORE NULLS)
+                   OVER wp AS py,
+               first_value(CASE WHEN t = 0 THEN v END IGNORE NULLS)
+                   OVER wf AS nv,
+               first_value(CASE WHEN t = 0 THEN y END IGNORE NULLS)
+                   OVER wf AS ny
+        FROM base
+        WINDOW wp AS (ORDER BY v, t, ok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (ORDER BY v, t, ok
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), matched AS (
+        SELECT ok, v, y,
+               CASE WHEN pv IS NULL THEN ny
+                    WHEN nv IS NULL THEN py
+                    WHEN v - pv <= nv - v THEN py ELSE ny END AS ym,
+               CASE WHEN pv IS NULL THEN nv - v
+                    WHEN nv IS NULL THEN v - pv
+                    WHEN v - pv <= nv - v THEN v - pv ELSE nv - v END
+                   AS dist
+        FROM lined WHERE t = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+           CAST(SUM(y) AS BIGINT) AS sum_y_treated,
+           CAST(SUM(ym) AS BIGINT) AS sum_y_matched,
+           CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_dist_cents,
+           CAST((CASE WHEN SUM(y) - SUM(ym) >= 0 THEN 1 ELSE -1 END)
+                * (abs(SUM(y) - SUM(ym)) * 1000000 // COUNT(*))
+                AS BIGINT) AS att_ppm
+    FROM matched
+    """,
+)
+def ext_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An27 — nearest-neighbor matching estimator (ATT): every treated
+    order (urgent/high priority) is matched to the control order with
+    the CLOSEST price, and the average treated-minus-matched outcome
+    difference is the effect on the treated — the covariate-matching
+    design that compares like with like instead of averaging over a
+    price mix the arms don't share. The 1-NN match is computed with
+    ZERO pairwise join: one global sort interleaves both arms, LOCF
+    forward/backward windows carry the nearest control below/above
+    (value+outcome from the SAME row — the null conditions coincide),
+    and a CASE picks the closer side (ties to the lower price; row
+    adjacency pins equal-value controls). ATT in sign-composed exact
+    ppm plus the mean match distance — the match-quality caliper
+    report.
+
+    Shape: one label groupBy + ONE ordered window pass — the as-of
+    machinery (ext_asof_nearest) applied to causal matching; at 100 TB
+    the sort is the only data-sized cost."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    truth = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = o.join(
+        truth, o["o_orderkey"] == truth["l_orderkey"], "left"
+    ).select(
+        F.col("o_orderkey").alias("ok"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("t"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    from pyspark.sql import Window as _W
+
+    wp = _W.orderBy("v", "t", "ok").rowsBetween(_W.unboundedPreceding, 0)
+    wf = _W.orderBy("v", "t", "ok").rowsBetween(0, _W.unboundedFollowing)
+    cv = F.when(F.col("t") == 0, F.col("v"))
+    cy = F.when(F.col("t") == 0, F.col("y"))
+    lined = base.select(
+        "ok",
+        "t",
+        "v",
+        "y",
+        F.last(cv, ignorenulls=True).over(wp).alias("pv"),
+        F.last(cy, ignorenulls=True).over(wp).alias("py"),
+        F.first(cv, ignorenulls=True).over(wf).alias("nv"),
+        F.first(cy, ignorenulls=True).over(wf).alias("ny"),
+    )
+    matched = lined.where(F.col("t") == 1).select(
+        "ok",
+        "v",
+        "y",
+        F.when(F.col("pv").isNull(), F.col("ny"))
+        .when(F.col("nv").isNull(), F.col("py"))
+        .when(
+            F.col("v") - F.col("pv") <= F.col("nv") - F.col("v"),
+            F.col("py"),
+        )
+        .otherwise(F.col("ny"))
+        .alias("ym"),
+        F.when(F.col("pv").isNull(), F.col("nv") - F.col("v"))
+        .when(F.col("nv").isNull(), F.col("v") - F.col("pv"))
+        .when(
+            F.col("v") - F.col("pv") <= F.col("nv") - F.col("v"),
+            F.col("v") - F.col("pv"),
+        )
+        .otherwise(F.col("nv") - F.col("v"))
+        .alias("dist"),
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated"),
+        F.sum("y").cast("bigint").alias("sum_y_treated"),
+        F.sum("ym").cast("bigint").alias("sum_y_matched"),
+        F.expr("CAST(SUM(dist) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_dist_cents"
+        ),
+        F.expr(
+            "CAST((CASE WHEN SUM(y) - SUM(ym) >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(SUM(y) - SUM(ym)) * 1000000 DIV COUNT(*)) AS BIGINT)"
+        ).alias("att_ppm"),
+    )

@@ -1766,3 +1766,111 @@ def ext_npv_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM({disc}) * 1000000 DIV SUM(rev) AS BIGINT)"
         ).alias("npv_ratio_ppm"),
     )
+
+
+#: min-variance 2-asset weight and portfolio variance from exact daily
+#: moments — ONE shared expression string (n-scaled covariances; the
+#: common factor cancels in the weight ratio).
+_MVP_CAA = "(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+_MVP_CBB = "(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+_MVP_CAB = "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+_MVP_W = f"(({_MVP_CBB} - {_MVP_CAB}) / ({_MVP_CAA} + {_MVP_CBB} - CAST(2 AS DOUBLE) * {_MVP_CAB}))"
+
+
+@query(
+    "ext_min_variance_portfolio",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev,
+               row_number() OVER (
+                   ORDER BY SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) DESC, p.p_brand) AS rk
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    ), daily AS (
+        SELECT CAST(l.l_shipdate AS DATE) AS d,
+               CAST(SUM(CASE WHEN r.rk = 1 THEN
+                    CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN r.rk = 2 THEN
+                    CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS b
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN ranked r ON r.brand = p.p_brand AND r.rk <= 2
+        GROUP BY 1
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(a * a) AS BIGINT) AS saa,
+               CAST(SUM(b * b) AS BIGINT) AS sbb,
+               CAST(SUM(a * b) AS BIGINT) AS sab
+        FROM daily
+    )
+    SELECT n, sa, sb,
+           {_MVP_W} AS weight_a,
+           CAST(1 AS DOUBLE) - {_MVP_W} AS weight_b
+    FROM m
+    """,
+)
+def ext_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt19 — minimum-variance two-asset allocation between the top-2
+    brands' daily revenue streams: w* = (var_b - cov)/(var_a + var_b -
+    2cov), the Markowitz closed form — the revenue-mix answer to "how
+    should a constrained budget split across these two lines to
+    stabilize total revenue" (anticorrelated streams reward balance;
+    correlated ones push the weight to the calmer stream). Daily cent
+    moments are exact int64; the weight is ONE shared IEEE expression
+    whose n-scaling cancels.
+
+    Shape: one brand ranking (dim-sized), one daily conditional
+    groupBy, a 1-row moment aggregate. Cents-squared sums stay in
+    int64 at fixture scale; dollar units buy 100x headroom beyond."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("d"),
+        cents(F.col("l_extendedprice")).alias("rc"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+    ranked = (
+        j.groupBy("p_brand")
+        .agg(F.sum("rc").cast("bigint").alias("rev"))
+        .select(
+            "p_brand",
+            F.row_number()
+            .over(Window.orderBy(F.col("rev").desc(), "p_brand"))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 2)
+        .localCheckpoint()
+    )
+    daily = (
+        j.join(broadcast(ranked), "p_brand")
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("rk") == 1, F.col("rc")).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(F.col("rk") == 2, F.col("rc")).otherwise(0))
+            .cast("bigint")
+            .alias("b"),
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+    )
+    return m.select(
+        "n",
+        "sa",
+        "sb",
+        F.expr(_MVP_W).alias("weight_a"),
+        F.expr(f"CAST(1 AS DOUBLE) - {_MVP_W}").alias("weight_b"),
+    )
