@@ -108,3 +108,76 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_DYN_GAP_ORACLE = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN event_type = 'purchase'
+                    THEN 30 * 60 * 1000000
+                    ELSE 10 * 60 * 1000000 END AS gap_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, us,
+               CASE WHEN MAX(us + gap_us) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR us > MAX(us + gap_us) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM e
+    ), numbered AS (
+        SELECT user_id, us,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_dynamic_gap", oracle=_DYN_GAP_ORACLE)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3c — session_window with a DYNAMIC per-event gap (Spark 3.2+):
+    the inactivity timeout is an EXPRESSION — purchases hold the
+    session open 30 minutes, everything else 10 — modeling intent
+    decay instead of one-size-fits-all (a buyer mid-checkout deserves
+    a longer leash than a passive scroller). Each event proposes the
+    interval [ts, ts + gap(event)); overlapping intervals merge, so
+    the oracle is the interval-merge islands form: a new session
+    starts exactly when ts exceeds the RUNNING MAX of previous
+    proposed ends (1-PRECEDING frame — a session can be extended by an
+    EARLIER event's long gap even when the adjacent gap is short,
+    which the plain lag-based islands operator gets wrong). Output in
+    integer micros (unix_micros ↔ epoch_us).
+
+    The same groupBy(session_window(...)) compiles to the streaming
+    session operator under readStream — the batch form here IS the
+    semantics contract (the stream_session_window precedent)."""
+    e = load(spark, sf_dir, "events")
+    # session_window's dynamic gap must be CalendarIntervalType — the
+    # string-column form casts correctly (DayTimeInterval literals do not)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start"))
+            .cast("bigint")
+            .alias("session_start_us"),
+            "n_events",
+        )
+    )
