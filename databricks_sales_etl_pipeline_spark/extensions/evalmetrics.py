@@ -1446,3 +1446,84 @@ def ext_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(cum_pos * n * 1000 DIV (n_pos * cum_n) AS BIGINT)"
         ).alias("lift_milli"),
     )
+
+
+@query(
+    "ext_fleiss_kappa",
+    oracle=f"""
+    WITH votes AS (
+        SELECT (CASE WHEN {cents_sql('o_totalprice')} > {MCNEMAR_A_CENTS}
+                     THEN 1 ELSE 0 END
+              + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END
+              + CASE WHEN month(CAST(o_orderdate AS DATE)) <= 6
+                     THEN 1 ELSE 0 END) AS a
+        FROM orders
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS t,
+               CAST(SUM(a * a + (3 - a) * (3 - a)) AS BIGINT) AS s2
+        FROM votes
+    )
+    SELECT n, t, s2,
+           CAST((CASE WHEN 3 * n * (s2 - 3 * n)
+                           - 2 * (t * t + (3 * n - t) * (3 * n - t)) >= 0
+                      THEN 1 ELSE -1 END)
+                * (abs(3 * n * (s2 - 3 * n)
+                       - 2 * (t * t + (3 * n - t) * (3 * n - t))) * 1000
+                   // (18 * n * n
+                       - 2 * (t * t + (3 * n - t) * (3 * n - t))))
+                AS BIGINT) AS fleiss_kappa_milli
+    FROM m
+    """,
+)
+def ext_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev19 — Fleiss' kappa for THREE raters (price threshold, priority
+    rule, order-date half) voting the same binary judgment per order:
+    the multi-rater generalization of Cohen's kappa, and the standard
+    agreement statistic for labeling-crew audits (3+ annotators per
+    item). With binary categories and k=3, P-bar and P-bar_e share the
+    denominators 6n and 9n^2, so multiplying through by 18n^2 makes
+    kappa ONE exact integer expression — num = 3n(S2-3n) - 2(T^2+U^2),
+    den = 18n^2 - 2(T^2+U^2) with S2 = sum(a^2+(3-a)^2), T = total
+    positive votes, U = 3n-T — reported in sign-composed milli
+    (int64-safe to ~10^9 items; beyond that, n^2 demands staging).
+
+    Shape: one scan folding all three raters per row + a 1-row
+    aggregate."""
+    o = load(spark, sf_dir, "orders")
+    votes = o.select(
+        (
+            F.when(cents(F.col("o_totalprice")) > MCNEMAR_A_CENTS, 1)
+            .otherwise(0)
+            + F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+            + F.when(
+                F.month(F.col("o_orderdate").cast("date")) <= 6, 1
+            ).otherwise(0)
+        ).alias("a")
+    )
+    m = votes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("t"),
+        F.sum(
+            F.col("a") * F.col("a") + (3 - F.col("a")) * (3 - F.col("a"))
+        )
+        .cast("bigint")
+        .alias("s2"),
+    )
+    num = (
+        "3 * n * (s2 - 3 * n)"
+        " - 2 * (t * t + (3 * n - t) * (3 * n - t))"
+    )
+    den = "18 * n * n - 2 * (t * t + (3 * n - t) * (3 * n - t))"
+    return m.select(
+        "n",
+        "t",
+        "s2",
+        F.expr(
+            f"CAST((CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"
+            f" * (abs({num}) * 1000 DIV ({den})) AS BIGINT)"
+        ).alias("fleiss_kappa_milli"),
+    )

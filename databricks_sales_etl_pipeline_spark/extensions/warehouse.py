@@ -822,3 +822,82 @@ def ext_inferred_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrived.withColumn(
         "inferred", F.lit(0).cast("bigint")
     ).unionByName(inferred)
+
+
+#: approval threshold (cents) for the split-billing screen.
+SPLIT_APPROVAL_CENTS = 40_000_000
+
+
+@query(
+    "ext_double_billing",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ), groups AS (
+        SELECT o_custkey, d,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_single_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+        FROM keyed
+        GROUP BY o_custkey, d
+        HAVING COUNT(*) >= 2
+    )
+    SELECT o_custkey, d, n_orders, total_cents, max_single_cents,
+           first_key, last_key,
+           CAST(CASE WHEN total_cents > {SPLIT_APPROVAL_CENTS}
+                      AND max_single_cents <= {SPLIT_APPROVAL_CENTS}
+                THEN 1 ELSE 0 END AS BIGINT) AS split_flag
+    FROM groups
+    """,
+)
+def ext_double_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh — same-day multi-order audit (split-billing screen): every
+    (customer, day) with two or more orders, with the SPLIT FLAG for
+    groups whose combined spend crosses the approval threshold while
+    NO single order does — the classic procurement-evasion pattern
+    (split a purchase so each piece stays under the sign-off limit)
+    that per-order controls are structurally blind to. Exact-cents
+    totals; the orderkey range localizes the investigation window.
+    The same grouping is the duplicate-invoice screen's first cut —
+    exact-amount collisions within a group are refund candidates.
+
+    Shape: ONE (customer, day) groupBy with a HAVING filter — one
+    data-sized shuffle, output bounded by true multi-order days."""
+    o = load(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        cents(F.col("o_totalprice")).alias("cents"),
+        "o_orderkey",
+    )
+    return (
+        keyed.groupBy("o_custkey", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.max("cents").cast("bigint").alias("max_single_cents"),
+            F.min("o_orderkey").cast("bigint").alias("first_key"),
+            F.max("o_orderkey").cast("bigint").alias("last_key"),
+        )
+        .where(F.col("n_orders") >= 2)
+        .select(
+            "o_custkey",
+            "d",
+            "n_orders",
+            "total_cents",
+            "max_single_cents",
+            "first_key",
+            "last_key",
+            F.expr(
+                f"CAST(CASE WHEN total_cents > {SPLIT_APPROVAL_CENTS}"
+                f" AND max_single_cents <= {SPLIT_APPROVAL_CENTS}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("split_flag"),
+        )
+    )
