@@ -2402,3 +2402,101 @@ def ext_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sry",
         F.expr(f"{_SPEAR_NUM} / {_SPEAR_DEN}").alias("rho"),
     )
+
+
+@query(
+    "ext_robust_location",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), cuts AS (
+        SELECT quantile_cont(x, CAST('0.1' AS DOUBLE)) AS p10,
+               quantile_cont(x, CAST('0.5' AS DOUBLE)) AS med,
+               quantile_cont(x, CAST('0.9' AS DOUBLE)) AS p90,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx
+        FROM daily
+    ), trimmed AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_trim,
+               CAST(SUM(d.x) AS BIGINT) AS s_trim
+        FROM daily d, cuts c
+        WHERE CAST(d.x AS DOUBLE) >= c.p10 AND CAST(d.x AS DOUBLE) <= c.p90
+    ), walsh AS (
+        SELECT quantile_cont(a.x + b.x, CAST('0.5' AS DOUBLE)) AS hl2
+        FROM daily a JOIN daily b ON a.d <= b.d
+    )
+    SELECT c.n,
+           CAST(c.sx * 1000 // c.n AS BIGINT) AS mean_milli,
+           c.med AS median_,
+           CAST(t.s_trim * 1000 // t.n_trim AS BIGINT) AS trimmed_milli,
+           w.hl2 / CAST(2 AS DOUBLE) AS hodges_lehmann
+    FROM cuts c, trimmed t, walsh w
+    """,
+)
+def ext_robust_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr27 — the robust-location ladder for the daily order-count
+    series, side by side: the mean (efficient, fragile), the median
+    (maximally robust, inefficient), the 10%-trimmed mean (the working
+    compromise) and the HODGES-LEHMANN pseudo-median — the median of
+    all Walsh pair-averages (i <= j), Theil-Sen's location analog:
+    ~95% Gaussian efficiency at 29% breakdown, the estimator to quote
+    when the series has both noise and outliers. Walsh sums stay
+    integer (halved once at the end); percentiles are interpolated on
+    ints (bit-exact); trimmed membership compares through the
+    identical doubles.
+
+    Shape: one date groupBy; the Walsh self-join is calendar^2
+    (~2400^2/2 pairs max at this fixture's span, data-size-
+    independent) — at a larger calendar, HL switches to the
+    binary-search-on-quantile form."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    ).localCheckpoint()
+    cuts = daily.agg(
+        F.expr("percentile(x, CAST('0.1' AS DOUBLE))").alias("p10"),
+        F.expr("percentile(x, CAST('0.5' AS DOUBLE))").alias("med"),
+        F.expr("percentile(x, CAST('0.9' AS DOUBLE))").alias("p90"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    trimmed = (
+        daily.crossJoin(broadcast(cuts))
+        .where(
+            (F.col("x").cast("double") >= F.col("p10"))
+            & (F.col("x").cast("double") <= F.col("p90"))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trim"),
+            F.sum("x").cast("bigint").alias("s_trim"),
+        )
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    walsh = (
+        a.join(b, F.col("da") <= F.col("db"))
+        .agg(
+            F.expr(
+                "percentile(xa + xb, CAST('0.5' AS DOUBLE))"
+            ).alias("hl2")
+        )
+    )
+    return (
+        cuts.crossJoin(broadcast(trimmed))
+        .crossJoin(broadcast(walsh))
+        .select(
+            "n",
+            F.expr("CAST(sx * 1000 DIV n AS BIGINT)").alias("mean_milli"),
+            F.col("med").alias("median_"),
+            F.expr("CAST(s_trim * 1000 DIV n_trim AS BIGINT)").alias(
+                "trimmed_milli"
+            ),
+            (F.col("hl2") / F.lit(2.0)).alias("hodges_lehmann"),
+        )
+    )

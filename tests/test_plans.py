@@ -229,6 +229,9 @@ _NLJ_ALLOWED = {
     # decile sweep tables
     "ext_youden_threshold",
     "ext_gains_table",
+    # round-6 wave 63: calendar^2 Walsh-pair inequality join + three
+    # 1-row estimate broadcasts composed into the final report row
+    "ext_robust_location",
 }
 
 
