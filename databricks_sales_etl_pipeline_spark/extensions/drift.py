@@ -2500,3 +2500,112 @@ def ext_robust_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hl2") / F.lit(2.0)).alias("hodges_lehmann"),
         )
     )
+
+
+#: Mann-Kendall normal approximation with tie correction — ONE shared
+#: string over exact (s_stat, n, tie_term): var = (n(n-1)(2n+5) - T)/18,
+#: z uses the +/-1 continuity correction with sign.
+_MK_VAR = (
+    "((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))"
+    "  * (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE) + CAST(5 AS DOUBLE))"
+    "  - CAST(tie_term AS DOUBLE)) / CAST(18 AS DOUBLE))"
+)
+_MK_Z = (
+    "(CASE WHEN s_stat > 0 THEN"
+    f" (CAST(s_stat AS DOUBLE) - CAST(1 AS DOUBLE)) / SQRT({_MK_VAR})"
+    " WHEN s_stat < 0 THEN"
+    f" (CAST(s_stat AS DOUBLE) + CAST(1 AS DOUBLE)) / SQRT({_MK_VAR})"
+    " ELSE CAST(0 AS DOUBLE) END)"
+)
+
+
+@query(
+    "ext_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM daily a JOIN daily b ON a.d < b.d
+    ), ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY x HAVING COUNT(*) > 1) g
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+    )
+    SELECT s.s_stat, nn.n, t.tie_term,
+           {_MK_Z} AS z_value,
+           CAST(CASE WHEN ABS({_MK_Z}) > CAST('1.96' AS DOUBLE)
+                THEN 1 ELSE 0 END AS BIGINT) AS trend_detected
+    FROM s, ties t, nn
+    """,
+)
+def ext_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr28 — Mann-Kendall trend test on daily revenue: S = sum of
+    pairwise order signs over all day pairs — the distribution-free
+    monotone-trend detector and the significance test that belongs
+    WITH ext_theilsen_slope (Sen estimates the slope; MK says whether
+    it is real), robust to outliers and any monotone transform where
+    OLS-on-time is neither. S and the tie-corrected variance inputs
+    are exact int64 (the tie term sums t(t-1)(2t+5) over tied groups);
+    the continuity-corrected z and its alpha=0.05 verdict are ONE
+    shared IEEE expression.
+
+    Shape: one date groupBy + the calendar^2 pair join
+    (data-size-independent) + a tie groupBy on the value grid."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day.alias("d")).agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("x")
+    ).localCheckpoint()
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    s = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(
+            F.when(F.col("xb") > F.col("xa"), 1)
+            .when(F.col("xb") < F.col("xa"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        s.crossJoin(broadcast(ties))
+        .crossJoin(broadcast(nn))
+        .select(
+            "s_stat",
+            "n",
+            "tie_term",
+            F.expr(_MK_Z).alias("z_value"),
+            F.expr(
+                f"CAST(CASE WHEN ABS({_MK_Z}) > CAST('1.96' AS DOUBLE)"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("trend_detected"),
+        )
+    )

@@ -232,6 +232,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 63: calendar^2 Walsh-pair inequality join + three
     # 1-row estimate broadcasts composed into the final report row
     "ext_robust_location",
+    # round-6 wave 64: the same calendar^2 pair join + 1-row tie/count
+    # broadcasts for the Mann-Kendall statistic
+    "ext_mann_kendall",
 }
 
 
