@@ -592,3 +592,178 @@ def ext_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HITS_TOP_K)
     )
     return out
+
+
+@query(
+    "ext_degree_distribution",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                        AND l1.l_partkey < l2.l_partkey
+    ), adj AS (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+    ), deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v
+    ), buckets AS (
+        SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS deg_log2,
+               CAST(COUNT(*) AS BIGINT) AS n_vertices,
+               CAST(MIN(d) AS BIGINT) AS min_deg,
+               CAST(MAX(d) AS BIGINT) AS max_deg
+        FROM deg GROUP BY 1
+    )
+    SELECT deg_log2, n_vertices, min_deg, max_deg,
+           CAST(lag(n_vertices, 1, n_vertices)
+                OVER (ORDER BY deg_log2) AS BIGINT) AS prev_n
+    FROM buckets
+    """,
+)
+def ext_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gr — degree distribution of the co-purchase graph in doubling
+    buckets (floor-log2 via the bit-length identity, no libm): the
+    scale-free check — a power-law graph shows roughly geometric decay
+    across buckets, and the decay ratio (each bucket beside its
+    predecessor) is what LSH/partitioning strategies need to know
+    BEFORE assuming bounded degree (a heavy-tailed co-purchase graph
+    breaks per-vertex-partition plans; the hot-vertex cap is the
+    mitigation, ext_cap_per_group). All exact int64.
+
+    Shape: one distinct-edge projection, one degree groupBy
+    (vertex-sized), a ~log2(maxdeg)-row bucket aggregate + lag."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("x"), li.alias("y")
+    e = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("v")).unionAll(
+        e.select(F.col("b").alias("v"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    buckets = deg.groupBy(
+        (F.length(F.bin("d")) - 1).cast("bigint").alias("deg_log2")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.min("d").cast("bigint").alias("min_deg"),
+        F.max("d").cast("bigint").alias("max_deg"),
+    )
+    from pyspark.sql import Window as _W
+
+    wb = _W.orderBy("deg_log2")
+    return buckets.select(
+        "deg_log2",
+        "n_vertices",
+        "min_deg",
+        "max_deg",
+        F.coalesce(
+            F.lag("n_vertices", 1).over(wb), F.col("n_vertices")
+        )
+        .cast("bigint")
+        .alias("prev_n"),
+    )
+
+
+#: degree-assortativity Pearson over edge endpoint degrees — ONE shared
+#: string from exact integer moments (each edge counted in both
+#: orientations, the standard undirected convention).
+_ASSORT_NUM = (
+    "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_ASSORT_DEN = (
+    "SQRT((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+@query(
+    "ext_assortativity",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                        AND l1.l_partkey < l2.l_partkey
+    ), both_ AS (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ), deg AS (
+        SELECT u AS vtx, CAST(COUNT(*) AS BIGINT) AS d
+        FROM both_ GROUP BY u
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(du.d) AS BIGINT) AS sx,
+               CAST(SUM(dv.d) AS BIGINT) AS sy,
+               CAST(SUM(du.d * du.d) AS BIGINT) AS sxx,
+               CAST(SUM(dv.d * dv.d) AS BIGINT) AS syy,
+               CAST(SUM(du.d * dv.d) AS BIGINT) AS sxy
+        FROM both_ b
+        JOIN deg du ON du.vtx = b.u
+        JOIN deg dv ON dv.vtx = b.v
+    )
+    SELECT m, sx, sy,
+           {_ASSORT_NUM} / {_ASSORT_DEN} AS assortativity
+    FROM m
+    """,
+)
+def ext_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gr — degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all edges (both orientations,
+    the undirected convention) — positive means hubs attach to hubs
+    (social-network style), negative means hubs attach to leaves
+    (hub-and-spoke catalogs). This single number decides whether
+    hot-vertex salting must also guard the hub NEIGHBORHOODS (in
+    assortative graphs the heat is contiguous). Exact integer moments;
+    r is ONE shared IEEE expression.
+
+    Shape: distinct edges, one degree groupBy, two degree joins keyed
+    on the vertex table, a 1-row moment aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("x"), li.alias("y")
+    e = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    both = e.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = both.groupBy(F.col("u").alias("vtx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).localCheckpoint()
+    du = deg.select(F.col("vtx").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("vtx").alias("v"), F.col("d").alias("dy"))
+    m = (
+        both.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("dx").cast("bigint").alias("sx"),
+            F.sum("dy").cast("bigint").alias("sy"),
+            F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+            F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        )
+    )
+    return m.select(
+        "m",
+        "sx",
+        "sy",
+        F.expr(f"{_ASSORT_NUM} / {_ASSORT_DEN}").alias("assortativity"),
+    )
