@@ -235,6 +235,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 64: the same calendar^2 pair join + 1-row tie/count
     # broadcasts for the Mann-Kendall statistic
     "ext_mann_kendall",
+    # round-6 wave 66: 1-row edge-total + community-sums broadcasts
+    # onto the 25-row community table
+    "ext_modularity",
 }
 
 
