@@ -1874,3 +1874,199 @@ def ext_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MVP_W).alias("weight_a"),
         F.expr(f"CAST(1 AS DOUBLE) - {_MVP_W}").alias("weight_b"),
     )
+
+
+@query(
+    "ext_price_volume_mix",
+    oracle="""
+    WITH lines AS (
+        SELECT p.p_brand AS brand,
+               (month(CAST(l.l_shipdate AS DATE)) <= 6) AS base,
+               CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS rev,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), per_b AS (
+        SELECT brand,
+               CAST(SUM(CASE WHEN base THEN qty ELSE 0 END) AS BIGINT) AS q0,
+               CAST(SUM(CASE WHEN base THEN rev ELSE 0 END) AS BIGINT) AS r0,
+               CAST(SUM(CASE WHEN base THEN 0 ELSE qty END) AS BIGINT) AS q1,
+               CAST(SUM(CASE WHEN base THEN 0 ELSE rev END) AS BIGINT) AS r1
+        FROM lines GROUP BY brand
+    ), priced AS (
+        SELECT brand, q0, q1, r0, r1,
+               CAST(r0 * 1000 // q0 AS BIGINT) AS u0,
+               CAST(r1 * 1000 // q1 AS BIGINT) AS u1
+        FROM per_b WHERE q0 > 0 AND q1 > 0
+    )
+    SELECT brand, q0, q1,
+           CAST(r1 - r0 AS BIGINT) AS delta_rev_cents,
+           CAST((CASE WHEN (q1 - q0) * u0 >= 0 THEN 1 ELSE -1 END) * (abs((q1 - q0) * u0) // 1000) AS BIGINT) AS volume_effect_cents,
+           CAST((CASE WHEN (u1 - u0) * q0 >= 0 THEN 1 ELSE -1 END) * (abs((u1 - u0) * q0) // 1000) AS BIGINT) AS price_effect_cents,
+           CAST((CASE WHEN (u1 - u0) * (q1 - q0) >= 0 THEN 1 ELSE -1 END) * (abs((u1 - u0) * (q1 - q0)) // 1000) AS BIGINT) AS cross_effect_cents
+    FROM priced
+    """,
+)
+def ext_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt20 — price-volume-mix revenue bridge per brand: the FP&A
+    decomposition Delta R = (q1-q0)*p0 (volume) + (p1-p0)*q0 (price)
+    + (p1-p0)(q1-q0) (cross/mix) between ship-date halves — the
+    statement that tells finance whether revenue moved because of
+    WHAT was charged or HOW MUCH was sold (the index pair,
+    ext_price_index, summarizes the whole basket; the bridge explains
+    each line). Unit prices are truncated milli-cents; every effect is
+    one integer multiply-divide with the SIGN composed OUTSIDE the
+    division — deltas are signed, and floor (DuckDB) vs truncate
+    (Spark) diverge on negative numerators (CLAUDE.md). Only brands
+    traded in both halves enter (the matched-model rule).
+
+    Shape: one broadcast dim join + one brand groupBy folding both
+    periods; all effect math on the brand-dim-sized table."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.month(F.col("l_shipdate").cast("date")) <= 6).alias("base"),
+        cents(F.col("l_extendedprice")).alias("rev"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_b = (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.when(F.col("base"), F.col("qty")).otherwise(0))
+            .cast("bigint")
+            .alias("q0"),
+            F.sum(F.when(F.col("base"), F.col("rev")).otherwise(0))
+            .cast("bigint")
+            .alias("r0"),
+            F.sum(F.when(F.col("base"), 0).otherwise(F.col("qty")))
+            .cast("bigint")
+            .alias("q1"),
+            F.sum(F.when(F.col("base"), 0).otherwise(F.col("rev")))
+            .cast("bigint")
+            .alias("r1"),
+        )
+    )
+    priced = per_b.where((F.col("q0") > 0) & (F.col("q1") > 0)).select(
+        "brand",
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        F.expr("CAST(r0 * 1000 DIV q0 AS BIGINT)").alias("u0"),
+        F.expr("CAST(r1 * 1000 DIV q1 AS BIGINT)").alias("u1"),
+    )
+    return priced.select(
+        "brand",
+        "q0",
+        "q1",
+        (F.col("r1") - F.col("r0")).cast("bigint").alias("delta_rev_cents"),
+        F.expr(
+            "CAST((CASE WHEN (q1 - q0) * u0 >= 0 THEN 1 ELSE -1 END) * (abs((q1 - q0) * u0) DIV 1000) AS BIGINT) AS volume_effect_cents"
+        ),
+        F.expr(
+            "CAST((CASE WHEN (u1 - u0) * q0 >= 0 THEN 1 ELSE -1 END) * (abs((u1 - u0) * q0) DIV 1000) AS BIGINT) AS price_effect_cents"
+        ),
+        F.expr(
+            "CAST((CASE WHEN (u1 - u0) * (q1 - q0) >= 0 THEN 1 ELSE -1 END) * (abs((u1 - u0) * (q1 - q0)) DIV 1000) AS BIGINT) AS cross_effect_cents"
+        ),
+    )
+
+
+#: cannibalization report size (most-negative pairs).
+CANNIBAL_TOP_K = 10
+
+_CANNIBAL_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_CANNIBAL_DEN = (
+    "SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+_CANNIBAL_GUARD = "n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+
+
+@query(
+    "ext_cannibalization",
+    oracle=f"""
+    WITH daily AS (
+        SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.q) AS BIGINT) AS sx,
+               CAST(SUM(b.q) AS BIGINT) AS sy,
+               CAST(SUM(a.q * a.q) AS BIGINT) AS sxx,
+               CAST(SUM(b.q * b.q) AS BIGINT) AS syy,
+               CAST(SUM(a.q * b.q) AS BIGINT) AS sxy
+        FROM daily a JOIN daily b ON b.d = a.d AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n,
+           CASE WHEN {_CANNIBAL_GUARD}
+                THEN {_CANNIBAL_NUM} / {_CANNIBAL_DEN} END AS corr_
+    FROM pairs
+    WHERE {_CANNIBAL_GUARD}
+    ORDER BY corr_ ASC, brand_a, brand_b
+    LIMIT {CANNIBAL_TOP_K}
+    """,
+)
+def ext_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt21 — cannibalization screen: the {CANNIBAL_TOP_K} most
+    NEGATIVELY correlated brand pairs on daily demand — when one line's
+    sales rise as another's fall, they are eating each other's demand
+    (or sharing a capacity/placement constraint), and promo planning
+    that treats them independently double-counts lift. Per-pair daily
+    moments are exact int64 over a day-keyed equi-join (never a pairs-
+    of-days blowup); correlations are one shared IEEE expression,
+    degenerate pairs excluded, ordering fully pinned.
+
+    Shape: one (brand, day) groupBy on the fact, a day-keyed pair join
+    on the brand-dim x calendar table, a 300-pair aggregate + top-k."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), "d")
+        .agg(F.sum("q").cast("bigint").alias("q"))
+        .localCheckpoint()
+    )
+    a = daily.select(
+        F.col("brand").alias("brand_a"), "d", F.col("q").alias("qa")
+    )
+    b = daily.select(
+        F.col("brand").alias("brand_b"), "d", F.col("q").alias("qb")
+    )
+    pairs = (
+        a.join(b, "d")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("qa").cast("bigint").alias("sx"),
+            F.sum("qb").cast("bigint").alias("sy"),
+            F.sum(F.col("qa") * F.col("qa")).cast("bigint").alias("sxx"),
+            F.sum(F.col("qb") * F.col("qb")).cast("bigint").alias("syy"),
+            F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("sxy"),
+        )
+    )
+    return (
+        pairs.where(F.expr(_CANNIBAL_GUARD))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n",
+            F.expr(f"{_CANNIBAL_NUM} / {_CANNIBAL_DEN}").alias("corr_"),
+        )
+        .orderBy(F.col("corr_").asc(), "brand_a", "brand_b")
+        .limit(CANNIBAL_TOP_K)
+    )
