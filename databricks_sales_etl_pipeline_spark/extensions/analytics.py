@@ -2997,3 +2997,74 @@ def ext_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (abs(SUM(y) - SUM(ym)) * 1000000 DIV COUNT(*)) AS BIGINT)"
         ).alias("att_ppm"),
     )
+
+
+#: BG/NBD input buckets (weeks per recency bucket, repeat-count cap).
+BGNBD_FREQ_CAP = 8
+
+
+@query(
+    "ext_bgnbd_inputs",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        FROM orders
+    ), horizon AS (
+        SELECT CAST(MAX(d) AS BIGINT) AS h FROM o
+    ), per_c AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) - 1 AS BIGINT) AS freq,
+               CAST(MAX(d) - MIN(d) AS BIGINT) AS recency_days,
+               CAST(MIN(h - d) AS BIGINT) AS age_min
+        FROM o, horizon GROUP BY o_custkey, h
+    ), bucketed AS (
+        SELECT LEAST(freq, {BGNBD_FREQ_CAP}) AS freq_b,
+               recency_days // 91 AS rec_q
+        FROM per_c
+    )
+    SELECT CAST(freq_b AS BIGINT) AS frequency,
+           CAST(rec_q AS BIGINT) AS recency_quarter,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def ext_bgnbd_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An28 — BG/NBD sufficient-statistic grid: per customer the REPEAT
+    frequency (orders minus one, capped at {BGNBD_FREQ_CAP}) and the
+    RECENCY span (first-to-last order, in quarters), gridded into
+    counts — exactly the (x, t_x) table the Fader-Hardie BG/NBD and
+    Pareto/NBD CLV models are fit on. Fitting is a tiny offline
+    optimization over THIS grid, never the raw fact table — the op is
+    the 100 TB-side contract (reduce the corpus to the bounded
+    sufficient statistics; hand the grid to scipy). All exact integer
+    day arithmetic; the horizon is the data's max date.
+
+    Shape: ONE custkey groupBy + a 1-row horizon broadcast + a tiny
+    grid aggregate."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    horizon = o.agg(F.max("d").cast("bigint").alias("h"))
+    per_c = (
+        o.crossJoin(broadcast(horizon))
+        .groupBy("o_custkey")
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("freq"),
+            (F.max("d") - F.min("d")).cast("bigint").alias("recency_days"),
+        )
+    )
+    bucketed = per_c.select(
+        F.least(F.col("freq"), F.lit(BGNBD_FREQ_CAP)).alias("freq_b"),
+        F.expr("recency_days DIV 91").alias("rec_q"),
+    )
+    return bucketed.groupBy(
+        F.col("freq_b").cast("bigint").alias("frequency"),
+        F.col("rec_q").cast("bigint").alias("recency_quarter"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))

@@ -1053,3 +1053,88 @@ def ext_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV (gt * (trials + {EB_PRIOR_K})) AS BIGINT)"
         ).alias("shrunk_ppm"),
     )
+
+
+#: serial-refunder screen: minimum orders before a customer is testable.
+ABUSE_MIN_ORDERS = 5
+
+
+@query(
+    "ext_returns_abuse",
+    oracle=f"""
+    WITH truth AS (
+        SELECT l_orderkey,
+               CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ), per_c AS (
+        SELECT o.o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS trials,
+               CAST(SUM(COALESCE(t.y, 0)) AS BIGINT) AS succ
+        FROM orders o LEFT JOIN truth t ON o.o_orderkey = t.l_orderkey
+        GROUP BY o.o_custkey
+        HAVING COUNT(*) >= {ABUSE_MIN_ORDERS}
+    ), g AS (
+        SELECT CAST(SUM(trials) AS BIGINT) AS gt,
+               CAST(SUM(succ) AS BIGINT) AS gs
+        FROM per_c
+    )
+    SELECT p.o_custkey, p.trials, p.succ,
+           CAST(p.succ * 1000000 // p.trials AS BIGINT) AS rate_ppm,
+           {_WILSON_EXPR.replace('succ', 'p.succ').replace('trials', 'p.trials')}
+               AS wilson_lb,
+           CAST(CASE WHEN {_WILSON_EXPR.replace('succ', 'p.succ').replace('trials', 'p.trials')}
+                          * CAST(g.gt AS DOUBLE) > CAST(g.gs AS DOUBLE)
+                THEN 1 ELSE 0 END AS BIGINT) AS abuse_flag
+    FROM per_c p, g
+    """,
+)
+def ext_returns_abuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fe7 — serial-refunder screen: per customer with >=
+    {ABUSE_MIN_ORDERS} orders, the returned-order rate with its WILSON
+    LOWER BOUND (the ext_rank_wilson shared expression — small samples
+    shrink toward zero, so a 2-of-3 refunder does NOT flag), flagged
+    when even the lower bound exceeds the population rate (compared
+    cross-multiplied: lb * global_trials > global_succ, one float
+    product instead of a float ratio). This is the trust-and-safety
+    screen that survives both small-n noise and base-rate drift —
+    thresholds move WITH the population.
+
+    Shape: one label groupBy + one custkey groupBy + a 1-row global
+    broadcast; the Wilson bound is per-row scalar math."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    truth = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_c = (
+        o.join(truth, o["o_orderkey"] == truth["l_orderkey"], "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("trials"),
+            F.sum(F.coalesce(F.col("y"), F.lit(0)))
+            .cast("bigint")
+            .alias("succ"),
+        )
+        .where(F.col("trials") >= ABUSE_MIN_ORDERS)
+        .localCheckpoint()
+    )
+    g = per_c.agg(
+        F.sum("trials").cast("bigint").alias("gt"),
+        F.sum("succ").cast("bigint").alias("gs"),
+    )
+    return per_c.crossJoin(broadcast(g)).select(
+        "o_custkey",
+        "trials",
+        "succ",
+        F.expr("CAST(succ * 1000000 DIV trials AS BIGINT)").alias(
+            "rate_ppm"
+        ),
+        F.expr(_WILSON_EXPR).alias("wilson_lb"),
+        F.expr(
+            f"CAST(CASE WHEN {_WILSON_EXPR} * CAST(gt AS DOUBLE)"
+            " > CAST(gs AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("abuse_flag"),
+    )

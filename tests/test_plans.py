@@ -238,6 +238,10 @@ _NLJ_ALLOWED = {
     # round-6 wave 66: 1-row edge-total + community-sums broadcasts
     # onto the 25-row community table
     "ext_modularity",
+    # round-6 wave 68: 1-row horizon / global-rate broadcasts onto the
+    # customer tables (the scalar-subquery pattern)
+    "ext_bgnbd_inputs",
+    "ext_returns_abuse",
 }
 
 
