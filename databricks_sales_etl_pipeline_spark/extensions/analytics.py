@@ -3068,3 +3068,109 @@ def ext_bgnbd_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freq_b").cast("bigint").alias("frequency"),
         F.col("rec_q").cast("bigint").alias("recency_quarter"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+@query(
+    "ext_cart_abandonment",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_type, us, event_id,
+               CASE WHEN us - lag(us) OVER w > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), numbered AS (
+        SELECT user_id, event_type, us,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sid
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, sid,
+               CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS has_click,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS has_purchase,
+               CAST((MIN(us) // 86400000000 + 4) % 7 AS BIGINT) AS dow
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT dow,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(has_click) AS BIGINT) AS n_with_click,
+           CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+           CAST(CASE WHEN SUM(has_click) > 0 THEN
+                SUM(CASE WHEN has_click = 1 AND has_purchase = 0
+                    THEN 1 ELSE 0 END) * 1000000 // SUM(has_click) END
+                AS BIGINT) AS abandonment_ppm
+    FROM sessions GROUP BY dow
+    """,
+)
+def ext_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An29 — cart-abandonment rate by day of week: sessionize (the
+    30-minute islands operator shared with stream_sessionize), then
+    count sessions that CLICKED but never PURCHASED within the same
+    session — the session-scoped funnel loss that the user-scoped
+    funnel (ext_event_funnel) understates (a user who converts
+    Tuesday still abandoned Monday's cart). Session DOW from the first
+    event's epoch-seconds timestamp (integer floor division — both
+    engines' dayofweek agree on UTC).
+
+    Shape: ONE user_id shuffle (lag + cumsum windows), one session
+    groupBy, a 7-row DOW aggregate."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(_W.unboundedPreceding, 0)
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "us",
+        "event_id",
+        F.when(
+            F.col("us") - F.lag("us").over(w) > 30 * 60 * 1_000_000, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.sum("new_session").over(run).cast("bigint").alias("sid"),
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("has_click"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("has_purchase"),
+        F.expr("CAST((MIN(us) DIV 86400000000 + 4) % 7 AS BIGINT)").alias(
+            "dow"
+        ),
+    )
+    return sessions.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("has_click").cast("bigint").alias("n_with_click"),
+        F.sum(
+            F.when(
+                (F.col("has_click") == 1) & (F.col("has_purchase") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_abandoned"),
+        F.expr(
+            "CAST(CASE WHEN SUM(has_click) > 0 THEN"
+            " SUM(CASE WHEN has_click = 1 AND has_purchase = 0"
+            " THEN 1 ELSE 0 END) * 1000000 DIV SUM(has_click) END"
+            " AS BIGINT)"
+        ).alias("abandonment_ppm"),
+    )

@@ -683,3 +683,79 @@ def ext_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .applyInPandas(_dtw, "n_days long, dtw_distance long, l1_distance long")
     )
+
+
+#: Erlang-B sizing: mean service time (seconds) and max servers scanned.
+ERLANG_SVC_S = 120
+ERLANG_MAX_C = 10
+
+
+@query(
+    "ext_erlang_blocking",
+    oracle=f"""
+    WITH RECURSIVE load AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+                    - MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   AS span_us
+        FROM events
+    ), a AS (
+        SELECT n, span_us,
+               CAST(n * {ERLANG_SVC_S} * 1000 * 1000000 // span_us
+                    AS BIGINT) AS a_milli
+        FROM load
+    ), b(c, b_micro) AS (
+        SELECT 0, CAST(1000000 AS BIGINT) FROM a
+        UNION ALL
+        SELECT b.c + 1,
+               CAST(x.a_milli * b.b_micro * 1000
+                    // (CAST(b.c + 1 AS BIGINT) * 1000000000
+                        + x.a_milli * b.b_micro // 1000) AS BIGINT)
+        FROM b, a x WHERE b.c < {ERLANG_MAX_C}
+    )
+    SELECT CAST(b.c AS BIGINT) AS n_servers,
+           x.a_milli AS offered_load_milli,
+           b.b_micro AS blocking_ppm_x,
+           CAST(CASE WHEN b.b_micro <= 10000 THEN 1 ELSE 0 END AS BIGINT)
+               AS meets_1pct_sla
+    FROM b, a x WHERE b.c >= 1
+    """,
+)
+def ext_erlang_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — Erlang-B blocking-probability curve from measured traffic:
+    offered load a = arrival_rate x {ERLANG_SVC_S}s mean service time
+    (exact integer milli-erlangs from event counts and the observed
+    span), then the classic recursion B_k = aB_(k-1)/(k + aB_(k-1))
+    for 1..{ERLANG_MAX_C} servers — the capacity-sizing table that
+    answers "how many parallel workers until fewer than 1% of arrivals
+    are turned away". The recursion runs in EXACT integer micro-units
+    — B_k_micro = A*P*1000 / (k*10^9 + A*P/1000) with A = milli-load,
+    P = previous micro-B — identically in a DuckDB WITH RECURSIVE and
+    a driver-side loop over the ONE collected scalar (the bounded-
+    artifact MLlib pattern: the corpus reduces to a single int; ten
+    integer steps happen wherever is cheapest).
+
+    Shape: one 1-row scan aggregate; everything after is O(servers)."""
+    e = load(spark, sf_dir, "events")
+    row = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+        .cast("bigint")
+        .alias("span_us"),
+    ).collect()[0]
+    a_milli = row["n"] * ERLANG_SVC_S * 1000 * 1_000_000 // row["span_us"]
+    b_micro = 1_000_000
+    out = []
+    for c in range(1, ERLANG_MAX_C + 1):
+        b_micro = (
+            a_milli * b_micro * 1000
+            // (c * 1_000_000_000 + a_milli * b_micro // 1000)
+        )
+        out.append(
+            (c, a_milli, b_micro, 1 if b_micro <= 10_000 else 0)
+        )
+    return spark.createDataFrame(
+        out,
+        "n_servers long, offered_load_milli long, blocking_ppm_x long,"
+        " meets_1pct_sla long",
+    )
