@@ -1304,3 +1304,103 @@ def ext_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV CAST(COUNT(*) OVER () AS BIGINT) AS BIGINT)"
         ),
     )
+
+
+_CANONICAL_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_VERIFIED_ORACLE}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lab FROM nodes
+        UNION
+        SELECT e.src AS node, r.lab
+        FROM reach r JOIN edges e ON e.dst = r.node
+    ),
+    labels AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    quality AS (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                        list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> ''),
+                        x -> x IN ('the','a','of','and','to','in','is')))
+                    * 1000 // len(list_filter(
+                        string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS BIGINT) AS q
+        FROM documents
+        WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) > 0
+    ),
+    scored AS (
+        SELECT l.cluster_id, l.node AS doc_id, q.q,
+               (1000 - q.q) * 1000000000 + l.node AS pick_key
+        FROM labels l JOIN quality q ON q.doc_id = l.node
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(pick_key) % 1000000000 AS BIGINT) AS canonical_doc_id,
+           CAST(1000 - MIN(pick_key) // 1000000000 AS BIGINT)
+               AS canonical_quality_permille,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM scored GROUP BY cluster_id HAVING COUNT(*) >= 2
+"""
+
+
+@query("ext_dedup_canonical", oracle=_CANONICAL_ORACLE)
+def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2f — SURVIVOR PICK after dedup clustering: within each verified
+    near-dup cluster, keep the HIGHEST-QUALITY member (stopword-
+    permille fluency proxy — swap any model score), not the arbitrary
+    lowest-id "keeper" — the canonicalization step that turns a dedup
+    index into an actual corpus decision, and the difference between
+    deleting random copies and keeping the cleanest one. The argmax is
+    an integer COMPOSITE KEY min ((1000-q)*1e9 + doc_id): quality
+    descending, doc_id ascending, one MIN aggregate — no window, no
+    float ordering, decomposed exactly the same way by both engines.
+
+    Shape: the cluster pipeline (banded candidates, min-label rounds) +
+    one broadcastable quality join + one cluster groupBy."""
+    pairs = ext_dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs)
+    d = load(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    quality = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(filter(split(lower(text), '\\\\s+'),"
+            " x -> x != ''), x -> array_contains("
+            "array('the','a','of','and','to','in','is'), x))) * 1000"
+            " DIV size(filter(split(lower(text), '\\\\s+'), x -> x != ''))"
+            " AS BIGINT)"
+        ).alias("q"),
+    ).where(F.size(tk) > 0)
+    scored = labels.join(
+        quality, labels["node"] == quality["doc_id"]
+    ).select(
+        F.col("label").alias("cluster_id"),
+        ((1000 - F.col("q")) * 1_000_000_000 + F.col("node")).alias(
+            "pick_key"
+        ),
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("pick_key").alias("_pk"),
+        )
+        .where(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.expr("CAST(_pk % 1000000000 AS BIGINT)").alias(
+                "canonical_doc_id"
+            ),
+            F.expr("CAST(1000 - _pk DIV 1000000000 AS BIGINT)").alias(
+                "canonical_quality_permille"
+            ),
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
