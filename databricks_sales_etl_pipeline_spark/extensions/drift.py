@@ -2609,3 +2609,123 @@ def ext_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trend_detected"),
         )
     )
+
+
+#: ensemble rules — shared expression strings over exact inputs.
+_ENS_SIGMA = (
+    "ABS(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))"
+    " > CAST(3 AS DOUBLE) * SQRT((CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))"
+    " / (CAST(nd AS DOUBLE) - CAST(1 AS DOUBLE)))"
+)
+_ENS_MAD = (
+    "ABS(CAST(x AS DOUBLE) - med)"
+    " > CAST(3 AS DOUBLE) * CAST('1.4826' AS DOUBLE) * mad"
+)
+_ENS_POIS = (
+    "CAST(x AS DOUBLE) > CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)"
+    " + CAST(3 AS DOUBLE) * SQRT(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))"
+)
+
+
+@query(
+    "ext_anomaly_ensemble",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               quantile_cont(x, CAST('0.5' AS DOUBLE)) AS med
+        FROM daily
+    ), madt AS (
+        SELECT quantile_cont(ABS(CAST(d2.x AS DOUBLE) - t.med),
+                             CAST('0.5' AS DOUBLE)) AS mad
+        FROM daily d2, tot t
+    ), votes AS (
+        SELECT d.d, d.x,
+               CAST(CASE WHEN {_ENS_SIGMA} THEN 1 ELSE 0 END AS BIGINT)
+                   AS v_sigma,
+               CAST(CASE WHEN {_ENS_MAD} THEN 1 ELSE 0 END AS BIGINT)
+                   AS v_mad,
+               CAST(CASE WHEN {_ENS_POIS} THEN 1 ELSE 0 END AS BIGINT)
+                   AS v_pois
+        FROM daily d, tot, madt
+    )
+    SELECT d, x, v_sigma, v_mad, v_pois,
+           CAST(v_sigma + v_mad + v_pois AS BIGINT) AS votes,
+           CAST(CASE WHEN v_sigma + v_mad + v_pois >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS consensus
+    FROM votes
+    """,
+)
+def ext_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr29 — anomaly-detector ENSEMBLE over the daily order-count
+    series: the 3-sigma rule (fragile to the outliers it hunts), the
+    3x1.4826-MAD rule (robust location/scale) and the Poisson c-chart
+    bound vote per day, and consensus = at least two agree — the
+    ensemble discipline that cuts single-rule false positives (a fat
+    tail fools sigma; a variance shift fools the c-chart; MAD shrugs at
+    both) without hand-tuning any threshold. Moments exact int64,
+    percentile-based med/MAD bit-exact, every rule ONE shared IEEE
+    expression.
+
+    Shape: one date groupBy + two 1-row estimator broadcasts fanned
+    onto the calendar-sized table."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = o.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    ).localCheckpoint()
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.expr("percentile(x, CAST('0.5' AS DOUBLE))").alias("med"),
+    )
+    madt = (
+        daily.crossJoin(broadcast(tot))
+        .agg(
+            F.expr(
+                "percentile(ABS(CAST(x AS DOUBLE) - med),"
+                " CAST('0.5' AS DOUBLE))"
+            ).alias("mad")
+        )
+    )
+    votes = (
+        daily.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(madt))
+        .select(
+            "d",
+            "x",
+            F.expr(
+                f"CAST(CASE WHEN {_ENS_SIGMA} THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("v_sigma"),
+            F.expr(
+                f"CAST(CASE WHEN {_ENS_MAD} THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("v_mad"),
+            F.expr(
+                f"CAST(CASE WHEN {_ENS_POIS} THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("v_pois"),
+        )
+    )
+    return votes.select(
+        "d",
+        "x",
+        "v_sigma",
+        "v_mad",
+        "v_pois",
+        (F.col("v_sigma") + F.col("v_mad") + F.col("v_pois"))
+        .cast("bigint")
+        .alias("votes"),
+        F.expr(
+            "CAST(CASE WHEN v_sigma + v_mad + v_pois >= 2"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("consensus"),
+    )

@@ -242,6 +242,9 @@ _NLJ_ALLOWED = {
     # customer tables (the scalar-subquery pattern)
     "ext_bgnbd_inputs",
     "ext_returns_abuse",
+    # round-6 wave 71: two 1-row estimator broadcasts (moments; MAD)
+    # fanned onto the calendar-sized daily table
+    "ext_anomaly_ensemble",
 }
 
 
