@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.extensions.chunking import (
@@ -326,4 +327,163 @@ def ext_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4 * F.sum("rep_bit") - F.count(F.lit(1)))
         .cast("long")
         .alias("estimate_x2"),
+    )
+
+
+#: Neyman sampling budget (total units to allocate across strata).
+NEYMAN_BUDGET = 1000
+
+#: per-stratum N_h * S_h in one shared expression (S from exact moments).
+_NEYMAN_NS = (
+    "(CAST(n_h AS DOUBLE) * SQRT((CAST(ss_h AS DOUBLE)"
+    " - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE) / CAST(n_h AS DOUBLE))"
+    " / (CAST(n_h AS DOUBLE) - CAST(1 AS DOUBLE))))"
+)
+
+
+@query(
+    "ext_neyman_allocation",
+    oracle=f"""
+    WITH base AS (
+        SELECT c.c_mktsegment AS stratum,
+               CAST(FLOOR(o.o_totalprice + 0.5) AS BIGINT) AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), m AS (
+        SELECT stratum,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(SUM(v) AS BIGINT) AS s_h,
+               CAST(SUM(v * v) AS BIGINT) AS ss_h
+        FROM base GROUP BY stratum
+    ), scored AS (
+        SELECT stratum, n_h, {_NEYMAN_NS} AS ns FROM m
+    ), tot AS (
+        SELECT SUM(ns) AS total_ns FROM scored
+    ), shares AS (
+        SELECT s.stratum, s.n_h,
+               CAST(FLOOR(s.ns * {NEYMAN_BUDGET} / t.total_ns) AS BIGINT)
+                   AS base_alloc,
+               s.ns * {NEYMAN_BUDGET} / t.total_ns
+                   - FLOOR(s.ns * {NEYMAN_BUDGET} / t.total_ns) AS rem
+        FROM scored s, tot t
+    ), short AS (
+        SELECT CAST({NEYMAN_BUDGET} - SUM(base_alloc) AS BIGINT) AS pennies
+        FROM shares
+    ), ranked AS (
+        SELECT stratum, n_h, base_alloc,
+               row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+        FROM shares
+    )
+    SELECT r.stratum, r.n_h,
+           CAST(r.base_alloc + CASE WHEN r.rk <= s.pennies THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked r, short s
+    """,
+)
+def ext_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sa — Neyman-optimal stratified sample allocation: split a
+    {NEYMAN_BUDGET}-unit audit budget across customer segments
+    proportional to N_h x S_h (stratum size times stratum standard
+    deviation) — the allocation that minimizes the estimator's
+    variance; equal or proportional splits waste budget on quiet
+    strata. Stratum SDs come from exact integer dollar moments through
+    ONE shared IEEE expression; the real-valued shares become integer
+    allocations by LARGEST REMAINDER (the ext_penny_allocation
+    discipline), so sum(alloc) == budget exactly (unit-asserted) with
+    a fully pinned tie order.
+
+    Shape: one broadcast dim join + one stratum moment groupBy; the
+    allocation math runs on the 5-row stratum table."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("v"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_h"),
+            F.sum("v").cast("bigint").alias("s_h"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss_h"),
+        )
+        .localCheckpoint()
+    )
+    scored = m.select("stratum", "n_h", F.expr(_NEYMAN_NS).alias("ns"))
+    tot = scored.agg(F.sum("ns").alias("total_ns"))
+    shares = scored.crossJoin(broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        F.expr(
+            f"CAST(FLOOR(ns * {NEYMAN_BUDGET} / total_ns) AS BIGINT)"
+        ).alias("base_alloc"),
+        F.expr(
+            f"ns * {NEYMAN_BUDGET} / total_ns"
+            f" - FLOOR(ns * {NEYMAN_BUDGET} / total_ns)"
+        ).alias("rem"),
+    ).localCheckpoint()
+    short = shares.agg(
+        F.expr(f"CAST({NEYMAN_BUDGET} - SUM(base_alloc) AS BIGINT)").alias(
+            "pennies"
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = shares.withColumn(
+        "rk",
+        F.row_number().over(_W.orderBy(F.col("rem").desc(), "stratum")),
+    )
+    return ranked.crossJoin(broadcast(short)).select(
+        "stratum",
+        "n_h",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("pennies"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+@query(
+    "ext_effective_sample_size",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS wt
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(wt) AS BIGINT) AS sum_w,
+           CAST(SUM(wt * wt) AS BIGINT) AS sum_w2,
+           CAST(SUM(wt) * SUM(wt) * 1000 // (COUNT(*) * SUM(wt * wt))
+                AS BIGINT) AS n_eff_share_milli,
+           CAST(SUM(wt) * SUM(wt) // SUM(wt * wt) AS BIGINT) AS n_eff
+    FROM w
+    """,
+)
+def ext_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sa — Kish effective sample size under unequal weights: with
+    per-user activity weights, n_eff = (sum w)^2 / sum(w^2) — the
+    honest n behind any weighted average (1500 users with skewed
+    weights may carry the information of far fewer), and its share of
+    the nominal n in exact milli (the inverse design effect 1/deff).
+    Quoting weighted metrics with nominal-n confidence intervals is
+    the classic survey-analysis error this one row prevents. All exact
+    int64 ((sum w)^2 safe to ~3*10^9 total events).
+
+    Shape: one user groupBy + a 1-row aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wt")
+    )
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("wt").cast("bigint").alias("sum_w"),
+        F.sum(F.col("wt") * F.col("wt")).cast("bigint").alias("sum_w2"),
+        F.expr(
+            "CAST(SUM(wt) * SUM(wt) * 1000 DIV (COUNT(*) * SUM(wt * wt))"
+            " AS BIGINT)"
+        ).alias("n_eff_share_milli"),
+        F.expr(
+            "CAST(SUM(wt) * SUM(wt) DIV SUM(wt * wt) AS BIGINT)"
+        ).alias("n_eff"),
     )

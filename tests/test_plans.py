@@ -245,6 +245,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 71: two 1-row estimator broadcasts (moments; MAD)
     # fanned onto the calendar-sized daily table
     "ext_anomaly_ensemble",
+    # round-6 wave 72: 1-row share-total / penny-shortfall broadcasts
+    # onto the 5-row stratum table (the penny-allocation shape)
+    "ext_neyman_allocation",
 }
 
 
