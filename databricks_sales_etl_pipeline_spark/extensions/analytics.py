@@ -3174,3 +3174,207 @@ def ext_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("abandonment_ppm"),
     )
+
+
+#: ITS intervention day (the H1/H2 boundary, day-of-year 181 ~ Jul 1).
+_ITS_SLOPE_PRE = (
+    "((CAST(np AS DOUBLE) * CAST(sxyp AS DOUBLE)"
+    " - CAST(sxp AS DOUBLE) * CAST(syp AS DOUBLE))"
+    " / (CAST(np AS DOUBLE) * CAST(sxxp AS DOUBLE)"
+    "    - CAST(sxp AS DOUBLE) * CAST(sxp AS DOUBLE)))"
+)
+_ITS_SLOPE_POST = (
+    "((CAST(nq AS DOUBLE) * CAST(sxyq AS DOUBLE)"
+    " - CAST(sxq AS DOUBLE) * CAST(syq AS DOUBLE))"
+    " / (CAST(nq AS DOUBLE) * CAST(sxxq AS DOUBLE)"
+    "    - CAST(sxq AS DOUBLE) * CAST(sxq AS DOUBLE)))"
+)
+#: fitted value at the cutoff from each segment's own regression
+#: (intercept + slope * cutoff_x), all from exact moments.
+_ITS_AT_CUT_PRE = (
+    "(CAST(syp AS DOUBLE) / CAST(np AS DOUBLE)"
+    f" + {_ITS_SLOPE_PRE}"
+    " * (CAST(cut AS DOUBLE) - CAST(sxp AS DOUBLE) / CAST(np AS DOUBLE)))"
+)
+_ITS_AT_CUT_POST = (
+    "(CAST(syq AS DOUBLE) / CAST(nq AS DOUBLE)"
+    f" + {_ITS_SLOPE_POST}"
+    " * (CAST(cut AS DOUBLE) - CAST(sxq AS DOUBLE) / CAST(nq AS DOUBLE)))"
+)
+
+
+@query(
+    "ext_interrupted_ts",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), cutoff AS (
+        SELECT CAST((MIN(d) + MAX(d)) // 2 AS BIGINT) AS cut FROM daily
+    ), m AS (
+        SELECT c.cut,
+          CAST(SUM(CASE WHEN d.d < c.cut THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(SUM(CASE WHEN d.d < c.cut THEN d.d ELSE 0 END) AS BIGINT)
+              AS sxp,
+          CAST(SUM(CASE WHEN d.d < c.cut THEN d.y ELSE 0 END) AS BIGINT)
+              AS syp,
+          CAST(SUM(CASE WHEN d.d < c.cut THEN d.d * d.d ELSE 0 END)
+               AS BIGINT) AS sxxp,
+          CAST(SUM(CASE WHEN d.d < c.cut THEN d.d * d.y ELSE 0 END)
+               AS BIGINT) AS sxyp,
+          CAST(SUM(CASE WHEN d.d >= c.cut THEN 1 ELSE 0 END) AS BIGINT)
+              AS nq,
+          CAST(SUM(CASE WHEN d.d >= c.cut THEN d.d ELSE 0 END) AS BIGINT)
+              AS sxq,
+          CAST(SUM(CASE WHEN d.d >= c.cut THEN d.y ELSE 0 END) AS BIGINT)
+              AS syq,
+          CAST(SUM(CASE WHEN d.d >= c.cut THEN d.d * d.d ELSE 0 END)
+               AS BIGINT) AS sxxq,
+          CAST(SUM(CASE WHEN d.d >= c.cut THEN d.d * d.y ELSE 0 END)
+               AS BIGINT) AS sxyq
+        FROM daily d, cutoff c GROUP BY c.cut
+    )
+    SELECT cut, np, nq,
+           {_ITS_SLOPE_PRE} AS slope_pre,
+           {_ITS_SLOPE_POST} AS slope_post,
+           {_ITS_SLOPE_POST} - {_ITS_SLOPE_PRE} AS slope_change,
+           {_ITS_AT_CUT_POST} - {_ITS_AT_CUT_PRE} AS level_change
+    FROM m
+    """,
+)
+def ext_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An30 — interrupted time series (segmented regression): fit the
+    daily event-count trend separately before and after the midpoint
+    intervention and report the LEVEL change (the jump at the cutoff,
+    each segment's own fit evaluated there) and the SLOPE change — the
+    quasi-experimental design for policy changes without a control
+    group (launches, price changes, incident mitigations), completing
+    the causal family beside DiD (needs a control), RDD (needs an
+    assignment threshold) and IV (needs an instrument). All ten
+    segment moments are exact int64 from ONE conditional pass; slopes,
+    fitted values and both deltas are shared IEEE expression strings.
+
+    Shape: one date groupBy + a 1-row cutoff broadcast + a 1-row
+    moment aggregate."""
+    e = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = e.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    ).localCheckpoint()
+    cutoff = daily.agg(
+        F.expr("CAST((MIN(d) + MAX(d)) DIV 2 AS BIGINT)").alias("cut")
+    )
+    j = daily.crossJoin(broadcast(cutoff))
+    pre = F.col("d") < F.col("cut")
+
+    def _seg(cond, expr, name):
+        return (
+            F.sum(F.when(cond, expr).otherwise(0)).cast("bigint").alias(name)
+        )
+
+    m = j.groupBy("cut").agg(
+        _seg(pre, F.lit(1), "np"),
+        _seg(pre, F.col("d"), "sxp"),
+        _seg(pre, F.col("y"), "syp"),
+        _seg(pre, F.col("d") * F.col("d"), "sxxp"),
+        _seg(pre, F.col("d") * F.col("y"), "sxyp"),
+        _seg(~pre, F.lit(1), "nq"),
+        _seg(~pre, F.col("d"), "sxq"),
+        _seg(~pre, F.col("y"), "syq"),
+        _seg(~pre, F.col("d") * F.col("d"), "sxxq"),
+        _seg(~pre, F.col("d") * F.col("y"), "sxyq"),
+    )
+    return m.select(
+        "cut",
+        "np",
+        "nq",
+        F.expr(_ITS_SLOPE_PRE).alias("slope_pre"),
+        F.expr(_ITS_SLOPE_POST).alias("slope_post"),
+        F.expr(f"{_ITS_SLOPE_POST} - {_ITS_SLOPE_PRE}").alias(
+            "slope_change"
+        ),
+        F.expr(f"{_ITS_AT_CUT_POST} - {_ITS_AT_CUT_PRE}").alias(
+            "level_change"
+        ),
+    )
+
+
+#: quantile-ratio probes (numerator, denominator percentiles).
+QRATIO_PAIRS = [(90, 10), (90, 50), (99, 50)]
+
+
+@query(
+    "ext_quantile_ratios",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+    ), q AS (
+        SELECT quantile_cont(v, [{', '.join(
+            f"CAST('0.{hi:02d}' AS DOUBLE)" for hi, _ in QRATIO_PAIRS)}])
+                   AS his,
+               quantile_cont(v, [{', '.join(
+            f"CAST('0.{lo:02d}' AS DOUBLE)" for _, lo in QRATIO_PAIRS)}])
+                   AS los
+        FROM s
+    )
+    SELECT CAST({'[' + ', '.join(str(h) for h, _ in QRATIO_PAIRS) + ']'}[r.range]
+                AS BIGINT) AS pct_hi,
+           CAST({'[' + ', '.join(str(l) for _, l in QRATIO_PAIRS) + ']'}[r.range]
+                AS BIGINT) AS pct_lo,
+           q.his[r.range] AS hi_value,
+           q.los[r.range] AS lo_value,
+           q.his[r.range] / q.los[r.range] AS ratio
+    FROM q, range(1, {len(QRATIO_PAIRS) + 1}) r
+    """,
+)
+def ext_quantile_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An31 — quantile-ratio inequality indices over order values: the
+    P90/P10, P90/P50 and P99/P50 ratios — the labor-economics standard
+    for dispersion that, unlike Gini (whole-distribution) or CV
+    (moment-fragile), localizes WHERE the spread lives (tail vs
+    middle) and is immune to outliers beyond the probe points.
+    Interpolated percentiles on integer cents are bit-exact; each
+    ratio divides two bit-identical doubles, so it is deterministic
+    across engines.
+
+    Shape: one scan, one multi-quantile aggregate, a 3-row expansion."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v")
+    )
+    his = "array(" + ", ".join(
+        f"CAST('0.{hi:02d}' AS DOUBLE)" for hi, _ in QRATIO_PAIRS
+    ) + ")"
+    los = "array(" + ", ".join(
+        f"CAST('0.{lo:02d}' AS DOUBLE)" for _, lo in QRATIO_PAIRS
+    ) + ")"
+    q = s.agg(
+        F.expr(f"percentile(v, {his})").alias("his"),
+        F.expr(f"percentile(v, {los})").alias("los"),
+    )
+    expl = q.select(
+        F.posexplode(F.arrays_zip("his", "los")).alias("pos", "z")
+    )
+    hi_arr = [h for h, _ in QRATIO_PAIRS]
+    lo_arr = [l for _, l in QRATIO_PAIRS]
+    return expl.select(
+        F.element_at(
+            F.array(*[F.lit(h) for h in hi_arr]), F.col("pos") + 1
+        )
+        .cast("bigint")
+        .alias("pct_hi"),
+        F.element_at(
+            F.array(*[F.lit(l) for l in lo_arr]), F.col("pos") + 1
+        )
+        .cast("bigint")
+        .alias("pct_lo"),
+        F.col("z.his").alias("hi_value"),
+        F.col("z.los").alias("lo_value"),
+        (F.col("z.his") / F.col("z.los")).alias("ratio"),
+    )

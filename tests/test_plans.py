@@ -248,6 +248,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 72: 1-row share-total / penny-shortfall broadcasts
     # onto the 5-row stratum table (the penny-allocation shape)
     "ext_neyman_allocation",
+    # round-6 wave 73: 1-row midpoint-cutoff broadcast onto the daily
+    # table (the reproducible-clock pattern)
+    "ext_interrupted_ts",
 }
 
 
