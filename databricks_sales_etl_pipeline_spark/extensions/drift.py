@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.extensions.chunking import (
+    md5_band,
+    md5_band_sql,
+)
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
 
@@ -2728,4 +2732,182 @@ def ext_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN v_sigma + v_mad + v_pois >= 2"
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("consensus"),
+    )
+
+
+#: randomization test: B hash-seeded relabelings, A-share 1/PERM_MOD
+#: (matches BUILDING's 1-in-5 segment share so the null mimics the
+#: observed split sizes).
+PERM_B = 200
+PERM_MOD = 5
+_PERM_SALT = "permtest-r6"
+
+#: mean gap between segment A and the rest in exact milli-cents —
+#: truncating DIV on the non-negative sums, subtraction AFTER the
+#: divisions (negative numerators must never reach DIV: Spark truncates,
+#: DuckDB floors). GREATEST guards the (astronomically unlikely)
+#: empty-side relabeling from ANSI divide-by-zero.
+_PERM_DIFF = (
+    "CAST(sum_a * 1000 {div} GREATEST(n_a, 1) AS BIGINT)"
+    " - CAST(sum_b * 1000 {div} GREATEST(n_b, 1) AS BIGINT)"
+)
+_PERM_DIFF_SPARK = _PERM_DIFF.format(div="DIV")
+_PERM_DIFF_DUCK = _PERM_DIFF.format(div="//")
+
+
+@query(
+    "ext_permutation_test",
+    oracle=f"""
+    WITH cs AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS v
+        FROM orders GROUP BY o_custkey
+    ), lab AS (
+        SELECT cs.ck, cs.v,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+        FROM cs JOIN customer c ON c.c_custkey = cs.ck
+    ), obs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(g) AS BIGINT) AS n_a,
+               CAST(COUNT(*) - SUM(g) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN g = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_a,
+               CAST(SUM(CASE WHEN g = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+        FROM lab
+    ), obs_d AS (
+        SELECT n_units, n_a, n_b, CAST({_PERM_DIFF_DUCK} AS BIGINT) AS diff_obs
+        FROM obs
+    ), perm AS (
+        SELECT h.b,
+               CAST(SUM(CASE WHEN h.asg = 0 THEN h.v ELSE 0 END) AS BIGINT)
+                   AS sum_a,
+               CAST(SUM(CASE WHEN h.asg <> 0 THEN h.v ELSE 0 END) AS BIGINT)
+                   AS sum_b,
+               CAST(SUM(CASE WHEN h.asg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN h.asg <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM (SELECT lab.ck, lab.v, s.b,
+                     {md5_band_sql(
+                         "CAST(s.b AS VARCHAR) || ':' || CAST(lab.ck AS VARCHAR)",
+                         PERM_MOD, _PERM_SALT)} AS asg
+              FROM lab, (SELECT unnest(range(0, {PERM_B})) AS b) s) h
+        GROUP BY h.b
+    ), perm_d AS (
+        SELECT b, CAST({_PERM_DIFF_DUCK} AS BIGINT) AS diff_b FROM perm
+    )
+    SELECT o.n_units, o.n_a, o.n_b,
+           CAST(o.diff_obs AS BIGINT) AS diff_obs_milli,
+           CAST({PERM_B} AS BIGINT) AS n_perms,
+           CAST((SELECT SUM(CASE WHEN ABS(p.diff_b) >= ABS(o.diff_obs)
+                                 THEN 1 ELSE 0 END) FROM perm_d p)
+                AS BIGINT) AS n_extreme,
+           CAST(((SELECT SUM(CASE WHEN ABS(p.diff_b) >= ABS(o.diff_obs)
+                                  THEN 1 ELSE 0 END) FROM perm_d p) + 1)
+                * 1000 // {PERM_B + 1} AS BIGINT) AS p_milli,
+           CAST((SELECT MAX(ABS(p.diff_b)) FROM perm_d p) AS BIGINT)
+               AS max_abs_null_milli
+    FROM obs_d o
+    """,
+)
+def ext_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — randomization (permutation) test for the BUILDING-segment
+    mean order-value gap: the observed milli-cent mean difference is
+    scored against a null distribution of B=200 hash-seeded relabelings
+    (each customer independently re-assigned to a 1-in-5 pseudo-segment
+    by the cross-engine md5-band primitive), reporting the exact
+    rank-based p-value with the +1 add-one correction. This is the
+    distribution-free significance test that needs NO normality
+    assumption and NO libm CDF — and the hash-seeded form is exactly
+    how a 100 TB pipeline permutes: no global label shuffle, just B
+    deterministic reassignments streamed in one pass.
+
+    Shape: one o_custkey groupBy (unit table, customer-bounded), a
+    broadcast segment join, then ONE explode×B → groupBy(b) shuffle
+    carrying B×units tiny (b, v, asg) rows; the observed row joins the
+    200-row null table as a 1-row broadcast. All exact integers, so the
+    DuckDB twin is hash-identical."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cs = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("v")
+    )
+    lab = cs.join(
+        broadcast(
+            c.select(
+                F.col("c_custkey").alias("ck"),
+                F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                .otherwise(0)
+                .alias("g"),
+            )
+        ),
+        "ck",
+    )
+    obs = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("g").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("g") == 1, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_a"),
+        F.sum(F.when(F.col("g") == 0, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_b"),
+    ).select(
+        "n_units",
+        "n_a",
+        "n_b",
+        F.expr(_PERM_DIFF_SPARK).alias("diff_obs"),
+    )
+    seeded = lab.select(
+        "ck",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_B - 1))).alias("b"),
+    ).withColumn(
+        "asg",
+        md5_band(
+            F.concat(
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("ck").cast("string"),
+            ),
+            PERM_MOD,
+            _PERM_SALT,
+        ),
+    )
+    perm = seeded.groupBy("b").agg(
+        F.sum(F.when(F.col("asg") == 0, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_a"),
+        F.sum(F.when(F.col("asg") != 0, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_b"),
+        F.sum(F.when(F.col("asg") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("asg") != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    perm_d = perm.select("b", F.expr(_PERM_DIFF_SPARK).alias("diff_b"))
+    null_stats = perm_d.crossJoin(broadcast(obs.select("diff_obs"))).agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("diff_b")) >= F.abs(F.col("diff_obs")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme"),
+        F.max(F.abs(F.col("diff_b"))).cast("bigint").alias("max_abs_null"),
+    )
+    return obs.crossJoin(broadcast(null_stats)).select(
+        "n_units",
+        "n_a",
+        "n_b",
+        F.col("diff_obs").cast("bigint").alias("diff_obs_milli"),
+        F.lit(PERM_B).cast("bigint").alias("n_perms"),
+        "n_extreme",
+        F.expr(
+            f"CAST((n_extreme + 1) * 1000 DIV {PERM_B + 1} AS BIGINT)"
+        ).alias("p_milli"),
+        F.col("max_abs_null").cast("bigint").alias("max_abs_null_milli"),
     )

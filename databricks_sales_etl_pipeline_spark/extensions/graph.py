@@ -883,3 +883,114 @@ def ext_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_ppm"),
         )
     )
+
+
+#: bounded-pass k-core peel: both engines run EXACTLY this many
+#: simultaneous-removal rounds (the convergence-free contract that a
+#: 1000-executor job would also ship — unbounded fixpoints have no SLA).
+KCORE_K = 3
+KCORE_ROUNDS = 5
+
+_KCORE_EDGES = """
+    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+    FROM lineitem l1
+    JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey
+"""
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel: round i+1 keeps the edges whose BOTH endpoints have
+    degree >= K in round i's surviving subgraph (simultaneous removal —
+    identical to the Spark loop by construction)."""
+    ctes = [f"e0 AS MATERIALIZED ({_KCORE_EDGES})"]
+    for i in range(KCORE_ROUNDS):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+        SELECT v FROM (SELECT a AS v FROM e{i}
+                       UNION ALL SELECT b AS v FROM e{i})
+        GROUP BY v HAVING COUNT(*) >= {KCORE_K}
+    )"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+        SELECT a, b FROM e{i}
+        WHERE a IN (SELECT v FROM k{i}) AND b IN (SELECT v FROM k{i})
+    )"""
+        )
+    stats = "\n    UNION ALL ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS round,
+               CAST((SELECT COUNT(DISTINCT v)
+                     FROM (SELECT a AS v FROM e{i}
+                           UNION ALL SELECT b AS v FROM e{i})) AS BIGINT)
+                   AS n_vertices,
+               CAST((SELECT COUNT(*) FROM e{i}) AS BIGINT) AS n_edges"""
+        for i in range(KCORE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + stats
+
+
+@query("ext_graph_kcore", oracle=_kcore_oracle())
+def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gk — bounded-pass k-core peel of the co-purchase graph (k=3, 5
+    simultaneous-removal rounds): each round drops every vertex whose
+    degree in the SURVIVING subgraph is below k, reporting the
+    (round, n_vertices, n_edges) shrink trajectory — the densest-region
+    extractor behind community mining and graph-cleaning before
+    embedding training. Rounds are bounded, not run-to-fixpoint: a
+    production peel at 100 TB ships a fixed pass budget (the trajectory
+    shows convergence when two consecutive rounds agree), so the DuckDB
+    twin can unroll the identical recurrence and hash-match exactly.
+
+    Shape: the edge list is localCheckpointed once per round (lineage
+    truncation — the iterative-algorithm discipline; on a cluster this
+    is checkpoint-to-storage), each round costing ONE degree groupBy
+    plus two semi-joins against the vertex-sized keep list. Per-round
+    census rows are 1-row aggregates unioned at the end."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    cur = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    stats = []
+    for r in range(KCORE_ROUNDS + 1):
+        vs = cur.select(F.explode(F.array("a", "b")).alias("v"))
+        stats.append(
+            vs.agg(F.countDistinct("v").cast("bigint").alias("n_vertices"))
+            .crossJoin(
+                cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            )
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                "n_vertices",
+                "n_edges",
+            )
+        )
+        if r < KCORE_ROUNDS:
+            keep = (
+                vs.groupBy("v")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .where(F.col("d") >= KCORE_K)
+                .select("v")
+                .localCheckpoint()
+            )
+            cur = (
+                cur.join(
+                    keep.withColumnRenamed("v", "a"), "a", "left_semi"
+                )
+                .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+                .localCheckpoint()
+            )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out

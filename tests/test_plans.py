@@ -251,6 +251,11 @@ _NLJ_ALLOWED = {
     # round-6 wave 73: 1-row midpoint-cutoff broadcast onto the daily
     # table (the reproducible-clock pattern)
     "ext_interrupted_ts",
+    # round-6 wave 74: chain of 1-row per-round census aggregates (the
+    # ext_graph_triangles shape) / 1-row observed-stat broadcast onto
+    # the 200-row null table
+    "ext_graph_kcore",
+    "ext_permutation_test",
 }
 
 
