@@ -279,3 +279,125 @@ def ext_merkle_partition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_children",
     )
     return lv0.unionAll(lv1).unionAll(lv2)
+
+
+#: IPv4-lite longest-prefix-match routing: a 16-bit address space with
+#: /4, /8 and /12 network blocks (the 32-bit production form scales the
+#: SAME expand-to-prefix-lengths equi-join — only the constants change).
+CIDR_IP_BITS = 16
+CIDR_BASE_BITS = 12
+CIDR_PLENS = (4, 8, 12)
+_CIDR_IP_SALT = "cidr-ip-r6"
+_CIDR_NET_SALT = "cidr-net-r6"
+
+
+@query(
+    "ext_cidr_lpm",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               {md5_band_sql("CAST(event_id AS VARCHAR)",
+                             2 ** CIDR_IP_BITS, _CIDR_IP_SALT)} AS ip
+        FROM events
+    ), blk AS (
+        SELECT plen, v >> ({CIDR_BASE_BITS} - plen) AS net_key,
+               MIN(n_name) AS label
+        FROM (SELECT n_name,
+                     {md5_band_sql("CAST(n_nationkey AS VARCHAR)",
+                                   2 ** CIDR_BASE_BITS, _CIDR_NET_SALT)} AS v,
+                     4 + 4 * (n_nationkey % 3) AS plen
+              FROM nation)
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT e.event_id, e.user_id, p.plen,
+               e.ip >> ({CIDR_IP_BITS} - p.plen) AS net_key
+        FROM ev e, (VALUES {", ".join(f"({p})" for p in CIDR_PLENS)}) p(plen)
+    ), matched AS (
+        SELECT c.event_id,
+               arg_max(b.label, c.plen) AS label,
+               CAST(MAX(c.plen) AS BIGINT) AS plen
+        FROM cand c
+        JOIN blk b ON b.plen = c.plen AND b.net_key = c.net_key
+        GROUP BY c.event_id
+    )
+    SELECT COALESCE(m.label, 'UNROUTED') AS label,
+           CAST(COALESCE(m.plen, 0) AS BIGINT) AS plen,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM ev e LEFT JOIN matched m ON m.event_id = e.event_id
+    GROUP BY 1, 2
+    """,
+)
+def ext_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ds — longest-prefix-match CIDR classification of event source
+    addresses (deterministic 16-bit IPs hashed from event_id; network
+    blocks at /4, /8 and /12 derived from the nation dim): each address
+    is expanded to its three candidate prefix keys and equi-joined to
+    the deduped block table, the per-event winner being the LONGEST
+    matching prefix — the routing-table lookup every CDN/firewall log
+    enrichment does, expressed WITHOUT an inequality join. Reports
+    (label, plen) traffic with distinct-user counts; unmatched traffic
+    lands in the UNROUTED bucket.
+
+    Shape: the block table is nation-bounded (25 rows after per-
+    (plen, key) dedup) and broadcast; the expansion is a constant ×3
+    fan-out of the event scan, so the whole lookup is one broadcast-join
+    pass plus one event-keyed groupBy for the argmax — no shuffle grows
+    with the routing table. At 32-bit/production scale only the
+    constants change; prefix expansion stays O(#plen levels) per row."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        md5_band(F.col("event_id"), 2**CIDR_IP_BITS, _CIDR_IP_SALT).alias(
+            "ip"
+        ),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        "n_name",
+        md5_band(
+            F.col("n_nationkey"), 2**CIDR_BASE_BITS, _CIDR_NET_SALT
+        ).alias("v"),
+        (4 + 4 * (F.col("n_nationkey") % 3)).alias("plen"),
+    )
+    blk = (
+        n.select(
+            "plen",
+            F.expr(f"shiftright(v, {CIDR_BASE_BITS} - plen)").alias(
+                "net_key"
+            ),
+            "n_name",
+        )
+        .groupBy("plen", "net_key")
+        .agg(F.min("n_name").alias("label"))
+    )
+    cand = e.select(
+        "event_id",
+        "user_id",
+        "ip",
+        F.explode(
+            F.array(*[F.lit(p) for p in CIDR_PLENS])
+        ).alias("plen"),
+    ).withColumn(
+        "net_key", F.expr(f"shiftright(ip, {CIDR_IP_BITS} - plen)")
+    )
+    matched = (
+        cand.join(broadcast(blk), ["plen", "net_key"])
+        .groupBy("event_id")
+        .agg(
+            F.max_by("label", "plen").alias("label"),
+            F.max("plen").cast("bigint").alias("plen"),
+        )
+    )
+    return (
+        e.join(matched, "event_id", "left")
+        .select(
+            F.coalesce(F.col("label"), F.lit("UNROUTED")).alias("label"),
+            F.coalesce(F.col("plen"), F.lit(0)).cast("bigint").alias("plen"),
+            "user_id",
+        )
+        .groupBy("label", "plen")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

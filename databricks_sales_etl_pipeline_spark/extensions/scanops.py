@@ -759,3 +759,128 @@ def ext_erlang_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_servers long, offered_load_milli long, blocking_ppm_x long,"
         " meets_1pct_sla long",
     )
+
+
+#: Holt double-exponential smoothing constants: alpha = 1/HOLT_A_DEN,
+#: beta = 1/HOLT_B_DEN, every update in exact integer cents with
+#: TRUNCATING division. Measured fact (round-6): DuckDB ``//`` truncates
+#: toward zero on negatives (-7 // 2 = -3) while Python ``//`` floors
+#: (-4) — the trend numerator goes negative on revenue dips, so the
+#: Python side uses the sign-composed trunc-div helper to match.
+HOLT_A_DEN = 5
+HOLT_B_DEN = 10
+
+
+@query(
+    "ext_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE mrev AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT list(m ORDER BY m) AS mv, list(y ORDER BY m) AS yv,
+               COUNT(*) AS n
+        FROM mrev
+    ), rec AS (
+        SELECT 1 AS t, yv[1] AS l, CAST(0 AS BIGINT) AS b, yv[1] AS f
+        FROM s
+        UNION ALL
+        SELECT rec.t + 1,
+               CAST((s.yv[rec.t + 1]
+                     + {HOLT_A_DEN - 1} * (rec.l + rec.b))
+                    // {HOLT_A_DEN} AS BIGINT),
+               CAST((CAST((s.yv[rec.t + 1]
+                           + {HOLT_A_DEN - 1} * (rec.l + rec.b))
+                          // {HOLT_A_DEN} AS BIGINT)
+                     - rec.l + {HOLT_B_DEN - 1} * rec.b)
+                    // {HOLT_B_DEN} AS BIGINT),
+               CAST(rec.l + rec.b AS BIGINT)
+        FROM rec, s WHERE rec.t < s.n
+    )
+    SELECT CAST(rec.t AS BIGINT) AS t,
+           CAST(s.mv[rec.t] AS BIGINT) AS m,
+           CAST(s.yv[rec.t] AS BIGINT) AS y_cents,
+           CAST(rec.l AS BIGINT) AS level_cents,
+           CAST(rec.b AS BIGINT) AS trend_cents,
+           CAST(rec.f AS BIGINT) AS forecast_cents,
+           CAST(abs(s.yv[rec.t] - rec.f) AS BIGINT) AS abs_err_cents
+    FROM rec, s
+    """,
+)
+def ext_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — Holt linear-trend (double exponential) smoothing of monthly
+    order revenue: level l_t = (y_t + (A-1)(l+b)) // A and trend
+    b_t = ((l_t - l_{t-1}) + (B-1) b) // B with alpha = 1/5,
+    beta = 1/10, all in exact integer cents with truncating division
+    (matching DuckDB ``//`` on negative trend numerators) so the
+    DuckDB ``WITH RECURSIVE`` twin is hash-identical. Emits the full
+    (level, trend, one-step forecast, absolute error) trajectory — the
+    classic trend-aware baseline forecaster (and its in-sample MAE feed)
+    that the seasonal/EWMA operators in this family don't cover.
+
+    Shape: the distributed work is ONE month groupBy over the fact
+    table; the recurrence then runs on the calendar-bounded series
+    (~84 rows however big the corpus) inside a single Arrow-batched
+    ``applyInPandas`` task — the ext_dtw_distance escape-hatch
+    discipline for genuinely sequential state."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year(F.col("o_orderdate")) * 100 + F.month(F.col("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("m")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+
+    def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("m")
+        ms = pdf["m"].astype("int64").tolist()
+        ys = pdf["y"].astype("int64").tolist()
+        def tdiv(a: int, d: int) -> int:
+            # DuckDB // truncates toward zero on negatives; Python floors
+            return a // d if a >= 0 else -((-a) // d)
+
+        rows = []
+        l = ys[0]
+        b = 0
+        f = ys[0]
+        for t, (m, y) in enumerate(zip(ms, ys), start=1):
+            if t > 1:
+                f = l + b
+                ln = tdiv(y + (HOLT_A_DEN - 1) * (l + b), HOLT_A_DEN)
+                b = tdiv((ln - l) + (HOLT_B_DEN - 1) * b, HOLT_B_DEN)
+                l = ln
+            rows.append((t, m, y, l, b, f, abs(y - f)))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "t",
+                "m",
+                "y_cents",
+                "level_cents",
+                "trend_cents",
+                "forecast_cents",
+                "abs_err_cents",
+            ],
+        )
+
+    return (
+        monthly.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            _holt,
+            "t long, m long, y_cents long, level_cents long, "
+            "trend_cents long, forecast_cents long, abs_err_cents long",
+        )
+    )
