@@ -2911,3 +2911,143 @@ def ext_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_milli"),
         F.col("max_abs_null").cast("bigint").alias("max_abs_null_milli"),
     )
+
+
+#: Benjamini-Hochberg step-up at alpha = FDR_ALPHA_PPM/1e6 over 31
+#: hypotheses H0_d: "order dates land on day-of-month d with probability
+#: 1/31". The per-day p-value is the FOURTH-MOMENT Chebyshev bound for
+#: the binomial count (Markov on (X-np)^4, E[(X-np)^4] <= 3(npq)^2+npq),
+#: scaled by 31^4 so everything is exact integers:
+#:     p <= (2700*N^2 + 28830*N) / dev^4,   dev = |31*n_d - N|.
+#: Day 31 exists in only 7 of 12 months — a REAL calendar discovery the
+#: procedure must find; days 1-28 are genuinely null. Integer-exact to
+#: N ~ 1.8e8 orders (2700*N^2 < 2^63); beyond that, shard by year and
+#: union. dev is capped at FDR_DEV_CAP before the 4th power (capping
+#: only INCREASES the bound — still conservative — and keeps dev^4
+#: representable); the two-stage floor division is exact:
+#: floor(floor(x/d)/d) == floor(x/d^2).
+FDR_ALPHA_PPM = 50_000
+FDR_DEV_CAP = 50_000
+
+#: shared p-value expression template ({div} = Spark DIV / DuckDB //) —
+#: identical token stream in both engines per CLAUDE.md discipline.
+_FDR_P = """
+    CAST(CASE WHEN dev_c = 0
+              OR num >= (dev_c * dev_c) * (dev_c * dev_c) THEN 1000000
+         ELSE ((num {div} (dev_c * dev_c)) * 1000000
+               + ((num % (dev_c * dev_c)) * 1000000) {div} (dev_c * dev_c))
+              {div} (dev_c * dev_c)
+         END AS BIGINT)
+"""
+
+
+@query(
+    "ext_fdr_bh",
+    oracle=f"""
+    WITH n AS (
+        SELECT CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dom,
+               CAST(COUNT(*) AS BIGINT) AS n_d
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_d) AS BIGINT) AS big_n FROM n
+    ), devs AS (
+        SELECT n.dom, n.n_d, tot.big_n,
+               CAST(abs(31 * n.n_d - tot.big_n) AS BIGINT) AS dev,
+               CAST(LEAST(abs(31 * n.n_d - tot.big_n), {FDR_DEV_CAP})
+                    AS BIGINT) AS dev_c,
+               CAST(2700 * tot.big_n * tot.big_n + 28830 * tot.big_n
+                    AS BIGINT) AS num
+        FROM n, tot
+    ), p AS (
+        SELECT dom, n_d, big_n, dev,
+               {_FDR_P.format(div="//")} AS p_ppm
+        FROM devs
+    ), ranked AS (
+        SELECT p.*,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, dom) AS BIGINT) AS k,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM p
+    )
+    SELECT ranked.*, 
+           CAST(MAX(CASE WHEN p_ppm * m <= k * {FDR_ALPHA_PPM}
+                         THEN k ELSE 0 END) OVER () AS BIGINT) AS k_star,
+           k <= CAST(MAX(CASE WHEN p_ppm * m <= k * {FDR_ALPHA_PPM}
+                              THEN k ELSE 0 END) OVER () AS BIGINT)
+               AS rejected
+    FROM ranked
+    """,
+)
+def ext_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — Benjamini-Hochberg false-discovery-rate control over 31
+    day-of-month uniformity hypotheses: H0_d says order dates hit day d
+    with probability 1/31; the p-value is the exact-integer fourth-moment
+    Chebyshev bound (2700 N^2 + 28830 N) / dev^4 with dev = |31 n_d - N|,
+    and the step-up rejects every hypothesis ranked at or below
+    k* = max{{k : p_(k) <= (k/m) alpha}} (alpha = 5%, compared
+    division-free as p_ppm * m <= k * 50000). Day 31 exists in only 7 of
+    12 months, so it is a TRUE discovery the procedure finds at sf0.01+,
+    while days 1-28 are genuinely null — the output shows a working FDR
+    spectrum on honest calendar structure, the multiple-testing
+    correction any platform needs once it screens many segments at once.
+
+    Shape: one day-of-month groupBy over orders (the only data-sized
+    shuffle), then windows over the 31-row hypothesis table. All
+    arithmetic integer-exact to ~1.8e8 orders; beyond that shard by year
+    and union (documented bound, not a silent overflow)."""
+    o = load(spark, sf_dir, "orders")
+    n = o.groupBy(
+        F.dayofmonth(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("dom")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    tot = n.agg(F.sum("n_d").cast("bigint").alias("big_n"))
+    devs = n.join(broadcast(tot)).select(
+        "dom",
+        "n_d",
+        "big_n",
+        F.abs(31 * F.col("n_d") - F.col("big_n"))
+        .cast("bigint")
+        .alias("dev"),
+        F.least(
+            F.abs(31 * F.col("n_d") - F.col("big_n")),
+            F.lit(FDR_DEV_CAP),
+        )
+        .cast("bigint")
+        .alias("dev_c"),
+        (
+            2700 * F.col("big_n") * F.col("big_n") + 28830 * F.col("big_n")
+        )
+        .cast("bigint")
+        .alias("num"),
+    )
+    p = devs.select(
+        "dom",
+        "n_d",
+        "big_n",
+        "dev",
+        F.expr(_FDR_P.format(div="DIV")).alias("p_ppm"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    ranked = p.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy("p_ppm", "dom"))
+        .cast("bigint")
+        .alias("k"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("m"),
+    )
+    k_star = (
+        F.max(
+            F.when(
+                F.col("p_ppm") * F.col("m") <= F.col("k") * FDR_ALPHA_PPM,
+                F.col("k"),
+            ).otherwise(0)
+        )
+        .over(w)
+        .cast("bigint")
+    )
+    return ranked.select(
+        "*",
+        k_star.alias("k_star"),
+        (F.col("k") <= k_star).alias("rejected"),
+    )

@@ -1226,3 +1226,168 @@ def ext_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.min(F.when(F.col("rel") == 1, F.col("rk")))
         ).alias("reciprocal_rank"),
     )
+
+
+#: grid-DBSCAN constants: cells of DBSCAN_CELL milli-units over the
+#: first two embedding dims (offset keeps coords non-negative so // and
+#: DIV agree), a cell is CORE when it holds >= DBSCAN_MINPTS points, and
+#: min-label propagation over the 8-neighborhood runs a FIXED
+#: DBSCAN_ROUNDS passes (the bounded-pass contract of ext_graph_kcore —
+#: no unbounded fixpoint; the unit test checks convergence at fixture
+#: scale).
+DBSCAN_CELL = 50
+DBSCAN_MINPTS = 3
+DBSCAN_OFF = 1000
+DBSCAN_ROUNDS = 10
+_DBSCAN_ENC = 1_000_000
+
+
+def _dbscan_oracle() -> str:
+    mx = "CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+    my = "CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    ctes = [
+        f"""cells AS MATERIALIZED (
+        SELECT ({mx} + {DBSCAN_OFF}) // {DBSCAN_CELL} AS cx,
+               ({my} + {DBSCAN_OFF}) // {DBSCAN_CELL} AS cy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY 1, 2
+    )""",
+        f"""core AS MATERIALIZED (
+        SELECT cx, cy, n FROM cells WHERE n >= {DBSCAN_MINPTS}
+    )""",
+        f"""edges AS MATERIALIZED (
+        SELECT a.cx, a.cy, b.cx AS ncx, b.cy AS ncy
+        FROM core a, (VALUES {offs}) d(dx, dy)
+        JOIN core b ON b.cx = a.cx + d.dx AND b.cy = a.cy + d.dy
+    )""",
+        f"""l0 AS MATERIALIZED (
+        SELECT cx, cy, cx * {_DBSCAN_ENC} + cy AS label FROM core
+    )""",
+    ]
+    for i in range(DBSCAN_ROUNDS):
+        ctes.append(
+            f"""l{i + 1} AS MATERIALIZED (
+        SELECT e.cx, e.cy, MIN(l.label) AS label
+        FROM edges e JOIN l{i} l ON l.cx = e.ncx AND l.cy = e.ncy
+        GROUP BY 1, 2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(l.label AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.n) AS BIGINT) AS n_points
+    FROM l{DBSCAN_ROUNDS} l JOIN core c ON c.cx = l.cx AND c.cy = l.cy
+    GROUP BY 1
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n), 0) AS BIGINT)
+    FROM cells WHERE n < {DBSCAN_MINPTS}
+    """
+    )
+
+
+@query("ext_dbscan_cells", oracle=_dbscan_oracle())
+def ext_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X — grid-DBSCAN density clustering of the embedding cloud
+    (first two dims, 50-milli cells): cells holding >= 3 points are
+    CORE; core cells connected through their 8-neighborhood merge into
+    clusters by bounded min-label propagation; sub-density cells are the
+    NOISE row (cluster_id = -1). This is the density-based complement
+    to the centroid-based ext_similarity_kmeans — it finds arbitrarily
+    shaped dense regions and needs no K — and the cell-grid form is
+    exactly how DBSCAN scales: the O(n^2) epsilon-neighborhood search
+    collapses to a per-cell count plus a 9-way constant fan-out
+    equi-join on cell keys.
+
+    Shape: one (cx, cy) groupBy over the points (the only shuffle that
+    scales with data), then every round works on the CELL table —
+    bounded by the grid, not the corpus. localCheckpoint truncates
+    per-round lineage (the iterative discipline); rounds are FIXED at
+    10, the ext_graph_kcore bounded-pass contract, so the DuckDB twin
+    unrolls the identical recurrence."""
+    emb = load(spark, sf_dir, "embeddings")
+    mx = F.floor(
+        F.element_at("embedding", 1).cast("double") * 1000 + 0.5
+    ).cast("bigint")
+    my = F.floor(
+        F.element_at("embedding", 2).cast("double") * 1000 + 0.5
+    ).cast("bigint")
+    cells = (
+        emb.groupBy(
+            F.floor((mx + DBSCAN_OFF) / DBSCAN_CELL)
+            .cast("bigint")
+            .alias("cx"),
+            F.floor((my + DBSCAN_OFF) / DBSCAN_CELL)
+            .cast("bigint")
+            .alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    core = cells.where(F.col("n") >= DBSCAN_MINPTS)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    nbr = core.select(
+        "cx",
+        "cy",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dx).alias("dx"), F.lit(dy).alias("dy")
+                    )
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("d"),
+    ).select(
+        "cx",
+        "cy",
+        (F.col("cx") + F.col("d.dx")).alias("ncx"),
+        (F.col("cy") + F.col("d.dy")).alias("ncy"),
+    )
+    edges = nbr.join(
+        core.select(
+            F.col("cx").alias("ncx"), F.col("cy").alias("ncy")
+        ),
+        ["ncx", "ncy"],
+    ).localCheckpoint()
+    lbl = core.select(
+        "cx",
+        "cy",
+        (F.col("cx") * _DBSCAN_ENC + F.col("cy")).alias("label"),
+    ).localCheckpoint()
+    for _ in range(DBSCAN_ROUNDS):
+        lbl = (
+            edges.join(
+                lbl.select(
+                    F.col("cx").alias("ncx"),
+                    F.col("cy").alias("ncy"),
+                    "label",
+                ),
+                ["ncx", "ncy"],
+            )
+            .groupBy("cx", "cy")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+    clusters = (
+        lbl.join(core, ["cx", "cy"])
+        .groupBy(F.col("label").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+        )
+    )
+    noise = cells.where(F.col("n") < DBSCAN_MINPTS).agg(
+        F.lit(-1).cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_points"),
+    )
+    return clusters.unionAll(noise)

@@ -256,6 +256,9 @@ _NLJ_ALLOWED = {
     # the 200-row null table
     "ext_graph_kcore",
     "ext_permutation_test",
+    # round-6 wave 76: 1-row total-count broadcast onto the 31-row
+    # hypothesis table
+    "ext_fdr_bh",
 }
 
 
