@@ -1527,3 +1527,137 @@ def ext_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * (abs({num}) * 1000 DIV ({den})) AS BIGINT)"
         ).alias("fleiss_kappa_milli"),
     )
+
+
+#: ROUGE-L fixture: first ROUGE_MAXTOK tokens of every ROUGE_MOD-th
+#: document, scored against the deterministic adjacent-swap mutation
+#: (0-based positions 3k+1 and 3k+2 exchanged). The swap keeps the bag
+#: identical — unigram metrics see a perfect candidate — while LCS
+#: drops roughly one token per swapped pair unless repeats rescue it,
+#: which is exactly what a genuine DP must resolve. Bounds the oracle's
+#: unrolled DP at MAXTOK^2 cells per doc.
+ROUGE_MAXTOK = 24
+ROUGE_MOD = 20
+
+_ROUGE_SWAP = (
+    "CASE WHEN (i - 1) % 3 = 1 AND i + 1 <= {N} THEN i + 1 "
+    "WHEN (i - 1) % 3 = 2 AND i - 1 >= 1 "
+    "AND (i - 2) % 3 = 1 THEN i - 1 ELSE i END"
+)
+
+
+@query(
+    "ext_rouge_lcs",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')[1:{ROUGE_MAXTOK}] AS a
+        FROM documents WHERE doc_id % {ROUGE_MOD} = 0
+    ), pair AS (
+        SELECT doc_id, a, CAST(len(a) AS BIGINT) AS n,
+               list_transform(range(1, len(a) + 1),
+                   i -> a[CAST(({_ROUGE_SWAP.format(N="len(a)")})
+                               AS INT)]) AS b
+        FROM toks WHERE len(a) >= 2
+    ), dp AS (
+        SELECT doc_id, n, a, b, CAST(0 AS BIGINT) AS k,
+               [CASE WHEN a[1] = b[1] THEN 1 ELSE 0 END] AS c
+        FROM pair
+        UNION ALL
+        SELECT doc_id, n, a, b, dp.k + 1,
+               dp.c || [CASE
+                 WHEN a[CAST((dp.k + 1) // n + 1 AS INT)]
+                      = b[CAST((dp.k + 1) % n + 1 AS INT)]
+                 THEN CASE WHEN (dp.k + 1) // n > 0
+                           AND (dp.k + 1) % n > 0
+                           THEN dp.c[CAST(dp.k + 1 - n AS INT)] + 1
+                           ELSE 1 END
+                 ELSE greatest(
+                   CASE WHEN (dp.k + 1) // n > 0
+                        THEN dp.c[CAST(dp.k + 1 - n + 1 AS INT)]
+                        ELSE 0 END,
+                   CASE WHEN (dp.k + 1) % n > 0
+                        THEN dp.c[CAST(dp.k + 1 AS INT)]
+                        ELSE 0 END)
+               END]
+        FROM dp WHERE dp.k + 1 < n * n
+    )
+    SELECT doc_id, n AS n_tok,
+           CAST(c[CAST(n * n AS INT)] AS BIGINT) AS lcs_len,
+           CAST(c[CAST(n * n AS INT)] * 1000000 // n AS BIGINT)
+               AS rouge_l_ppm
+    FROM dp WHERE k = n * n - 1
+    """,
+)
+def ext_rouge_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ev — ROUGE-L (longest-common-subsequence recall, Lin 2004)
+    between each sampled document's token prefix and its deterministic
+    adjacent-swap mutation: the bag of tokens is IDENTICAL (every
+    unigram metric scores it perfect) but each swapped pair can cost
+    the LCS a token unless repeated words rescue the alignment — the
+    order-sensitive counterpart to ext_eval_bleu's bigram precision,
+    and it needs a true O(n^2) DP, not a window. Reports per-doc LCS
+    length and ROUGE-L in ppm (P = R here since lengths match, so
+    F1 = LCS/n).
+
+    Shape: tokenization and the swap are JVM-side array ops; the DP
+    runs per document inside one Arrow-batched mapInPandas over
+    MAXTOK-bounded prefixes (24^2 integer cells per doc, independent
+    of corpus size — embarrassingly parallel across docs). Oracle: a
+    cell-by-cell WITH RECURSIVE twin of the identical recurrence, the
+    ext_dtw_distance discipline."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % ROUGE_MOD == 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.slice(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            ),
+            1,
+            ROUGE_MAXTOK,
+        ).alias("a"),
+    ).where(F.size("a") >= 2)
+
+    def _lcs(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, a in zip(pdf["doc_id"], pdf["a"]):
+                a = list(a)
+                n = len(a)
+                b = []
+                for i in range(1, n + 1):
+                    if (i - 1) % 3 == 1 and i + 1 <= n:
+                        b.append(a[i])  # a[i+1] 1-based
+                    elif (i - 1) % 3 == 2 and i - 1 >= 1 and (i - 2) % 3 == 1:
+                        b.append(a[i - 2])
+                    else:
+                        b.append(a[i - 1])
+                prev = [0] * n
+                for i in range(n):
+                    cur = [0] * n
+                    for j in range(n):
+                        if a[i] == b[j]:
+                            cur[j] = (prev[j - 1] if i > 0 and j > 0 else 0) + 1
+                        else:
+                            cur[j] = max(
+                                prev[j] if i > 0 else 0,
+                                cur[j - 1] if j > 0 else 0,
+                            )
+                    prev = cur
+                lcs = prev[-1]
+                out.append(
+                    (int(doc_id), n, lcs, lcs * 10**6 // n)
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_tok", "lcs_len", "rouge_l_ppm"]
+            )
+
+    return toks.mapInPandas(
+        _lcs, "doc_id long, n_tok long, lcs_len long, rouge_l_ppm long"
+    )

@@ -1391,3 +1391,169 @@ def ext_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_points"),
     )
     return clusters.unionAll(noise)
+
+
+#: centroid (simplified) silhouette constants: vectors shift to
+#: non-negative milli-units (+SIL_OFF per dim — the shift cancels inside
+#: every difference) so the per-cluster centroid floor-division is
+#: engine-agnostic, and every squared distance is bounded by
+#: 64 * (2*SIL_OFF)^2 ~ 1.25e8 REGARDLESS of cluster size — no staged
+#: division, no overflow at any corpus scale.
+SIL_OFF = 1000
+SIL_DIM = 64
+
+
+@query(
+    "ext_silhouette",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                             AS BIGINT) + {SIL_OFF}) AS v
+        FROM embeddings
+    ), dims AS (
+        SELECT p.label, t.d, CAST(SUM(p.v[t.d]) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts p, unnest(range(1, {SIL_DIM} + 1)) t(d)
+        GROUP BY 1, 2
+    ), cent AS (
+        SELECT label, MAX(n) AS n,
+               list(CAST(s // n AS BIGINT) ORDER BY d) AS c
+        FROM dims GROUP BY label
+    ), dist AS (
+        SELECT p.vec_id, p.label AS own, c.label AS cl,
+               CAST(list_sum(list_transform(range(1, {SIL_DIM} + 1),
+                   d -> (p.v[d] - c.c[d]) * (p.v[d] - c.c[d])))
+                    AS BIGINT) AS a
+        FROM pts p, cent c
+    ), own_d AS (
+        SELECT vec_id, own, a AS a_own FROM dist WHERE own = cl
+    ), nearest AS (
+        SELECT vec_id, a AS b_near
+        FROM (SELECT vec_id, a,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY a, cl) AS rk
+              FROM dist WHERE own <> cl)
+        WHERE rk = 1
+    ), s AS (
+        SELECT o.own AS label,
+               CAST(CASE WHEN GREATEST(o.a_own, n.b_near) = 0 THEN 0
+                    ELSE CASE WHEN n.b_near >= o.a_own THEN 1 ELSE -1 END
+                         * (abs(n.b_near - o.a_own) * 1000000
+                            // GREATEST(o.a_own, n.b_near))
+                    END AS BIGINT) AS s_ppm
+        FROM own_d o JOIN nearest n ON n.vec_id = o.vec_id
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(s_ppm) AS BIGINT) AS sum_s_ppm,
+           CAST(CASE WHEN SUM(s_ppm) >= 0
+                     THEN SUM(s_ppm) // COUNT(*)
+                     ELSE -((-SUM(s_ppm)) // COUNT(*)) END
+                AS BIGINT) AS mean_s_ppm,
+           CAST(SUM(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_misplaced
+    FROM s GROUP BY label
+    """,
+)
+def ext_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X — centroid (simplified) silhouette validation of the labeled
+    embedding clustering: per point, a = squared distance to the OWN
+    cluster's milli-quantized centroid, b = squared distance to the
+    nearest OTHER centroid, s = (b - a) / max(a, b) in signed ppm; per
+    cluster we report the mean silhouette and the misplaced count
+    (s < 0 = the point sits closer to a foreign centroid). The
+    centroid-based form is the one that scales: true silhouette is
+    O(n^2) pairwise, this is O(n * k) against a k-row broadcast model —
+    and the +1000 shift makes every centroid floor-division
+    non-negative (engine-agnostic) while cancelling inside the
+    distance differences.
+
+    Shape: one (label, dim) groupBy builds the k x D centroid table —
+    a BOUNDED model artifact collected to the driver and rebroadcast in
+    the UDF closure (the MLlib iterative-model pattern); the scoring
+    pass is one Arrow-batched mapInPandas over the points with exact
+    int64 numpy arithmetic (every square <= 64 * 2000^2 << 2^53)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.transform(
+            quantize(F.col("embedding")), lambda x: x + SIL_OFF
+        ).alias("v"),
+    )
+    dims = (
+        pts.select(
+            "label", F.posexplode("v").alias("d", "x")
+        )
+        .groupBy("label", "d")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    cent_rows = (
+        dims.groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s"))),
+                lambda t: t["s"],
+            ).alias("sums"),
+        )
+        .collect()
+    )
+    cents = sorted(
+        (
+            int(r["label"]),
+            int(r["n"]),
+            [int(x) // int(r["n"]) for x in r["sums"]],
+        )
+        for r in cent_rows
+    )
+    labels = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.array([c[2] for c in cents], dtype=np.int64)
+
+    def _score(batches):
+        for pdf in batches:
+            vs = np.array(pdf["v"].tolist(), dtype=np.int64)
+            own = pdf["label"].to_numpy(dtype=np.int64)
+            out_lbl = []
+            out_s = []
+            for i in range(len(pdf)):
+                diffs = vs[i][None, :] - cmat
+                dd = (diffs * diffs).sum(axis=1)
+                own_ix = int(np.nonzero(labels == own[i])[0][0])
+                a = int(dd[own_ix])
+                others = [
+                    (int(dd[j]), int(labels[j]))
+                    for j in range(len(labels))
+                    if j != own_ix
+                ]
+                b = min(others)[0]
+                mx = max(a, b)
+                if mx == 0:
+                    s = 0
+                else:
+                    s = (1 if b >= a else -1) * (abs(b - a) * 10**6 // mx)
+                out_lbl.append(int(own[i]))
+                out_s.append(s)
+            yield pd.DataFrame({"label": out_lbl, "s_ppm": out_s})
+
+    scored = pts.mapInPandas(_score, "label long, s_ppm long")
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("s_ppm").cast("bigint").alias("sum_s_ppm"),
+        F.expr(
+            "CAST(CASE WHEN sum(s_ppm) >= 0"
+            " THEN sum(s_ppm) DIV count(*)"
+            " ELSE -((-sum(s_ppm)) DIV count(*)) END AS BIGINT)"
+        ).alias("mean_s_ppm"),
+        F.sum(F.when(F.col("s_ppm") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_misplaced"),
+    )
