@@ -3378,3 +3378,85 @@ def ext_quantile_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.los").alias("lo_value"),
         (F.col("z.his") / F.col("z.los")).alias("ratio"),
     )
+
+
+#: ordered-subsequence mining: top SEQ3_TOPN event-type TRIPLES by user
+#: support (a user supports (a,b,c) when three events with those types
+#: occur in that order, NOT necessarily adjacent — the PrefixSpan-style
+#: pattern ext_process_mining_ef's direct-follow pairs cannot see).
+SEQ3_TOPN = 25
+
+
+@query(
+    "ext_subseq_triples",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), tri AS (
+        SELECT DISTINCT a.user_id,
+               a.event_type AS t1, b.event_type AS t2, c.event_type AS t3
+        FROM e a
+        JOIN e b ON b.user_id = a.user_id AND b.rn > a.rn
+        JOIN e c ON c.user_id = a.user_id AND c.rn > b.rn
+    )
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS support
+    FROM tri GROUP BY 1, 2, 3
+    ORDER BY support DESC, t1, t2, t3
+    LIMIT {SEQ3_TOPN}
+    """,
+)
+def ext_subseq_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An — sequential-pattern mining (PrefixSpan family, length-3):
+    the top event-type triples by USER SUPPORT, where a user supports
+    (a, b, c) when events of those types occur in that order anywhere
+    in their stream — subsequence, not adjacency, so 'view ... click
+    ... purchase' counts however much noise sits between. This is the
+    pattern language funnel/path operators cannot express: direct-
+    follow matrices miss gapped motifs, unordered baskets miss
+    direction. Ordering is pinned by the (ts, event_id) tiebreak and
+    the top-N by (support desc, lexical triple).
+
+    Shape: ONE hash shuffle on user_id, then both self-joins are
+    in-partition rn-inequality joins over per-user streams (bounded by
+    session length — a production run caps events per user first);
+    the distinct collapses each user's combinatorics before the tiny
+    125-row support aggregate. DISTINCT-before-count keeps the shuffle
+    payload at one row per (user, triple)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(
+            _W.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("rn"),
+    )
+    a, b, c = e.alias("a"), e.alias("b"), e.alias("c")
+    tri = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.rn") > F.col("a.rn")),
+        )
+        .join(
+            c,
+            (F.col("c.user_id") == F.col("a.user_id"))
+            & (F.col("c.rn") > F.col("b.rn")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+            F.col("c.event_type").alias("t3"),
+        )
+        .distinct()
+    )
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.col("support").desc(), "t1", "t2", "t3")
+        .limit(SEQ3_TOPN)
+    )

@@ -259,6 +259,8 @@ _NLJ_ALLOWED = {
     # round-6 wave 76: 1-row total-count broadcast onto the 31-row
     # hypothesis table
     "ext_fdr_bh",
+    # round-6 wave 78: 1-row q_hat broadcast onto the test scan
+    "ext_conformal_interval",
 }
 
 
