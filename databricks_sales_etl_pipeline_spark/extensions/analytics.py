@@ -3460,3 +3460,117 @@ def ext_subseq_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "t1", "t2", "t3")
         .limit(SEQ3_TOPN)
     )
+
+
+#: time-decay attribution: half-life = 1 day, weights are EXACT powers
+#: of two (SCALE >> days_before_anchor, zero past TDK_MAX_K halvings) so
+#: no libm pow enters either engine; per-user credits are normalized to
+#: 10000 bp with the floor-remainder pinned to the most recent touch
+#: (every journey sums to exactly 10000, the ext_attribution_position
+#: discipline).
+TDK_SCALE = 1 << 20
+TDK_MAX_K = 30
+
+
+@query(
+    "ext_attribution_timedecay",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
+    ), touches AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS recency,
+               CAST(LEAST(date_diff('second',  ts,
+                                    MAX(ts) OVER (PARTITION BY user_id))
+                          // 86400, {TDK_MAX_K}) AS BIGINT) AS k
+        FROM e
+    ), wts AS (
+        SELECT user_id, event_type, recency,
+               CAST({TDK_SCALE} >> k AS BIGINT) AS w
+        FROM touches
+    ), floors AS (
+        SELECT user_id, event_type, recency,
+               CAST(w * 10000 // SUM(w) OVER (PARTITION BY user_id)
+                    AS BIGINT) AS bp_floor
+        FROM wts
+    ), shares AS (
+        SELECT user_id, event_type, recency, bp_floor,
+               CAST(SUM(bp_floor) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS bp_sum
+        FROM floors
+    )
+    SELECT event_type,
+           CAST(SUM(bp_floor
+                    + CASE WHEN recency = 1 THEN 10000 - bp_sum
+                           ELSE 0 END) AS BIGINT) AS credit_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM shares GROUP BY event_type
+    """,
+)
+def ext_attribution_timedecay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An — time-decay multi-touch attribution: each touch's weight
+    halves per day of distance from the user's most recent event
+    (anchor), computed as an EXACT power-of-two right shift — no libm
+    exp, so the DuckDB twin is bit-identical — then normalized to
+    10000 bp per journey by floor division with the remainder pinned to
+    the most recent touch. Completes the attribution suite
+    (last-touch / U-shaped / Shapley) with the recency-weighted model
+    marketing platforms default to.
+
+    Shape: ONE user_id shuffle; anchor, weight sum and the remainder
+    are all windows over the same per-user partition — the whole model
+    is a single pass after the shuffle."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    wo = wp.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    touches = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wo).alias("recency"),
+        F.least(
+            F.floor(
+                (
+                    F.unix_timestamp(F.max("ts").over(wp))
+                    - F.unix_timestamp("ts")
+                )
+                / 86400
+            ),
+            F.lit(TDK_MAX_K),
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    wts = touches.select(
+        "user_id",
+        "event_type",
+        "recency",
+        F.expr(f"CAST(shiftright({TDK_SCALE}, CAST(k AS INT)) AS BIGINT)").alias("w"),
+    )
+    shares = wts.select(
+        "user_id",
+        "event_type",
+        "recency",
+        F.expr("CAST(w * 10000 DIV sum(w) OVER (PARTITION BY user_id) AS BIGINT)").alias(
+            "bp_floor"
+        ),
+    ).withColumn("bp_sum", F.sum("bp_floor").over(wp).cast("bigint"))
+    return (
+        shares.select(
+            "event_type",
+            (
+                F.col("bp_floor")
+                + F.when(
+                    F.col("recency") == 1, 10000 - F.col("bp_sum")
+                ).otherwise(0)
+            ).alias("bp"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("bp").cast("bigint").alias("credit_bp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        )
+    )

@@ -3051,3 +3051,111 @@ def ext_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_star.alias("k_star"),
         (F.col("k") <= k_star).alias("rejected"),
     )
+
+
+#: Wald SPRT for the per-user conversion rate, H0: p = 0.85 vs
+#: H1: p = 0.90, alpha = beta = 5%. The log-likelihood-ratio increments
+#: and the Wald bounds ln((1-b)/a) = -ln(b/(1-a)) = ln 19 are
+#: PRE-COMPUTED integer micro-nats (python math.log once at authoring
+#: time, inlined as literals into BOTH plans — no runtime libm in either
+#: engine): convert -> +57158, no-convert -> -405465, bounds +/-2944439.
+SPRT_L1_MICRO = 57158     # round(1e6 * ln(0.90/0.85))
+SPRT_L0_MICRO = -405465   # round(1e6 * ln(0.10/0.15))
+SPRT_BOUND_MICRO = 2944439  # round(1e6 * ln(19))
+
+
+@query(
+    "ext_sprt_sequential",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ), walk AS (
+        SELECT user_id, conv,
+               ROW_NUMBER() OVER (ORDER BY user_id) AS rn,
+               SUM(CASE WHEN conv = 1 THEN {SPRT_L1_MICRO}
+                        ELSE {SPRT_L0_MICRO} END)
+                   OVER (ORDER BY user_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+        FROM u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(conv) AS BIGINT) AS n_converted,
+           CAST(max_by(cum, rn) AS BIGINT) AS llr_final_micro,
+           CAST(COALESCE(MIN(CASE WHEN cum >= {SPRT_BOUND_MICRO}
+                                  THEN rn END), 0) AS BIGINT)
+               AS first_h1_cross,
+           CAST(COALESCE(MIN(CASE WHEN cum <= -{SPRT_BOUND_MICRO}
+                                  THEN rn END), 0) AS BIGINT)
+               AS first_h0_cross,
+           CASE
+             WHEN COALESCE(MIN(CASE WHEN cum >= {SPRT_BOUND_MICRO}
+                                    THEN rn END), 9223372036854775807)
+                  < COALESCE(MIN(CASE WHEN cum <= -{SPRT_BOUND_MICRO}
+                                      THEN rn END), 9223372036854775807)
+               THEN 'accept_h1'
+             WHEN COALESCE(MIN(CASE WHEN cum <= -{SPRT_BOUND_MICRO}
+                                    THEN rn END), 9223372036854775807)
+                  < 9223372036854775807
+               THEN 'accept_h0'
+             ELSE 'continue'
+           END AS decision
+    FROM walk
+    """,
+)
+def ext_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — Wald's sequential probability ratio test on the per-user
+    conversion stream (H0: p = 0.85, H1: p = 0.90, alpha = beta = 5%):
+    the cumulative log-likelihood ratio walks in exact integer
+    micro-nats (increments and the ln 19 bounds are authoring-time
+    literals, so no runtime libm touches either plan) and the test
+    reports the FIRST enrollment index at which it crosses either Wald
+    bound — the early-stopping decision that fixed-horizon tests
+    (ext_prop_ztest, ext_power_analysis) cannot give. Enrollment order
+    is the user_id order; decision = whichever bound is hit first.
+
+    Shape: one user_id groupBy (the only data-sized shuffle), then a
+    single running-sum window over the user-sized walk and one scalar
+    aggregate — the whole sequential monitor is two passes however big
+    the event log."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    wo = Window.orderBy("user_id")
+    walk = u.select(
+        "conv",
+        F.row_number().over(wo).alias("rn"),
+        F.sum(
+            F.when(F.col("conv") == 1, SPRT_L1_MICRO).otherwise(
+                SPRT_L0_MICRO
+            )
+        )
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    big = 9223372036854775807
+    h1 = F.min(
+        F.when(F.col("cum") >= SPRT_BOUND_MICRO, F.col("rn"))
+    )
+    h0 = F.min(
+        F.when(F.col("cum") <= -SPRT_BOUND_MICRO, F.col("rn"))
+    )
+    return walk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_converted"),
+        F.max_by("cum", "rn").cast("bigint").alias("llr_final_micro"),
+        F.coalesce(h1, F.lit(0)).cast("bigint").alias("first_h1_cross"),
+        F.coalesce(h0, F.lit(0)).cast("bigint").alias("first_h0_cross"),
+        F.when(
+            F.coalesce(h1, F.lit(big)) < F.coalesce(h0, F.lit(big)),
+            F.lit("accept_h1"),
+        )
+        .when(F.coalesce(h0, F.lit(big)) < big, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
