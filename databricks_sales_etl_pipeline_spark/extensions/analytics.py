@@ -3574,3 +3574,123 @@ def ext_attribution_timedecay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         )
     )
+
+
+#: bounded Markov absorption: ABS_K unrolled steps of
+#: p_{k+1}(s) = [s = target] or sum_t T(s,t) * p_k(t) // 1e6 — the
+#: transition matrix in exact ppm (count // row-total), every step
+#: flooring once, so the DuckDB twin unrolls the IDENTICAL recurrence
+#: (the ext_graph_kcore bounded-pass contract; run-to-convergence has
+#: no SLA at 100 TB).
+ABS_K = 6
+ABS_TARGET = "purchase"
+
+
+def _absorption_oracle() -> str:
+    ctes = [
+        """pairs AS MATERIALIZED (
+        SELECT s, t FROM (
+            SELECT event_type AS s,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS t
+            FROM events)
+        WHERE t IS NOT NULL
+    )""",
+        """tm AS MATERIALIZED (
+        SELECT s, t,
+               CAST(COUNT(*) * 1000000 //
+                    SUM(COUNT(*)) OVER (PARTITION BY s) AS BIGINT) AS w
+        FROM pairs GROUP BY s, t
+    )""",
+        f"""states AS MATERIALIZED (
+        SELECT DISTINCT s FROM pairs
+    )""",
+        f"""p0 AS MATERIALIZED (
+        SELECT s, CAST(CASE WHEN s = '{ABS_TARGET}' THEN 1000000
+                            ELSE 0 END AS BIGINT) AS p
+        FROM states
+    )""",
+    ]
+    for k in range(ABS_K):
+        ctes.append(
+            f"""p{k + 1} AS MATERIALIZED (
+        SELECT st.s,
+               CAST(CASE WHEN st.s = '{ABS_TARGET}' THEN 1000000
+                    ELSE COALESCE((SELECT CAST(SUM(tm.w * pk.p) AS BIGINT)
+                                   FROM tm JOIN p{k} pk ON pk.s = tm.t
+                                   WHERE tm.s = st.s), 0) // 1000000
+                    END AS BIGINT) AS p
+        FROM states st
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT st.s AS state,
+           CAST((SELECT COUNT(*) FROM pairs WHERE pairs.s = st.s)
+                AS BIGINT) AS n_out,
+           pk.p AS p_hit_ppm
+    FROM states st JOIN p{ABS_K} pk ON pk.s = st.s
+    """
+    )
+
+
+@query("ext_markov_absorption", oracle=_absorption_oracle())
+def ext_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An — bounded Markov absorption probability: from each event-type
+    state, the probability of reaching 'purchase' within K = 6
+    transitions under the empirical first-order chain — the quantity
+    behind Markov attribution's removal effects and journey
+    simulations, which the raw transition matrix
+    (ext_markov_transitions) only implies. The matrix lives in exact
+    ppm (count // row-total) and every matrix-vector step floors once,
+    so the unrolled DuckDB twin is hash-identical; K is FIXED (the
+    bounded-pass contract of the iterative family).
+
+    Shape: ONE user_id shuffle builds the (s, t) pair counts; the chain
+    itself is a states-sized model (5 x 5 here, event-vocabulary-sized
+    in general) collected once as a bounded artifact and iterated in
+    exact Python integers — the MLlib small-model discipline — then
+    joined back onto the distributed per-state out-degree table."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+        .localCheckpoint()
+    )
+    counts = pairs.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    model = counts.collect()  # bounded: |event vocab|^2 rows
+    out_tot = {}
+    for r in model:
+        out_tot[r["s"]] = out_tot.get(r["s"], 0) + int(r["c"])
+    tm = {
+        (r["s"], r["t"]): int(r["c"]) * 10**6 // out_tot[r["s"]]
+        for r in model
+    }
+    states = sorted(out_tot)
+    p = {s: (10**6 if s == ABS_TARGET else 0) for s in states}
+    for _ in range(ABS_K):
+        p = {
+            s: 10**6
+            if s == ABS_TARGET
+            else sum(tm.get((s, t), 0) * p[t] for t in states) // 10**6
+            for s in states
+        }
+    pdf = spark.createDataFrame(
+        [(s, p[s]) for s in states], "state string, p_hit_ppm long"
+    )
+    deg = pairs.groupBy(F.col("s").alias("state")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_out")
+    )
+    return deg.join(broadcast(pdf), "state").select(
+        "state", "n_out", F.col("p_hit_ppm").cast("bigint").alias("p_hit_ppm")
+    )

@@ -1138,3 +1138,83 @@ def ext_returns_abuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > CAST(gs AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("abuse_flag"),
     )
+
+
+@query(
+    "ext_weighted_quantiles",
+    oracle=f"""
+    WITH x AS (
+        SELECT p.p_brand AS brand,
+               CAST({cents_sql('l.l_extendedprice')} AS BIGINT) AS c,
+               CAST(l.l_quantity AS BIGINT) AS w
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), cum AS (
+        SELECT brand, c, w,
+               SUM(w) OVER (PARTITION BY brand
+                            ORDER BY c, w
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY brand) AS tw
+        FROM x
+    )
+    SELECT brand,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN cw >= (tw + 3) // 4 THEN c END)
+                AS BIGINT) AS wq25_cents,
+           CAST(MIN(CASE WHEN cw >= (tw + 1) // 2 THEN c END)
+                AS BIGINT) AS wmedian_cents,
+           CAST(MIN(CASE WHEN cw >= (3 * tw + 3) // 4 THEN c END)
+                AS BIGINT) AS wq75_cents
+    FROM cum GROUP BY brand
+    """,
+)
+def ext_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ft — WEIGHTED quantiles per brand: the price below which a
+    quarter / half / three quarters of the UNITS (not the line items)
+    were sold — quantity-weighted order statistics, the distribution
+    summary unweighted percentile operators misstate whenever line
+    sizes vary. Exact by construction: the q-quantile is the smallest
+    price whose cumulative weight reaches ceil(q * total) — integer
+    thresholds ((t+3)//4, (t+1)//2, (3t+3)//4), no interpolation, so
+    the DuckDB twin hashes identically. Ties in price cannot change
+    the selected VALUE, so the (c, w) ordering is fully deterministic
+    where it matters.
+
+    Shape: one broadcast dim join, ONE brand shuffle, a single
+    cumulative-sum window per partition and one conditional-min
+    aggregate — the same cost as an unweighted exact median."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        cents(F.col("l_extendedprice")).cast("bigint").alias("c"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    x = li.join(broadcast(p), "l_partkey")
+    wp = Window.partitionBy("brand")
+    cum = x.select(
+        "brand",
+        "c",
+        F.sum("w")
+        .over(
+            wp.orderBy("c", "w").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cw"),
+        F.sum("w").over(wp).alias("tw"),
+    )
+    return cum.groupBy("brand").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        # cw >= ceil(a/4) <=> 4*cw >= a on integers — division-free
+        F.min(F.when(F.col("cw") * 4 >= F.col("tw"), F.col("c")))
+        .cast("bigint")
+        .alias("wq25_cents"),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("c")))
+        .cast("bigint")
+        .alias("wmedian_cents"),
+        F.min(F.when(F.col("cw") * 4 >= 3 * F.col("tw"), F.col("c")))
+        .cast("bigint")
+        .alias("wq75_cents"),
+    )
