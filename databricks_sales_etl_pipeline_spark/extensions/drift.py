@@ -3159,3 +3159,185 @@ def ext_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+#: hash-seeded RANSAC: RANSAC_C candidate lines through md5-chosen day
+#: pairs; a day is an INLIER when its vertical residual clears the
+#: tolerance test |(y-y1)(x2-x1) - (x-x1)(y2-y1)| <= tol*(x2-x1) —
+#: cross-multiplied, division-free, exact. tol = total//(n*5) (20% of
+#: the mean daily revenue) so the threshold scales with the data.
+RANSAC_C = 24
+_RANSAC_SALT = "ransac-r6"
+
+
+@query(
+    "ext_ransac_line",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT x, y, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+               COUNT(*) OVER () AS n,
+               CAST(SUM(y) OVER () // (COUNT(*) OVER () * 5) AS BIGINT)
+                   AS tol
+        FROM daily
+    ), cand AS (
+        SELECT j.j,
+               1 + {md5_band_sql("'a:' || CAST(j.j AS VARCHAR)",
+                                 10 ** 9, _RANSAC_SALT)}
+                   % (SELECT MAX(n) FROM idx) AS r1,
+               1 + {md5_band_sql("'b:' || CAST(j.j AS VARCHAR)",
+                                 10 ** 9, _RANSAC_SALT)}
+                   % (SELECT MAX(n) FROM idx) AS r2
+        FROM (SELECT unnest(range(0, {RANSAC_C})) AS j) j
+    ), lines AS (
+        SELECT c.j,
+               LEAST(p1.x, p2.x) AS x1,
+               CASE WHEN p1.x <= p2.x THEN p1.y ELSE p2.y END AS y1,
+               GREATEST(p1.x, p2.x) AS x2,
+               CASE WHEN p1.x <= p2.x THEN p2.y ELSE p1.y END AS y2
+        FROM cand c
+        JOIN idx p1 ON p1.rn = c.r1
+        JOIN idx p2 ON p2.rn = c.r2
+        WHERE c.r1 <> c.r2
+    ), votes AS (
+        SELECT l.j, l.x1, l.y1, l.x2, l.y2,
+               CAST(SUM(CASE WHEN abs((p.y - l.y1) * (l.x2 - l.x1)
+                                      - (p.x - l.x1) * (l.y2 - l.y1))
+                                  <= p.tol * (l.x2 - l.x1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+               CAST(MAX(p.n) AS BIGINT) AS n_points
+        FROM lines l, idx p
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT j AS best_j, x1, y1, x2, y2, n_inliers, n_points,
+           CAST(n_inliers * 1000000 // n_points AS BIGINT) AS inlier_ppm,
+           CAST(CASE WHEN y2 >= y1 THEN 1 ELSE -1 END
+                * (abs(y2 - y1) * 1000 // (x2 - x1)) AS BIGINT)
+               AS slope_milli_cents_per_day
+    FROM (SELECT votes.*,
+                 ROW_NUMBER() OVER (ORDER BY n_inliers DESC, j) AS rk
+          FROM votes)
+    WHERE rk = 1
+    """,
+)
+def ext_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — RANSAC robust line fit of the daily-revenue trend:
+    24 hash-seeded candidate lines through md5-chosen day pairs, each
+    scored by its INLIER count under a cross-multiplied integer
+    residual test (tolerance = 20% of mean daily revenue), best
+    candidate by (votes desc, candidate id). This is the
+    outlier-immune fit that least squares cannot give — a handful of
+    blowout days cannot move a line that the consensus of ordinary
+    days elects — and the hash-seeded candidate draw is how 100 TB
+    RANSAC actually samples: no global shuffle, just deterministic
+    index probes. Complements ext_theilsen_slope (median of all pair
+    slopes) with the consensus-count model and an explicit tolerance.
+
+    Shape: one day groupBy, two rank-keyed probes build the
+    candidate-line table (a <= 24-row broadcast), one fan-out pass
+    counts votes — the vote count is the only data-sized aggregate."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("x")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("y"))
+    w = Window.partitionBy(F.lit(1))
+    idx = daily.select(
+        "x",
+        "y",
+        F.row_number().over(w.orderBy("x")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.expr(
+            "CAST(sum(y) OVER (PARTITION BY 1)"
+            " DIV (count(*) OVER (PARTITION BY 1) * 5) AS BIGINT)"
+        ).alias("tol"),
+    ).localCheckpoint()
+    n = idx.agg(F.max("n")).collect()[0][0]  # bounded 1-value artifact
+    cand = spark.range(RANSAC_C).select(
+        F.col("id").alias("j"),
+        (
+            1
+            + md5_band(
+                F.concat(F.lit("a:"), F.col("id").cast("string")),
+                10**9,
+                _RANSAC_SALT,
+            )
+            % n
+        ).alias("r1"),
+        (
+            1
+            + md5_band(
+                F.concat(F.lit("b:"), F.col("id").cast("string")),
+                10**9,
+                _RANSAC_SALT,
+            )
+            % n
+        ).alias("r2"),
+    ).where(F.col("r1") != F.col("r2"))
+    p1 = idx.select(F.col("rn").alias("r1"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    p2 = idx.select(F.col("rn").alias("r2"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    lines = (
+        cand.join(broadcast(p1), "r1")
+        .join(broadcast(p2), "r2")
+        .select(
+            "j",
+            F.least("xa", "xb").alias("x1"),
+            F.when(F.col("xa") <= F.col("xb"), F.col("ya"))
+            .otherwise(F.col("yb"))
+            .alias("y1"),
+            F.greatest("xa", "xb").alias("x2"),
+            F.when(F.col("xa") <= F.col("xb"), F.col("yb"))
+            .otherwise(F.col("ya"))
+            .alias("y2"),
+        )
+    )
+    votes = (
+        idx.join(broadcast(lines))
+        .groupBy("j", "x1", "y1", "x2", "y2")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(
+                        (F.col("y") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+                        - (F.col("x") - F.col("x1"))
+                        * (F.col("y2") - F.col("y1"))
+                    )
+                    <= F.col("tol") * (F.col("x2") - F.col("x1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_inliers"),
+            F.max("n").cast("bigint").alias("n_points"),
+        )
+    )
+    best = votes.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("n_inliers").desc(), "j")
+        ),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        F.col("j").alias("best_j"),
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        "n_inliers",
+        "n_points",
+        F.expr("CAST(n_inliers * 1000000 DIV n_points AS BIGINT)").alias(
+            "inlier_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN y2 >= y1 THEN 1 ELSE -1 END"
+            " * (abs(y2 - y1) * 1000 DIV (x2 - x1)) AS BIGINT)"
+        ).alias("slope_milli_cents_per_day"),
+    )

@@ -2070,3 +2070,91 @@ def ext_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("corr_").asc(), "brand_a", "brand_b")
         .limit(CANNIBAL_TOP_K)
     )
+
+
+@query(
+    "ext_knee_detection",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS part_id,
+               CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')})
+                    AS BIGINT) AS r
+        FROM lineitem GROUP BY l_partkey
+    ), curve AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY r, part_id) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(r) OVER (ORDER BY r, part_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(r) OVER () AS t
+        FROM rev
+    ), dist AS (
+        SELECT i, n, cum, t,
+               CAST(abs(cum * n - i * t) AS BIGINT) AS cross_abs
+        FROM curve
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           CAST(i AS BIGINT) AS knee_rank,
+           CAST(cum AS BIGINT) AS knee_cum_cents,
+           CAST(i * 1000000 // n AS BIGINT) AS knee_rank_ppm,
+           CAST(cum * 1000000 // t AS BIGINT) AS knee_share_ppm,
+           cross_abs AS max_cross_abs
+    FROM (SELECT dist.*,
+                 ROW_NUMBER() OVER (ORDER BY cross_abs DESC, i) AS rk
+          FROM dist)
+    WHERE rk = 1
+    """,
+)
+def ext_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt — Kneedle-style knee detection on the Lorenz curve of
+    per-part revenue: the ranked cumulative-revenue curve's point of
+    MAXIMUM deviation from the equality chord, found by the exact
+    integer cross product |cum·n − i·total| (the perpendicular-distance
+    argmax up to a constant factor — no sqrt, no normalization needed
+    for an argmax). The knee is the operating point concentration
+    reports need: "below rank k the tail contributes almost nothing" —
+    the cut ABC classification guesses at fixed 80/95% lines and
+    ext_gini_concentration summarizes into one number.
+
+    Shape: identical cost to the Gini pass — one part groupBy, one
+    ordered window scan, one argmax; integer-exact to ~4e17 cum·rank
+    products (shard or rescale to dollars beyond ~1e6 parts at full
+    TPC-H prices — documented bound, not silent overflow)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("bigint")
+        .alias("r")
+    )
+    w = Window.partitionBy(F.lit(1))
+    wo = w.orderBy("r", "part_id")
+    curve = rev.select(
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("r")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("r").over(w).alias("t"),
+    )
+    dist = curve.select(
+        "i",
+        "n",
+        "cum",
+        "t",
+        F.abs(F.col("cum") * F.col("n") - F.col("i") * F.col("t"))
+        .cast("bigint")
+        .alias("cross_abs"),
+    )
+    best = dist.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("cross_abs").desc(), "i")),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.col("i").cast("bigint").alias("knee_rank"),
+        F.col("cum").cast("bigint").alias("knee_cum_cents"),
+        F.expr("CAST(i * 1000000 DIV n AS BIGINT)").alias("knee_rank_ppm"),
+        F.expr("CAST(cum * 1000000 DIV t AS BIGINT)").alias(
+            "knee_share_ppm"
+        ),
+        F.col("cross_abs").alias("max_cross_abs"),
+    )

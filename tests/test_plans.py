@@ -261,6 +261,8 @@ _NLJ_ALLOWED = {
     "ext_fdr_bh",
     # round-6 wave 78: 1-row q_hat broadcast onto the test scan
     "ext_conformal_interval",
+    # round-6 wave 81: <=24-row candidate-line broadcast fan-out
+    "ext_ransac_line",
 }
 
 
