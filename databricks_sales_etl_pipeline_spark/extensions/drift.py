@@ -3341,3 +3341,124 @@ def ext_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (abs(y2 - y1) * 1000 DIV (x2 - x1)) AS BIGINT)"
         ).alias("slope_milli_cents_per_day"),
     )
+
+
+#: one-way ANOVA with FLOORED mean squares: every moment is an exact
+#: integer (whole-DOLLAR order values keep sum-of-squares < 2^63 to
+#: sf~10), S_g^2 // n_g is computed by the overflow-free split
+#: q*S + (r*S) // n (q = S DIV n, r = S % n — exact floor identity),
+#: and the F ratio is floor(msb*1000 / msw) — a deterministic contract
+#: both engines evaluate identically, within 1 ulp-of-integer of the
+#: textbook F.
+_ANOVA_SQ_OVER_N = (
+    "(({s} {div} {n}) * {s} + (({s} % {n}) * {s}) {div} {n})"
+)
+
+
+@query(
+    "ext_anova_oneway",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderpriority AS grp,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+        FROM orders
+    ), g AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(v) AS BIGINT) AS s_g,
+               CAST(SUM(v * v) AS BIGINT) AS q_g
+        FROM x GROUP BY grp
+    ), tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS BIGINT) AS s,
+               CAST(SUM(q_g) AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM({_ANOVA_SQ_OVER_N.format(
+                   s="s_g", n="n_g", div="//")}) AS BIGINT) AS a
+        FROM g
+    ), f AS (
+        SELECT n, k,
+               CAST(GREATEST(a - {_ANOVA_SQ_OVER_N.format(
+                   s="s", n="n", div="//")}, 0) AS BIGINT) AS ssb,
+               CAST(q - a AS BIGINT) AS ssw
+        FROM tot
+    ), stat AS (
+        SELECT n, k, ssb, ssw,
+               CAST(ssb // (k - 1) AS BIGINT) AS msb,
+               CAST(ssw // (n - k) AS BIGINT) AS msw
+        FROM f
+    )
+    SELECT g.grp, g.n_g, g.s_g AS sum_dollars,
+           CAST(g.s_g // g.n_g AS BIGINT) AS mean_dollars,
+           s.n, s.k, s.ssb, s.ssw,
+           CAST(s.msb * 1000 // GREATEST(s.msw, 1) AS BIGINT) AS f_milli
+    FROM g, stat s
+    """,
+)
+def ext_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — one-way ANOVA of order value across the five priorities:
+    between/within sums of squares from exact integer moments (whole
+    dollars bound sum-of-squares inside int64 to ~sf10; the S²/n terms
+    use the overflow-free floor split q·S + (r·S)//n), and the F
+    statistic as floor(msb·1000/msw) — the k-group generalization the
+    two-sample tests (Mann–Whitney, prop z) cannot give, reported
+    beside each group's n and mean so the reader sees WHAT is being
+    compared. On this fixture priorities are genuinely null, so
+    F ≈ 1 — the honest reading, pinned by the unit test.
+
+    Shape: one grp groupBy over the scan, then the whole statistic
+    lives on the k-row moment table; the per-group output joins the
+    1-row stat (broadcast)."""
+    o = load(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("v"),
+    )
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("v").cast("bigint").alias("s_g"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("q_g").cast("bigint").alias("q"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.expr(_ANOVA_SQ_OVER_N.format(s="s_g", n="n_g", div="DIV"))
+        )
+        .cast("bigint")
+        .alias("a"),
+    )
+    stat = tot.select(
+        "n",
+        "k",
+        F.greatest(
+            F.col("a")
+            - F.expr(_ANOVA_SQ_OVER_N.format(s="s", n="n", div="DIV")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("ssb"),
+        (F.col("q") - F.col("a")).cast("bigint").alias("ssw"),
+    ).select(
+        "n",
+        "k",
+        "ssb",
+        "ssw",
+        F.expr("CAST(ssb DIV (k - 1) AS BIGINT)").alias("msb"),
+        F.expr("CAST(ssw DIV (n - k) AS BIGINT)").alias("msw"),
+    )
+    return g.join(broadcast(stat)).select(
+        "grp",
+        "n_g",
+        F.col("s_g").alias("sum_dollars"),
+        F.expr("CAST(s_g DIV n_g AS BIGINT)").alias("mean_dollars"),
+        "n",
+        "k",
+        "ssb",
+        "ssw",
+        F.expr(
+            "CAST(msb * 1000 DIV GREATEST(msw, 1) AS BIGINT)"
+        ).alias("f_milli"),
+    )

@@ -884,3 +884,107 @@ def ext_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend_cents long, forecast_cents long, abs_err_cents long",
         )
     )
+
+
+#: Croston's method for INTERMITTENT demand: the sparse part family
+#: (p_partkey % CROSTON_MOD == 0) demands on only a fraction of days;
+#: demand-size z and inter-demand-interval p run separate EWMA
+#: recurrences with alpha = 1/CROSTON_A (truncating division — all
+#: quantities non-negative), forecast rate = z*1000 // p per day.
+CROSTON_MOD = 200
+CROSTON_A = 5
+
+
+@query(
+    "ext_croston_intermittent",
+    oracle=f"""
+    WITH RECURSIVE dem AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l
+        WHERE l.l_partkey % {CROSTON_MOD} = 0
+        GROUP BY 1
+    ), s AS (
+        SELECT list(d ORDER BY d) AS dv, list(q ORDER BY d) AS qv,
+               COUNT(*) AS n
+        FROM dem
+    ), rec AS (
+        SELECT 1 AS t, qv[1] AS z, CAST(1 AS BIGINT) AS p,
+               CAST(0 AS BIGINT) AS gap
+        FROM s
+        UNION ALL
+        SELECT rec.t + 1,
+               CAST((s.qv[rec.t + 1] + {CROSTON_A - 1} * rec.z)
+                    // {CROSTON_A} AS BIGINT),
+               CAST(((s.dv[rec.t + 1] - s.dv[rec.t])
+                     + {CROSTON_A - 1} * rec.p)
+                    // {CROSTON_A} AS BIGINT),
+               CAST(s.dv[rec.t + 1] - s.dv[rec.t] AS BIGINT)
+        FROM rec, s WHERE rec.t < s.n
+    )
+    SELECT CAST(rec.t AS BIGINT) AS t,
+           CAST(s.dv[rec.t] AS BIGINT) AS d,
+           CAST(s.qv[rec.t] AS BIGINT) AS q,
+           rec.gap,
+           CAST(rec.z AS BIGINT) AS z_size,
+           CAST(rec.p AS BIGINT) AS p_interval,
+           CAST(rec.z * 1000 // rec.p AS BIGINT) AS rate_milli
+    FROM rec, s
+    """,
+)
+def ext_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — Croston's intermittent-demand forecast for the sparse part
+    family (every 200th part): demand SIZE and inter-demand INTERVAL
+    get separate EWMA recurrences (alpha = 1/5, exact integer
+    truncating division), and the demand rate per day is z/p in milli
+    — the supply-chain forecaster for series that are mostly zeros,
+    where plain smoothing (ext_holt_linear, ext_ewma_smooth)
+    systematically lags and overshoots. Emits the full
+    (t, day, qty, gap, z, p, rate) trajectory.
+
+    Shape: one filtered day groupBy (the filter prunes at the scan),
+    then the recurrence runs on the demand-event-bounded series inside
+    a single Arrow-batched applyInPandas — the ext_dtw_distance
+    escape-hatch discipline; WITH RECURSIVE twin in DuckDB."""
+    import pandas as pd
+
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % CROSTON_MOD == 0
+    )
+    dem = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+
+    def _croston(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d")
+        ds = pdf["d"].astype("int64").tolist()
+        qs = pdf["q"].astype("int64").tolist()
+        rows = []
+        z, p, gap = qs[0], 1, 0
+        for t, (d, q) in enumerate(zip(ds, qs), start=1):
+            if t > 1:
+                gap = d - ds[t - 2]
+                z = (q + (CROSTON_A - 1) * z) // CROSTON_A
+                p = (gap + (CROSTON_A - 1) * p) // CROSTON_A
+            rows.append((t, d, q, gap, z, p, z * 1000 // p))
+        return pd.DataFrame(
+            rows,
+            columns=["t", "d", "q", "gap", "z_size", "p_interval",
+                     "rate_milli"],
+        )
+
+    return (
+        dem.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            _croston,
+            "t long, d long, q long, gap long, z_size long, "
+            "p_interval long, rate_milli long",
+        )
+    )

@@ -263,6 +263,9 @@ _NLJ_ALLOWED = {
     "ext_conformal_interval",
     # round-6 wave 81: <=24-row candidate-line broadcast fan-out
     "ext_ransac_line",
+    # round-6 wave 82: 1-row F-statistic broadcast onto the k-row
+    # group table
+    "ext_anova_oneway",
 }
 
 
