@@ -157,3 +157,137 @@ def ext_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_ppm"),
     )
+
+
+#: iterative proportional fitting (raking): IPF_ROUNDS full rounds of
+#: row-then-column margin matching on the (priority x segment) cell
+#: table, weights in integer milli-units with one floor per half-step —
+#: the bounded-pass contract (ext_graph_kcore) so the DuckDB twin can
+#: unroll the identical recurrence. Targets = uniform margins.
+#: Integer-exact while total_orders^2 * 2e5 < 2^63 (~2e6 orders;
+#: rescale the weight unit beyond that — documented bound).
+IPF_ROUNDS = 4
+
+
+def _ipf_oracle() -> str:
+    ctes = [
+        """cells AS MATERIALIZED (
+        SELECT o.o_orderpriority AS a, c.c_mktsegment AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )""",
+        """tot AS MATERIALIZED (
+        SELECT CAST(SUM(n) * 1000 AS BIGINT) AS w_total,
+               CAST(SUM(n) * 1000 // COUNT(DISTINCT a) AS BIGINT) AS t_row,
+               CAST(SUM(n) * 1000 // COUNT(DISTINCT b) AS BIGINT) AS t_col
+        FROM cells
+    )""",
+        """w0 AS MATERIALIZED (
+        SELECT a, b, n, CAST(n * 1000 AS BIGINT) AS w FROM cells
+    )""",
+    ]
+    for i in range(IPF_ROUNDS):
+        ctes.append(
+            f"""w{2 * i + 1} AS MATERIALIZED (
+        SELECT a, b, n,
+               CAST(w * (SELECT t_row FROM tot)
+                    // SUM(w) OVER (PARTITION BY a) AS BIGINT) AS w
+        FROM w{2 * i}
+    )"""
+        )
+        ctes.append(
+            f"""w{2 * i + 2} AS MATERIALIZED (
+        SELECT a, b, n,
+               CAST(w * (SELECT t_col FROM tot)
+                    // SUM(w) OVER (PARTITION BY b) AS BIGINT) AS w
+        FROM w{2 * i + 1}
+    )"""
+        )
+    last = f"w{2 * IPF_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT a, b, n, w AS w_milli,
+           CAST(SUM(w) OVER (PARTITION BY a) AS BIGINT) AS row_sum_milli,
+           CAST(SUM(w) OVER (PARTITION BY b) AS BIGINT) AS col_sum_milli,
+           (SELECT t_row FROM tot) AS t_row_milli,
+           (SELECT t_col FROM tot) AS t_col_milli
+    FROM {last}
+    """
+    )
+
+
+@query("ext_ipf_raking", oracle=_ipf_oracle())
+def ext_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op — survey raking (iterative proportional fitting): reweight the
+    (priority x segment) cell table so BOTH margins match uniform
+    targets, alternating row- and column-proportional scaling for 4
+    bounded rounds — the weighting step every survey/panel pipeline
+    runs before estimating from a non-representative sample, and the
+    2D special case of the matrix-scaling/Sinkhorn family. Weights stay
+    integer milli-units with one floor per half-step; the output shows
+    the achieved margins beside the targets so convergence is visible
+    in-row.
+
+    Shape: one join + groupBy builds the margin-bounded cell table
+    (k1 x k2 rows however big the fact table); each half-step is one
+    window sum over that table — localCheckpoint per round truncates
+    the 8-step lineage."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(
+            c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("a"),
+            F.col("c_mktsegment").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    tot = cells.agg(
+        F.expr(
+            "CAST(sum(n) * 1000 DIV count(DISTINCT a) AS BIGINT)"
+        ).alias("t_row"),
+        F.expr(
+            "CAST(sum(n) * 1000 DIV count(DISTINCT b) AS BIGINT)"
+        ).alias("t_col"),
+    ).collect()[0]
+    t_row, t_col = int(tot["t_row"]), int(tot["t_col"])
+    w = cells.select(
+        "a", "b", "n", (F.col("n") * 1000).cast("bigint").alias("w")
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    for _ in range(IPF_ROUNDS):
+        w = w.select(
+            "a",
+            "b",
+            "n",
+            F.expr(
+                f"CAST(w * {t_row} DIV sum(w) OVER (PARTITION BY a)"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+        w = w.select(
+            "a",
+            "b",
+            "n",
+            F.expr(
+                f"CAST(w * {t_col} DIV sum(w) OVER (PARTITION BY b)"
+                " AS BIGINT)"
+            ).alias("w"),
+        ).localCheckpoint()
+    return w.select(
+        "a",
+        "b",
+        "n",
+        F.col("w").alias("w_milli"),
+        F.sum("w").over(wa).cast("bigint").alias("row_sum_milli"),
+        F.sum("w").over(wb).cast("bigint").alias("col_sum_milli"),
+        F.lit(t_row).cast("bigint").alias("t_row_milli"),
+        F.lit(t_col).cast("bigint").alias("t_col_milli"),
+    )

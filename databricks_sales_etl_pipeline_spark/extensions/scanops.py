@@ -988,3 +988,137 @@ def ext_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_interval long, rate_milli long",
         )
     )
+
+
+#: Holt-Winters additive constants: alpha = 1/HW_A, beta = 1/HW_B,
+#: gamma = 1/HW_C, seasonal period HW_M months. Numerators (y - s) and
+#: (l' - l) go NEGATIVE, so every division uses the sign-composed
+#: trunc-div (matching DuckDB // which truncates toward zero).
+HW_A = 5
+HW_B = 10
+HW_C = 8
+HW_M = 12
+
+
+def _hw_tdiv_sql(x: str, d: int) -> str:
+    """Truncating division of a possibly-negative numerator — identical
+    token stream for DuckDB (// truncates on BIGINT)."""
+    return f"(CASE WHEN ({x}) >= 0 THEN ({x}) // {d} ELSE -((-({x})) // {d}) END)"
+
+
+def _holt_winters_oracle() -> str:
+    ln = _hw_tdiv_sql(
+        f"s.yv[rec.t + 1] - rec.sl[1] + {HW_A - 1} * (rec.l + rec.b)", HW_A
+    )
+    return f"""
+    WITH RECURSIVE mrev AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT list(m ORDER BY m) AS mv, list(y ORDER BY m) AS yv,
+               COUNT(*) AS n,
+               CAST(list_sum(list(y ORDER BY m)[1:{HW_M}]) // {HW_M}
+                    AS BIGINT) AS l0
+        FROM mrev
+    ), rec AS (
+        SELECT {HW_M} AS t, l0 AS l, CAST(0 AS BIGINT) AS b,
+               list_transform(range(1, {HW_M} + 1),
+                   i -> CAST(yv[CAST(i AS INT)] - l0 AS BIGINT)) AS sl,
+               CAST(0 AS BIGINT) AS f
+        FROM s
+        UNION ALL
+        SELECT rec.t + 1,
+               CAST({ln} AS BIGINT),
+               CAST({_hw_tdiv_sql(
+                   f"CAST({ln} AS BIGINT) - rec.l + {HW_B - 1} * rec.b",
+                   HW_B)} AS BIGINT),
+               rec.sl[2:{HW_M}] || [CAST({_hw_tdiv_sql(
+                   f"s.yv[rec.t + 1] - CAST({ln} AS BIGINT)"
+                   f" + {HW_C - 1} * rec.sl[1]", HW_C)} AS BIGINT)],
+               CAST(rec.l + rec.b + rec.sl[1] AS BIGINT)
+        FROM rec, s WHERE rec.t < s.n
+    )
+    SELECT CAST(rec.t AS BIGINT) AS t,
+           CAST(s.mv[rec.t] AS BIGINT) AS m,
+           CAST(s.yv[rec.t] AS BIGINT) AS y_cents,
+           CAST(rec.l AS BIGINT) AS level_cents,
+           CAST(rec.b AS BIGINT) AS trend_cents,
+           CAST(rec.sl[{HW_M}] AS BIGINT) AS season_cents,
+           CAST(rec.f AS BIGINT) AS forecast_cents
+    FROM rec, s WHERE rec.t > {HW_M}
+    """
+
+
+@query("ext_holt_winters", oracle=_holt_winters_oracle())
+def ext_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — Holt-Winters ADDITIVE seasonal smoothing of monthly revenue
+    (period 12, alpha = 1/5, beta = 1/10, gamma = 1/8): level, trend
+    and a 12-slot seasonal state all update in exact integer cents with
+    sign-composed truncating division (numerators go negative), so the
+    DuckDB WITH RECURSIVE twin — which carries the seasonal ring as a
+    LIST in the recursion state — is hash-identical. Completes the
+    exponential-smoothing ladder (EWMA → Holt → Croston → HW): the
+    first member that can forecast a seasonal pattern instead of
+    averaging it away. Initialization: level = mean of year one,
+    seasonals = year-one deviations, trend = 0; emits the post-warmup
+    trajectory with one-step-ahead forecasts.
+
+    Shape: one month groupBy (the only data-sized shuffle); the
+    recurrence runs on the calendar-bounded series in one Arrow-batched
+    applyInPandas task."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year(F.col("o_orderdate")) * 100 + F.month(F.col("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("m")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+
+    def _hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        def tdiv(a: int, d: int) -> int:
+            return a // d if a >= 0 else -((-a) // d)
+
+        pdf = pdf.sort_values("m")
+        ms = pdf["m"].astype("int64").tolist()
+        ys = pdf["y"].astype("int64").tolist()
+        l = sum(ys[:HW_M]) // HW_M
+        b = 0
+        sl = [y - l for y in ys[:HW_M]]  # seasons for t-M+1 .. t
+        rows = []
+        for t in range(HW_M + 1, len(ys) + 1):
+            y = ys[t - 1]
+            s_used = sl[0]
+            f = l + b + s_used
+            ln = tdiv(y - s_used + (HW_A - 1) * (l + b), HW_A)
+            b = tdiv(ln - l + (HW_B - 1) * b, HW_B)
+            s_new = tdiv(y - ln + (HW_C - 1) * s_used, HW_C)
+            l = ln
+            sl = sl[1:] + [s_new]
+            rows.append((t, ms[t - 1], y, l, b, s_new, f))
+        return pd.DataFrame(
+            rows,
+            columns=["t", "m", "y_cents", "level_cents", "trend_cents",
+                     "season_cents", "forecast_cents"],
+        )
+
+    return (
+        monthly.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            _hw,
+            "t long, m long, y_cents long, level_cents long, "
+            "trend_cents long, season_cents long, forecast_cents long",
+        )
+    )
