@@ -3462,3 +3462,119 @@ def ext_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(msb * 1000 DIV GREATEST(msw, 1) AS BIGINT)"
         ).alias("f_milli"),
     )
+
+
+#: binary segmentation changepoint: the split of the daily-revenue
+#: series (whole DOLLARS — S_l^2/n_l <= n_l * max_daily^2 stays inside
+#: int64 to ~sf0.3; rescale the unit beyond) maximizing the floored
+#: between-segment gain S_l^2//n_l + S_r^2//n_r, segments at least
+#: BSEG_MINLEN days. The floor makes the argmax a deterministic
+#: integer contract both engines share.
+BSEG_MINLEN = 30
+
+
+@query(
+    "ext_binary_segmentation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM orders GROUP BY 1
+    ), pre AS (
+        SELECT d, v,
+               ROW_NUMBER() OVER (ORDER BY d) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS sl,
+               SUM(v) OVER () AS s
+        FROM daily
+    ), gains AS (
+        SELECT d, i, n, sl, s - sl AS sr,
+               CAST({_ANOVA_SQ_OVER_N.format(s="sl", n="i", div="//")}
+                    + {_ANOVA_SQ_OVER_N.format(
+                        s="(s - sl)", n="(n - i)", div="//")}
+                    - {_ANOVA_SQ_OVER_N.format(s="s", n="n", div="//")}
+                    AS BIGINT) AS gain
+        FROM pre
+        WHERE i >= {BSEG_MINLEN} AND i <= n - {BSEG_MINLEN}
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(i AS BIGINT) AS split_rank,
+           d AS split_day,
+           gain AS gain_sq_dollars,
+           CAST(sl // i AS BIGINT) AS left_mean_dollars,
+           CAST(sr // (n - i) AS BIGINT) AS right_mean_dollars
+    FROM (SELECT gains.*,
+                 ROW_NUMBER() OVER (ORDER BY gain DESC, i) AS rk
+          FROM gains)
+    WHERE rk = 1
+    """,
+)
+def ext_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — binary-segmentation changepoint detection on daily revenue:
+    the single split maximizing the between-segment variance reduction
+    S_l^2/n_l + S_r^2/n_r (the first step of the classic recursive
+    segmentation; CUSUM's likelihood-based sibling), every term an
+    exact floored integer via the overflow-free q*S + (r*S)//n split —
+    so the argmax is a deterministic cross-engine contract. Reports
+    the split day, its gain and both segment means; min segment 30
+    days keeps degenerate splits out.
+
+    Shape: one day groupBy, ONE ordered prefix-sum window over the
+    calendar-bounded series, one argmax — the O(n) scan form of the
+    textbook O(n^2) SSE sweep."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.sum(F.floor(F.col("o_totalprice")).cast("bigint")).alias("v"))
+    w = Window.partitionBy(F.lit(1))
+    wo = w.orderBy("d")
+    pre = daily.select(
+        "d",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sl"),
+        F.sum("v").over(w).alias("s"),
+    )
+    gains = pre.where(
+        (F.col("i") >= BSEG_MINLEN) & (F.col("i") <= F.col("n") - BSEG_MINLEN)
+    ).select(
+        "d",
+        "i",
+        "n",
+        "sl",
+        (F.col("s") - F.col("sl")).alias("sr"),
+        (
+            F.expr(_ANOVA_SQ_OVER_N.format(s="sl", n="i", div="DIV"))
+            + F.expr(
+                _ANOVA_SQ_OVER_N.format(
+                    s="(s - sl)", n="(n - i)", div="DIV"
+                )
+            )
+            - F.expr(_ANOVA_SQ_OVER_N.format(s="s", n="n", div="DIV"))
+        )
+        .cast("bigint")
+        .alias("gain"),
+    )
+    best = gains.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("gain").desc(), "i")),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("i").cast("bigint").alias("split_rank"),
+        F.col("d").alias("split_day"),
+        F.col("gain").alias("gain_sq_dollars"),
+        F.expr("CAST(sl DIV i AS BIGINT)").alias("left_mean_dollars"),
+        F.expr("CAST(sr DIV (n - i) AS BIGINT)").alias(
+            "right_mean_dollars"
+        ),
+    )

@@ -1218,3 +1218,86 @@ def ext_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wq75_cents"),
     )
+
+
+@query(
+    "ext_quantile_normalize",
+    oracle="""
+    WITH pooled AS (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS k,
+               COUNT(*) OVER () AS big_n
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n_s
+        FROM documents
+    ), mapped AS (
+        SELECT doc_id, source, n_chars, r,
+               CAST((r * (SELECT MAX(big_n) FROM pooled) + n_s - 1) // n_s
+                    AS BIGINT) AS k
+        FROM ranked
+    )
+    SELECT m.doc_id, m.source,
+           CAST(m.n_chars AS BIGINT) AS n_chars,
+           CAST(m.r AS BIGINT) AS rank_in_source,
+           CAST(p.n_chars AS BIGINT) AS norm_chars
+    FROM mapped m JOIN pooled p ON p.k = m.k
+    """,
+)
+def ext_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ft — quantile normalization of document length across sources:
+    each doc's n_chars is replaced by the POOLED distribution's value
+    at the same percentile (rank r of n_s maps to pooled order
+    statistic ceil(r*N/n_s)) — after it, every source has an identical
+    length distribution, which is how batch effects are removed before
+    cross-source comparisons (the microarray-era technique that became
+    standard feature preprocessing). Pure order statistics: ceil via
+    (r*N + n_s - 1) // n_s, no interpolation, deterministic under ties
+    because the mapped VALUE comes from the sorted pooled sequence.
+
+    Shape: two rank windows (one global, one per source — the global
+    one is the scale limit; swap in a distributed sort-based ranking at
+    100 TB) and ONE equi-join on the mapped index."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    w = Window.partitionBy(F.lit(1))
+    pooled = docs.select(
+        F.col("n_chars").alias("pooled_chars"),
+        F.row_number()
+        .over(w.orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("k"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("big_n"),
+    )
+    ws = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(ws.orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("n_s"),
+    )
+    big_n = pooled.agg(F.max("big_n")).collect()[0][0]  # bounded scalar
+    mapped = ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("r").alias("rank_in_source"),
+        F.expr(f"CAST((r * {big_n} + n_s - 1) DIV n_s AS BIGINT)").alias(
+            "k"
+        ),
+    )
+    return mapped.join(pooled.select("k", "pooled_chars"), "k").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "rank_in_source",
+        F.col("pooled_chars").cast("bigint").alias("norm_chars"),
+    )
