@@ -22,7 +22,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -399,5 +399,184 @@ def ext_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+#: consistent-hash ring: RING_NODES nodes x RING_VNODES virtual nodes on
+#: a 2^32 ring; a key is owned by the first vnode clockwise (smallest
+#: vnode hash >= key hash, wrapping to the ring's minimum). The audit
+#: re-runs the lookup with ONE node added and reports how many keys
+#: moved — theory says ~1/(n+1), and vnodes are what keep the variance
+#: down.
+RING_NODES = 8
+RING_VNODES = 16
+_RING_SALT = "ring-r6"
+#: encode (vnode hash, node id) into one orderable bigint: h * 100 + id
+#: (node ids < 100) so "first following vnode" is a single window MIN.
+_RING_ENC = 100
+
+
+def _ring_sql(n_nodes: int, alias: str) -> str:
+    return f"""
+        SELECT CAST(n.i // {RING_VNODES} AS BIGINT) AS node,
+               {md5_band_sql(
+                   "'vn:' || CAST(n.i AS VARCHAR)", 2 ** 32, _RING_SALT)}
+                   AS h
+        FROM (SELECT unnest(range(0, {n_nodes * RING_VNODES})) AS i) n
+    """
+
+
+def _ring_owner_cte(ring: str, tag: str) -> str:
+    """Keys ∪ vnodes sorted by (hash, is_vnode): each key's owner is the
+    first FOLLOWING vnode (window MIN over the encoded hash*100+node),
+    wrapping to the global minimum vnode."""
+    return f"""
+    u_{tag} AS (
+        SELECT kh AS h, 0 AS tag, o_orderkey, CAST(NULL AS BIGINT) AS enc
+        FROM keys
+        UNION ALL
+        SELECT h, 1, NULL, h * {_RING_ENC} + node FROM {ring}
+    ), own_{tag} AS (
+        SELECT o_orderkey,
+               COALESCE(
+                   MIN(enc) OVER (ORDER BY h, tag
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING),
+                   (SELECT MIN(h * {_RING_ENC} + node) FROM {ring}))
+                   % {_RING_ENC} AS node
+        FROM u_{tag}
+    ), owner_{tag} AS (
+        SELECT o_orderkey, node FROM own_{tag} WHERE o_orderkey IS NOT NULL
+    )"""
+
+
+@query(
+    "ext_consistent_hash_ring",
+    oracle=f"""
+    WITH keys AS (
+        SELECT o_orderkey,
+               {md5_band_sql("'k:' || CAST(o_orderkey AS VARCHAR)",
+                             2 ** 32, _RING_SALT)} AS kh
+        FROM orders
+    ), ring_a AS ({_ring_sql(RING_NODES, "a")}),
+    ring_b AS ({_ring_sql(RING_NODES + 1, "b")}),
+    {_ring_owner_cte("ring_a", "a").lstrip()},
+    {_ring_owner_cte("ring_b", "b").lstrip()},
+    moved AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_keys,
+               CAST(SUM(CASE WHEN a.node <> b.node THEN 1 ELSE 0 END)
+                    AS BIGINT) AS moved_keys
+        FROM owner_a a JOIN owner_b b ON b.o_orderkey = a.o_orderkey
+    )
+    SELECT b.node,
+           CAST(COUNT(*) AS BIGINT) AS keys_after,
+           CAST(SUM(CASE WHEN a.node = b.node THEN 0 ELSE 1 END)
+                AS BIGINT) AS keys_gained,
+           m.total_keys, m.moved_keys,
+           CAST(m.moved_keys * 1000000 // m.total_keys AS BIGINT)
+               AS moved_ppm
+    FROM owner_a a
+    JOIN owner_b b ON b.o_orderkey = a.o_orderkey, moved m
+    GROUP BY b.node, m.total_keys, m.moved_keys
+    """,
+)
+def ext_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ds — consistent-hash ring resharding audit: order keys are placed
+    on a 2^32 ring owned by the first clockwise virtual node (16 vnodes
+    per node), then node 8 JOINS the ring and the lookup re-runs —
+    per-node key counts after, keys gained, and the moved fraction,
+    which consistent hashing bounds near 1/(n+1) (rendezvous hashing's
+    ring-shaped sibling; vnodes tame per-node variance). The successor
+    lookup is ONE window pass over keys ∪ vnodes sorted by hash — no
+    per-key ring scan — with the wrap-around as a scalar fallback to
+    the ring minimum.
+
+    Shape: the ring is a constant-size table; the only data-sized work
+    is the sorted window pass (at 100 TB, range-partition by hash and
+    duplicate the 128-row ring per partition — same plan per shard)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    keys = o.select(
+        "o_orderkey",
+        md5_band(
+            F.concat(F.lit("k:"), F.col("o_orderkey").cast("string")),
+            2**32,
+            _RING_SALT,
+        ).alias("kh"),
+    )
+
+    def ring(n_nodes: int):
+        return spark.range(n_nodes * RING_VNODES).select(
+            (F.col("id") / RING_VNODES).cast("bigint").alias("node"),
+            md5_band(
+                F.concat(F.lit("vn:"), F.col("id").cast("string")),
+                2**32,
+                _RING_SALT,
+            ).alias("h"),
+        )
+
+    def owners(ring_df, tag: str):
+        ring_min = ring_df.agg(
+            F.min(F.col("h") * _RING_ENC + F.col("node"))
+        ).collect()[0][0]
+        u = keys.select(
+            F.col("kh").alias("h"),
+            F.lit(0).alias("tag"),
+            "o_orderkey",
+            F.lit(None).cast("bigint").alias("enc"),
+        ).unionByName(
+            ring_df.select(
+                "h",
+                F.lit(1).alias("tag"),
+                F.lit(None).cast("bigint").alias("o_orderkey"),
+                (F.col("h") * _RING_ENC + F.col("node")).alias("enc"),
+            )
+        )
+        w = (
+            Window.partitionBy(F.lit(1))
+            .orderBy("h", "tag")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        return (
+            u.select(
+                "o_orderkey",
+                (
+                    F.coalesce(F.min("enc").over(w), F.lit(ring_min))
+                    % _RING_ENC
+                ).alias(f"node_{tag}"),
+            )
+            .where(F.col("o_orderkey").isNotNull())
+        )
+    a = owners(ring(RING_NODES), "a")
+    b = owners(ring(RING_NODES + 1), "b")
+    j = a.join(b, "o_orderkey").localCheckpoint()
+    moved = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_keys"),
+        F.sum(
+            F.when(F.col("node_a") != F.col("node_b"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("moved_keys"),
+    )
+    return (
+        j.join(broadcast(moved))
+        .groupBy("node_b", "total_keys", "moved_keys")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("keys_after"),
+            F.sum(
+                F.when(F.col("node_a") == F.col("node_b"), 0).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("keys_gained"),
+        )
+        .select(
+            F.col("node_b").alias("node"),
+            "keys_after",
+            "keys_gained",
+            "total_keys",
+            "moved_keys",
+            F.expr(
+                "CAST(moved_keys * 1000000 DIV total_keys AS BIGINT)"
+            ).alias("moved_ppm"),
         )
     )

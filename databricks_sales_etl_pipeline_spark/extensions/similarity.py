@@ -1557,3 +1557,158 @@ def ext_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_misplaced"),
     )
+
+
+#: farthest-first traversal (Gonzalez k-center 2-approximation):
+#: KC_K centers, start at the smallest vec_id, each step adds the point
+#: FARTHEST from its nearest chosen center (exact integer squared L2 on
+#: milli vectors, ties to the smallest vec_id).
+KC_K = 5
+
+
+def _kcenter_oracle() -> str:
+    qv = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1000 + 0.5) AS BIGINT))"
+    )
+    sq = (
+        "CAST(list_sum(list_transform(range(1, 65),"
+        " d -> (p.v[d] - c.v[d]) * (p.v[d] - c.v[d]))) AS BIGINT)"
+    )
+    ctes = [
+        f"pts AS MATERIALIZED (SELECT vec_id, {qv} AS v FROM embeddings)",
+        """c1 AS MATERIALIZED (
+        SELECT 1 AS step, vec_id, v, CAST(0 AS BIGINT) AS radius
+        FROM pts ORDER BY vec_id LIMIT 1
+    )""",
+        "cent1 AS MATERIALIZED (SELECT * FROM c1)",
+    ]
+    for k in range(2, KC_K + 1):
+        ctes.append(
+            f"""mind{k} AS MATERIALIZED (
+        SELECT p.vec_id, p.v,
+               MIN({sq}) AS md
+        FROM pts p, cent{k - 1} c
+        GROUP BY p.vec_id, p.v
+    )"""
+        )
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+        SELECT {k} AS step, vec_id, v, CAST(md AS BIGINT) AS radius
+        FROM mind{k} ORDER BY md DESC, vec_id LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"cent{k} AS MATERIALIZED"
+            f" (SELECT * FROM cent{k - 1} UNION ALL SELECT * FROM c{k})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , assign AS (
+        SELECT p.vec_id,
+               arg_min(c.step, ({sq}) * 10 + c.step) AS owner,
+               MIN({sq}) AS d
+        FROM pts p, cent{KC_K} c
+        GROUP BY p.vec_id
+    )
+    SELECT c.step, c.vec_id AS center_id, c.radius AS radius_when_added,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_assigned,
+           CAST(MAX(a.d) AS BIGINT) AS cell_radius
+    FROM cent{KC_K} c LEFT JOIN assign a ON a.owner = c.step
+    GROUP BY 1, 2, 3
+    """
+    )
+
+
+@query("ext_kcenter_greedy", oracle=_kcenter_oracle())
+def ext_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X — Gonzalez farthest-first k-center selection (K=5) over the
+    embedding cloud: start at the smallest vec_id, repeatedly add the
+    point farthest from its nearest chosen center — the classic
+    2-approximation for MINIMUM COVERING RADIUS, the right seeding when
+    the goal is coverage (outliers must be near SOME center) rather
+    than k-means' density fit, and the standard diverse-subset picker
+    for data curation. Every distance is an exact integer squared L2 on
+    milli vectors; ownership ties break by (distance, center order).
+    Reports each center's radius-when-added (the k-center objective
+    trajectory) plus its final Voronoi cell size and radius.
+
+    Shape: K bounded rounds; each round is one min-distance aggregate
+    over the points against the (round)-sized broadcast center list —
+    the collected center is a bounded artifact (the MLlib pattern).
+    numpy int64 in one Arrow pass scores all centers at once."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", quantize(F.col("embedding")).alias("v"))
+    first = (
+        pts.orderBy("vec_id").limit(1).collect()[0]
+    )  # bounded 1-row artifact
+    centers = [(1, int(first["vec_id"]), [int(x) for x in first["v"]], 0)]
+    for k in range(2, KC_K + 1):
+        cmat = np.array([c[2] for c in centers], dtype=np.int64)
+
+        def _mind(batches, cmat=cmat):
+            for pdf in batches:
+                vs = np.array(pdf["v"].tolist(), dtype=np.int64)
+                d = ((vs[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].astype("int64"),
+                        "md": d.min(axis=1),
+                    }
+                )
+
+        far = (
+            pts.mapInPandas(_mind, "vec_id long, md long")
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        vrow = pts.where(F.col("vec_id") == int(far["vec_id"])).collect()[0]
+        centers.append(
+            (k, int(far["vec_id"]), [int(x) for x in vrow["v"]],
+             int(far["md"]))
+        )
+    cmat = np.array([c[2] for c in centers], dtype=np.int64)
+    steps = np.array([c[0] for c in centers], dtype=np.int64)
+
+    def _assign(batches):
+        for pdf in batches:
+            vs = np.array(pdf["v"].tolist(), dtype=np.int64)
+            d = ((vs[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            key = d * 10 + steps[None, :]
+            j = key.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "owner": steps[j],
+                    "d": d[np.arange(len(pdf)), j],
+                }
+            )
+
+    assign = pts.mapInPandas(_assign, "owner long, d long")
+    cells = assign.groupBy("owner").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.max("d").cast("bigint").alias("cell_radius"),
+    )
+    cdf = spark.createDataFrame(
+        [(c[0], c[1], c[3]) for c in centers],
+        "step long, center_id long, radius_when_added long",
+    )
+    return (
+        cdf.join(cells, cdf["step"] == cells["owner"], "left")
+        .select(
+            "step",
+            "center_id",
+            "radius_when_added",
+            F.coalesce(F.col("n_assigned"), F.lit(0))
+            .cast("bigint")
+            .alias("n_assigned"),
+            F.coalesce(F.col("cell_radius"), F.lit(0))
+            .cast("bigint")
+            .alias("cell_radius"),
+        )
+    )

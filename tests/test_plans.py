@@ -266,6 +266,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 82: 1-row F-statistic broadcast onto the k-row
     # group table
     "ext_anova_oneway",
+    # round-6 wave 85: 1-row moved-keys total broadcast onto the
+    # per-node grouping
+    "ext_consistent_hash_ring",
 }
 
 
