@@ -2158,3 +2158,115 @@ def ext_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("cross_abs").alias("max_cross_abs"),
     )
+
+
+#: EOQ constants: fixed order cost in cents and annual holding rate in
+#: percent of unit price. isqrt is EXACT both engines: floor(sqrt(x))
+#: from the double sqrt plus a one-step integer correction (double
+#: sqrt is within 1 of truth for x < 2^52, so one CASE fixes it).
+EOQ_ORDER_COST_CENTS = 500_000
+EOQ_HOLD_PCT = 20
+
+
+def _isqrt_sql(x: str) -> str:
+    s = f"CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s} + 1) * ({s} + 1) <= ({x}) THEN {s} + 1 "
+        f"WHEN {s} * {s} > ({x}) THEN {s} - 1 ELSE {s} END)"
+    )
+
+
+@query(
+    "ext_eoq_policy",
+    oracle=f"""
+    WITH d AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS units,
+               CAST(SUM({cents_sql('l.l_extendedprice')}) AS BIGINT)
+                   AS sales_cents,
+               CAST(COUNT(DISTINCT year(CAST(l.l_shipdate AS DATE)))
+                    AS BIGINT) AS n_years
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    ), ann AS (
+        SELECT brand,
+               CAST(units // n_years AS BIGINT) AS annual_units,
+               CAST(sales_cents // units AS BIGINT) AS unit_price_cents
+        FROM d
+    ), pol AS (
+        SELECT brand, annual_units, unit_price_cents,
+               CAST(GREATEST(unit_price_cents * {EOQ_HOLD_PCT} // 100, 1)
+                    AS BIGINT) AS hold_cents
+        FROM ann
+    )
+    SELECT brand, annual_units, unit_price_cents, hold_cents,
+           CAST({_isqrt_sql(
+               f"2 * annual_units * {EOQ_ORDER_COST_CENTS} // hold_cents"
+           )} AS BIGINT) AS eoq_units,
+           CAST(annual_units
+                // GREATEST({_isqrt_sql(
+                    f"2 * annual_units * {EOQ_ORDER_COST_CENTS}"
+                    " // hold_cents")}, 1)
+                AS BIGINT) AS orders_per_year
+    FROM pol
+    """,
+)
+def ext_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt — economic order quantity per brand: EOQ = sqrt(2DK/h) with
+    D = annual demand units, K = fixed order cost, h = 20% of the unit
+    price per year — the Wilson lot-size formula behind every
+    reorder-policy engine, computed with an EXACT integer square root
+    (double sqrt + one-step correction, bit-identical both engines; no
+    naked libm in hashed output). Completes the inventory family
+    (ABC/XYZ classes, newsvendor single-period, runout projection) with
+    the steady-state ordering policy.
+
+    Shape: one broadcast dim join + ONE brand groupBy; the formula
+    runs on the brand-sized aggregate."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        cents(F.col("l_extendedprice")).cast("bigint").alias("c"),
+        F.year(F.col("l_shipdate").cast("date")).alias("yr"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    ann = (
+        li.join(broadcast(p), "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.sum("q").cast("bigint").alias("units"),
+            F.sum("c").cast("bigint").alias("sales_cents"),
+            F.countDistinct("yr").cast("bigint").alias("n_years"),
+        )
+        .select(
+            "brand",
+            F.expr("CAST(units DIV n_years AS BIGINT)").alias(
+                "annual_units"
+            ),
+            F.expr("CAST(sales_cents DIV units AS BIGINT)").alias(
+                "unit_price_cents"
+            ),
+        )
+        .withColumn(
+            "hold_cents",
+            F.expr(
+                f"CAST(GREATEST(unit_price_cents * {EOQ_HOLD_PCT}"
+                " DIV 100, 1) AS BIGINT)"
+            ),
+        )
+    )
+    eoq_x = f"2 * annual_units * {EOQ_ORDER_COST_CENTS} DIV hold_cents"
+    isq = _isqrt_sql(eoq_x).replace("//", "DIV")
+    return ann.select(
+        "brand",
+        "annual_units",
+        "unit_price_cents",
+        "hold_cents",
+        F.expr(f"CAST({isq} AS BIGINT)").alias("eoq_units"),
+        F.expr(
+            f"CAST(annual_units DIV GREATEST({isq}, 1) AS BIGINT)"
+        ).alias("orders_per_year"),
+    )

@@ -901,3 +901,77 @@ def ext_double_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("split_flag"),
         )
     )
+
+
+#: revenue recognition: each order's total is recognized evenly over
+#: REV_MONTHS service months starting at the order month, penny-exact:
+#: base = cents DIV M per month, the cents % M remainder adds one cent
+#: to the earliest months (every order reconciles to the cent —
+#: the ext_penny_allocation discipline applied TEMPORALLY).
+REV_MONTHS = 3
+
+
+@query(
+    "ext_rev_recognition",
+    oracle=f"""
+    WITH o AS (
+        SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+                    AS BIGINT) AS m0,
+               CAST({cents_sql('o_totalprice')} AS BIGINT) AS v
+        FROM orders
+    ), spread AS (
+        SELECT o.m0 + t.i AS idx,
+               o.v // {REV_MONTHS}
+               + CASE WHEN t.i < o.v % {REV_MONTHS} THEN 1 ELSE 0 END
+                   AS rec
+        FROM o, (SELECT unnest(range(0, {REV_MONTHS})) AS i) t
+    )
+    SELECT CAST((idx // 12) * 100 + idx % 12 + 1 AS BIGINT) AS ym,
+           CAST(SUM(rec) AS BIGINT) AS recognized_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_order_months
+    FROM spread GROUP BY 1
+    """,
+)
+def ext_rev_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh — deferred revenue recognition: every order's total is
+    recognized evenly across a 3-month service period starting at the
+    order month, penny-exact (floor share + remainder cents pinned to
+    the earliest months so each order reconciles to the cent) — the
+    accrual-accounting schedule cash-based monthly revenue misstates,
+    and the temporal twin of ext_penny_allocation's per-line splits.
+    Months are pure integer indices (y*12+m), so no date-arithmetic
+    convention can drift between engines.
+
+    Shape: a constant x3 explode of the order scan then ONE month
+    groupBy — recognition adds no data-sized shuffle beyond the
+    aggregate it feeds."""
+    o = load(spark, sf_dir, "orders").select(
+        (
+            F.year(F.col("o_orderdate")) * 12
+            + (F.month(F.col("o_orderdate")) - 1)
+        )
+        .cast("bigint")
+        .alias("m0"),
+        cents(F.col("o_totalprice")).cast("bigint").alias("v"),
+    )
+    spread = o.select(
+        "m0",
+        "v",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(REV_MONTHS)])
+        ).alias("i"),
+    ).select(
+        (F.col("m0") + F.col("i")).alias("idx"),
+        (
+            F.expr(f"v DIV {REV_MONTHS}")
+            + F.when(F.col("i") < F.col("v") % REV_MONTHS, 1).otherwise(0)
+        ).alias("rec"),
+    )
+    return spread.groupBy(
+        F.expr("CAST((idx DIV 12) * 100 + idx % 12 + 1 AS BIGINT)").alias(
+            "ym"
+        )
+    ).agg(
+        F.sum("rec").cast("bigint").alias("recognized_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_order_months"),
+    )
