@@ -3694,3 +3694,125 @@ def ext_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.join(broadcast(pdf), "state").select(
         "state", "n_out", F.col("p_hit_ppm").cast("bigint").alias("p_hit_ppm")
     )
+
+
+#: Viterbi trellis: VIT_K max-product steps from VIT_START over the
+#: empirical ppm transition matrix, one floor per step
+#: (delta' = max_s delta(s)*T(s,t) // 1e6) — the bounded-pass contract.
+#: Ties pick the smallest state index via the encoded key
+#: delta*16 + (15 - idx) (idx <= #states < 16).
+VIT_K = 6
+VIT_START = "view"
+
+
+def _viterbi_oracle() -> str:
+    ctes = [
+        """pairs AS MATERIALIZED (
+        SELECT s, t FROM (
+            SELECT event_type AS s,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS t
+            FROM events)
+        WHERE t IS NOT NULL
+    )""",
+        """tm AS MATERIALIZED (
+        SELECT s, t,
+               CAST(COUNT(*) * 1000000 //
+                    SUM(COUNT(*)) OVER (PARTITION BY s) AS BIGINT) AS w
+        FROM pairs GROUP BY s, t
+    )""",
+        """states AS MATERIALIZED (
+        SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s) AS BIGINT) AS idx
+        FROM (SELECT DISTINCT s FROM pairs)
+    )""",
+        f"""d0 AS MATERIALIZED (
+        SELECT s, idx,
+               CAST(CASE WHEN s = '{VIT_START}' THEN 1000000 ELSE 0 END
+                    AS BIGINT) AS delta,
+               CAST(NULL AS VARCHAR) AS prev
+        FROM states
+    )""",
+    ]
+    for k in range(VIT_K):
+        ctes.append(
+            f"""d{k + 1} AS MATERIALIZED (
+        SELECT st.s, st.idx,
+               CAST(MAX(d.delta * tm.w // 1000000) AS BIGINT) AS delta,
+               arg_max(d.s,
+                       (d.delta * tm.w // 1000000) * 16 + (15 - d.idx))
+                   AS prev
+        FROM states st
+        JOIN tm ON tm.t = st.s
+        JOIN d{k} d ON d.s = tm.s
+        GROUP BY st.s, st.idx
+    )"""
+        )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, s AS state, delta AS delta_ppm,"
+        f" prev AS prev_state FROM d{k}"
+        for k in range(1, VIT_K + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + rows
+
+
+@query("ext_viterbi_path", oracle=_viterbi_oracle())
+def ext_viterbi_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An — Viterbi max-product trellis over the empirical event-type
+    chain: starting from 'view', delta_k(t) = max_s delta_{k-1}(s) *
+    T(s,t) (ppm, one floor per step) with the argmax PREDECESSOR kept
+    per cell — the most-likely-path DP behind HMM decoding and journey
+    reconstruction, where ext_markov_absorption sums and this one
+    maximizes. Emits the full K=6-step trellis (delta + backpointer per
+    state per step), so any path can be read off by following prev;
+    ties break to the smallest state via the encoded key
+    delta*16 + (15 - idx), identical in both engines.
+
+    Shape: ONE user_id shuffle builds the pair counts; the trellis is a
+    |states|^2 model collected once (the MLlib bounded-artifact
+    pattern) and iterated in exact Python ints, returned as the
+    states x K table."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    counts = pairs.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    model = counts.collect()  # bounded: |event vocab|^2
+    out_tot = {}
+    for r in model:
+        out_tot[r["s"]] = out_tot.get(r["s"], 0) + int(r["c"])
+    tm = {
+        (r["s"], r["t"]): int(r["c"]) * 10**6 // out_tot[r["s"]]
+        for r in model
+    }
+    states = sorted(out_tot)
+    idx = {s: i + 1 for i, s in enumerate(states)}
+    delta = {s: (10**6 if s == VIT_START else 0) for s in states}
+    rows = []
+    for k in range(1, VIT_K + 1):
+        nxt = {}
+        prv = {}
+        for t in states:
+            best = max(
+                (
+                    (delta[s] * tm.get((s, t), 0) // 10**6) * 16
+                    + (15 - idx[s]),
+                    s,
+                )
+                for s in states
+            )
+            nxt[t] = best[0] // 16
+            prv[t] = best[1]
+        delta = nxt
+        rows.extend((k, t, delta[t], prv[t]) for t in states)
+    return spark.createDataFrame(
+        rows, "step long, state string, delta_ppm long, prev_state string"
+    )

@@ -3578,3 +3578,187 @@ def ext_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_mean_dollars"
         ),
     )
+
+
+#: matrix profile: window length MP_W days (whole-dollar daily
+#: revenue), trivial-match exclusion zone = MP_W. The profile value of
+#: window i is its exact integer squared L2 distance to the NEAREST
+#: other window; the global argmin pair is the top MOTIF, the window
+#: with the LARGEST nearest-neighbor distance is the top DISCORD.
+MP_W = 7
+
+
+def _mp_dist(prefix_a: str, prefix_b: str) -> str:
+    return " + ".join(
+        f"({prefix_a}{t} - {prefix_b}{t}) * ({prefix_a}{t} - {prefix_b}{t})"
+        for t in range(MP_W)
+    )
+
+
+def _mp_win_cols(src: str, engine_lead: str) -> str:
+    return ", ".join(
+        f"{engine_lead}({src}, {t}) OVER (ORDER BY i) AS w{t}"
+        if t > 0
+        else f"{src} AS w0"
+        for t in range(MP_W)
+    )
+
+
+@query(
+    "ext_matrix_profile",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS i,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ), win AS (
+        SELECT i, d, {_mp_win_cols("v", "LEAD")}
+        FROM idx
+        QUALIFY i <= n - {MP_W - 1}
+    ), pairs AS (
+        SELECT a.i AS ia, a.d AS da, b.i AS ib, b.d AS db,
+               CAST({_mp_dist("a.w", "b.w")} AS BIGINT) AS dist
+        FROM win a JOIN win b ON b.i >= a.i + {MP_W}
+    ), orient AS (
+        SELECT ia AS i, da AS di, ib AS j, db AS dj, dist FROM pairs
+        UNION ALL
+        SELECT ib, db, ia, da, dist FROM pairs
+    ), profile AS (
+        SELECT i, di,
+               CAST(MIN(dist) AS BIGINT) AS nn_dist,
+               CAST(arg_min(j, dist * 100000 + j) AS BIGINT) AS nn_j,
+               CAST(arg_min(dj, dist * 100000 + j) AS BIGINT) AS nn_dj
+        FROM orient GROUP BY i, di
+    )
+    SELECT 'motif' AS kind, CAST(i AS BIGINT) AS i, di AS day_i,
+           nn_j AS j, nn_dj AS day_j, nn_dist AS dist_sq_dollars
+    FROM (SELECT profile.*,
+                 ROW_NUMBER() OVER (ORDER BY nn_dist, i) AS rk
+          FROM profile)
+    WHERE rk = 1
+    UNION ALL
+    SELECT 'discord', CAST(i AS BIGINT), di, nn_j, nn_dj, nn_dist
+    FROM (SELECT profile.*,
+                 ROW_NUMBER() OVER (ORDER BY nn_dist DESC, i) AS rk
+          FROM profile)
+    WHERE rk = 1
+    """,
+)
+def ext_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — matrix profile (Yeh et al.) of the daily-revenue series,
+    window = 7 days: every weekly window's exact squared distance to
+    its NEAREST non-overlapping window; the global minimum pair is the
+    top MOTIF (the week that repeats most exactly) and the window
+    farthest from everything is the top DISCORD (the most anomalous
+    week) — the modern time-series primitive that unifies motif
+    discovery and anomaly detection in one structure. All whole-dollar
+    integer arithmetic; nearest-neighbor ties pin to the smallest j
+    via the encoded key dist*100000 + j.
+
+    Shape: windows come from MP_W lead() columns over the
+    calendar-bounded series; the quadratic pair join stays
+    calendar^2-bounded (2400^2/2 pairs at 7 integer ops each — the
+    robust-location/DTW budget), both orientations emitted in-row so
+    the profile is ONE groupBy. At true scale this is where the STOMP
+    ordering/FFT trick replaces brute force; the brute-force twin is
+    what makes the oracle exact."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.sum(F.floor(F.col("o_totalprice")).cast("bigint")).alias("v"))
+    w = Window.partitionBy(F.lit(1)).orderBy("d")
+    cols = [F.col("d"), F.row_number().over(w).alias("i"),
+            F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+            F.col("v").alias("w0")]
+    cols += [F.lead("v", t).over(w).alias(f"w{t}") for t in range(1, MP_W)]
+    win = (
+        daily.select(*cols)
+        .where(F.col("i") <= F.col("n") - (MP_W - 1))
+        .drop("n")
+        .localCheckpoint()
+    )
+    a = win.alias("a")
+    b = win.alias("b")
+    pairs = a.join(
+        broadcast(b), F.col("b.i") >= F.col("a.i") + MP_W
+    ).select(
+        F.col("a.i").alias("ia"),
+        F.col("a.d").alias("da"),
+        F.col("b.i").alias("ib"),
+        F.col("b.d").alias("db"),
+        F.expr("CAST(" + _mp_dist("a.w", "b.w") + " AS BIGINT)").alias(
+            "dist"
+        ),
+    )
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("i"),
+                    F.col("da").alias("di"),
+                    F.col("ib").alias("j"),
+                    F.col("db").alias("dj"),
+                    F.col("dist"),
+                ),
+                F.struct(
+                    F.col("ib").alias("i"),
+                    F.col("db").alias("di"),
+                    F.col("ia").alias("j"),
+                    F.col("da").alias("dj"),
+                    F.col("dist"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    profile = both.groupBy("i", "di").agg(
+        F.min("dist").cast("bigint").alias("nn_dist"),
+        F.expr(
+            "CAST(min_by(j, dist * 100000 + j) AS BIGINT)"
+        ).alias("nn_j"),
+        F.expr(
+            "CAST(min_by(dj, dist * 100000 + j) AS BIGINT)"
+        ).alias("nn_dj"),
+    ).localCheckpoint()
+    motif = (
+        profile.withColumn(
+            "rk", F.row_number().over(Window.orderBy("nn_dist", "i"))
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            F.lit("motif").alias("kind"),
+            F.col("i").cast("bigint").alias("i"),
+            F.col("di").alias("day_i"),
+            F.col("nn_j").alias("j"),
+            F.col("nn_dj").alias("day_j"),
+            F.col("nn_dist").alias("dist_sq_dollars"),
+        )
+    )
+    discord = (
+        profile.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("nn_dist").desc(), "i")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            F.lit("discord").alias("kind"),
+            F.col("i").cast("bigint").alias("i"),
+            F.col("di").alias("day_i"),
+            F.col("nn_j").alias("j"),
+            F.col("nn_dj").alias("day_j"),
+            F.col("nn_dist").alias("dist_sq_dollars"),
+        )
+    )
+    return motif.unionAll(discord)

@@ -269,6 +269,9 @@ _NLJ_ALLOWED = {
     # round-6 wave 85: 1-row moved-keys total broadcast onto the
     # per-node grouping
     "ext_consistent_hash_ring",
+    # round-6 wave 87: calendar-bounded window table self-joined on an
+    # rn-inequality (the brute-force matrix-profile pair sweep)
+    "ext_matrix_profile",
 }
 
 
