@@ -3762,3 +3762,73 @@ def ext_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return motif.unionAll(discord)
+
+
+@query(
+    "ext_inspection_paradox",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                   AS t_s,
+               event_id
+        FROM events
+    ), gaps AS (
+        SELECT event_type,
+               t_s - LAG(t_s) OVER (PARTITION BY event_type
+                                    ORDER BY t_s, event_id) AS g
+        FROM e
+        QUALIFY g IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(g) AS BIGINT) AS total_gap_s,
+           CAST(CAST(SUM(g) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS mean_gap_s,
+           CAST(CAST(SUM(g * g) AS BIGINT) // CAST(SUM(g) AS BIGINT)
+                AS BIGINT) AS sizebiased_mean_s,
+           CAST(CAST(SUM(g * g) AS BIGINT) * 1000
+                // (CAST(SUM(g) AS BIGINT) * (CAST(SUM(g) AS BIGINT)
+                                              // COUNT(*)))
+                AS BIGINT) AS paradox_ratio_milli
+    FROM gaps GROUP BY event_type
+    """,
+)
+def ext_inspection_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — the inspection (waiting-time) paradox, quantified per event
+    type: the plain mean inter-event gap versus the SIZE-BIASED mean
+    E[g^2]/E[g] — the gap an observer arriving at a random instant
+    actually lands in — with their ratio in milli (1000 = perfectly
+    regular; 2000 = exponential arrivals; higher = bursty). This is
+    renewal theory's length-biased sampling in one aggregate, and the
+    reason 'average time between failures' understates what a random
+    probe experiences; the burstiness diagnosis that complements
+    ext_dispersion_index (counts) with the INTERVAL view. All exact
+    integer seconds (second granularity keeps sum-of-squares far
+    inside int64 at any realistic stream length).
+
+    Shape: one event_type-keyed window for the lag, one groupBy —
+    identical cost to any sessionization pass."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / 1000000)
+        .cast("bigint")
+        .alias("t_s"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("t_s", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.col("t_s") - F.lag("t_s").over(w)).alias("g"),
+    ).where(F.col("g").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("g").cast("bigint").alias("total_gap_s"),
+        F.expr("CAST(sum(g) DIV count(*) AS BIGINT)").alias("mean_gap_s"),
+        F.expr("CAST(sum(g * g) DIV sum(g) AS BIGINT)").alias(
+            "sizebiased_mean_s"
+        ),
+        F.expr(
+            "CAST(sum(g * g) * 1000"
+            " DIV (sum(g) * (sum(g) DIV count(*))) AS BIGINT)"
+        ).alias("paradox_ratio_milli"),
+    )

@@ -291,3 +291,201 @@ def ext_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(t_row).cast("bigint").alias("t_row_milli"),
         F.lit(t_col).cast("bigint").alias("t_col_milli"),
     )
+
+
+#: stable matching: the GS_N top-revenue suppliers (proposers) and
+#: top-revenue brands (acceptors), preferences = pairwise revenue
+#: affinity (desc, id tiebreak). Gale-Shapley's proposer-optimal
+#: matching is UNIQUE regardless of proposal order (McVitie-Wilson), so
+#: the Python model loop and the sequential WITH RECURSIVE twin agree
+#: by theorem, not by step-lockstep.
+GS_N = 8
+
+
+def _gs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE aff AS MATERIALIZED (
+        SELECT l.l_suppkey AS s, p.p_brand AS b,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), sup AS MATERIALIZED (
+        SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY tv DESC, s) AS BIGINT)
+                   AS si
+        FROM (SELECT s, SUM(v) AS tv FROM aff GROUP BY s)
+        QUALIFY si <= {GS_N}
+    ), br AS MATERIALIZED (
+        SELECT b, CAST(ROW_NUMBER() OVER (ORDER BY tv DESC, b) AS BIGINT)
+                   AS bi
+        FROM (SELECT b, SUM(v) AS tv FROM aff GROUP BY b)
+        QUALIFY bi <= {GS_N}
+    ), cells AS MATERIALIZED (
+        SELECT sup.si, br.bi, COALESCE(a.v, 0) AS v
+        FROM sup CROSS JOIN br
+        LEFT JOIN aff a ON a.s = sup.s AND a.b = br.b
+    ), prefp AS MATERIALIZED (
+        -- prefp.l[si] = acceptor indices in supplier si's preference order
+        SELECT list(bl ORDER BY si) AS l
+        FROM (SELECT si, list(bi ORDER BY v DESC, bi) AS bl
+              FROM cells GROUP BY si)
+    ), ranka AS MATERIALIZED (
+        -- ranka.l[bi][si] = brand bi's rank of supplier si (1 = best)
+        SELECT list(rl ORDER BY bi) AS l
+        FROM (SELECT bi, list(rk ORDER BY si) AS rl
+              FROM (SELECT bi, si,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY bi
+                                ORDER BY v DESC, si) AS BIGINT) AS rk
+                    FROM cells)
+              GROUP BY bi)
+    ), gs AS (
+        SELECT 0 AS step,
+               list_transform(range(1, {GS_N} + 1),
+                              z -> CAST(1 AS BIGINT)) AS nxt,
+               list_transform(range(1, {GS_N} + 1),
+                              z -> CAST(0 AS BIGINT)) AS fia
+        UNION ALL
+        SELECT gs.step + 1,
+               list_transform(range(1, {GS_N} + 1),
+                   q -> CASE WHEN q = fr.i THEN gs.nxt[CAST(q AS INT)] + 1
+                        ELSE gs.nxt[CAST(q AS INT)] END),
+               list_transform(range(1, {GS_N} + 1),
+                   q -> CASE
+                     WHEN q <> pj.j THEN gs.fia[CAST(q AS INT)]
+                     WHEN gs.fia[CAST(q AS INT)] = 0 THEN fr.i
+                     WHEN r.l[CAST(pj.j AS INT)][CAST(fr.i AS INT)]
+                          < r.l[CAST(pj.j AS INT)]
+                               [CAST(gs.fia[CAST(q AS INT)] AS INT)]
+                          THEN fr.i
+                     ELSE gs.fia[CAST(q AS INT)]
+                   END)
+        FROM gs, prefp p, ranka r,
+             LATERAL (SELECT MIN(u.x) AS i
+                      FROM (SELECT unnest(range(1, {GS_N} + 1)) AS x) u
+                      WHERE NOT list_contains(gs.fia, u.x)) fr,
+             LATERAL (SELECT p.l[CAST(fr.i AS INT)]
+                           [CAST(gs.nxt[CAST(fr.i AS INT)] AS INT)]
+                          AS j) pj
+        WHERE fr.i IS NOT NULL
+    ), final AS (
+        SELECT fia FROM gs ORDER BY step DESC LIMIT 1
+    )
+    SELECT sup.s AS supplier, br.b AS brand,
+           CAST(c.v AS BIGINT) AS affinity_cents,
+           CAST(list_position(p.l[CAST(c.si AS INT)], c.bi) AS BIGINT)
+               AS rank_by_supplier,
+           CAST(r.l[CAST(c.bi AS INT)][CAST(c.si AS INT)] AS BIGINT)
+               AS rank_by_brand
+    FROM final f, prefp p, ranka r,
+         (SELECT unnest(range(1, {GS_N} + 1)) AS bi) u
+    JOIN cells c ON c.bi = u.bi
+    JOIN sup ON sup.si = c.si
+    JOIN br ON br.bi = c.bi
+    WHERE c.si = f.fia[CAST(u.bi AS INT)]
+    """
+
+
+@query("ext_gale_shapley", oracle=_gs_oracle())
+def ext_gale_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op — Gale-Shapley stable matching of the top-8 suppliers to the
+    top-8 brands, preferences = pairwise revenue affinity: no
+    supplier-brand pair exists that both prefer over their assignment
+    — the deferred-acceptance mechanism behind residency matching, ad
+    slot allocation and supplier-contract assignment. The
+    proposer-optimal matching is UNIQUE whatever the proposal order
+    (McVitie-Wilson), so the Python model loop and the SEQUENTIAL
+    WITH RECURSIVE oracle — which carries (next-proposal, engagements)
+    as list state and runs one proposal per step — agree by theorem.
+    Output: each match with its affinity and both sides' ranks of it.
+
+    Shape: the distributed work is ONE (supplier, brand) revenue
+    groupBy; the 8x8 preference model is a bounded artifact collected
+    once and matched in exact Python (the MLlib pattern), then joined
+    back onto the distributed affinity cells."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_suppkey").alias("s"),
+        cents(F.col("l_extendedprice")).cast("bigint").alias("v"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("b"),
+    )
+    aff = (
+        li.join(p, "l_partkey")
+        .groupBy("s", "b")
+        .agg(F.sum("v").cast("bigint").alias("v"))
+        .localCheckpoint()
+    )
+    rows = aff.collect()  # bounded: |suppliers| x |brands| cells
+    sup_tot = {}
+    br_tot = {}
+    for r in rows:
+        sup_tot[r["s"]] = sup_tot.get(r["s"], 0) + int(r["v"])
+        br_tot[r["b"]] = br_tot.get(r["b"], 0) + int(r["v"])
+    sups = [
+        s
+        for _, s in sorted(((-t, s) for s, t in sup_tot.items()))[:GS_N]
+    ]
+    brs = [
+        b for _, b in sorted(((-t, b) for b, t in br_tot.items()))[:GS_N]
+    ]
+    cell = {
+        (s, b): 0 for s in sups for b in brs
+    }
+    for r in rows:
+        if (r["s"], r["b"]) in cell:
+            cell[(r["s"], r["b"])] = int(r["v"])
+    pref_p = {
+        s: sorted(brs, key=lambda b: (-cell[(s, b)], brs.index(b) + 1))
+        for s in sups
+    }
+    rank_a = {
+        b: {
+            s: k + 1
+            for k, s in enumerate(
+                sorted(sups, key=lambda s: (-cell[(s, b)],
+                                            sups.index(s) + 1))
+            )
+        }
+        for b in brs
+    }
+    nxt = {s: 0 for s in sups}
+    fiance = {}
+    free = list(sups)
+    while free:
+        s = min(free, key=lambda x: sups.index(x))
+        b = pref_p[s][nxt[s]]
+        nxt[s] += 1
+        cur = fiance.get(b)
+        if cur is None:
+            fiance[b] = s
+            free.remove(s)
+        elif rank_a[b][s] < rank_a[b][cur]:
+            fiance[b] = s
+            free.remove(s)
+            free.append(cur)
+    match = spark.createDataFrame(
+        [
+            (
+                fiance[b],
+                b,
+                pref_p[fiance[b]].index(b) + 1,
+                rank_a[b][fiance[b]],
+            )
+            for b in brs
+        ],
+        "s long, b string, rank_by_supplier long, rank_by_brand long",
+    )
+    return (
+        match.join(aff, ["s", "b"], "left")
+        .select(
+            F.col("s").alias("supplier"),
+            F.col("b").alias("brand"),
+            F.coalesce(F.col("v"), F.lit(0))
+            .cast("bigint")
+            .alias("affinity_cents"),
+            "rank_by_supplier",
+            "rank_by_brand",
+        )
+    )
