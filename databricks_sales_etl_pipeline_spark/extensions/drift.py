@@ -3832,3 +3832,116 @@ def ext_inspection_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (sum(g) * (sum(g) DIV count(*))) AS BIGINT)"
         ).alias("paradox_ratio_milli"),
     )
+
+
+#: SAX: weekly PAA means (floored whole dollars) discretized into 4
+#: symbols at the weekly-mean QUARTILES (exact integer-cents order
+#: statistics — no Gaussian breakpoints needed), then 3-gram motif
+#: counting over the symbol string.
+SAX_GRAM = 3
+SAX_TOPN = 10
+
+
+@query(
+    "ext_sax_symbolic",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM orders GROUP BY 1
+    ), weekly AS (
+        SELECT d // 7 AS wk,
+               CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS paa
+        FROM daily GROUP BY 1
+    ), ranked AS (
+        SELECT wk, paa,
+               ROW_NUMBER() OVER (ORDER BY paa, wk) AS r,
+               COUNT(*) OVER () AS n
+        FROM weekly
+    ), brk AS (
+        SELECT MIN(CASE WHEN r * 4 >= n THEN paa END) AS q1,
+               MIN(CASE WHEN r * 2 >= n THEN paa END) AS q2,
+               MIN(CASE WHEN r * 4 >= 3 * n THEN paa END) AS q3
+        FROM ranked
+    ), sym AS (
+        SELECT wk,
+               CASE WHEN paa <= brk.q1 THEN 'a'
+                    WHEN paa <= brk.q2 THEN 'b'
+                    WHEN paa <= brk.q3 THEN 'c'
+                    ELSE 'd' END AS s
+        FROM weekly, brk
+    ), grams AS (
+        SELECT s || LEAD(s, 1) OVER w || LEAD(s, 2) OVER w AS gram
+        FROM sym WINDOW w AS (ORDER BY wk)
+        QUALIFY gram IS NOT NULL
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM grams GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT {SAX_TOPN}
+    """,
+)
+def ext_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — SAX symbolic discretization of the revenue series: weekly
+    PAA means (Piecewise Aggregate Approximation, floored dollars)
+    mapped to a 4-letter alphabet at the EMPIRICAL quartiles (exact
+    order statistics — no Gaussian-lookup breakpoints, so no libm),
+    then the top 3-gram motifs of the symbol string — the symbolic
+    counterpart to ext_matrix_profile's numeric motifs, and the
+    representation under SAX-VSM / HOT-SAX anomaly mining. A 'ddd'
+    motif literally reads "three top-quartile weeks in a row".
+
+    Shape: one day groupBy, one week groupBy, quartiles from a
+    week-count-bounded window, one LEAD window for the grams — every
+    stage after the first aggregate is calendar-bounded."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.sum(F.floor(F.col("o_totalprice")).cast("bigint")).alias("v"))
+    weekly = daily.groupBy(
+        F.expr("d DIV 7").alias("wk")
+    ).agg(F.expr("CAST(sum(v) DIV count(*) AS BIGINT)").alias("paa"))
+    w = Window.partitionBy(F.lit(1))
+    ranked = weekly.select(
+        "paa",
+        F.row_number().over(w.orderBy("paa", "wk")).alias("r"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    brk = ranked.agg(
+        F.min(F.when(F.col("r") * 4 >= F.col("n"), F.col("paa"))).alias(
+            "q1"
+        ),
+        F.min(F.when(F.col("r") * 2 >= F.col("n"), F.col("paa"))).alias(
+            "q2"
+        ),
+        F.min(
+            F.when(F.col("r") * 4 >= 3 * F.col("n"), F.col("paa"))
+        ).alias("q3"),
+    )
+    sym = weekly.join(broadcast(brk)).select(
+        "wk",
+        F.when(F.col("paa") <= F.col("q1"), "a")
+        .when(F.col("paa") <= F.col("q2"), "b")
+        .when(F.col("paa") <= F.col("q3"), "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    wo = Window.partitionBy(F.lit(1)).orderBy("wk")
+    grams = sym.select(
+        F.concat(
+            F.col("s"), F.lead("s", 1).over(wo), F.lead("s", 2).over(wo)
+        ).alias("gram")
+    ).where(F.col("gram").isNotNull())
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "gram")
+        .limit(SAX_TOPN)
+    )

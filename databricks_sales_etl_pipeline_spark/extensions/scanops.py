@@ -1122,3 +1122,160 @@ def ext_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend_cents long, season_cents long, forecast_cents long",
         )
     )
+
+
+#: Bellman optimal K-segmentation of the monthly series: exact DP
+#: C[k][i] = min_j C[k-1][j] + SSE(j+1..i), SSE floored via the
+#: overflow-free split (s//n)*s + ((s%n)*s)//n on whole-dollar sums,
+#: argmin ties to the smallest split j. K and the month count bound
+#: the DP at K*n^2 integer ops.
+OSEG_K = 3
+
+
+def _oseg_sq_over_n(sv: str, nv: str) -> str:
+    return (
+        f"((({sv}) // ({nv})) * ({sv})"
+        f" + ((({sv}) % ({nv})) * ({sv})) // ({nv}))"
+    )
+
+
+def _oseg_oracle() -> str:
+    # SSE(jj+1 .. ii) from 1-based prefix lists (jj = 0 means prefix)
+    seg_s = (
+        "q.sv[CAST(ii AS INT)]"
+        " - CASE WHEN jj > 0 THEN q.sv[CAST(jj AS INT)] ELSE 0 END"
+    )
+    seg_q = (
+        "q.qv[CAST(ii AS INT)]"
+        " - CASE WHEN jj > 0 THEN q.qv[CAST(jj AS INT)] ELSE 0 END"
+    )
+    sse = f"({seg_q} - {_oseg_sq_over_n(seg_s, 'ii - jj')})"
+    sse_layer1 = sse.replace("jj", "0")
+    key = (
+        f"(dp.c[CAST(jj AS INT)] + {sse}) * 1000 + jj"
+    )
+    return f"""
+    WITH RECURSIVE mrev AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ), cum AS (
+        SELECT m,
+               SUM(y) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS s,
+               SUM(y * y) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS qq
+        FROM mrev
+    ), q AS (
+        SELECT list(m ORDER BY m) AS mv,
+               list(s ORDER BY m) AS sv,
+               list(qq ORDER BY m) AS qv,
+               COUNT(*) AS n
+        FROM cum
+    ), dp AS (
+        SELECT 1 AS k,
+               (SELECT list_transform(range(1, n + 1),
+                       ii -> CAST({sse_layer1} AS BIGINT)) FROM q) AS c,
+               (SELECT list_transform(range(1, n + 1),
+                       ii -> CAST(0 AS BIGINT)) FROM q) AS bp
+        UNION ALL
+        SELECT dp.k + 1,
+               list_transform(kk.keys, x -> CAST(x // 1000 AS BIGINT)),
+               list_transform(kk.keys, x -> CAST(x % 1000 AS BIGINT))
+        FROM dp, q,
+             LATERAL (SELECT list_transform(range(1, q.n + 1), ii ->
+                          CASE WHEN ii <= dp.k
+                               THEN dp.c[CAST(ii AS INT)] * 1000
+                          ELSE list_min(list_transform(range(dp.k, ii),
+                                        jj -> {key}))
+                          END) AS keys) kk
+        WHERE dp.k < {OSEG_K}
+    )
+    SELECT CAST(dp.k AS BIGINT) AS k,
+           CAST(q.n AS BIGINT) AS n_months,
+           CAST(dp.c[CAST(q.n AS INT)] AS BIGINT) AS total_sse_dollars,
+           CAST(dp.bp[CAST(q.n AS INT)] AS BIGINT) AS last_breakpoint,
+           CAST(CASE WHEN dp.bp[CAST(q.n AS INT)] > 0
+                THEN q.mv[CAST(dp.bp[CAST(q.n AS INT)] AS INT)]
+                ELSE 0 END AS BIGINT) AS last_breakpoint_month
+    FROM dp, q
+    """
+
+
+@query("ext_optimal_segmentation", oracle=_oseg_oracle())
+def ext_optimal_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — OPTIMAL k-segmentation (Bellman 1961) of monthly revenue
+    into K = 1..3 piecewise-constant segments: the exact DP
+    C[k][i] = min_j C[k-1][j] + SSE(j+1..i) over floored integer SSEs —
+    the global optimum that greedy binary segmentation
+    (ext_binary_segmentation) only approximates, and the 1D ancestor
+    of every changepoint/DP-binning method. Reports, per K, the total
+    SSE (the elbow curve for choosing K) and the last breakpoint.
+    Argmin ties pin to the smallest split via cost*1000 + j.
+
+    Shape: one month groupBy; the K*n^2 DP runs on the
+    calendar-bounded series inside one applyInPandas task (n~80, K=3 —
+    thousands of integer ops); the DuckDB twin carries each DP layer
+    as a LIST in the recursion."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year(F.col("o_orderdate")) * 100 + F.month(F.col("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("m")
+    ).agg(F.sum(F.floor(F.col("o_totalprice")).cast("bigint")).alias("y"))
+
+    def _sq_over(s: int, n: int) -> int:
+        return (s // n) * s + ((s % n) * s) // n
+
+    def _dp(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("m")
+        ms = pdf["m"].astype("int64").tolist()
+        ys = pdf["y"].astype("int64").tolist()
+        n = len(ys)
+        sv = [0] * (n + 1)
+        qv = [0] * (n + 1)
+        for i in range(1, n + 1):
+            sv[i] = sv[i - 1] + ys[i - 1]
+            qv[i] = qv[i - 1] + ys[i - 1] * ys[i - 1]
+
+        def sse(j: int, i: int) -> int:
+            return qv[i] - qv[j] - _sq_over(sv[i] - sv[j], i - j)
+
+        rows = []
+        c = [0] + [sse(0, i) for i in range(1, n + 1)]
+        bp = [0] * (n + 1)
+        rows.append((1, n, c[n], bp[n], ms[bp[n] - 1] if bp[n] else 0))
+        for k in range(2, OSEG_K + 1):
+            nc = [0] * (n + 1)
+            nbp = [0] * (n + 1)
+            for i in range(1, n + 1):
+                if i <= k - 1:
+                    nc[i], nbp[i] = c[i], 0
+                else:
+                    best = min(
+                        ((c[j] + sse(j, i)) * 1000 + j, j)
+                        for j in range(k - 1, i)
+                    )
+                    nc[i] = (best[0] - best[1]) // 1000
+                    nbp[i] = best[1]
+            c, bp = nc, nbp
+            rows.append((k, n, c[n], bp[n], ms[bp[n] - 1] if bp[n] else 0))
+        return pd.DataFrame(
+            rows,
+            columns=["k", "n_months", "total_sse_dollars",
+                     "last_breakpoint", "last_breakpoint_month"],
+        )
+
+    return (
+        monthly.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            _dp,
+            "k long, n_months long, total_sse_dollars long, "
+            "last_breakpoint long, last_breakpoint_month long",
+        )
+    )
