@@ -488,3 +488,186 @@ def ext_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("chao1_estimate"),
     )
+
+
+#: Huffman coding over the HUF_N most frequent tokens: symbols get ids
+#: 1..HUF_N in (freq desc, token) order, each merge step joins the two
+#: least-frequent active nodes (key = freq * 100 + id, id < 100 — the
+#: deterministic tie rule both engines share), merged node ids count up
+#: from HUF_N + 1. Code length = depth in the final tree; the unit test
+#: checks the Kraft EQUALITY (sum 2^(L-len) == 2^L) that only a full
+#: prefix tree satisfies.
+HUF_N = 16
+
+
+def _huffman_oracle() -> str:
+    n2 = 2 * HUF_N - 1
+    return f"""
+    WITH RECURSIVE toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+                    AS BIGINT) AS id
+        FROM toks GROUP BY tok
+        QUALIFY id <= {HUF_N}
+    ), init AS (
+        SELECT list(id ORDER BY id) AS ids,
+               list(f ORDER BY id) AS fs
+        FROM freq
+    ), merge AS (
+        SELECT 0 AS step, ids, fs,
+               list_transform(range(1, {n2} + 1),
+                              z -> CAST(0 AS BIGINT)) AS par
+        FROM init
+        UNION ALL
+        SELECT merge.step + 1,
+               list_append(
+                   list_transform(
+                       list_filter(range(1, len(merge.ids) + 1),
+                                   p -> merge.ids[CAST(p AS INT)] <> k.i1
+                                    AND merge.ids[CAST(p AS INT)] <> k.i2),
+                       p2 -> merge.ids[CAST(p2 AS INT)]),
+                   CAST({HUF_N} + merge.step + 1 AS BIGINT)),
+               list_append(
+                   list_transform(
+                       list_filter(range(1, len(merge.ids) + 1),
+                                   p -> merge.ids[CAST(p AS INT)] <> k.i1
+                                    AND merge.ids[CAST(p AS INT)] <> k.i2),
+                       p2 -> merge.fs[CAST(p2 AS INT)]),
+                   k.f1 + k.f2),
+               list_transform(range(1, {n2} + 1),
+                   z -> CASE WHEN z = k.i1 OR z = k.i2
+                             THEN CAST({HUF_N} + merge.step + 1 AS BIGINT)
+                             ELSE merge.par[CAST(z AS INT)] END)
+        FROM merge,
+             LATERAL (
+                SELECT m1.i1, m1.f1,
+                       list_min(list_transform(
+                           list_filter(range(1, len(merge.ids) + 1),
+                               p3 -> merge.ids[CAST(p3 AS INT)] <> m1.i1),
+                           p4 -> merge.fs[CAST(p4 AS INT)] * 100
+                                 + merge.ids[CAST(p4 AS INT)])) % 100
+                           AS i2,
+                       list_min(list_transform(
+                           list_filter(range(1, len(merge.ids) + 1),
+                               p3 -> merge.ids[CAST(p3 AS INT)] <> m1.i1),
+                           p4 -> merge.fs[CAST(p4 AS INT)] * 100
+                                 + merge.ids[CAST(p4 AS INT)])) // 100
+                           AS f2
+                FROM (SELECT
+                        list_min(list_transform(
+                            range(1, len(merge.ids) + 1),
+                            p5 -> merge.fs[CAST(p5 AS INT)] * 100
+                                  + merge.ids[CAST(p5 AS INT)])) % 100
+                            AS i1,
+                        list_min(list_transform(
+                            range(1, len(merge.ids) + 1),
+                            p5 -> merge.fs[CAST(p5 AS INT)] * 100
+                                  + merge.ids[CAST(p5 AS INT)])) // 100
+                            AS f1) m1
+             ) k
+        WHERE len(merge.ids) > 1
+    ), fin AS (
+        SELECT par FROM merge ORDER BY step DESC LIMIT 1
+    ), depth AS (
+        SELECT f.id AS leaf, f.tok, f.f,
+               CAST(fin.par[CAST(f.id AS INT)] AS BIGINT) AS cur,
+               CAST(1 AS BIGINT) AS d
+        FROM freq f, fin
+        UNION ALL
+        SELECT depth.leaf, depth.tok, depth.f,
+               CAST(fin.par[CAST(depth.cur AS INT)] AS BIGINT),
+               depth.d + 1
+        FROM depth, fin
+        WHERE fin.par[CAST(depth.cur AS INT)] <> 0
+    ), lens AS (
+        SELECT leaf, tok, f, MAX(d) AS code_len
+        FROM depth GROUP BY 1, 2, 3
+    )
+    SELECT tok, f AS freq, CAST(code_len AS BIGINT) AS code_len,
+           CAST(f * code_len AS BIGINT) AS bits,
+           CAST((SELECT SUM(f * code_len) FROM lens) AS BIGINT)
+               AS total_bits,
+           CAST((SELECT SUM(f * 4) FROM lens) AS BIGINT) AS fixed_bits
+    FROM lens
+    """
+
+
+@query("ext_huffman_code", oracle=_huffman_oracle())
+def ext_huffman_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lm — Huffman coding of the 16 most frequent corpus tokens: the
+    optimal prefix code built by repeatedly merging the two
+    least-frequent nodes (deterministic tie rule freq*100+id), reported
+    as per-token code lengths plus the total coded bits beside the
+    4-bit fixed-width baseline — the entropy-coding floor that
+    ext_compression_ratio measures empirically and BPE approaches from
+    the other side. The Kraft EQUALITY (a full binary tree's code
+    lengths satisfy sum 2^-len = 1 exactly) is pinned in the unit
+    test — an invariant only a correct Huffman construction meets.
+
+    Shape: one token explode + groupBy is the only data-sized work;
+    the 16-leaf merge loop is a bounded model built in exact Python
+    (the MLlib pattern), joined back onto the distributed frequency
+    table. The DuckDB twin runs the identical merge recursion with
+    (ids, freqs, parents) carried as LIST state."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        .withColumn(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), "tok"))
+            .cast("bigint"),
+        )
+        .where(F.col("id") <= HUF_N)
+        .localCheckpoint()
+    )
+    leaves = freq.collect()  # bounded: HUF_N rows
+    active = [(int(r["f"]), int(r["id"])) for r in leaves]
+    par = {}
+    nxt = HUF_N + 1
+    while len(active) > 1:
+        k1 = min(f * 100 + i for f, i in active)
+        f1, i1 = k1 // 100, k1 % 100
+        rest = [(f, i) for f, i in active if i != i1]
+        k2 = min(f * 100 + i for f, i in rest)
+        f2, i2 = k2 // 100, k2 % 100
+        par[i1] = nxt
+        par[i2] = nxt
+        active = [(f, i) for f, i in rest if i != i2] + [(f1 + f2, nxt)]
+        nxt += 1
+
+    def depth(leaf: int) -> int:
+        d = 0
+        cur = leaf
+        while cur in par:
+            cur = par[cur]
+            d += 1
+        return d
+
+    lens = {int(r["id"]): depth(int(r["id"])) for r in leaves}
+    total_bits = sum(int(r["f"]) * lens[int(r["id"])] for r in leaves)
+    fixed_bits = sum(int(r["f"]) * 4 for r in leaves)
+    ldf = spark.createDataFrame(
+        [(i, l) for i, l in lens.items()], "id long, code_len long"
+    )
+    return freq.join(broadcast(ldf), "id").select(
+        "tok",
+        F.col("f").alias("freq"),
+        F.col("code_len").cast("bigint").alias("code_len"),
+        (F.col("f") * F.col("code_len")).cast("bigint").alias("bits"),
+        F.lit(total_bits).cast("bigint").alias("total_bits"),
+        F.lit(fixed_bits).cast("bigint").alias("fixed_bits"),
+    )

@@ -679,3 +679,42 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.tier_name
         """
     )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 — the IDENTIFIER() clause (Spark 4): table AND column names
+    bound as typed identifier parameters instead of string-spliced SQL —
+    the injection-safe way to template "same query, different
+    table/column" jobs (the string-splice alternative is both unsafe
+    and uncacheable). The identifier binding happens at parse time, so
+    Catalyst sees a fully resolved plan — pushdown and pruning are
+    unaffected (same plan as the literal query).
+
+    Reference scope: the reference's notebooks hardcode table names per
+    cell; this is the governed form of that pattern."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(IDENTIFIER(:amt_col) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        """,
+        args={
+            "tbl": "orders",
+            "grp_col": "o_orderpriority",
+            "amt_col": "o_totalprice",
+        },
+    )
