@@ -661,3 +661,238 @@ def ext_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("chapman"),
     )
+
+
+#: two-pass exact median: pass 1 bins values into MED2_BINS equi-width
+#: buckets and finds the bucket holding the k-th element (k = lower
+#: median); pass 2 takes the exact order statistic INSIDE that bucket.
+#: This is how an exact median survives 100 TB: no global sort — one
+#: aggregate pass plus one order statistic over ~N/BINS rows.
+MED2_BINS = 1024
+
+
+@query(
+    "ext_median_twopass",
+    oracle=f"""
+    WITH x AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+    ), ext AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k
+        FROM x
+    ), binned AS (
+        SELECT (x.v - ext.lo) * {MED2_BINS} // (ext.hi - ext.lo + 1)
+                   AS bin_id,
+               x.v, ext.n, ext.k
+        FROM x, ext
+    ), hist AS (
+        SELECT bin_id, COUNT(*) AS c,
+               SUM(COUNT(*)) OVER (ORDER BY bin_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM binned GROUP BY bin_id
+    ), target AS (
+        SELECT h.bin_id, CAST(h.c AS BIGINT) AS bin_count,
+               CAST(h.cum - h.c AS BIGINT) AS before_count
+        FROM hist h, ext
+        WHERE h.cum >= ext.k AND h.cum - h.c < ext.k
+    )
+    , inbin AS (
+        SELECT b.v, ROW_NUMBER() OVER (ORDER BY b.v) AS rr
+        FROM binned b, target t WHERE b.bin_id = t.bin_id
+    )
+    SELECT ext.n, ext.k,
+           CAST(t.bin_id AS BIGINT) AS bin_id,
+           t.bin_count, t.before_count,
+           CAST((SELECT v FROM inbin, ext e2, target t2
+                 WHERE rr = e2.k - t2.before_count) AS BIGINT)
+               AS median_cents
+    FROM ext, target t
+    """,
+)
+def ext_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sk — EXACT median without a global sort: pass 1 is one
+    aggregate building a {MED2_BINS}-bin equi-width histogram and
+    locating the bucket containing the k-th element; pass 2 takes the
+    exact order statistic among ONLY that bucket's values (~N/bins
+    rows). This is the production shape of 'exact quantile at 100 TB':
+    the data is scanned twice but never globally sorted, and the
+    candidate set shrinks by three orders of magnitude per pass (repeat
+    the split for pathological skew). The oracle computes the same
+    bucket bookkeeping plus the direct order statistic, so equality
+    proves the two-pass answer IS the median.
+
+    Shape: pass 1 = one groupBy(bin) over a scan; pass 2 = a pushed
+    bin-id filter (PushedFilters on the rescan) + a bucket-sized
+    sort."""
+    o = load(spark, sf_dir, "orders")
+    x = o.select(cents(F.col("o_totalprice")).cast("bigint").alias("v"))
+    ext = x.agg(
+        F.min("v").cast("bigint").alias("lo"),
+        F.max("v").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST((count(*) + 1) DIV 2 AS BIGINT)").alias("k"),
+    ).collect()[0]  # bounded 1-row artifact (pass-1 scaffolding)
+    lo, hi, n, k = int(ext["lo"]), int(ext["hi"]), int(ext["n"]), int(ext["k"])
+    binned = x.withColumn(
+        "bin_id", F.expr(f"(v - {lo}) * {MED2_BINS} DIV ({hi} - {lo} + 1)")
+    )
+    hist = (
+        binned.groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("bin_id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    t = (
+        hist.where(
+            (F.col("cum") >= k) & (F.col("cum") - F.col("c") < k)
+        )
+        .select(
+            "bin_id",
+            F.col("c").cast("bigint").alias("bin_count"),
+            (F.col("cum") - F.col("c")).cast("bigint").alias(
+                "before_count"
+            ),
+        )
+        .collect()[0]
+    )  # bounded 1-row: the winning bucket
+    bin_id = int(t["bin_id"])
+    before = int(t["before_count"])
+    med = (
+        binned.where(F.col("bin_id") == bin_id)
+        .orderBy("v")
+        .limit(k - before)
+        .orderBy(F.col("v").desc())
+        .limit(1)
+    )
+    return med.select(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.lit(bin_id).cast("bigint").alias("bin_id"),
+        F.lit(int(t["bin_count"])).cast("bigint").alias("bin_count"),
+        F.lit(before).cast("bigint").alias("before_count"),
+        F.col("v").cast("bigint").alias("median_cents"),
+    )
+
+
+#: KMV (k-minimum-values) distinct sketch: the KMV_K smallest distinct
+#: 2^32-ring hashes per stream; distinct-count estimate =
+#: (K-1) * 2^32 // h_K — exact integer arithmetic, fully deterministic
+#: given the md5 ring, so the DuckDB twin reproduces the sketch AND the
+#: estimate bit-for-bit.
+KMV_K = 64
+_KMV_SALT = "kmv-r6"
+
+
+@query(
+    "ext_kmv_sketch",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               {md5_band_sql("'u:' || CAST(user_id AS VARCHAR)",
+                             2 ** 32, _KMV_SALT)} AS hv,
+               user_id
+        FROM events
+    ), streams AS (
+        SELECT event_type AS stream, hv, user_id FROM h
+        UNION ALL
+        SELECT 'click+purchase', hv, user_id FROM h
+        WHERE event_type IN ('click', 'purchase')
+    ), d AS (
+        SELECT DISTINCT stream, hv, user_id FROM streams
+    ), ranked AS (
+        SELECT stream, hv,
+               ROW_NUMBER() OVER (PARTITION BY stream ORDER BY hv) AS r,
+               COUNT(DISTINCT user_id) OVER (PARTITION BY stream)
+                   AS n_exact
+        FROM (SELECT DISTINCT stream, hv FROM d) u
+        JOIN (SELECT stream AS s2, COUNT(DISTINCT user_id) AS cu
+              FROM d GROUP BY 1) c ON c.s2 = u.stream
+        QUALIFY r = {KMV_K}
+    )
+    SELECT stream,
+           CAST(c.cu AS BIGINT) AS n_exact,
+           CAST(u2.hv AS BIGINT) AS kth_min_hash,
+           CAST(({KMV_K} - 1) * 4294967296 // u2.hv AS BIGINT)
+               AS est_distinct,
+           CAST(abs(({KMV_K} - 1) * 4294967296 // u2.hv - c.cu)
+                * 1000000 // c.cu AS BIGINT) AS err_ppm
+    FROM (SELECT stream, hv,
+                 ROW_NUMBER() OVER (PARTITION BY stream ORDER BY hv) AS r
+          FROM (SELECT DISTINCT stream, hv FROM d)) u2
+    JOIN (SELECT stream AS s2, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                 AS cu
+          FROM d GROUP BY 1) c ON c.s2 = u2.stream
+    WHERE u2.r = {KMV_K}
+    """,
+)
+def ext_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sk — KMV (k-minimum-values) distinct-count sketch per event
+    stream plus the click∪purchase union stream: keep the {KMV_K}
+    smallest distinct user hashes on a 2^32 ring; the estimator
+    (K-1)·2^32 / h_K inverts the uniform spacing of order statistics —
+    all INTEGER arithmetic on the deterministic md5 ring, so unlike
+    HLL's register internals (ext_approx_distinct is rows-only) this
+    sketch is fully hash-checkable against the oracle, estimate AND
+    error included. KMV is the sketch family behind theta sketches —
+    mergeable by taking the K smallest of a union, exactly what the
+    union stream demonstrates.
+
+    Shape: one distinct + per-stream TOP-K by hash (a windowed rank on
+    the distinct-hash table) — at 100 TB the K smallest values per
+    stream reduce map-side (partial top-K in each partition), so the
+    shuffle carries K values per partition, not the stream."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        md5_band(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")),
+            2**32,
+            _KMV_SALT,
+        ).alias("hv"),
+    )
+    streams = e.select(
+        F.col("event_type").alias("stream"), "hv", "user_id"
+    ).unionByName(
+        e.where(F.col("event_type").isin("click", "purchase")).select(
+            F.lit("click+purchase").alias("stream"), "hv", "user_id"
+        )
+    ).localCheckpoint()
+    exact = streams.groupBy("stream").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    kth = (
+        streams.select("stream", "hv")
+        .distinct()
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("stream").orderBy("hv")
+            ),
+        )
+        .where(F.col("r") == KMV_K)
+        .select("stream", F.col("hv").alias("kth_min_hash"))
+    )
+    return (
+        exact.join(kth, "stream")
+        .select(
+            "stream",
+            "n_exact",
+            F.col("kth_min_hash").cast("bigint").alias("kth_min_hash"),
+            F.expr(
+                f"CAST(({KMV_K} - 1) * 4294967296 DIV kth_min_hash"
+                " AS BIGINT)"
+            ).alias("est_distinct"),
+            F.expr(
+                f"CAST(abs(({KMV_K} - 1) * 4294967296 DIV kth_min_hash"
+                " - n_exact) * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )
