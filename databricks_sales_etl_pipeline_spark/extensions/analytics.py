@@ -3816,3 +3816,124 @@ def ext_viterbi_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step long, state string, delta_ppm long, prev_state string"
     )
+
+
+#: switchback experiment: hourly buckets alternate arms by md5 hash;
+#: the estimator is the bucket-level mean difference in milli-cents,
+#: and the CARRYOVER audit compares transition buckets (previous hour
+#: ran the OTHER arm) against steady buckets — the interference check
+#: unique to switchback designs.
+_SWB_SALT = "switchback-r6"
+
+
+@query(
+    "ext_switchback",
+    oracle=f"""
+    WITH e AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), b AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               {_md5_band_sql("CAST(bucket AS VARCHAR)", 2, _SWB_SALT)}
+                   AS arm
+        FROM e GROUP BY bucket
+    ), lagged AS (
+        SELECT b.*,
+               LAG(arm) OVER (ORDER BY bucket) AS prev_arm
+        FROM b
+    ), agg AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(s) AS BIGINT) AS sum_cents,
+               CAST(SUM(s) * 1000 // SUM(n) AS BIGINT) AS mean_milli,
+               CAST(SUM(CASE WHEN prev_arm IS NOT NULL
+                             AND prev_arm <> arm THEN s ELSE 0 END)
+                    * 1000
+                    // GREATEST(SUM(CASE WHEN prev_arm IS NOT NULL
+                                    AND prev_arm <> arm THEN n
+                                    ELSE 0 END), 1) AS BIGINT)
+                   AS transition_mean_milli,
+               CAST(SUM(CASE WHEN prev_arm = arm THEN s ELSE 0 END)
+                    * 1000
+                    // GREATEST(SUM(CASE WHEN prev_arm = arm THEN n
+                                    ELSE 0 END), 1) AS BIGINT)
+                   AS steady_mean_milli
+        FROM lagged GROUP BY arm
+    )
+    SELECT agg.*,
+           CAST((SELECT a1.sum_cents * 1000 // a1.n_events
+                        - a0.sum_cents * 1000 // a0.n_events
+                 FROM agg a1, agg a0
+                 WHERE a1.arm = 1 AND a0.arm = 0) AS BIGINT)
+               AS arm_diff_milli
+    FROM agg
+    """,
+)
+def ext_switchback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An — switchback (time-sliced) experiment readout: hourly buckets
+    alternate between arms by deterministic hash, the treatment effect
+    is the bucket-aggregated mean difference — the design marketplaces
+    use when user-level randomization leaks through shared inventory —
+    and the CARRYOVER audit splits each arm's mean into transition
+    buckets (previous hour ran the other arm) vs steady buckets: a gap
+    between them is interference, the failure mode unique to
+    switchbacks. All exact integer cents; per-arm rows carry the
+    shared diff column for one-glance reading.
+
+    Shape: one hour-bucket groupBy (the only data-sized shuffle), one
+    LAG over the bucket-count-bounded table, one arm aggregate."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("bucket"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    b = e.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    ).withColumn(
+        "arm", _md5_band(F.col("bucket"), 2, _SWB_SALT)
+    )
+    lagged = b.withColumn(
+        "prev_arm", F.lag("arm").over(Window.orderBy("bucket"))
+    )
+    agg = lagged.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("s").cast("bigint").alias("sum_cents"),
+        F.expr("CAST(sum(s) * 1000 DIV sum(n) AS BIGINT)").alias(
+            "mean_milli"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN prev_arm IS NOT NULL AND prev_arm <> arm"
+            " THEN s ELSE 0 END) * 1000"
+            " DIV GREATEST(sum(CASE WHEN prev_arm IS NOT NULL"
+            " AND prev_arm <> arm THEN n ELSE 0 END), 1) AS BIGINT)"
+        ).alias("transition_mean_milli"),
+        F.expr(
+            "CAST(sum(CASE WHEN prev_arm = arm THEN s ELSE 0 END) * 1000"
+            " DIV GREATEST(sum(CASE WHEN prev_arm = arm THEN n"
+            " ELSE 0 END), 1) AS BIGINT)"
+        ).alias("steady_mean_milli"),
+    ).localCheckpoint()
+    diff = (
+        agg.where(F.col("arm") == 1)
+        .select(
+            F.expr("sum_cents * 1000 DIV n_events").alias("m1")
+        )
+        .crossJoin(
+            agg.where(F.col("arm") == 0).select(
+                F.expr("sum_cents * 1000 DIV n_events").alias("m0")
+            )
+        )
+        .select((F.col("m1") - F.col("m0")).cast("bigint").alias(
+            "arm_diff_milli"
+        ))
+    )
+    return agg.join(broadcast(diff))

@@ -3945,3 +3945,137 @@ def ext_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "gram")
         .limit(SAX_TOPN)
     )
+
+
+#: unnormalized Haar DWT over the last HAAR_N days (power of two):
+#: each level pairs neighbors into (sum, difference) — EXACT integers,
+#: Parseval holds as 2^level-weighted energy (pinned in the unit
+#: test). HAAR_LEVELS = log2(HAAR_N) bounded rounds.
+HAAR_N = 64
+HAAR_LEVELS = 6
+HAAR_TOPC = 8
+
+
+def _haar_oracle() -> str:
+    ctes = [
+        f"""daily AS MATERIALIZED (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM orders GROUP BY 1
+    )""",
+        f"""lvl0 AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY d DESC) AS rn, v
+        FROM daily QUALIFY rn <= {HAAR_N}
+    )""",
+        f"""a0 AS MATERIALIZED (
+        SELECT CAST({HAAR_N} + 1 - rn AS BIGINT) AS pos, v AS a
+        FROM lvl0
+    )""",
+    ]
+    details = []
+    for k in range(1, HAAR_LEVELS + 1):
+        ctes.append(
+            f"""a{k} AS MATERIALIZED (
+        SELECT CAST((pos + 1) // 2 AS BIGINT) AS pos,
+               CAST(SUM(a) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN pos % 2 = 1 THEN a ELSE -a END)
+                    AS BIGINT) AS det
+        FROM a{k - 1} GROUP BY 1
+    )"""
+        )
+        details.append(
+            f"SELECT CAST({k} AS BIGINT) AS level, pos, det AS coeff"
+            f" FROM a{k}"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    dets AS ({" UNION ALL ".join(details)}),
+    ranked AS (
+        SELECT level, pos, coeff,
+               ROW_NUMBER() OVER (ORDER BY abs(coeff) DESC, level, pos)
+                   AS rk
+        FROM dets
+    )
+    SELECT level, CAST(pos AS BIGINT) AS pos,
+           CAST(coeff AS BIGINT) AS coeff_dollars,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {HAAR_TOPC}
+    """
+    )
+
+
+@query("ext_haar_transform", oracle=_haar_oracle())
+def ext_haar_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — unnormalized Haar wavelet decomposition of the last 64
+    days of revenue: each level folds neighbor pairs into (sum,
+    difference), so every coefficient is an EXACT integer and the
+    2^level-weighted Parseval identity holds to the dollar (pinned in
+    the unit test). Reports the top-8 detail coefficients by magnitude
+    with their (level, position) — "where in time, at what scale, did
+    revenue move" — the multiresolution view that the per-day anomaly
+    family and the seasonal decomposition both miss, and the transform
+    under wavelet compression/denoising of telemetry series.
+
+    Shape: one day groupBy, then log2(64) = 6 bounded pair-fold
+    aggregates on the 64-row window — each a groupBy((pos+1)//2) over
+    a calendar-bounded table."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.sum(F.floor(F.col("o_totalprice")).cast("bigint")).alias("v"))
+    w = Window.orderBy(F.col("d").desc())
+    lvl = (
+        daily.select(F.row_number().over(w).alias("rn"), "v")
+        .where(F.col("rn") <= HAAR_N)
+        .select(
+            (HAAR_N + 1 - F.col("rn")).cast("bigint").alias("pos"),
+            F.col("v").alias("a"),
+        )
+        .localCheckpoint()
+    )
+    dets = []
+    for k in range(1, HAAR_LEVELS + 1):
+        nxt = lvl.groupBy(
+            F.expr("CAST((pos + 1) DIV 2 AS BIGINT)").alias("pos")
+        ).agg(
+            F.sum("a").cast("bigint").alias("a"),
+            F.sum(
+                F.when(F.col("pos") % 2 == 1, F.col("a")).otherwise(
+                    -F.col("a")
+                )
+            )
+            .cast("bigint")
+            .alias("det"),
+        ).localCheckpoint()
+        dets.append(
+            nxt.select(
+                F.lit(k).cast("bigint").alias("level"),
+                "pos",
+                F.col("det").alias("coeff"),
+            )
+        )
+        lvl = nxt.select("pos", "a")
+    alldet = dets[0]
+    for d in dets[1:]:
+        alldet = alldet.unionAll(d)
+    ranked = alldet.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.abs(F.col("coeff")).desc(), "level", "pos")
+        ),
+    ).where(F.col("rk") <= HAAR_TOPC)
+    return ranked.select(
+        "level",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("coeff").cast("bigint").alias("coeff_dollars"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )

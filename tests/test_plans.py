@@ -272,6 +272,8 @@ _NLJ_ALLOWED = {
     # round-6 wave 87: calendar-bounded window table self-joined on an
     # rn-inequality (the brute-force matrix-profile pair sweep)
     "ext_matrix_profile",
+    # round-6 wave 92: 1-row arm-diff broadcast onto the 2-row arm table
+    "ext_switchback",
 }
 
 
