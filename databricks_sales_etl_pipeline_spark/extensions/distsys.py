@@ -580,3 +580,200 @@ def ext_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("moved_ppm"),
         )
     )
+
+
+#: Shamir secret sharing over GF(p), p = 2^31 - 1 (Mersenne prime):
+#: threshold 3-of-5, secret = total revenue cents mod p, coefficients
+#: hash-derived. The Lagrange-at-zero weights for the reconstruction
+#: set x = {1, 3, 5} are AUTHORING-TIME constants (modular inverses
+#: computed once in Python — no modpow in either engine); every modmul
+#: stays below 2^62.
+SHAMIR_P = 2_147_483_647
+SHAMIR_XS = (1, 3, 5)
+#: Lagrange basis at 0 for x = {1,3,5} mod p (verified reconstructing a
+#: known polynomial at authoring time).
+SHAMIR_LAMBDAS = (1_879_048_193, 1_610_612_734, 805_306_368)
+_SHAMIR_SALT = "shamir-r6"
+
+
+@query(
+    "ext_shamir_shares",
+    oracle=f"""
+    WITH sec AS (
+        SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    % {SHAMIR_P} AS BIGINT) AS s
+        FROM orders
+    ), coef AS (
+        SELECT sec.s,
+               {md5_band_sql("'coef:1'", SHAMIR_P, _SHAMIR_SALT)} AS a1,
+               {md5_band_sql("'coef:2'", SHAMIR_P, _SHAMIR_SALT)} AS a2
+        FROM sec
+    ), shares AS (
+        SELECT coef.s, x.x,
+               CAST((coef.s + coef.a1 * x.x % {SHAMIR_P} * 1
+                     + coef.a2 * (x.x * x.x) % {SHAMIR_P})
+                    % {SHAMIR_P} AS BIGINT) AS y
+        FROM coef, (VALUES (1), (2), (3), (4), (5)) x(x)
+    ), recon AS (
+        SELECT CAST(( {" + ".join(
+            f"(SELECT y FROM shares WHERE x = {x}) * {lam} % {SHAMIR_P}"
+            for x, lam in zip(SHAMIR_XS, SHAMIR_LAMBDAS)
+        )} ) % {SHAMIR_P} AS BIGINT) AS r
+    )
+    SELECT CAST(sh.x AS BIGINT) AS x, sh.y AS share,
+           sh.s AS secret_mod_p, recon.r AS reconstructed,
+           sh.s = recon.r AS matches
+    FROM shares sh, recon
+    """,
+)
+def ext_shamir_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ds — Shamir 3-of-5 threshold sharing of a governed aggregate:
+    the total-revenue secret (mod the Mersenne prime 2^31-1) is split
+    by a hash-coefficient quadratic into 5 shares, and the shares at
+    x = {{1,3,5}} reconstruct it exactly via authoring-time Lagrange
+    constants — any 2 shares reveal NOTHING, any 3 reveal everything,
+    which is the primitive behind secret-sharded credentials and
+    multi-party aggregate release. All modular arithmetic stays below
+    2^62, so both engines compute it natively; the matches column
+    carries the end-to-end proof in-row.
+
+    Shape: ONE aggregate over the fact table; everything after is
+    constant-size field arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    sec = o.agg(
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            % SHAMIR_P
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    coef = sec.select(
+        "s",
+        md5_band(F.lit("coef:1"), SHAMIR_P, _SHAMIR_SALT).alias("a1"),
+        md5_band(F.lit("coef:2"), SHAMIR_P, _SHAMIR_SALT).alias("a2"),
+    )
+    xs = spark.range(1, 6).select(F.col("id").alias("x"))
+    shares = coef.join(broadcast(xs)).select(
+        "s",
+        "x",
+        F.expr(
+            f"CAST((s + a1 * x % {SHAMIR_P} * 1"
+            f" + a2 * (x * x) % {SHAMIR_P}) % {SHAMIR_P} AS BIGINT)"
+        ).alias("y"),
+    ).localCheckpoint()
+    rec_expr = " + ".join(
+        f"(CASE WHEN x = {x} THEN y ELSE 0 END) * {lam} % {SHAMIR_P}"
+        for x, lam in zip(SHAMIR_XS, SHAMIR_LAMBDAS)
+    )
+    recon = shares.agg(
+        F.expr(f"CAST(SUM({rec_expr}) % {SHAMIR_P} AS BIGINT)").alias("r")
+    )
+    return shares.join(broadcast(recon)).select(
+        F.col("x").cast("bigint").alias("x"),
+        F.col("y").alias("share"),
+        F.col("s").alias("secret_mod_p"),
+        F.col("r").alias("reconstructed"),
+        (F.col("s") == F.col("r")).alias("matches"),
+    )
+
+
+#: retry/backoff simulation: attempt i of a job fails iff its md5 band
+#: lands under RETRY_FAIL_PPM; exponential backoff waits
+#: RETRY_BASE_S * 2^(i-1) seconds between attempts, RETRY_MAX attempts
+#: before giving up. Deterministic per (job, attempt), so both engines
+#: replay the identical outcome stream.
+RETRY_MAX = 6
+RETRY_FAIL_PPM = 300_000
+RETRY_BASE_S = 2
+_RETRY_SALT = "retry-r6"
+
+
+@query(
+    "ext_retry_backoff",
+    oracle=f"""
+    WITH tries AS (
+        SELECT o_orderkey,
+               t.i,
+               CASE WHEN {md5_band_sql(
+                   "'try:' || CAST(o_orderkey AS VARCHAR)"
+                   " || ':' || CAST(t.i AS VARCHAR)",
+                   1_000_000, _RETRY_SALT)} >= {RETRY_FAIL_PPM}
+                    THEN 1 ELSE 0 END AS ok
+        FROM orders, (SELECT unnest(range(1, {RETRY_MAX} + 1)) AS i) t
+    ), jobs AS (
+        SELECT o_orderkey,
+               CAST(COALESCE(MIN(CASE WHEN ok = 1 THEN i END),
+                             {RETRY_MAX}) AS BIGINT) AS attempts,
+               MIN(CASE WHEN ok = 1 THEN i END) IS NOT NULL AS succeeded
+        FROM tries GROUP BY o_orderkey
+    )
+    SELECT attempts, succeeded,
+           CAST(COUNT(*) AS BIGINT) AS n_jobs,
+           CAST(SUM({RETRY_BASE_S}
+                    * (CAST(1 AS BIGINT) << CAST(attempts - 1 AS INT))
+                    - {RETRY_BASE_S}) AS BIGINT) AS total_backoff_s
+    FROM jobs GROUP BY 1, 2
+    """,
+)
+def ext_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ds — retry-with-exponential-backoff replay: every order is a job
+    whose attempt i succeeds or fails by a deterministic hash coin
+    (30% failure), up to 6 attempts with 2*2^(i-1)-second backoff; the
+    report groups jobs by attempts-to-success (a geometric distribution
+    the unit test checks against expectation) with the give-up bucket
+    and the total backoff spent — the SRE capacity question ("how much
+    sleep time does our retry policy burn, and how many jobs exhaust
+    it?") answered from pure data, no simulation framework. Total
+    backoff before attempt k = base*(2^(k-1) - 1), exact via shifts.
+
+    Shape: a constant x6 explode of the scan, one job groupBy, one
+    distribution groupBy — all map-side-combinable."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    tries = o.select(
+        "o_orderkey",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, RETRY_MAX + 1)])
+        ).alias("i"),
+    ).select(
+        "o_orderkey",
+        "i",
+        F.when(
+            md5_band(
+                F.concat(
+                    F.lit("try:"),
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                ),
+                1_000_000,
+                _RETRY_SALT,
+            )
+            >= RETRY_FAIL_PPM,
+            1,
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    jobs = tries.groupBy("o_orderkey").agg(
+        F.coalesce(
+            F.min(F.when(F.col("ok") == 1, F.col("i"))), F.lit(RETRY_MAX)
+        )
+        .cast("bigint")
+        .alias("attempts"),
+        F.min(F.when(F.col("ok") == 1, F.col("i")))
+        .isNotNull()
+        .alias("succeeded"),
+    )
+    return jobs.groupBy("attempts", "succeeded").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_jobs"),
+        F.expr(
+            f"CAST(SUM({RETRY_BASE_S}"
+            f" * shiftleft(CAST(1 AS BIGINT), CAST(attempts - 1 AS INT))"
+            f" - {RETRY_BASE_S}) AS BIGINT)"
+        ).alias("total_backoff_s"),
+    )

@@ -274,6 +274,9 @@ _NLJ_ALLOWED = {
     "ext_matrix_profile",
     # round-6 wave 92: 1-row arm-diff broadcast onto the 2-row arm table
     "ext_switchback",
+    # round-6 wave 93: 1-row secret/reconstruction broadcasts around the
+    # 5-row share table
+    "ext_shamir_shares",
 }
 
 
