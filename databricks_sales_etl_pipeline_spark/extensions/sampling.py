@@ -487,3 +487,142 @@ def ext_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(wt) * SUM(wt) DIV SUM(wt * wt) AS BIGINT)"
         ).alias("n_eff"),
     )
+
+
+#: German-tank estimation: a GT_PCT% hash sample of order keys, the
+#: MVUE N_hat = m + m//k - 1 (m = sample max, k = sample size) for the
+#: population MAXIMUM — the serial-number trick that estimated WWII
+#: tank production and estimates a competitor's order volume from the
+#: invoice numbers you happen to see.
+GT_PCT = 5
+_GT_SALT = "gtank-r6"
+
+
+@query(
+    "ext_german_tank",
+    oracle=f"""
+    WITH truth AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(MAX(o_orderkey) AS BIGINT) AS true_max
+        FROM orders
+    ), samp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(o_orderkey) AS BIGINT) AS m
+        FROM orders
+        WHERE {md5_band_sql("CAST(o_orderkey AS VARCHAR)",
+                            100, _GT_SALT)} < {GT_PCT}
+    )
+    SELECT t.n_total, t.true_max, s.k, s.m AS sample_max,
+           CAST(s.m + s.m // s.k - 1 AS BIGINT) AS estimate,
+           CAST(abs(s.m + s.m // s.k - 1 - t.true_max) * 1000000
+                // t.true_max AS BIGINT) AS err_ppm
+    FROM truth t, samp s
+    """,
+)
+def ext_german_tank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sa — German-tank (serial-number) estimation: from a 5% hash
+    sample of order keys, estimate the POPULATION MAXIMUM with the
+    minimum-variance unbiased N_hat = m + m/k - 1 — the classic trick
+    for sizing a population you only see a sample of (competitor order
+    volumes from invoice IDs, fleet sizes from serials), reported
+    beside the truth and the ppm error so the estimator's accuracy is
+    auditable in-row. All integer; the sample is the layout-independent
+    md5 band (CLAUDE.md df.sample discipline).
+
+    Shape: two aggregates over the same scan (one filtered — the
+    predicate pushes down); no shuffle beyond the 1-row results."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    truth = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.max("o_orderkey").cast("bigint").alias("true_max"),
+    )
+    samp = o.where(
+        md5_band(F.col("o_orderkey"), 100, _GT_SALT) < GT_PCT
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("o_orderkey").cast("bigint").alias("m"),
+    )
+    return truth.join(broadcast(samp)).select(
+        "n_total",
+        "true_max",
+        "k",
+        F.col("m").alias("sample_max"),
+        F.expr("CAST(m + m DIV k - 1 AS BIGINT)").alias("estimate"),
+        F.expr(
+            "CAST(abs(m + m DIV k - 1 - true_max) * 1000000"
+            " DIV true_max AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+#: birthday-bound hash audit: user ids into a deliberately SMALL
+#: 2^HASH_AUDIT_BITS space (2^9 makes the expectation ~20 pairs even at
+#: the 150-user sf0.01 fixture); observed colliding pairs must track
+#: the birthday expectation n(n-1)/(2m).
+HASH_AUDIT_BITS = 9
+_HAUDIT_SALT = "haudit-r6"
+
+
+@query(
+    "ext_hash_collision_audit",
+    oracle=f"""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events
+    ), h AS (
+        SELECT {md5_band_sql("'h:' || CAST(user_id AS VARCHAR)",
+                             2 ** HASH_AUDIT_BITS, _HAUDIT_SALT)} AS hv
+        FROM u
+    ), per AS (
+        SELECT hv, COUNT(*) AS c FROM h GROUP BY hv
+    ), stats AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS observed_pairs,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_used
+        FROM per
+    )
+    SELECT n, n_buckets_used, observed_pairs,
+           CAST(n * (n - 1) * 1000 // (2 * {2 ** HASH_AUDIT_BITS})
+                AS BIGINT) AS expected_pairs_milli,
+           CAST(observed_pairs * 2000 * {2 ** HASH_AUDIT_BITS}
+                // (n * (n - 1)) AS BIGINT) AS ratio_milli
+    FROM stats
+    """,
+)
+def ext_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sa — birthday-bound hash-quality audit: distinct users hashed
+    into a deliberately small 2^16 space; the observed colliding-pair
+    count must track the birthday expectation n(n-1)/2m (ratio_milli
+    near 1000 = the hash spreads like a uniform random function; far
+    off = clustering that would skew every hash-partitioned operator in
+    this repo). This is the sanity check behind trusting md5-band
+    salting, LSH banding and hash-partition balance — run it once per
+    new key domain. All exact integers, expectation kept in milli.
+
+    Shape: one distinct, one hash groupBy, one scalar aggregate."""
+    e = load(spark, sf_dir, "events").select("user_id").distinct()
+    per = e.select(
+        md5_band(
+            F.concat(F.lit("h:"), F.col("user_id").cast("string")),
+            2**HASH_AUDIT_BITS,
+            _HAUDIT_SALT,
+        ).alias("hv")
+    ).groupBy("hv").agg(F.count(F.lit(1)).alias("c"))
+    m = 2**HASH_AUDIT_BITS
+    return per.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.expr("CAST(SUM(c * (c - 1) DIV 2) AS BIGINT)").alias(
+            "observed_pairs"
+        ),
+    ).select(
+        "n",
+        "n_buckets_used",
+        "observed_pairs",
+        F.expr(f"CAST(n * (n - 1) * 1000 DIV (2 * {m}) AS BIGINT)").alias(
+            "expected_pairs_milli"
+        ),
+        F.expr(
+            f"CAST(observed_pairs * 2000 * {m} DIV (n * (n - 1))"
+            " AS BIGINT)"
+        ).alias("ratio_milli"),
+    )
