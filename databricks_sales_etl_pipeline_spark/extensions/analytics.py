@@ -3937,3 +3937,173 @@ def ext_switchback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
     )
     return agg.join(broadcast(diff))
+
+
+#: Markov removal-effect attribution: re-run the bounded ABS_K
+#: absorption recursion with each channel DELETED from the chain (walks
+#: through it die); the conversion drop is that channel's removal
+#: effect. Channel set = the fixture's stable event vocabulary minus
+#: the target.
+_REMOVAL_CHANNELS = ("click", "error", "signup", "view")
+_REMOVAL_START = "view"
+
+
+def _removal_chain_ctes(tag: str, excluded: str | None) -> list[str]:
+    """Unrolled K-step absorption from the start state on the chain with
+    ``excluded`` deleted (None = full chain)."""
+    cond = (
+        f" AND tm.s <> '{excluded}' AND tm.t <> '{excluded}'"
+        if excluded
+        else ""
+    )
+    ctes = [
+        f"""st_{tag} AS MATERIALIZED (
+        SELECT DISTINCT s FROM pairs{
+            f" WHERE s <> '{excluded}'" if excluded else ""}
+    )""",
+        f"""p_{tag}_0 AS MATERIALIZED (
+        SELECT s, CAST(CASE WHEN s = '{ABS_TARGET}' THEN 1000000
+                            ELSE 0 END AS BIGINT) AS p
+        FROM st_{tag}
+    )""",
+    ]
+    for k in range(ABS_K):
+        ctes.append(
+            f"""p_{tag}_{k + 1} AS MATERIALIZED (
+        SELECT st.s,
+               CAST(CASE WHEN st.s = '{ABS_TARGET}' THEN 1000000
+                    ELSE COALESCE((SELECT CAST(SUM(tm.w * pk.p) AS BIGINT)
+                                   FROM tm JOIN p_{tag}_{k} pk ON pk.s = tm.t
+                                   WHERE tm.s = st.s{cond}), 0)
+                                  // 1000000
+                    END AS BIGINT) AS p
+        FROM st_{tag} st
+    )"""
+        )
+    return ctes
+
+
+def _removal_oracle() -> str:
+    ctes = [
+        """pairs AS MATERIALIZED (
+        SELECT s, t FROM (
+            SELECT event_type AS s,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS t
+            FROM events)
+        WHERE t IS NOT NULL
+    )""",
+        """tm AS MATERIALIZED (
+        SELECT s, t,
+               CAST(COUNT(*) * 1000000 //
+                    SUM(COUNT(*)) OVER (PARTITION BY s) AS BIGINT) AS w
+        FROM pairs GROUP BY s, t
+    )""",
+    ]
+    ctes += _removal_chain_ctes("full", None)
+    for c in _REMOVAL_CHANNELS:
+        ctes += _removal_chain_ctes(c, c)
+    rows = []
+    for c in _REMOVAL_CHANNELS:
+        pw = (
+            "CAST(0 AS BIGINT)"
+            if c == _REMOVAL_START
+            else f"""COALESCE((SELECT p FROM p_{c}_{ABS_K}
+                      WHERE s = '{_REMOVAL_START}'), 0)"""
+        )
+        rows.append(
+            f"""SELECT '{c}' AS channel,
+               (SELECT p FROM p_full_{ABS_K}
+                WHERE s = '{_REMOVAL_START}') AS p_full_ppm,
+               CAST({pw} AS BIGINT) AS p_without_ppm"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    base AS ({" UNION ALL ".join(rows)}),
+    eff AS (
+        SELECT channel, p_full_ppm, p_without_ppm,
+               CAST(p_full_ppm - p_without_ppm AS BIGINT) AS effect_ppm
+        FROM base
+    )
+    SELECT eff.*,
+           CAST(effect_ppm * 1000000
+                // GREATEST((SELECT SUM(effect_ppm) FROM eff), 1)
+                AS BIGINT) AS share_ppm
+    FROM eff
+    """
+    )
+
+
+@query("ext_markov_removal", oracle=_removal_oracle())
+def ext_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An — Markov removal-effect attribution: for each channel, delete
+    it from the empirical chain (walks through it die) and measure how
+    much the bounded K-step view→purchase conversion drops — the
+    channel's removal effect, normalized to shares. This is the
+    data-driven attribution model (Anderl et al.) that last-touch,
+    U-shaped, time-decay and Shapley approximate from different
+    assumptions; here the chain itself decides. Deleting a channel can
+    only REDUCE reachable probability (effects are non-negative by
+    construction — asserted in the unit test). Same exact-ppm bounded
+    recursion as ext_markov_absorption, one run per channel.
+
+    Shape: ONE user_id shuffle builds the pair counts; the per-channel
+    reruns iterate the collected |vocab|^2 model in exact Python (the
+    MLlib pattern), returning the channel-sized report."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    model = pairs.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).collect()
+    out_tot = {}
+    for r in model:
+        out_tot[r["s"]] = out_tot.get(r["s"], 0) + int(r["c"])
+    tm = {
+        (r["s"], r["t"]): int(r["c"]) * 10**6 // out_tot[r["s"]]
+        for r in model
+    }
+    all_states = sorted(out_tot)
+
+    def absorb(excluded):
+        states = [s for s in all_states if s != excluded]
+        if _REMOVAL_START not in states:
+            return 0
+        p = {s: (10**6 if s == ABS_TARGET else 0) for s in states}
+        for _ in range(ABS_K):
+            p = {
+                s: 10**6
+                if s == ABS_TARGET
+                else sum(
+                    tm.get((s, t), 0) * p[t]
+                    for t in states
+                )
+                // 10**6
+                for s in states
+            }
+        return p.get(_REMOVAL_START, 0)
+
+    p_full = absorb(None)
+    effects = {
+        c: (p_full, absorb(c), p_full - absorb(c))
+        for c in _REMOVAL_CHANNELS
+    }
+    total = max(sum(v[2] for v in effects.values()), 1)
+    return spark.createDataFrame(
+        [
+            (c, v[0], v[1], v[2], v[2] * 10**6 // total)
+            for c, v in effects.items()
+        ],
+        "channel string, p_full_ppm long, p_without_ppm long,"
+        " effect_ppm long, share_ppm long",
+    )

@@ -283,3 +283,70 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_finished(q, 180)
     return spark.table(sink)
+
+
+#: trending top-k: k per hourly window, ranked by count with the
+#: event-type tiebreak pinned.
+TREND_K = 3
+
+
+@query(
+    "stream_trending_topk",
+    oracle=f"""
+    WITH counts AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT counts.*,
+                 ROW_NUMBER() OVER (PARTITION BY hour_start
+                                    ORDER BY n_events DESC, event_type)
+                     AS rk
+          FROM counts)
+    WHERE rk <= {TREND_K}
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T — streaming TRENDING top-k: per-hour event-type counts run as a
+    real watermarked stream (Trigger.AvailableNow, update-mode memory
+    sink), then the top-3 per window are ranked in a batch
+    post-processing pass over the sink — the two-phase shape Structured
+    Streaming REQUIRES for top-k (window functions are not allowed on a
+    streaming aggregate), and exactly how production trending feeds
+    work: the stream maintains the counts, a cheap downstream job cuts
+    the leaderboard. Single AvailableNow batch over an immutable file
+    emits each window once, so the sink equals the batch twin and the
+    whole pipeline is hash-checkable.
+
+    Shape: the stream shuffles on (window, type) with map-side partials
+    and watermark-bounded state; the rank pass runs on the
+    window-count-bounded sink table."""
+    from pyspark.sql import Window
+
+    stream = events_readstream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    sink = f"trend_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", scratch_checkpoint("trend"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 120)
+    w = Window.partitionBy("hour_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TREND_K)
+    )
