@@ -4107,3 +4107,148 @@ def ext_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_full_ppm long, p_without_ppm long,"
         " effect_ppm long, share_ppm long",
     )
+
+
+#: media-mix grid fit: adstock = lag-window sum of daily clicks with
+#: power-of-two decay weights 2^(MMM_WMAX - k*d) (shift-exact, no
+#: libm); response slope beta = <A,P> // <A,A> (floored integer least
+#: squares through the origin); score = SSE of P - beta*A // SCALE.
+#: Grid over decay d x lag depth L, argmin SSE wins.
+MMM_DECAYS = (1, 2, 3)
+MMM_LAGS = (3, 5, 7)
+MMM_WMAX = 8
+
+
+def _mmm_oracle() -> str:
+    configs = []
+    for d in MMM_DECAYS:
+        for L in MMM_LAGS:
+            w = " + ".join(
+                f"COALESCE(LAG(clicks, {k}) OVER (ORDER BY dd), 0)"
+                f" * {1 << (MMM_WMAX - k * d)}"
+                for k in range(L)
+                if MMM_WMAX - k * d >= 0
+            )
+            configs.append(
+                f"""SELECT CAST({d} AS BIGINT) AS decay,
+                   CAST({L} AS BIGINT) AS lag_depth,
+                   dd, purch, CAST({w} AS BIGINT) AS a
+            FROM daily"""
+            )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                    AS BIGINT) AS dd,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS purch
+        FROM events GROUP BY 1
+    ), ads AS ({" UNION ALL ".join(configs)}),
+    fit AS (
+        SELECT decay, lag_depth,
+               CAST(SUM(a * purch) AS BIGINT) AS sap,
+               CAST(SUM(a * a) AS BIGINT) AS saa
+        FROM ads GROUP BY 1, 2
+    ), scored AS (
+        SELECT ads.decay, ads.lag_depth,
+               CAST(SUM((ads.purch
+                         - ads.a * (fit.sap * 1000 // fit.saa) // 1000)
+                        * (ads.purch
+                           - ads.a * (fit.sap * 1000 // fit.saa) // 1000))
+                    AS BIGINT) AS sse,
+               CAST(fit.sap * 1000 // fit.saa AS BIGINT) AS beta_milli
+        FROM ads JOIN fit ON fit.decay = ads.decay
+                         AND fit.lag_depth = ads.lag_depth
+        GROUP BY 1, 2, 4
+    )
+    SELECT scored.*,
+           ROW_NUMBER() OVER (ORDER BY sse, decay, lag_depth) = 1
+               AS is_best
+    FROM scored
+    """
+
+
+@query("ext_mmm_grid", oracle=_mmm_oracle())
+def ext_mmm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An — media-mix-model grid fit: daily clicks are adstock-
+    transformed under a 3x3 grid of (decay, lag depth) configurations —
+    weights are exact powers of two, so no libm — and each config's
+    origin-regression slope (floored milli) and SSE against daily
+    purchases are reported with the argmin flagged. This is MMM's inner
+    loop (choose the carryover shape by fit, then read incremental
+    response off the slope), run as a fully deterministic integer
+    computation; ext_adstock_decay applies ONE transform, this SELECTS
+    one. The unit test checks the grid is complete and exactly one
+    winner is flagged.
+
+    Shape: one day groupBy; each config is a bounded lag window over
+    the calendar table; the 9-row grid carries the argmin."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("dd")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("purch"),
+    ).localCheckpoint()
+    wo = Window.orderBy("dd")
+    ads = None
+    for d in MMM_DECAYS:
+        for L in MMM_LAGS:
+            a = None
+            for k in range(L):
+                if MMM_WMAX - k * d < 0:
+                    continue
+                term = F.coalesce(
+                    F.lag("clicks", k).over(wo), F.lit(0)
+                ) * (1 << (MMM_WMAX - k * d))
+                a = term if a is None else a + term
+            cfg = daily.select(
+                F.lit(d).cast("bigint").alias("decay"),
+                F.lit(L).cast("bigint").alias("lag_depth"),
+                "dd",
+                "purch",
+                a.cast("bigint").alias("a"),
+            )
+            ads = cfg if ads is None else ads.unionAll(cfg)
+    ads = ads.localCheckpoint()
+    fit = ads.groupBy("decay", "lag_depth").agg(
+        F.sum(F.col("a") * F.col("purch")).cast("bigint").alias("sap"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+    )
+    scored = (
+        ads.join(broadcast(fit), ["decay", "lag_depth"])
+        .groupBy(
+            "decay",
+            "lag_depth",
+            F.expr("CAST(sap * 1000 DIV saa AS BIGINT)").alias(
+                "beta_milli"
+            ),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM((purch - a * (sap * 1000 DIV saa) DIV 1000)"
+                " * (purch - a * (sap * 1000 DIV saa) DIV 1000))"
+                " AS BIGINT)"
+            ).alias("sse")
+        )
+        .select("decay", "lag_depth", "sse", "beta_milli")
+    )
+    return scored.withColumn(
+        "is_best",
+        F.row_number().over(
+            Window.orderBy("sse", "decay", "lag_depth")
+        )
+        == 1,
+    )

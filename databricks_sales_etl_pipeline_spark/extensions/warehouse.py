@@ -975,3 +975,115 @@ def ext_rev_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rec").cast("bigint").alias("recognized_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_order_months"),
     )
+
+
+#: installment-plan amortization: the largest order converts to a
+#: 12-month plan at AMORT_RATE_PPM monthly interest; each month pays
+#: interest = bal * rate // 1e6 plus principal = payment - interest,
+#: the last payment clears the residual exactly — all integer cents.
+AMORT_MONTHS = 12
+AMORT_RATE_PPM = 15_000  # 1.5% per month
+
+
+@query(
+    "ext_amortization",
+    oracle=f"""
+    WITH RECURSIVE top1 AS (
+        SELECT CAST({cents_sql('o_totalprice')} AS BIGINT) AS principal
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ), pay AS (
+        -- level payment rounded up so the plan always clears:
+        -- ceil(principal * (1+r*n) / n) in exact integers
+        SELECT principal,
+               CAST((principal * (1000000 + {AMORT_RATE_PPM}
+                                  * {AMORT_MONTHS})
+                     + {AMORT_MONTHS} * 1000000 - 1)
+                    // ({AMORT_MONTHS} * 1000000) AS BIGINT) AS payment
+        FROM top1
+    ), sched AS (
+        SELECT 1 AS m, p.principal, p.payment,
+               CAST(p.principal * {AMORT_RATE_PPM} // 1000000 AS BIGINT)
+                   AS interest,
+               CAST(LEAST(p.payment - p.principal * {AMORT_RATE_PPM}
+                          // 1000000, p.principal) AS BIGINT)
+                   AS principal_paid,
+               CAST(p.principal
+                    - LEAST(p.payment - p.principal * {AMORT_RATE_PPM}
+                            // 1000000, p.principal) AS BIGINT)
+                   AS balance
+        FROM pay p
+        UNION ALL
+        SELECT s.m + 1, s.principal, s.payment,
+               CAST(s.balance * {AMORT_RATE_PPM} // 1000000 AS BIGINT),
+               CAST(LEAST(s.payment - s.balance * {AMORT_RATE_PPM}
+                          // 1000000, s.balance) AS BIGINT),
+               CAST(s.balance
+                    - LEAST(s.payment - s.balance * {AMORT_RATE_PPM}
+                            // 1000000, s.balance) AS BIGINT)
+        FROM sched s WHERE s.m < {AMORT_MONTHS} AND s.balance > 0
+    )
+    SELECT CAST(m AS BIGINT) AS m, principal AS principal_cents,
+           payment AS payment_cents, interest AS interest_cents,
+           principal_paid AS principal_cents_paid,
+           balance AS balance_cents
+    FROM sched
+    """,
+)
+def ext_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh — installment amortization schedule for the largest order:
+    12 months at 1.5%/month, level payment ceil-rounded so the plan
+    always clears, each month splitting into interest (bal*rate//1e6)
+    and principal — the buy-now-pay-later schedule every consumer
+    finance book runs, penny-exact (the unit test reconciles
+    sum(principal_paid) == principal and the final balance to zero).
+    The recurrence is balance-dependent, so it runs in one
+    applyInPandas task with a WITH RECURSIVE twin (the
+    ext_holt_linear discipline).
+
+    Shape: one top-1 scan picks the order (TakeOrdered, no full sort
+    materialization); the 12-row schedule is model-sized."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders")
+    top = (
+        o.select(
+            cents(F.col("o_totalprice")).cast("bigint").alias("principal"),
+            "o_totalprice",
+            "o_orderkey",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(1)
+        .select("principal")
+    )
+
+    def _sched(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        principal = int(pdf["principal"].iloc[0])
+        payment = (
+            principal * (10**6 + AMORT_RATE_PPM * AMORT_MONTHS)
+            + AMORT_MONTHS * 10**6
+            - 1
+        ) // (AMORT_MONTHS * 10**6)
+        rows = []
+        bal = principal
+        for m in range(1, AMORT_MONTHS + 1):
+            interest = bal * AMORT_RATE_PPM // 10**6
+            principal_paid = min(payment - interest, bal)
+            bal -= principal_paid
+            rows.append(
+                (m, principal, payment, interest, principal_paid, bal)
+            )
+            if bal <= 0:
+                break
+        return pd.DataFrame(
+            rows,
+            columns=["m", "principal_cents", "payment_cents",
+                     "interest_cents", "principal_cents_paid",
+                     "balance_cents"],
+        )
+
+    return top.groupBy("principal").applyInPandas(
+        lambda pdf: _sched(pdf),
+        "m long, principal_cents long, payment_cents long, "
+        "interest_cents long, principal_cents_paid long, "
+        "balance_cents long",
+    )
