@@ -4079,3 +4079,77 @@ def ext_haar_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("coeff").cast("bigint").alias("coeff_dollars"),
         F.col("rk").cast("bigint").alias("rk"),
     )
+
+
+#: empirical copula grid: per order, the quintile ranks of
+#: (total value, line count) — the joint distribution of the RANKS is
+#: the copula, margins uniform by construction, so every cell deviation
+#: from n/25 is pure DEPENDENCE structure.
+COPULA_Q = 5
+
+
+@query(
+    "ext_empirical_copula",
+    oracle=f"""
+    WITH per AS (
+        SELECT o.o_orderkey,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS nl
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT ntile({COPULA_Q}) OVER (ORDER BY v, o_orderkey) AS qu_v,
+               ntile({COPULA_Q}) OVER (ORDER BY nl, o_orderkey) AS qu_n,
+               COUNT(*) OVER () AS n
+        FROM per
+    )
+    SELECT CAST(qu_v AS BIGINT) AS qu_value,
+           CAST(qu_n AS BIGINT) AS qu_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) * {COPULA_Q * COPULA_Q} * 1000 // MAX(n)
+                AS BIGINT) AS density_milli
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def ext_empirical_copula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — the empirical copula of (order value, line count): both
+    variables reduced to quintile RANKS (margins uniform by
+    construction), so the 5x5 joint grid shows pure dependence —
+    density_milli = 1000 everywhere means independence, a heavy
+    diagonal means big orders have many lines regardless of either
+    marginal's shape. This is the rank-based joint view that a single
+    correlation number (Pearson/Kendall/Spearman, all present)
+    compresses away: the copula shows WHERE in the distribution the
+    dependence lives (tail dependence vs middle). Deterministic NTILE
+    with full tiebreaks; all integer.
+
+    Shape: one fact join + order groupBy, two rank windows over the
+    order-sized table, one grid aggregate."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    per = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", cents(F.col("o_totalprice")).alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
+    )
+    ranked = per.select(
+        F.ntile(COPULA_Q)
+        .over(Window.orderBy("v", "o_orderkey"))
+        .alias("qu_v"),
+        F.ntile(COPULA_Q)
+        .over(Window.orderBy("nl", "o_orderkey"))
+        .alias("qu_n"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    return ranked.groupBy(
+        F.col("qu_v").cast("bigint").alias("qu_value"),
+        F.col("qu_n").cast("bigint").alias("qu_lines"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.max("n").cast("bigint").alias("n_total"),
+        F.expr(
+            f"CAST(count(*) * {COPULA_Q * COPULA_Q} * 1000 DIV max(n)"
+            " AS BIGINT)"
+        ).alias("density_milli"),
+    )

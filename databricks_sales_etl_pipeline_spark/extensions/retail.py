@@ -2270,3 +2270,192 @@ def ext_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(annual_units DIV GREATEST({isq}, 1) AS BIGINT)"
         ).alias("orders_per_year"),
     )
+
+
+#: table-driven Elo: expected score as a 10-interval STEP function of
+#: the rating difference (authoring-time logistic constants in ppm — no
+#: runtime pow in either engine; the fast-Elo lookup chess servers use),
+#: K = 32, start 1500. One match per day: the day's top-2 revenue
+#: brands, higher revenue wins.
+ELO_K = 32
+ELO_START = 1500
+#: (upper_bound_exclusive_of_diff, E_ppm) — last bucket catches all.
+ELO_TABLE = (
+    (-400, 53240),
+    (-200, 150980),
+    (-100, 296615),
+    (-50, 393712),
+    (0, 464084),
+    (50, 535916),
+    (100, 606288),
+    (200, 703385),
+    (400, 849020),
+    (None, 946760),
+)
+
+
+def _elo_e_sql(d: str) -> str:
+    cases = " ".join(
+        f"WHEN ({d}) <= {ub} THEN {e}"
+        for ub, e in ELO_TABLE
+        if ub is not None
+    )
+    return f"(CASE {cases} ELSE {ELO_TABLE[-1][1]} END)"
+
+
+def _elo_e_py(d: int) -> int:
+    for ub, e in ELO_TABLE:
+        if ub is not None and d <= ub:
+            return e
+    return ELO_TABLE[-1][1]
+
+
+def _elo_oracle() -> str:
+    e_w = _elo_e_sql(
+        "rec.rs[CAST(m.wv[CAST(rec.t + 1 AS INT)] AS INT)]"
+        " - rec.rs[CAST(m.lv[CAST(rec.t + 1 AS INT)] AS INT)]"
+    )
+    return f"""
+    WITH RECURSIVE br AS MATERIALIZED (
+        SELECT p_brand AS b,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_brand) AS BIGINT) AS bi
+        FROM (SELECT DISTINCT p_brand FROM part)
+    ), drev AS MATERIALIZED (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d,
+               br.bi,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN br ON br.b = p.p_brand
+        GROUP BY 1, 2
+    ), top2 AS MATERIALIZED (
+        SELECT d, bi, rev,
+               ROW_NUMBER() OVER (PARTITION BY d
+                                  ORDER BY rev DESC, bi) AS rk
+        FROM drev QUALIFY rk <= 2
+    ), matches AS MATERIALIZED (
+        SELECT w.d, w.bi AS wi, l.bi AS li
+        FROM top2 w JOIN top2 l ON l.d = w.d AND l.rk = 2
+        WHERE w.rk = 1
+    ), m AS MATERIALIZED (
+        SELECT list(wi ORDER BY d) AS wv, list(li ORDER BY d) AS lv,
+               COUNT(*) AS nm,
+               (SELECT MAX(bi) FROM br) AS nb
+        FROM matches
+    ), rec AS (
+        SELECT 0 AS t,
+               (SELECT list_transform(range(1, nb + 1),
+                       z -> CAST({ELO_START} AS BIGINT)) FROM m) AS rs
+        UNION ALL
+        SELECT rec.t + 1,
+               list_transform(range(1, m.nb + 1), x ->
+                 CASE
+                   WHEN x = m.wv[CAST(rec.t + 1 AS INT)]
+                     THEN rec.rs[CAST(x AS INT)]
+                          + ({ELO_K} * (1000000 - {e_w})) // 1000000
+                   WHEN x = m.lv[CAST(rec.t + 1 AS INT)]
+                     THEN rec.rs[CAST(x AS INT)]
+                          - ({ELO_K} * (1000000 - {e_w})) // 1000000
+                   ELSE rec.rs[CAST(x AS INT)]
+                 END)
+        FROM rec, m WHERE rec.t < m.nm
+    ), fin AS (
+        SELECT rs FROM rec ORDER BY t DESC LIMIT 1
+    )
+    SELECT br.b AS brand,
+           CAST(fin.rs[CAST(br.bi AS INT)] AS BIGINT) AS rating,
+           CAST(COALESCE((SELECT COUNT(*) FROM matches
+                          WHERE wi = br.bi), 0) AS BIGINT) AS n_wins,
+           CAST(COALESCE((SELECT COUNT(*) FROM matches
+                          WHERE li = br.bi), 0) AS BIGINT) AS n_losses
+    FROM br, fin
+    """
+
+
+@query("ext_elo_ratings", oracle=_elo_oracle())
+def ext_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt — Elo ratings of brands from daily revenue contests: each day
+    the top-2 revenue brands play a match (higher revenue wins) and
+    ratings update by K·(1−E) with the expected score as a 10-interval
+    STEP function of the rating gap (authoring-time logistic constants
+    — the fast table-driven Elo, no runtime pow) — a sequential,
+    order-dependent strength ranking that absorbs strength-of-schedule
+    the way win-rate rankings (ext_rank_wilson) cannot: beating a
+    strong brand moves you more than beating a weak one. All integer;
+    the DuckDB twin replays the identical match sequence carrying the
+    ratings vector as recursion state.
+
+    Shape: one (day, brand) groupBy + a per-day top-2 window build the
+    match log (calendar-bounded); the replay iterates the collected
+    match list in exact Python (the MLlib bounded-artifact pattern) and
+    joins final ratings back onto the distributed win/loss counts."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d"),
+        cents(F.col("l_extendedprice")).cast("bigint").alias("c"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    drev = (
+        li.join(broadcast(p), "l_partkey")
+        .groupBy("d", "brand")
+        .agg(F.sum("c").cast("bigint").alias("rev"))
+    )
+    w = Window.partitionBy("d").orderBy(F.col("rev").desc(), "brand")
+    top2 = drev.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 2
+    ).localCheckpoint()
+    matches = (
+        top2.where(F.col("rk") == 1)
+        .select("d", F.col("brand").alias("wb"))
+        .join(
+            top2.where(F.col("rk") == 2).select(
+                "d", F.col("brand").alias("lb")
+            ),
+            "d",
+        )
+    )
+    mrows = sorted(
+        (int(r["d"]), r["wb"], r["lb"]) for r in matches.collect()
+    )  # bounded: calendar-sized match log
+    brands = sorted(
+        r["brand"] for r in p.select("brand").distinct().collect()
+    )
+    rating = {b: ELO_START for b in brands}
+    for _, wb, lb in mrows:
+        dgap = rating[wb] - rating[lb]
+        delta = (ELO_K * (10**6 - _elo_e_py(dgap))) // 10**6
+        rating[wb] += delta
+        rating[lb] -= delta
+    rdf = spark.createDataFrame(
+        [(b, rating[b]) for b in brands], "brand string, rating long"
+    )
+    wins = matches.groupBy(F.col("wb").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wins")
+    )
+    losses = matches.groupBy(F.col("lb").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_losses")
+    )
+    return (
+        rdf.join(wins, "brand", "left")
+        .join(losses, "brand", "left")
+        .select(
+            "brand",
+            "rating",
+            F.coalesce(F.col("n_wins"), F.lit(0))
+            .cast("bigint")
+            .alias("n_wins"),
+            F.coalesce(F.col("n_losses"), F.lit(0))
+            .cast("bigint")
+            .alias("n_losses"),
+        )
+    )
