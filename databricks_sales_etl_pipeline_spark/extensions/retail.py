@@ -2459,3 +2459,153 @@ def ext_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_losses"),
         )
     )
+
+
+@query(
+    "ext_borda_condorcet",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS voter, p.p_brand AS brand,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), grid AS (
+        SELECT v.voter, b.brand, COALESCE(rev.r, 0) AS r
+        FROM (SELECT DISTINCT voter FROM rev) v
+        CROSS JOIN (SELECT DISTINCT brand FROM rev) b
+        LEFT JOIN rev ON rev.voter = v.voter AND rev.brand = b.brand
+    ), ranks AS (
+        SELECT voter, brand,
+               ROW_NUMBER() OVER (PARTITION BY voter
+                                  ORDER BY r DESC, brand) AS rk,
+               COUNT(*) OVER (PARTITION BY voter) AS nb,
+               COUNT(DISTINCT voter) OVER () AS nv
+        FROM grid
+    ), borda AS (
+        SELECT brand, CAST(SUM(nb - rk) AS BIGINT) AS borda_score,
+               CAST(MAX(nv) AS BIGINT) AS n_voters,
+               CAST(MAX(nb) AS BIGINT) AS n_brands
+        FROM ranks GROUP BY brand
+    ), duels AS (
+        SELECT a.brand AS ba, b.brand AS bb,
+               CAST(SUM(CASE WHEN a.rk < b.rk THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pref_a,
+               CAST(MAX(a.nv) AS BIGINT) AS nv
+        FROM ranks a JOIN ranks b
+          ON b.voter = a.voter AND b.brand <> a.brand
+        GROUP BY 1, 2
+    ), wins AS (
+        SELECT ba AS brand,
+               CAST(SUM(CASE WHEN 2 * pref_a > nv THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pairwise_wins
+        FROM duels GROUP BY ba
+    )
+    SELECT bo.brand, bo.borda_score, bo.n_voters,
+           w.pairwise_wins,
+           w.pairwise_wins = bo.n_brands - 1 AS is_condorcet
+    FROM borda bo JOIN wins w ON w.brand = bo.brand
+    """,
+)
+def ext_borda_condorcet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt — social-choice aggregation of brand preferences: each nation
+    'votes' with its revenue ranking of all 25 brands; the BORDA score
+    sums positional points while the CONDORCET check counts pairwise
+    majority duels (a brand beating all 24 others head-to-head is the
+    Condorcet winner — which Borda can FAIL to elect, the classic
+    voting-theory tension). This is rank aggregation for committee
+    decisions: merging per-region leaderboards into one order without
+    letting one region's revenue scale dominate (ranks are scale-free).
+    Strict ranks (full tiebreaks) mean no pairwise ties; all integers.
+
+    Shape: one 5-table join + (nation, brand) groupBy; the duel join
+    runs on the |voters| x |brands|^2 rank grid — bounded by the dims,
+    never the fact table."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        cents(F.col("l_extendedprice")).cast("bigint").alias("c"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("voter")
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .join(broadcast(p), "l_partkey")
+        .groupBy("voter", "brand")
+        .agg(F.sum("c").cast("bigint").alias("r"))
+        .localCheckpoint()
+    )
+    voters = rev.select("voter").distinct()
+    brands = rev.select("brand").distinct()
+    grid = (
+        voters.crossJoin(broadcast(brands))
+        .join(rev, ["voter", "brand"], "left")
+        .select(
+            "voter", "brand", F.coalesce(F.col("r"), F.lit(0)).alias("r")
+        )
+    )
+    wv = Window.partitionBy("voter")
+    ranks = grid.select(
+        "voter",
+        "brand",
+        F.row_number()
+        .over(wv.orderBy(F.col("r").desc(), "brand"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wv).alias("nb"),
+    ).localCheckpoint()
+    nv = voters.count()  # bounded scalar
+    borda = ranks.groupBy("brand").agg(
+        F.sum(F.col("nb") - F.col("rk")).cast("bigint").alias(
+            "borda_score"
+        ),
+        F.lit(nv).cast("bigint").alias("n_voters"),
+        F.max("nb").cast("bigint").alias("n_brands"),
+    )
+    a = ranks.alias("a")
+    b = ranks.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("b.voter") == F.col("a.voter"))
+            & (F.col("b.brand") != F.col("a.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
+        .agg(
+            F.sum(
+                F.when(F.col("a.rk") < F.col("b.rk"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pref_a")
+        )
+    )
+    wins = duels.groupBy(F.col("ba").alias("brand")).agg(
+        F.sum(
+            F.when(2 * F.col("pref_a") > nv, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pairwise_wins")
+    )
+    return borda.join(wins, "brand").select(
+        "brand",
+        "borda_score",
+        "n_voters",
+        "pairwise_wins",
+        (F.col("pairwise_wins") == F.col("n_brands") - 1).alias(
+            "is_condorcet"
+        ),
+    )

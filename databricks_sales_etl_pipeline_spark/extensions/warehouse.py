@@ -1087,3 +1087,149 @@ def ext_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "interest_cents long, principal_cents_paid long, "
         "balance_cents long",
     )
+
+
+#: hierarchical forecast reconciliation: per-brand naive forecasts
+#: (trailing HREC_WIN-month mean, floored cents) never sum to the
+#: top-level forecast (the total series' own trailing mean) — the
+#: coherence problem every forecast hierarchy has. Proportional
+#: top-down reconciliation with largest-remainder pennies makes the
+#: children sum EXACTLY to the parent.
+HREC_WIN = 12
+
+
+@query(
+    "ext_hier_reconcile",
+    oracle=f"""
+    WITH mrev AS (
+        SELECT p.p_brand AS brand,
+               CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
+                    AS BIGINT) AS m,
+               CAST(SUM({cents_sql('l.l_extendedprice')}) AS BIGINT) AS r
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), lastm AS (
+        SELECT MAX(m) AS mx FROM mrev
+    ), win AS (
+        SELECT brand, r FROM mrev, lastm
+        WHERE (m // 100) * 12 + m % 100
+              > (mx // 100) * 12 + mx % 100 - {HREC_WIN}
+    ), base AS (
+        SELECT brand,
+               CAST(SUM(r) // {HREC_WIN} AS BIGINT) AS fc_brand
+        FROM win GROUP BY brand
+    ), top AS (
+        SELECT CAST(SUM(r) // {HREC_WIN} AS BIGINT) AS fc_total
+        FROM win
+    ), pre AS (
+        SELECT b.brand, b.fc_brand, t.fc_total,
+               CAST(SUM(b.fc_brand) OVER () AS BIGINT) AS base_sum
+        FROM base b, top t
+    ), shares AS (
+        SELECT pre.*,
+               CAST(fc_brand * fc_total // base_sum AS BIGINT)
+                   AS rec_floor,
+               ROW_NUMBER() OVER (
+                   ORDER BY (fc_brand * fc_total) % base_sum DESC,
+                            brand) AS rem_rank
+        FROM pre
+    )
+    SELECT brand, fc_brand AS naive_fc_cents, fc_total AS top_fc_cents,
+           base_sum AS naive_sum_cents,
+           CAST(rec_floor
+                + CASE WHEN rem_rank <= fc_total
+                            - (SELECT SUM(rec_floor) FROM shares)
+                       THEN 1 ELSE 0 END AS BIGINT)
+               AS reconciled_fc_cents
+    FROM shares
+    """,
+)
+def ext_hier_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wh — hierarchical forecast reconciliation: naive per-brand
+    forecasts (trailing 12-month mean) are incoherent — they do NOT sum
+    to the total series' own forecast — so the top-down proportional
+    step rescales each child by fc_total/Σchildren with
+    largest-remainder pennies, making the hierarchy sum EXACTLY
+    (reconciled children == parent to the cent, pinned in the unit
+    test). This is the coherence pass every forecast hierarchy
+    (brand→category→total, store→region→chain) runs before planning
+    consumes the numbers.
+
+    Shape: one 3-table join + (brand, month) groupBy; everything after
+    runs on the brand-sized table with one window for the remainder
+    ranks."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        cents(F.col("l_extendedprice")).cast("bigint").alias("c"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.year(F.col("o_orderdate")) * 100 + F.month(F.col("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("m"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    mrev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(p), "l_partkey")
+        .groupBy("brand", "m")
+        .agg(F.sum("c").cast("bigint").alias("r"))
+        .localCheckpoint()
+    )
+    mx = mrev.agg(F.max("m")).collect()[0][0]  # bounded scalar
+    mx_idx = (int(mx) // 100) * 12 + int(mx) % 100
+    win = mrev.where(
+        (F.col("m") / 100).cast("bigint") * 12 + F.col("m") % 100
+        > mx_idx - HREC_WIN
+    )
+    base = win.groupBy("brand").agg(
+        F.expr(f"CAST(SUM(r) DIV {HREC_WIN} AS BIGINT)").alias("fc_brand")
+    )
+    top = win.agg(
+        F.expr(f"CAST(SUM(r) DIV {HREC_WIN} AS BIGINT)").alias("fc_total")
+    )
+    w = Window.partitionBy(F.lit(1))
+    shares = base.join(broadcast(top)).select(
+        "brand",
+        "fc_brand",
+        "fc_total",
+        F.sum("fc_brand").over(w).cast("bigint").alias("base_sum"),
+    ).select(
+        "*",
+        F.expr("CAST(fc_brand * fc_total DIV base_sum AS BIGINT)").alias(
+            "rec_floor"
+        ),
+        F.row_number()
+        .over(
+            w.orderBy(
+                F.expr("(fc_brand * fc_total) % base_sum").desc(), "brand"
+            )
+        )
+        .alias("rem_rank"),
+    ).withColumn(
+        "floor_sum", F.sum("rec_floor").over(w).cast("bigint")
+    )
+    return shares.select(
+        "brand",
+        F.col("fc_brand").alias("naive_fc_cents"),
+        F.col("fc_total").alias("top_fc_cents"),
+        F.col("base_sum").alias("naive_sum_cents"),
+        (
+            F.col("rec_floor")
+            + F.when(
+                F.col("rem_rank")
+                <= F.col("fc_total") - F.col("floor_sum"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("reconciled_fc_cents"),
+    )

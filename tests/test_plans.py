@@ -277,6 +277,11 @@ _NLJ_ALLOWED = {
     # round-6 wave 93: 1-row secret/reconstruction broadcasts around the
     # 5-row share table
     "ext_shamir_shares",
+    # round-6 waves 89/94/98: 1-row quartile-breaks / truth-vs-sample /
+    # top-level-forecast broadcasts
+    "ext_sax_symbolic",
+    "ext_german_tank",
+    "ext_hier_reconcile",
 }
 
 
