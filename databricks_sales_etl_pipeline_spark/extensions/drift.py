@@ -4153,3 +4153,103 @@ def ext_empirical_copula(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("density_milli"),
     )
+
+
+#: delta-method standard error for the RATIO metric revenue-per-event
+#: with USERS as the randomization unit: var(R) ~ (var_y - 2R cov +
+#: R^2 var_n) / (U * mean_n^2) from exact integer per-user moments.
+#: The double math is ONE shared expression string per output column
+#: (the _WILSON_EXPR discipline) so both engines evaluate the identical
+#: IEEE tree.
+def _delta_exprs() -> dict[str, str]:
+    u = "CAST(u AS DOUBLE)"
+    sy = "CAST(sy AS DOUBLE)"
+    sn = "CAST(sn AS DOUBLE)"
+    syy = "CAST(syy AS DOUBLE)"
+    snn = "CAST(snn AS DOUBLE)"
+    syn = "CAST(syn AS DOUBLE)"
+    r = f"({sy} / {sn})"
+    var_y = f"(({syy} - {sy} * {sy} / {u}) / ({u} - CAST(1 AS DOUBLE)))"
+    var_n = f"(({snn} - {sn} * {sn} / {u}) / ({u} - CAST(1 AS DOUBLE)))"
+    cov = f"(({syn} - {sy} * {sn} / {u}) / ({u} - CAST(1 AS DOUBLE)))"
+    mean_n = f"({sn} / {u})"
+    var_r = (
+        f"(({var_y} - CAST(2 AS DOUBLE) * {r} * {cov}"
+        f" + {r} * {r} * {var_n})"
+        f" / ({u} * {mean_n} * {mean_n}))"
+    )
+    se = f"sqrt({var_r})"
+    return {
+        "ratio": r,
+        "se": se,
+        "ci_lo": f"({r} - CAST(1.96 AS DOUBLE) * {se})",
+        "ci_hi": f"({r} + CAST(1.96 AS DOUBLE) * {se})",
+    }
+
+
+@query(
+    "ext_delta_method",
+    oracle=f"""
+    WITH per AS (
+        SELECT user_id,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS u,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(n) AS BIGINT) AS sn,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(n * n) AS BIGINT) AS snn,
+               CAST(SUM(y * n) AS BIGINT) AS syn
+        FROM per
+    )
+    SELECT u AS n_users, sy AS total_cents, sn AS total_events,
+           {_delta_exprs()["ratio"]} AS ratio_cents_per_event,
+           {_delta_exprs()["se"]} AS se_delta,
+           {_delta_exprs()["ci_lo"]} AS ci_lo,
+           {_delta_exprs()["ci_hi"]} AS ci_hi
+    FROM mom
+    """,
+)
+def ext_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — delta-method confidence interval for a RATIO metric
+    (cents per event) with USERS as the randomization unit: events
+    cluster within users, so the naive per-event SE is too small —
+    the classic experimentation-platform trap — and the delta method
+    corrects it using the per-user (y, n) covariance structure:
+    var(R) ~ (var_y − 2R·cov + R²·var_n)/(U·mean_n²). All moments are
+    exact integers; the double math is shared expression strings, so
+    the CI hashes identically cross-engine. The unit test checks the
+    delta SE exceeds the naive iid-event SE on this clustered data.
+
+    Shape: one user groupBy then a single 1-row moment aggregate —
+    the whole inference costs one shuffle."""
+    e = load(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("snn"),
+        F.sum(F.col("y") * F.col("n")).cast("bigint").alias("syn"),
+    )
+    ex = _delta_exprs()
+    return mom.select(
+        F.col("u").alias("n_users"),
+        F.col("sy").alias("total_cents"),
+        F.col("sn").alias("total_events"),
+        F.expr(ex["ratio"]).alias("ratio_cents_per_event"),
+        F.expr(ex["se"]).alias("se_delta"),
+        F.expr(ex["ci_lo"]).alias("ci_lo"),
+        F.expr(ex["ci_hi"]).alias("ci_hi"),
+    )

@@ -2609,3 +2609,98 @@ def ext_borda_condorcet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_condorcet"
         ),
     )
+
+
+#: marginal volume tiers (progressive, like tax brackets): units 1-10
+#: full price, 11-30 at 5% off, 31+ at 10% off — each tier's units
+#: billed at ITS rate, penny-exact via per-tier integer cents.
+TIER_B1 = 10
+TIER_B2 = 30
+
+
+@query(
+    "ext_tiered_pricing",
+    oracle=f"""
+    WITH l AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS ext_c
+        FROM lineitem
+    ), unitp AS (
+        SELECT l.*, CAST(ext_c // q AS BIGINT) AS unit_c FROM l
+    ), tiers AS (
+        SELECT l_orderkey, l_linenumber, q, ext_c, unit_c,
+               CAST(LEAST(q, {TIER_B1}) AS BIGINT) AS t1_units,
+               CAST(GREATEST(LEAST(q, {TIER_B2}) - {TIER_B1}, 0)
+                    AS BIGINT) AS t2_units,
+               CAST(GREATEST(q - {TIER_B2}, 0) AS BIGINT) AS t3_units
+        FROM unitp
+    ), billed AS (
+        SELECT *,
+               CAST(t1_units * unit_c
+                    + t2_units * (unit_c * 95 // 100)
+                    + t3_units * (unit_c * 90 // 100) AS BIGINT)
+                   AS billed_c
+        FROM tiers
+    )
+    SELECT CAST(CASE WHEN q <= {TIER_B1} THEN 1
+                     WHEN q <= {TIER_B2} THEN 2 ELSE 3 END AS BIGINT)
+               AS top_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(q) AS BIGINT) AS units,
+           CAST(SUM(ext_c) AS BIGINT) AS list_cents,
+           CAST(SUM(billed_c) AS BIGINT) AS billed_cents,
+           CAST(SUM(ext_c - billed_c) AS BIGINT) AS discount_cents
+    FROM billed GROUP BY 1
+    """,
+)
+def ext_tiered_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rt — MARGINAL volume-tier pricing (the tax-bracket structure):
+    units 1-10 at list, 11-30 at 5% off, 31+ at 10% off, each tier
+    billed at its own rate — the progressive schedule that avoids the
+    cliff where buying one more unit makes the whole order cheaper
+    (the bug in naive all-units discounting). Per-line unit price is
+    the floored list/quantity; every tier amount is integer cents, so
+    the revenue give-up per top-tier bucket reconciles exactly.
+
+    Shape: pure per-row arithmetic on the scan + one 3-row groupBy —
+    zero joins, map-side combinable, the cheapest possible shape."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        cents(F.col("l_extendedprice")).cast("bigint").alias("ext_c"),
+    )
+    t = li.select(
+        "q",
+        "ext_c",
+        F.expr("CAST(ext_c DIV q AS BIGINT)").alias("unit_c"),
+        F.least(F.col("q"), F.lit(TIER_B1)).cast("bigint").alias("t1"),
+        F.greatest(
+            F.least(F.col("q"), F.lit(TIER_B2)) - TIER_B1, F.lit(0)
+        )
+        .cast("bigint")
+        .alias("t2"),
+        F.greatest(F.col("q") - TIER_B2, F.lit(0))
+        .cast("bigint")
+        .alias("t3"),
+    ).withColumn(
+        "billed_c",
+        F.expr(
+            "CAST(t1 * unit_c + t2 * (unit_c * 95 DIV 100)"
+            " + t3 * (unit_c * 90 DIV 100) AS BIGINT)"
+        ),
+    )
+    return t.groupBy(
+        F.when(F.col("q") <= TIER_B1, 1)
+        .when(F.col("q") <= TIER_B2, 2)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("top_tier")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("q").cast("bigint").alias("units"),
+        F.sum("ext_c").cast("bigint").alias("list_cents"),
+        F.sum("billed_c").cast("bigint").alias("billed_cents"),
+        F.sum(F.col("ext_c") - F.col("billed_c"))
+        .cast("bigint")
+        .alias("discount_cents"),
+    )
