@@ -4253,3 +4253,94 @@ def ext_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ex["ci_lo"]).alias("ci_lo"),
         F.expr(ex["ci_hi"]).alias("ci_hi"),
     )
+
+
+#: jackknife SE for the same ratio metric ext_delta_method treats
+#: analytically: theta_(i) = (Sy - y_i)/(Sn - n_i) per left-out user,
+#: QUANTIZED to integer milli before the moment sums (raw double sums
+#: are partition-order dependent — the repo's standing parity trap), so
+#: Σθ and Σθ² are exact integers and only the FINAL sqrt is IEEE.
+_JK_THETA_MILLI = "CAST((sy - y) * 1000 DIV (sn - n) AS BIGINT)"
+_JK_THETA_MILLI_DUCK = "CAST((sy - y) * 1000 // (sn - n) AS BIGINT)"
+_JK_SE = (
+    "(sqrt((CAST(u AS DOUBLE) - CAST(1 AS DOUBLE)) / CAST(u AS DOUBLE)"
+    " * (CAST(stt AS DOUBLE)"
+    "    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(u AS DOUBLE)))"
+    " / CAST(1000 AS DOUBLE))"
+)
+
+
+@query(
+    "ext_jackknife_ratio",
+    oracle=f"""
+    WITH per AS (
+        SELECT user_id,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS u,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(n) AS BIGINT) AS sn
+        FROM per
+    ), loo AS (
+        SELECT tot.u, tot.sy, tot.sn,
+               {_JK_THETA_MILLI_DUCK} AS tm
+        FROM per, tot
+    ), agg AS (
+        SELECT u, sy, sn,
+               CAST(SUM(tm) AS BIGINT) AS st,
+               CAST(SUM(tm * tm) AS BIGINT) AS stt
+        FROM loo GROUP BY u, sy, sn
+    )
+    SELECT u AS n_users, sy AS total_cents, sn AS total_events,
+           (CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE)) AS ratio,
+           {_JK_SE} AS se_jackknife
+    FROM agg
+    """,
+)
+def ext_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — leave-one-user-out JACKKNIFE standard error for the
+    cents-per-event ratio: every user's removal re-evaluates the ratio
+    in closed form from the broadcast totals (no U re-aggregations —
+    theta_(i) = (Sy−y_i)/(Sn−n_i)), then SE² = (U−1)/U · Σ(θ_i − θ̄)².
+    The resampling counterpart to ext_delta_method's analytic SE — when
+    the two disagree materially, the ratio is too skewed for the
+    first-order expansion and the experiment readout should say so.
+    Each theta is QUANTIZED to integer milli-cents before the moment
+    sums, because summing raw doubles is partition-order dependent
+    (the repo's standing float-parity trap); only the final sqrt is
+    IEEE, from exact integer inputs.
+
+    Shape: one user groupBy, a 1-row totals broadcast back onto it,
+    one scalar aggregate — resampling at the price of two passes, no
+    U× blowup."""
+    e = load(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("n").cast("bigint").alias("sn"),
+    )
+    loo = per.join(broadcast(tot)).select(
+        "u", "sy", "sn", F.expr(_JK_THETA_MILLI).alias("tm")
+    )
+    agg = loo.groupBy("u", "sy", "sn").agg(
+        F.sum("tm").cast("bigint").alias("st"),
+        F.sum(F.col("tm") * F.col("tm")).cast("bigint").alias("stt"),
+    )
+    return agg.select(
+        F.col("u").alias("n_users"),
+        F.col("sy").alias("total_cents"),
+        F.col("sn").alias("total_events"),
+        F.expr("CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE)").alias("ratio"),
+        F.expr(_JK_SE).alias("se_jackknife"),
+    )

@@ -282,6 +282,8 @@ _NLJ_ALLOWED = {
     "ext_sax_symbolic",
     "ext_german_tank",
     "ext_hier_reconcile",
+    # round-6 wave 100: 1-row totals broadcast onto the per-user table
+    "ext_jackknife_ratio",
 }
 
 
