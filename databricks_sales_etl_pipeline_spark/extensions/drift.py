@@ -4344,3 +4344,268 @@ def ext_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE)").alias("ratio"),
         F.expr(_JK_SE).alias("se_jackknife"),
     )
+
+
+#: Xbar-R chart: daily subgroups of the first XBAR_N orders (by key —
+#: a deterministic rational subgroup), control limits from the classic
+#: SPC constants for n=5 (A2 = 0.577, D4 = 2.114 — authoring-time
+#: milli integers, the standard table every SPC text prints).
+XBAR_N = 5
+XBAR_A2_MILLI = 577
+XBAR_D4_MILLI = 2114
+
+
+@query(
+    "ext_xbar_r_chart",
+    oracle=f"""
+    WITH sub AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate AS DATE)
+                                  ORDER BY o_orderkey) AS rk
+        FROM orders QUALIFY rk <= {XBAR_N}
+    ), grp AS (
+        SELECT d,
+               CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS xbar_milli,
+               CAST((MAX(v) - MIN(v)) * 1000 AS BIGINT) AS r_milli,
+               COUNT(*) AS n
+        FROM sub GROUP BY d
+        HAVING COUNT(*) = {XBAR_N}
+    ), lim AS (
+        SELECT CAST(SUM(xbar_milli) // COUNT(*) AS BIGINT) AS center,
+               CAST(SUM(r_milli) // COUNT(*) AS BIGINT) AS rbar
+        FROM grp
+    )
+    SELECT g.d, g.xbar_milli, g.r_milli, l.center, l.rbar,
+           CAST(l.center + {XBAR_A2_MILLI} * l.rbar // 1000 AS BIGINT)
+               AS ucl_x,
+           CAST(l.center - {XBAR_A2_MILLI} * l.rbar // 1000 AS BIGINT)
+               AS lcl_x,
+           CAST({XBAR_D4_MILLI} * l.rbar // 1000 AS BIGINT) AS ucl_r,
+           g.xbar_milli > l.center + {XBAR_A2_MILLI} * l.rbar // 1000
+           OR g.xbar_milli < l.center - {XBAR_A2_MILLI} * l.rbar // 1000
+               AS x_signal,
+           g.r_milli > {XBAR_D4_MILLI} * l.rbar // 1000 AS r_signal
+    FROM grp g, lim l
+    """,
+)
+def ext_xbar_r_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — the Xbar-R control chart (Shewhart's original): daily
+    rational subgroups of 5 orders, subgroup mean and range in exact
+    milli-cents, control limits center ± A2·Rbar and D4·Rbar from the
+    CLASSIC SPC constants for n=5 (authoring-time milli integers — the
+    table every SPC text prints, no libm) — the mean-AND-spread monitor
+    that completes the chart family (c-chart counts, CUSUM drifts, EWMA
+    elsewhere): the R chart catches variance blowups the mean chart is
+    blind to. Signals flagged in-row for both charts.
+
+    Shape: one per-day window picks the subgroup (TakeOrdered inside
+    the partition), one day groupBy, a 1-row limits broadcast."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.col("o_orderdate").cast("date")).orderBy(
+        "o_orderkey"
+    )
+    sub = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d"),
+        cents(F.col("o_totalprice")).cast("bigint").alias("v"),
+        F.row_number().over(w).alias("rk"),
+    ).where(F.col("rk") <= XBAR_N)
+    grp = (
+        sub.groupBy("d")
+        .agg(
+            F.expr("CAST(SUM(v) * 1000 DIV COUNT(*) AS BIGINT)").alias(
+                "xbar_milli"
+            ),
+            F.expr("CAST((MAX(v) - MIN(v)) * 1000 AS BIGINT)").alias(
+                "r_milli"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") == XBAR_N)
+        .drop("n")
+        .localCheckpoint()
+    )
+    lim = grp.agg(
+        F.expr("CAST(SUM(xbar_milli) DIV COUNT(*) AS BIGINT)").alias(
+            "center"
+        ),
+        F.expr("CAST(SUM(r_milli) DIV COUNT(*) AS BIGINT)").alias("rbar"),
+    )
+    j = grp.join(broadcast(lim))
+    ucl_x = F.expr(
+        f"CAST(center + {XBAR_A2_MILLI} * rbar DIV 1000 AS BIGINT)"
+    )
+    lcl_x = F.expr(
+        f"CAST(center - {XBAR_A2_MILLI} * rbar DIV 1000 AS BIGINT)"
+    )
+    ucl_r = F.expr(f"CAST({XBAR_D4_MILLI} * rbar DIV 1000 AS BIGINT)")
+    return j.select(
+        "d",
+        "xbar_milli",
+        "r_milli",
+        "center",
+        "rbar",
+        ucl_x.alias("ucl_x"),
+        lcl_x.alias("lcl_x"),
+        ucl_r.alias("ucl_r"),
+        (
+            (F.col("xbar_milli") > ucl_x) | (F.col("xbar_milli") < lcl_x)
+        ).alias("x_signal"),
+        (F.col("r_milli") > ucl_r).alias("r_signal"),
+    )
+
+
+#: Nelson/Western-Electric run rules on the daily revenue series
+#: (center = overall daily mean in milli): rule 2 = NELSON_R2 points in
+#: a row on one side of center; rule 3 = NELSON_R3 points in a row
+#: monotone increasing/decreasing. Both are pure windows — patterns the
+#: 3-sigma point rules (c-chart, xbar) are blind to.
+NELSON_R2 = 9
+NELSON_R3 = 6
+
+
+@query(
+    "ext_nelson_rules",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ), c AS (
+        SELECT CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS center
+        FROM daily
+    ), sided AS (
+        SELECT d, v,
+               CASE WHEN v * 1000 > c.center THEN 1
+                    WHEN v * 1000 < c.center THEN -1 ELSE 0 END AS side,
+               CASE WHEN v > LAG(v) OVER (ORDER BY d) THEN 1
+                    WHEN v < LAG(v) OVER (ORDER BY d) THEN -1
+                    ELSE 0 END AS dirn
+        FROM daily, c
+    ), runs AS (
+        SELECT d, v, side, dirn,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                    OVER w{NELSON_R2} AS BIGINT) AS above_run,
+               CAST(SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END)
+                    OVER w{NELSON_R2} AS BIGINT) AS below_run,
+               CAST(SUM(CASE WHEN dirn = 1 THEN 1 ELSE 0 END)
+                    OVER w{NELSON_R3} AS BIGINT) AS up_run,
+               CAST(SUM(CASE WHEN dirn = -1 THEN 1 ELSE 0 END)
+                    OVER w{NELSON_R3} AS BIGINT) AS down_run
+        FROM sided
+        WINDOW w{NELSON_R2} AS (ORDER BY d
+                                ROWS BETWEEN {NELSON_R2 - 1} PRECEDING
+                                AND CURRENT ROW),
+               w{NELSON_R3} AS (ORDER BY d
+                                ROWS BETWEEN {NELSON_R3 - 1} PRECEDING
+                                AND CURRENT ROW)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN above_run = {NELSON_R2}
+                         OR below_run = {NELSON_R2}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rule2_signals,
+           CAST(SUM(CASE WHEN up_run = {NELSON_R3}
+                         OR down_run = {NELSON_R3}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rule3_signals,
+           CAST(COALESCE(MIN(CASE WHEN above_run = {NELSON_R2}
+                                  OR below_run = {NELSON_R2}
+                                  THEN d END), 0) AS BIGINT)
+               AS first_rule2_day,
+           CAST(COALESCE(MIN(CASE WHEN up_run = {NELSON_R3}
+                                  OR down_run = {NELSON_R3}
+                                  THEN d END), 0) AS BIGINT)
+               AS first_rule3_day
+    FROM runs
+    """,
+)
+def ext_nelson_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — Nelson/Western-Electric RUN rules on daily revenue: rule 2
+    fires when 9 consecutive days sit on ONE side of the center line,
+    rule 3 when 6 consecutive days move monotonically — the
+    small-persistent-shift and trend patterns that 3-sigma point rules
+    (ext_control_chart_c, ext_xbar_r_chart) are structurally blind to,
+    completing the SPC family's pattern dimension. Both rules are
+    single fixed-width window sums over the calendar series; all
+    integer (center in milli so the mean never rounds).
+
+    Shape: one day groupBy, a 1-row center broadcast, two bounded
+    windows — O(calendar) after the aggregate."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("v")
+    )
+    c = daily.agg(
+        F.expr("CAST(SUM(v) * 1000 DIV COUNT(*) AS BIGINT)").alias(
+            "center"
+        )
+    )
+    wo = Window.orderBy("d")
+    sided = daily.join(broadcast(c)).select(
+        "d",
+        "v",
+        F.when(F.col("v") * 1000 > F.col("center"), 1)
+        .when(F.col("v") * 1000 < F.col("center"), -1)
+        .otherwise(0)
+        .alias("side"),
+        F.when(F.col("v") > F.lag("v").over(wo), 1)
+        .when(F.col("v") < F.lag("v").over(wo), -1)
+        .otherwise(0)
+        .alias("dirn"),
+    )
+    w2 = wo.rowsBetween(-(NELSON_R2 - 1), 0)
+    w3 = wo.rowsBetween(-(NELSON_R3 - 1), 0)
+    runs = sided.select(
+        "d",
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .over(w2)
+        .alias("above_run"),
+        F.sum(F.when(F.col("side") == -1, 1).otherwise(0))
+        .over(w2)
+        .alias("below_run"),
+        F.sum(F.when(F.col("dirn") == 1, 1).otherwise(0))
+        .over(w3)
+        .alias("up_run"),
+        F.sum(F.when(F.col("dirn") == -1, 1).otherwise(0))
+        .over(w3)
+        .alias("down_run"),
+    )
+    r2 = (F.col("above_run") == NELSON_R2) | (
+        F.col("below_run") == NELSON_R2
+    )
+    r3 = (F.col("up_run") == NELSON_R3) | (F.col("down_run") == NELSON_R3)
+    return runs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(r2, 1).otherwise(0)).cast("bigint").alias(
+            "rule2_signals"
+        ),
+        F.sum(F.when(r3, 1).otherwise(0)).cast("bigint").alias(
+            "rule3_signals"
+        ),
+        F.coalesce(F.min(F.when(r2, F.col("d"))), F.lit(0))
+        .cast("bigint")
+        .alias("first_rule2_day"),
+        F.coalesce(F.min(F.when(r3, F.col("d"))), F.lit(0))
+        .cast("bigint")
+        .alias("first_rule3_day"),
+    )

@@ -284,6 +284,9 @@ _NLJ_ALLOWED = {
     "ext_hier_reconcile",
     # round-6 wave 100: 1-row totals broadcast onto the per-user table
     "ext_jackknife_ratio",
+    # round-6 wave 101: 1-row control-limit / center-line broadcasts
+    "ext_xbar_r_chart",
+    "ext_nelson_rules",
 }
 
 
