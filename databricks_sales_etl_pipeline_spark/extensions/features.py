@@ -1301,3 +1301,112 @@ def ext_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_in_source",
         F.col("pooled_chars").cast("bigint").alias("norm_chars"),
     )
+
+
+@query(
+    "ext_tukey_fences",
+    oracle="""
+    WITH x AS (
+        SELECT p.p_brand AS brand,
+               CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), cum AS (
+        SELECT brand, c,
+               ROW_NUMBER() OVER (PARTITION BY brand
+                                  ORDER BY c, l_orderkey, l_linenumber)
+                   AS r,
+               COUNT(*) OVER (PARTITION BY brand) AS n
+        FROM x
+    ), q AS (
+        SELECT brand,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN r * 4 >= n THEN c END) AS BIGINT) AS q1,
+               CAST(MIN(CASE WHEN r * 4 >= 3 * n THEN c END) AS BIGINT)
+                   AS q3
+        FROM cum GROUP BY brand
+    ), fences AS (
+        SELECT brand, n, q1, q3,
+               CAST(q1 - 3 * (q3 - q1) // 2 AS BIGINT) AS lo,
+               CAST(q3 + 3 * (q3 - q1) // 2 AS BIGINT) AS hi
+        FROM q
+    )
+    SELECT f.brand, f.n, f.q1, f.q3, f.lo AS fence_lo, f.hi AS fence_hi,
+           CAST(SUM(CASE WHEN x.c < f.lo OR x.c > f.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM x JOIN fences f ON f.brand = x.brand
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def ext_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ft — Tukey boxplot fences per brand: Q1/Q3 as exact order
+    statistics (rank·4 >= n thresholds, no interpolation), fences at
+    1.5 IQR beyond the quartiles, outliers counted per brand — the
+    box-and-whisker rule in its per-group production form, the
+    distribution-shape complement to the robust-scale/winsorize ops
+    (those transform, this AUDITS). All integer cents; floor on the
+    non-negative 3·IQR//2.
+
+    Shape: one broadcast dim join, one brand-partitioned rank window,
+    then the fences join back as a brand-keyed (dim-sized) equi-join —
+    no global shuffle beyond the brand key."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        cents(F.col("l_extendedprice")).cast("bigint").alias("c"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    x = li.join(broadcast(p), "l_partkey").localCheckpoint()
+    wb = Window.partitionBy("brand")
+    cum = x.select(
+        "brand",
+        "c",
+        F.row_number()
+        .over(wb.orderBy("c", "l_orderkey", "l_linenumber"))
+        .alias("r"),
+        F.count(F.lit(1)).over(wb).alias("n"),
+    )
+    q = cum.groupBy("brand").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("r") * 4 >= F.col("n"), F.col("c")))
+        .cast("bigint")
+        .alias("q1"),
+        F.min(F.when(F.col("r") * 4 >= 3 * F.col("n"), F.col("c")))
+        .cast("bigint")
+        .alias("q3"),
+    )
+    fences = q.select(
+        "brand",
+        "n",
+        "q1",
+        "q3",
+        F.expr("CAST(q1 - 3 * (q3 - q1) DIV 2 AS BIGINT)").alias("lo"),
+        F.expr("CAST(q3 + 3 * (q3 - q1) DIV 2 AS BIGINT)").alias("hi"),
+    )
+    return (
+        x.join(broadcast(fences), "brand")
+        .groupBy("brand", "n", "q1", "q3", "lo", "hi")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("c") < F.col("lo")) | (F.col("c") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "brand",
+            "n",
+            "q1",
+            "q3",
+            F.col("lo").alias("fence_lo"),
+            F.col("hi").alias("fence_hi"),
+            "n_outliers",
+        )
+    )

@@ -489,3 +489,125 @@ def ext_gale_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_by_brand",
         )
     )
+
+
+#: Tukey median polish of the (priority x segment) two-way table of
+#: mean order value (floored cents): MP_ROUNDS alternating row/column
+#: median sweeps — medians of a 5-value line are EXACT order statistics
+#: (sorted list middle element), so the whole decomposition is integer
+#: and the DuckDB twin unrolls identically.
+MP_ROUNDS = 3
+
+
+def _mp_round_ctes(i: int) -> str:
+    return f"""r{i}a AS MATERIALIZED (
+        SELECT a, CAST(list_sort(list(res))[3] AS BIGINT) AS m
+        FROM t{i} GROUP BY a
+    ), t{i}r AS MATERIALIZED (
+        SELECT t.a, t.b, CAST(t.res - r.m AS BIGINT) AS res,
+               CAST(t.row_eff + r.m AS BIGINT) AS row_eff, t.col_eff
+        FROM t{i} t JOIN r{i}a r ON r.a = t.a
+    ), r{i}b AS MATERIALIZED (
+        SELECT b, CAST(list_sort(list(res))[3] AS BIGINT) AS m
+        FROM t{i}r GROUP BY b
+    ), t{i + 1} AS MATERIALIZED (
+        SELECT t.a, t.b, CAST(t.res - r.m AS BIGINT) AS res,
+               t.row_eff, CAST(t.col_eff + r.m AS BIGINT) AS col_eff
+        FROM t{i}r t JOIN r{i}b r ON r.b = t.b
+    )"""
+
+
+@query(
+    "ext_median_polish",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT o.o_orderpriority AS a, c.c_mktsegment AS b,
+               CAST(CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                  AS BIGINT)) AS BIGINT)
+                    // COUNT(*) AS BIGINT) AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), t0 AS MATERIALIZED (
+        SELECT a, b, v AS res, CAST(0 AS BIGINT) AS row_eff,
+               CAST(0 AS BIGINT) AS col_eff
+        FROM cells
+    ), {", ".join(_mp_round_ctes(i) for i in range(MP_ROUNDS))}
+    SELECT c.a, c.b, c.v AS value_cents,
+           t.res AS residual_cents, t.row_eff, t.col_eff
+    FROM t{MP_ROUNDS} t JOIN cells c ON c.a = t.a AND c.b = t.b
+    """,
+)
+def ext_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op — Tukey's MEDIAN POLISH of the (priority x segment) two-way
+    table of mean order value: alternating row- and column-median
+    sweeps (3 rounds) decompose each cell into row effect + column
+    effect + residual — the robust two-way EDA that ANOVA's
+    mean-based decomposition is not (one weird cell cannot drag a
+    whole row's effect). Medians of each 5-value line are exact sorted
+    middles, so every number is an integer cent and value =
+    row_eff + col_eff + residual holds EXACTLY per cell (pinned in
+    the unit test).
+
+    Shape: one join + groupBy builds the k1 x k2 cell table; each
+    sweep is a 5-group median on that bounded table."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("a"),
+        cents(F.col("o_totalprice")).cast("bigint").alias("v"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("b"),
+    )
+    cells = (
+        o.join(c, "o_custkey")
+        .groupBy("a", "b")
+        .agg(F.expr("CAST(SUM(v) DIV COUNT(*) AS BIGINT)").alias("v"))
+        .localCheckpoint()
+    )
+    t = cells.select(
+        "a",
+        "b",
+        F.col("v").alias("res"),
+        F.lit(0).cast("bigint").alias("row_eff"),
+        F.lit(0).cast("bigint").alias("col_eff"),
+    )
+    for _ in range(MP_ROUNDS):
+        rm = t.groupBy("a").agg(
+            F.expr(
+                "CAST(element_at(array_sort(collect_list(res)), 3)"
+                " AS BIGINT)"
+            ).alias("m")
+        )
+        t = t.join(rm, "a").select(
+            "a",
+            "b",
+            (F.col("res") - F.col("m")).cast("bigint").alias("res"),
+            (F.col("row_eff") + F.col("m")).cast("bigint").alias(
+                "row_eff"
+            ),
+            "col_eff",
+        )
+        cm = t.groupBy("b").agg(
+            F.expr(
+                "CAST(element_at(array_sort(collect_list(res)), 3)"
+                " AS BIGINT)"
+            ).alias("m")
+        )
+        t = t.join(cm, "b").select(
+            "a",
+            "b",
+            (F.col("res") - F.col("m")).cast("bigint").alias("res"),
+            "row_eff",
+            (F.col("col_eff") + F.col("m")).cast("bigint").alias(
+                "col_eff"
+            ),
+        ).localCheckpoint()
+    return cells.join(t, ["a", "b"]).select(
+        "a",
+        "b",
+        F.col("v").alias("value_cents"),
+        F.col("res").alias("residual_cents"),
+        "row_eff",
+        "col_eff",
+    )
