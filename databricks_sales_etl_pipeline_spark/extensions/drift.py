@@ -4609,3 +4609,99 @@ def ext_nelson_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_rule3_day"),
     )
+
+
+#: Kruskal-Wallis H across the five priorities: DOUBLED midranks
+#: d_i = 2*cum_before + ties + 1 keep every rank integral (the
+#: ext_eval_auc tie identity); H = 3*SUM(R_j^2/n_j)/(N(N+1)) - 3(N+1)
+#: with R_j = sum(d)/2: Sum R^2/n = a4/4 where a4 = Sum dsum^2/n, so
+#: H = 3*a4/(N(N+1)) - 3(N+1) — staged milli divisions throughout
+#: (integer-exact to ~sf0.3; shard beyond).
+def _kw_sq_over(s: str, n: str) -> str:
+    return (
+        f"((({s}) // ({n})) * ({s}) + ((({s}) % ({n})) * ({s})) // ({n}))"
+    )
+
+
+@query(
+    "ext_kruskal_wallis",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderpriority AS grp,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+    ), rk AS (
+        SELECT grp, v,
+               CAST(2 * (RANK() OVER (ORDER BY v) - 1)
+                    + COUNT(*) OVER (PARTITION BY v) + 1 AS BIGINT) AS d
+        FROM x
+    ), g AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(d) AS BIGINT) AS dsum
+        FROM rk GROUP BY grp
+    ), tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM({_kw_sq_over("dsum", "n_g")}) AS BIGINT) AS a4
+        FROM g
+    )
+    SELECT g.grp, g.n_g,
+           CAST(g.dsum // 2 AS BIGINT) AS rank_sum,
+           t.n,
+           CAST((3 * t.a4) // (t.n * (t.n + 1)) * 1000
+                + ((3 * t.a4) % (t.n * (t.n + 1))) * 1000
+                  // (t.n * (t.n + 1))
+                - 3 * (t.n + 1) * 1000 AS BIGINT) AS h_milli
+    FROM g, tot t
+    """,
+)
+def ext_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — Kruskal-Wallis rank ANOVA of order value across the five
+    priorities: the k-group generalization of Mann-Whitney (and the
+    rank-robust twin of ext_anova_oneway), computed entirely in exact
+    integers via DOUBLED midranks — ties never create half-ranks — and
+    staged floor divisions for H in milli. Under the fixture's genuine
+    null, H sits near its expectation k-1 = 4 (pinned loosely in the
+    unit test); per-group rank sums are reported so the reader sees
+    which group drags.
+
+    Shape: one global rank window (the scale limit — swap in the
+    two-pass order-statistics trick at 100 TB), one group aggregate,
+    one scalar fold."""
+    o = load(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        cents(F.col("o_totalprice")).cast("bigint").alias("v"),
+    )
+    rk = x.select(
+        "grp",
+        (
+            2 * (F.rank().over(Window.orderBy("v")) - 1)
+            + F.count(F.lit(1)).over(Window.partitionBy("v"))
+            + 1
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    g = rk.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("d").cast("bigint").alias("dsum"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.expr(_kw_sq_over("dsum", "n_g").replace("//", "DIV")))
+        .cast("bigint")
+        .alias("a4"),
+    )
+    return g.join(broadcast(tot)).select(
+        "grp",
+        "n_g",
+        F.expr("CAST(dsum DIV 2 AS BIGINT)").alias("rank_sum"),
+        "n",
+        F.expr(
+            "CAST((3 * a4) DIV (n * (n + 1)) * 1000"
+            " + ((3 * a4) % (n * (n + 1))) * 1000"
+            "   DIV (n * (n + 1))"
+            " - 3 * (n + 1) * 1000 AS BIGINT)"
+        ).alias("h_milli"),
+    )

@@ -287,6 +287,8 @@ _NLJ_ALLOWED = {
     # round-6 wave 101: 1-row control-limit / center-line broadcasts
     "ext_xbar_r_chart",
     "ext_nelson_rules",
+    # round-6 wave 103: 1-row H-statistic broadcast onto the group rows
+    "ext_kruskal_wallis",
 }
 
 
