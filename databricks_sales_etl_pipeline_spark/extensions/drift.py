@@ -4705,3 +4705,141 @@ def ext_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 3 * (n + 1) * 1000 AS BIGINT)"
         ).alias("h_milli"),
     )
+
+
+#: Friedman test: blocks = nations, treatments = the FRIED_K
+#: top-revenue brands, value = block x brand revenue (0 when absent);
+#: strict within-block ranks (revenue desc, brand tiebreak), Q =
+#: 12*SUM(R_j^2)/(n*k*(k+1)) - 3*n*(k+1), all integers in milli.
+FRIED_K = 5
+
+
+@query(
+    "ext_friedman_test",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name AS blk, p.p_brand AS brand,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), topb AS (
+        SELECT brand,
+               ROW_NUMBER() OVER (ORDER BY SUM(r) DESC, brand) AS brk
+        FROM rev GROUP BY brand QUALIFY brk <= {FRIED_K}
+    ), grid AS (
+        SELECT b.blk, t.brand, COALESCE(rev.r, 0) AS r
+        FROM (SELECT DISTINCT blk FROM rev) b
+        CROSS JOIN topb t
+        LEFT JOIN rev ON rev.blk = b.blk AND rev.brand = t.brand
+    ), ranks AS (
+        SELECT blk, brand,
+               CAST(ROW_NUMBER() OVER (PARTITION BY blk
+                                       ORDER BY r DESC, brand)
+                    AS BIGINT) AS rk
+        FROM grid
+    ), sums AS (
+        SELECT brand, CAST(SUM(rk) AS BIGINT) AS rank_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM ranks GROUP BY brand
+    ), stat AS (
+        SELECT CAST(MAX(n_blocks) AS BIGINT) AS n,
+               CAST(SUM(rank_sum * rank_sum) AS BIGINT) AS sr2
+        FROM sums
+    )
+    SELECT s.brand, s.rank_sum, s.n_blocks,
+           CAST(12000 * t.sr2
+                // (t.n * {FRIED_K} * ({FRIED_K} + 1))
+                - 3 * t.n * ({FRIED_K} + 1) * 1000 AS BIGINT)
+               AS q_milli
+    FROM sums s, stat t
+    """,
+)
+def ext_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — the Friedman test: do the top-5 brands rank consistently
+    across nation BLOCKS? Each nation ranks the brands by its own
+    revenue (strict within-block ranks — scale-free, so a big nation
+    cannot dominate), and Q = 12ΣR²/(nk(k+1)) − 3n(k+1) measures
+    whether the rank sums diverge from uniform — the repeated-measures
+    sibling of ext_kruskal_wallis (blocks replace independence) and the
+    inferential companion to ext_borda_condorcet's descriptive scores.
+    All integers; Q in milli with one staged division.
+
+    Shape: the same 5-table revenue grid as the voting op; every stage
+    after the groupBy is (blocks x k)-bounded."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        cents(F.col("l_extendedprice")).cast("bigint").alias("c"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("blk")
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .join(broadcast(p), "l_partkey")
+        .groupBy("blk", "brand")
+        .agg(F.sum("c").cast("bigint").alias("r"))
+        .localCheckpoint()
+    )
+    topb = (
+        rev.groupBy("brand")
+        .agg(F.sum("r").alias("tr"))
+        .withColumn(
+            "brk",
+            F.row_number().over(
+                Window.orderBy(F.col("tr").desc(), "brand")
+            ),
+        )
+        .where(F.col("brk") <= FRIED_K)
+        .select("brand")
+    )
+    blocks = rev.select("blk").distinct()
+    grid = (
+        blocks.crossJoin(broadcast(topb))
+        .join(rev, ["blk", "brand"], "left")
+        .select(
+            "blk", "brand", F.coalesce(F.col("r"), F.lit(0)).alias("r")
+        )
+    )
+    ranks = grid.select(
+        "blk",
+        "brand",
+        F.row_number()
+        .over(
+            Window.partitionBy("blk").orderBy(F.col("r").desc(), "brand")
+        )
+        .cast("bigint")
+        .alias("rk"),
+    )
+    sums = ranks.groupBy("brand").agg(
+        F.sum("rk").cast("bigint").alias("rank_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    stat = sums.agg(
+        F.max("n_blocks").cast("bigint").alias("n"),
+        F.sum(F.col("rank_sum") * F.col("rank_sum"))
+        .cast("bigint")
+        .alias("sr2"),
+    )
+    return sums.join(broadcast(stat)).select(
+        "brand",
+        "rank_sum",
+        "n_blocks",
+        F.expr(
+            f"CAST(12000 * sr2 DIV (n * {FRIED_K} * ({FRIED_K} + 1))"
+            f" - 3 * n * ({FRIED_K} + 1) * 1000 AS BIGINT)"
+        ).alias("q_milli"),
+    )

@@ -289,6 +289,8 @@ _NLJ_ALLOWED = {
     "ext_nelson_rules",
     # round-6 wave 103: 1-row H-statistic broadcast onto the group rows
     "ext_kruskal_wallis",
+    # round-6 wave 104: 1-row Q-statistic broadcast onto the brand rows
+    "ext_friedman_test",
 }
 
 
