@@ -4843,3 +4843,154 @@ def ext_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - 3 * n * ({FRIED_K} + 1) * 1000 AS BIGINT)"
         ).alias("q_milli"),
     )
+
+
+#: Cochran's Q: blocks = nations, treatments = the COCHRAN_K
+#: top-revenue brands, outcome = "did the nation buy the brand in the
+#: final calendar year" (binary). Q = k(k-1) SUM(C_j - S/k)^2 /
+#: (k*S - SUM R_i^2), computed as k-scaled integers so the column-mean
+#: subtraction never leaves the integers: with T_j = k*C_j and S = sum,
+#: SUM(C_j - S/k)^2 = SUM(T_j - S)^2 / k^2.
+COCHRAN_K = 5
+
+
+@query(
+    "ext_cochran_q",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name AS blk, p.p_brand AS brand,
+               CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ), maxyr AS (
+        SELECT MAX(yr) AS y FROM rev
+    ), topb AS (
+        SELECT brand,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, brand) AS brk
+        FROM rev GROUP BY brand QUALIFY brk <= {COCHRAN_K}
+    ), x AS (
+        SELECT b.blk, t.brand,
+               CAST(CASE WHEN EXISTS (
+                   SELECT 1 FROM rev, maxyr
+                   WHERE rev.blk = b.blk AND rev.brand = t.brand
+                     AND rev.yr = maxyr.y) THEN 1 ELSE 0 END AS BIGINT)
+                   AS v
+        FROM (SELECT DISTINCT blk FROM rev) b CROSS JOIN topb t
+    ), cols AS (
+        SELECT brand, CAST(SUM(v) AS BIGINT) AS c_j FROM x GROUP BY brand
+    ), rows_ AS (
+        SELECT blk, CAST(SUM(v) AS BIGINT) AS r_i FROM x GROUP BY blk
+    ), stat AS (
+        SELECT (SELECT CAST(SUM(c_j) AS BIGINT) FROM cols) AS s,
+               (SELECT CAST(SUM(({COCHRAN_K} * c_j
+                                 - (SELECT SUM(c_j) FROM cols))
+                                * ({COCHRAN_K} * c_j
+                                   - (SELECT SUM(c_j) FROM cols)))
+                            AS BIGINT) FROM cols) AS num_k2,
+               (SELECT CAST(SUM(r_i * r_i) AS BIGINT) FROM rows_) AS sr2
+    )
+    SELECT c.brand, c.c_j AS times_bought, s.s AS total_buys,
+           CAST(({COCHRAN_K - 1} * s.num_k2 * 1000)
+                // GREATEST({COCHRAN_K}
+                            * ({COCHRAN_K} * s.s - s.sr2), 1)
+                AS BIGINT) AS q_milli
+    FROM cols c, stat s
+    """,
+)
+def ext_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — Cochran's Q on blocked BINARY outcomes: did each nation buy
+    each of the top-5 brands in the final calendar year? Q tests
+    whether the brands' purchase INCIDENCE differs once nation effects
+    are blocked out — McNemar's k-treatment generalization and the
+    binary sibling of ext_friedman_test, closing the blocked-design
+    family (continuous → Friedman, binary → Cochran). The column-mean
+    subtraction is k-scaled so everything stays integral:
+    Σ(C_j − S/k)² = Σ(kC_j − S)²/k², folded into one staged milli
+    division.
+
+    Shape: the 5-table join reduces to a (block x brand x year)
+    incidence grid; every later stage is (blocks x k)-bounded."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias(
+            "yr"
+        ),
+    )
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("blk")
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .join(broadcast(p), "l_partkey")
+        .select("blk", "brand", "yr")
+        .localCheckpoint()
+    )
+    maxyr = rev.agg(F.max("yr")).collect()[0][0]  # bounded scalar
+    topb = (
+        rev.groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "brk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "brand")
+            ),
+        )
+        .where(F.col("brk") <= COCHRAN_K)
+        .select("brand")
+    )
+    bought = (
+        rev.where(F.col("yr") == maxyr)
+        .select("blk", "brand")
+        .distinct()
+        .withColumn("v", F.lit(1).cast("bigint"))
+    )
+    grid = (
+        rev.select("blk").distinct()
+        .crossJoin(broadcast(topb))
+        .join(bought, ["blk", "brand"], "left")
+        .select(
+            "blk", "brand", F.coalesce(F.col("v"), F.lit(0)).alias("v")
+        )
+        .localCheckpoint()
+    )
+    cols = grid.groupBy("brand").agg(
+        F.sum("v").cast("bigint").alias("c_j")
+    )
+    rows_ = grid.groupBy("blk").agg(F.sum("v").cast("bigint").alias("r_i"))
+    s_tot = cols.agg(F.sum("c_j").cast("bigint").alias("s"))
+    num = (
+        cols.join(broadcast(s_tot))
+        .select(
+            (
+                (COCHRAN_K * F.col("c_j") - F.col("s"))
+                * (COCHRAN_K * F.col("c_j") - F.col("s"))
+            ).alias("t2")
+        )
+        .agg(F.sum("t2").cast("bigint").alias("num_k2"))
+    )
+    sr2 = rows_.agg(
+        F.sum(F.col("r_i") * F.col("r_i")).cast("bigint").alias("sr2")
+    )
+    stat = s_tot.join(broadcast(num)).join(broadcast(sr2))
+    return cols.join(broadcast(stat)).select(
+        "brand",
+        F.col("c_j").alias("times_bought"),
+        F.col("s").alias("total_buys"),
+        F.expr(
+            f"CAST(({COCHRAN_K - 1} * num_k2 * 1000)"
+            f" DIV GREATEST({COCHRAN_K} * ({COCHRAN_K} * s - sr2), 1)"
+            " AS BIGINT)"
+        ).alias("q_milli"),
+    )

@@ -291,6 +291,8 @@ _NLJ_ALLOWED = {
     "ext_kruskal_wallis",
     # round-6 wave 104: 1-row Q-statistic broadcast onto the brand rows
     "ext_friedman_test",
+    # round-6 wave 105: 1-row Cochran-Q broadcast onto the brand rows
+    "ext_cochran_q",
 }
 
 
