@@ -4994,3 +4994,141 @@ def ext_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("q_milli"),
     )
+
+
+@query(
+    "ext_wilcoxon_signed_rank",
+    oracle="""
+    WITH cut AS (
+        SELECT CAST((MIN(year(CAST(o_orderdate AS DATE)))
+                     + MAX(year(CAST(o_orderdate AS DATE)))) // 2
+                    AS BIGINT) AS y
+        FROM orders
+    ), half AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN year(CAST(o.o_orderdate AS DATE)) <= cut.y
+                    THEN 1 ELSE 2 END AS h,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT year(CAST(o.o_orderdate AS DATE))
+                          * 100 + month(CAST(o.o_orderdate AS DATE)))
+                    AS BIGINT) AS months
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey, cut
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.brand,
+               CAST(a.r // a.months - b.r // b.months AS BIGINT) AS diff
+        FROM half a JOIN half b ON b.brand = a.brand AND b.h = 2
+        WHERE a.h = 1
+    ), nz AS (
+        SELECT brand, diff, abs(diff) AS ad FROM pairs WHERE diff <> 0
+    ), rk AS (
+        SELECT brand, diff,
+               CAST(2 * (RANK() OVER (ORDER BY ad) - 1)
+                    + COUNT(*) OVER (PARTITION BY ad) + 1 AS BIGINT) AS d2
+        FROM nz
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN diff > 0 THEN d2 ELSE 0 END) AS BIGINT)
+               AS w_plus_doubled,
+           CAST(SUM(CASE WHEN diff < 0 THEN d2 ELSE 0 END) AS BIGINT)
+               AS w_minus_doubled,
+           CAST(COUNT(*) * (COUNT(*) + 1) // 2 AS BIGINT)
+               AS expected_doubled,
+           CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive
+    FROM rk
+    """,
+)
+def ext_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dr — the Wilcoxon signed-rank test on PAIRED data: each brand's
+    mean monthly revenue in the early half (years up to the data's
+    midpoint — data-driven, robust to fixture regeneration) vs the late,
+    ranks of |differences| in exact DOUBLED midranks, W+ and W-
+    reported beside the null expectation n(n+1)/4 (doubled: /2) — the
+    paired test that uses difference MAGNITUDES where the sign test
+    throws them away, completing the nonparametric ladder
+    (Mann-Whitney two-sample, Kruskal-Wallis k-sample, Friedman
+    blocked, Cochran binary, signed-rank PAIRED). Zero diffs dropped
+    per the classic procedure; all integers.
+
+    Shape: one (brand, half) groupBy, a brand self-join on the
+    dim-sized halves, one rank window over <=|brands| rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        cents(F.col("l_extendedprice")).cast("bigint").alias("c"),
+    )
+    ods = load(spark, sf_dir, "orders")
+    cut = ods.agg(
+        F.expr(
+            "CAST((MIN(year(CAST(o_orderdate AS DATE)))"
+            " + MAX(year(CAST(o_orderdate AS DATE)))) DIV 2 AS BIGINT)"
+        ).alias("y")
+    ).collect()[0][0]  # bounded scalar (the calendar midpoint)
+    o = ods.select(
+        "o_orderkey",
+        F.when(
+            F.year(F.col("o_orderdate").cast("date")) <= int(cut), 1
+        )
+        .otherwise(2)
+        .alias("h"),
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 100
+            + F.month(F.col("o_orderdate").cast("date"))
+        )
+        .cast("bigint")
+        .alias("ym"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    half = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(p), "l_partkey")
+        .groupBy("brand", "h")
+        .agg(
+            F.sum("c").cast("bigint").alias("r"),
+            F.countDistinct("ym").cast("bigint").alias("months"),
+        )
+    )
+    a = half.where(F.col("h") == 1).select(
+        "brand", F.expr("CAST(r DIV months AS BIGINT)").alias("m1")
+    )
+    b = half.where(F.col("h") == 2).select(
+        "brand", F.expr("CAST(r DIV months AS BIGINT)").alias("m2")
+    )
+    pairs = a.join(b, "brand").select(
+        "brand", (F.col("m1") - F.col("m2")).cast("bigint").alias("diff")
+    )
+    nz = pairs.where(F.col("diff") != 0).withColumn(
+        "ad", F.abs(F.col("diff"))
+    )
+    rk = nz.select(
+        "diff",
+        (
+            2 * (F.rank().over(Window.orderBy("ad")) - 1)
+            + F.count(F.lit(1)).over(Window.partitionBy("ad"))
+            + 1
+        )
+        .cast("bigint")
+        .alias("d2"),
+    )
+    return rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("diff") > 0, F.col("d2")).otherwise(0))
+        .cast("bigint")
+        .alias("w_plus_doubled"),
+        F.sum(F.when(F.col("diff") < 0, F.col("d2")).otherwise(0))
+        .cast("bigint")
+        .alias("w_minus_doubled"),
+        F.expr(
+            "CAST(COUNT(*) * (COUNT(*) + 1) DIV 2 AS BIGINT)"
+        ).alias("expected_doubled"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_positive"),
+    )
