@@ -4824,10 +4824,13 @@ def ext_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rk"),
     )
+    # brand-sized model table consumed twice (stat + output join):
+    # localCheckpoint so the plan does not replay the 5-table join per
+    # consumer (the itemcf/HITS shuffle-doubling lesson)
     sums = ranks.groupBy("brand").agg(
         F.sum("rk").cast("bigint").alias("rank_sum"),
         F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
-    )
+    ).localCheckpoint()
     stat = sums.agg(
         F.max("n_blocks").cast("bigint").alias("n"),
         F.sum(F.col("rank_sum") * F.col("rank_sum"))
