@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
@@ -610,4 +611,128 @@ def ext_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("res").alias("residual_cents"),
         "row_eff",
         "col_eff",
+    )
+
+
+#: Banzhaf power index over a weighted voting game: players = the
+#: BZ_N top-revenue nations, weight = revenue in whole millions of
+#: cents (keeps sums small), quota = majority of total weight. A
+#: player SWINGS coalition S (subset of the others) when S loses but
+#: S + player wins; the index enumerates all 2^(BZ_N-1) coalitions
+#: EXACTLY via bitmasks — both engines share shiftright/bit tests.
+BZ_N = 8
+
+
+@query(
+    "ext_banzhaf_power",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name AS player,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)) // 100000000 AS BIGINT) AS w
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ), top AS (
+        SELECT player, w,
+               CAST(ROW_NUMBER() OVER (ORDER BY w DESC, player)
+                    AS BIGINT) AS i
+        FROM rev QUALIFY i <= {BZ_N}
+    ), q AS (
+        SELECT CAST(SUM(w) // 2 + 1 AS BIGINT) AS quota FROM top
+    ), masks AS (
+        SELECT CAST(unnest(range(0, {2 ** (BZ_N - 1)})) AS BIGINT) AS m
+    ), others AS (
+        -- for player i, bit b of the mask selects the b-th OTHER player
+        -- (others keep their order with i removed)
+        SELECT p.i AS pi, o.i AS oi,
+               CAST(o.i - CASE WHEN o.i > p.i THEN 2 ELSE 1 END
+                    AS BIGINT) AS bit
+        FROM top p JOIN top o ON o.i <> p.i
+    ), coal AS (
+        SELECT ob.pi, mk.m,
+               CAST(SUM(CASE WHEN (mk.m >> CAST(ob.bit AS INT)) % 2 = 1
+                             THEN t2.w ELSE 0 END) AS BIGINT) AS sw
+        FROM others ob
+        JOIN top t2 ON t2.i = ob.oi
+        CROSS JOIN masks mk
+        GROUP BY ob.pi, mk.m
+    )
+    SELECT t.player, t.w AS weight_mcents, q.quota,
+           CAST(SUM(CASE WHEN c.sw < q.quota
+                         AND c.sw + t.w >= q.quota
+                         THEN 1 ELSE 0 END) AS BIGINT) AS swings,
+           CAST(SUM(CASE WHEN c.sw < q.quota
+                         AND c.sw + t.w >= q.quota
+                         THEN 1 ELSE 0 END) * 1000000
+                // {2 ** (BZ_N - 1)} AS BIGINT) AS banzhaf_ppm
+    FROM coal c
+    JOIN top t ON t.i = c.pi, q
+    GROUP BY t.player, t.w, q.quota
+    """,
+)
+def ext_banzhaf_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op — the Banzhaf power index of the top-8 nations in a weighted
+    majority game (weights = revenue, quota = majority): a nation's
+    POWER is the fraction of the 2^7 coalitions of the others it can
+    swing from losing to winning — which is NOT proportional to weight
+    (the classic result: small players can hold identical power, large
+    ones less than their share), the honest answer to "who actually
+    controls a weighted committee/consortium". Exact enumeration by
+    bitmask explode — both engines share the shiftright/%2 bit tests;
+    weights in whole millions of cents keep every sum tiny.
+
+    Shape: one 3-table revenue groupBy; the game itself is an
+    8-player x 128-mask bounded fan-out — constant work however big
+    the fact table."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        cents(F.col("o_totalprice")).cast("bigint").alias("c"),
+    )
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("player")
+    )
+    rev = (
+        o.join(broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("player")
+        .agg(
+            F.expr("CAST(SUM(c) DIV 100000000 AS BIGINT)").alias("w")
+        )
+    )
+    top = (
+        rev.withColumn(
+            "i",
+            F.row_number()
+            .over(Window.orderBy(F.col("w").desc(), "player"))
+            .cast("bigint"),
+        )
+        .where(F.col("i") <= BZ_N)
+        .localCheckpoint()
+    )
+    players = [
+        (int(r["i"]), r["player"], int(r["w"]))
+        for r in top.orderBy("i").collect()
+    ]  # bounded: BZ_N rows
+    total = sum(w for _, _, w in players)
+    quota = total // 2 + 1
+    out = []
+    for i, name, w in players:
+        others = [ww for j, _, ww in players if j != i]
+        swings = 0
+        for m in range(2 ** (BZ_N - 1)):
+            sw = sum(
+                ww for b, ww in enumerate(others) if (m >> b) % 2 == 1
+            )
+            if sw < quota <= sw + w:
+                swings += 1
+        out.append(
+            (name, w, quota, swings, swings * 10**6 // 2 ** (BZ_N - 1))
+        )
+    return spark.createDataFrame(
+        out,
+        "player string, weight_mcents long, quota long, swings long,"
+        " banzhaf_ppm long",
     )
