@@ -736,3 +736,133 @@ def ext_banzhaf_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "player string, weight_mcents long, quota long, swings long,"
         " banzhaf_ppm long",
     )
+
+
+#: Shapley-Shubik index on the same weighted game as ext_banzhaf_power:
+#: a player is PIVOTAL in a permutation when they tip the running
+#: coalition over the quota; summing s!(n-1-s)! over swing coalitions
+#: of size s (authoring-time factorial weights, n = 8 -> n! = 40320)
+#: gives the exact index without enumerating 40320 permutations.
+SS_WEIGHTS = (5040, 720, 240, 144, 144, 240, 720, 5040)
+SS_FACT_N = 40320
+
+
+def _ss_popcount_sql(m: str) -> str:
+    return " + ".join(f"(({m}) >> {b}) % 2" for b in range(BZ_N - 1))
+
+
+@query(
+    "ext_shapley_shubik",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name AS player,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)) // 100000000 AS BIGINT) AS w
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ), top AS (
+        SELECT player, w,
+               CAST(ROW_NUMBER() OVER (ORDER BY w DESC, player)
+                    AS BIGINT) AS i
+        FROM rev QUALIFY i <= {BZ_N}
+    ), q AS (
+        SELECT CAST(SUM(w) // 2 + 1 AS BIGINT) AS quota FROM top
+    ), masks AS (
+        SELECT CAST(unnest(range(0, {2 ** (BZ_N - 1)})) AS BIGINT) AS m
+    ), others AS (
+        SELECT p.i AS pi, o.i AS oi,
+               CAST(o.i - CASE WHEN o.i > p.i THEN 2 ELSE 1 END
+                    AS BIGINT) AS bit
+        FROM top p JOIN top o ON o.i <> p.i
+    ), coal AS (
+        SELECT ob.pi, mk.m,
+               CAST(SUM(CASE WHEN (mk.m >> CAST(ob.bit AS INT)) % 2 = 1
+                             THEN t2.w ELSE 0 END) AS BIGINT) AS sw,
+               CAST({_ss_popcount_sql("mk.m")} AS BIGINT) AS s
+        FROM others ob
+        JOIN top t2 ON t2.i = ob.oi
+        CROSS JOIN masks mk
+        GROUP BY ob.pi, mk.m
+    ), wt AS (
+        SELECT CAST(u.s AS BIGINT) AS s, CAST(u.f AS BIGINT) AS f
+        FROM (VALUES {", ".join(
+            f"({s}, {f})" for s, f in enumerate(SS_WEIGHTS))}) u(s, f)
+    )
+    SELECT t.player, t.w AS weight_mcents, q.quota,
+           CAST(SUM(CASE WHEN c.sw < q.quota AND c.sw + t.w >= q.quota
+                         THEN wt.f ELSE 0 END) AS BIGINT)
+               AS pivotal_orderings,
+           CAST(SUM(CASE WHEN c.sw < q.quota AND c.sw + t.w >= q.quota
+                         THEN wt.f ELSE 0 END) * 1000000
+                // {SS_FACT_N} AS BIGINT) AS shapley_shubik_ppm
+    FROM coal c
+    JOIN top t ON t.i = c.pi
+    JOIN wt ON wt.s = c.s, q
+    GROUP BY t.player, t.w, q.quota
+    """,
+)
+def ext_shapley_shubik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op — the Shapley-Shubik power index on the same weighted
+    majority game as ext_banzhaf_power: the probability a player is
+    PIVOTAL in a uniformly random voting order, computed exactly by
+    weighting each swing coalition of size s with s!(n-1-s)!
+    (authoring-time factorials) instead of enumerating the 40320
+    orders. The two indices genuinely DISAGREE on the same game
+    (Banzhaf counts coalitions, Shapley-Shubik counts orderings) — and
+    unlike Banzhaf, SS indices sum to exactly 1 across players (pinned
+    in the unit test: pivotal orderings sum to n!).
+
+    Shape: identical to the Banzhaf plan — one revenue groupBy, an
+    8 x 128 bounded bitmask fan-out with a popcount column, one small
+    join onto the 8-row factorial table."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        cents(F.col("o_totalprice")).cast("bigint").alias("c"),
+    )
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("player")
+    )
+    rev = (
+        o.join(broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("player")
+        .agg(F.expr("CAST(SUM(c) DIV 100000000 AS BIGINT)").alias("w"))
+    )
+    top = (
+        rev.withColumn(
+            "i",
+            F.row_number()
+            .over(Window.orderBy(F.col("w").desc(), "player"))
+            .cast("bigint"),
+        )
+        .where(F.col("i") <= BZ_N)
+        .localCheckpoint()
+    )
+    players = [
+        (int(r["i"]), r["player"], int(r["w"]))
+        for r in top.orderBy("i").collect()
+    ]
+    total = sum(w for _, _, w in players)
+    quota = total // 2 + 1
+    out = []
+    for i, name, w in players:
+        others = [ww for j, _, ww in players if j != i]
+        piv = 0
+        for m in range(2 ** (BZ_N - 1)):
+            sw = 0
+            s = 0
+            for b, ww in enumerate(others):
+                if (m >> b) % 2 == 1:
+                    sw += ww
+                    s += 1
+            if sw < quota <= sw + w:
+                piv += SS_WEIGHTS[s]
+        out.append((name, w, quota, piv, piv * 10**6 // SS_FACT_N))
+    return spark.createDataFrame(
+        out,
+        "player string, weight_mcents long, quota long,"
+        " pivotal_orderings long, shapley_shubik_ppm long",
+    )
