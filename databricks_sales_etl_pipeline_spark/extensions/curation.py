@@ -1211,3 +1211,79 @@ def ext_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(repaired).alias("repaired_md5"),
     )
     return hits.where(F.col("n_hits") > 0)
+
+
+#: Luhn mod-10 checksum over the zero-padded 10-digit order key
+#: treated as an account-number-like identifier: from the right,
+#: double every second digit (subtract 9 when > 9), valid iff the sum
+#: is divisible by 10. Fixed width -> the whole check is ten explicit
+#: integer terms, no UDF, shared verbatim by both engines.
+_LUHN_WIDTH = 10
+
+
+def _luhn_sum_sql(s: str) -> str:
+    terms = []
+    for p in range(1, _LUHN_WIDTH + 1):
+        d = f"CAST(substring({s}, {p}, 1) AS BIGINT)"
+        if (_LUHN_WIDTH + 1 - p) % 2 == 0:  # doubled position
+            terms.append(
+                f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9"
+                f" ELSE {d} * 2 END)"
+            )
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "ext_luhn_check",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderpriority AS grp,
+               lpad(CAST(o_orderkey AS VARCHAR), {_LUHN_WIDTH}, '0') AS s
+        FROM orders
+    ), scored AS (
+        SELECT grp, {_luhn_sum_sql("s")} % 10 AS rem FROM x
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN rem = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_luhn_valid,
+           CAST(SUM(CASE WHEN rem = 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS valid_ppm
+    FROM scored GROUP BY grp
+    """,
+)
+def ext_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cu — Luhn mod-10 checksum audit: order keys zero-padded to ten
+    digits and validated like card/account numbers (double every
+    second digit from the right, fold > 9, sum % 10 == 0) — the
+    data-quality gate every payments/identifier pipeline runs at
+    ingest, and a canary for synthetic or truncated identifiers: a
+    RANDOM id population passes at ~10% (pinned in the unit test), so
+    a column passing at ~100% was Luhn-GENERATED and one at ~0% was
+    corrupted. Fixed width makes the check ten explicit integer terms
+    — pure codegen, no UDF, no regex.
+
+    Shape: per-row arithmetic on the scan + one small groupBy —
+    map-side combinable, scan-speed."""
+    o = load(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.lpad(F.col("o_orderkey").cast("string"), _LUHN_WIDTH, "0").alias(
+            "s"
+        ),
+    )
+    scored = x.select(
+        "grp", (F.expr(_luhn_sum_sql("s")) % 10).alias("rem")
+    )
+    return scored.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+        F.sum(F.when(F.col("rem") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_luhn_valid"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rem = 0 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("valid_ppm"),
+    )
