@@ -31,6 +31,7 @@ from databricks_sales_etl_pipeline_spark.extensions.chunking import (
     md5_band,
     md5_band_sql,
 )
+from databricks_sales_etl_pipeline_spark.functions.money import cents
 from databricks_sales_etl_pipeline_spark.registry import query
 
 # --- two-sided geometric mechanism, alpha = 1/2 (epsilon = ln 2) ---
@@ -776,4 +777,92 @@ def ext_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * shiftleft(CAST(1 AS BIGINT), CAST(attempts - 1 AS INT))"
             f" - {RETRY_BASE_S}) AS BIGINT)"
         ).alias("total_backoff_s"),
+    )
+
+
+#: point-in-polygon: synthetic integer points (hash-derived from order
+#: keys on a 1000x1000 grid) classified against a fixed CONVEX polygon
+#: by cross-product sign tests — inside iff every edge cross product is
+#: >= 0 (vertices counter-clockwise). Pure integer geometry, the
+#: spatial-filter primitive under every geofence/region rollup.
+PIP_POLY = ((200, 100), (800, 250), (900, 700), (500, 950), (120, 600))
+_PIP_SALT = "pip-r6"
+
+
+def _pip_inside_sql(x: str, y: str) -> str:
+    conds = []
+    n = len(PIP_POLY)
+    for i in range(n):
+        x1, y1 = PIP_POLY[i]
+        x2, y2 = PIP_POLY[(i + 1) % n]
+        conds.append(
+            f"(({x2} - {x1}) * (({y}) - {y1})"
+            f" - ({y2} - {y1}) * (({x}) - {x1}) >= 0)"
+        )
+    return "(" + " AND ".join(conds) + ")"
+
+
+@query(
+    "ext_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderkey,
+               {md5_band_sql("'px:' || CAST(o_orderkey AS VARCHAR)",
+                             1000, _PIP_SALT)} AS x,
+               {md5_band_sql("'py:' || CAST(o_orderkey AS VARCHAR)",
+                             1000, _PIP_SALT)} AS y,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+    )
+    SELECT {_pip_inside_sql("x", "y")} AS inside,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(v) AS BIGINT) AS revenue_cents,
+           CAST(SUM(v) * 1000000
+                // (SELECT SUM(v) FROM pts) AS BIGINT) AS revenue_ppm
+    FROM pts GROUP BY 1
+    """,
+)
+def ext_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ds — point-in-polygon geofencing: hash-derived integer order
+    locations on a 1000-grid classified against a fixed convex
+    five-vertex region by CROSS-PRODUCT sign tests (inside iff every
+    edge turns the point left — counter-clockwise vertices), rolling up
+    in-region vs out-of-region order counts and revenue share. This is
+    the spatial filter under every geofence/delivery-zone/territory
+    report, in its exact integer form — no floating-point epsilon, no
+    geometry library — and at 100 TB it composes with the
+    ext_join_spatial_cells grid: cells prune candidates, this predicate
+    decides them. Convexity makes the test 5 ANDed codegen terms
+    per row.
+
+    Shape: per-row arithmetic + one 2-row groupBy; the revenue-share
+    denominator is the only extra aggregate."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        cents(F.col("o_totalprice")).cast("bigint").alias("v"),
+    )
+    pts = o.select(
+        md5_band(
+            F.concat(F.lit("px:"), F.col("o_orderkey").cast("string")),
+            1000,
+            _PIP_SALT,
+        ).alias("x"),
+        md5_band(
+            F.concat(F.lit("py:"), F.col("o_orderkey").cast("string")),
+            1000,
+            _PIP_SALT,
+        ).alias("y"),
+        "v",
+    ).localCheckpoint()
+    tot = pts.agg(F.sum("v").cast("bigint").alias("t"))
+    return (
+        pts.join(broadcast(tot))
+        .groupBy(F.expr(_pip_inside_sql("x", "y")).alias("inside"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("v").cast("bigint").alias("revenue_cents"),
+            F.expr("CAST(SUM(v) * 1000000 DIV MAX(t) AS BIGINT)").alias(
+                "revenue_ppm"
+            ),
+        )
     )

@@ -866,3 +866,102 @@ def ext_shapley_shubik(spark: SparkSession, sf_dir: str) -> DataFrame:
         "player string, weight_mcents long, quota long,"
         " pivotal_orderings long, shapley_shubik_ppm long",
     )
+
+
+#: 0/1 knapsack: items = the KNAP_N highest-margin parts (value =
+#: retail price cents, weight = p_size), capacity KNAP_CAP. The DP
+#: carries best[0..CAP] as list state — one recursion step per item —
+#: and the reconstruction marks chosen items by re-walking the layers.
+KNAP_N = 16
+KNAP_CAP = 60
+
+
+def _knap_oracle() -> str:
+    return f"""
+    WITH RECURSIVE items AS MATERIALIZED (
+        SELECT p_partkey AS pid,
+               CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS v,
+               CAST(p_size AS BIGINT) AS w,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY FLOOR(p_retailprice * 100 + 0.5) DESC,
+                            p_partkey) AS BIGINT) AS i
+        FROM part QUALIFY i <= {KNAP_N}
+    ), iv AS MATERIALIZED (
+        SELECT list(v ORDER BY i) AS vv, list(w ORDER BY i) AS wv,
+               COUNT(*) AS n
+        FROM items
+    ), dp AS (
+        SELECT 0 AS k,
+               list_transform(range(0, {KNAP_CAP} + 1),
+                              z -> CAST(0 AS BIGINT)) AS best
+        FROM iv
+        UNION ALL
+        SELECT dp.k + 1,
+               list_transform(range(0, {KNAP_CAP} + 1), c ->
+                 CASE WHEN c >= iv.wv[CAST(dp.k + 1 AS INT)]
+                      THEN GREATEST(
+                        dp.best[CAST(c + 1 AS INT)],
+                        dp.best[CAST(c - iv.wv[CAST(dp.k + 1 AS INT)]
+                                     + 1 AS INT)]
+                        + iv.vv[CAST(dp.k + 1 AS INT)])
+                      ELSE dp.best[CAST(c + 1 AS INT)] END)
+        FROM dp, iv WHERE dp.k < iv.n
+    ), fin AS (
+        SELECT best FROM dp ORDER BY k DESC LIMIT 1
+    )
+    SELECT CAST({KNAP_N} AS BIGINT) AS n_items,
+           CAST({KNAP_CAP} AS BIGINT) AS capacity,
+           CAST((SELECT SUM(w) FROM items) AS BIGINT) AS total_weight,
+           CAST((SELECT SUM(v) FROM items) AS BIGINT) AS total_value,
+           CAST(fin.best[{KNAP_CAP} + 1] AS BIGINT) AS best_value_cents
+    FROM fin
+    """
+
+
+@query("ext_knapsack_dp", oracle=_knap_oracle())
+def ext_knapsack_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op — 0/1 knapsack over the 16 highest-priced parts (value =
+    retail cents, weight = size, capacity 60): the exact DP best[c] =
+    max(best[c], best[c-w]+v) — assortment selection under a shelf /
+    container / budget constraint, the canonical bounded-resource
+    optimizer that greedy value-density picks provably underperform.
+    Item count is BOUNDED by construction (top-N by value), which is
+    exactly how a 100 TB assortment problem is fought: aggregate to
+    candidates first, optimize the bounded set exactly. The DuckDB twin
+    carries best[0..60] as recursion list state; the Python model runs
+    the identical integer DP.
+
+    Shape: one top-N scan; the DP is N x CAP integer ops on the
+    collected bounded artifact."""
+    import pandas as pd  # noqa: F401
+
+    p = load(spark, sf_dir, "part")
+    items = (
+        p.select(
+            F.col("p_partkey").alias("pid"),
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+            F.col("p_size").cast("bigint").alias("w"),
+        )
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.orderBy(F.col("v").desc(), "pid")
+            ),
+        )
+        .where(F.col("i") <= KNAP_N)
+        .localCheckpoint()
+    )
+    rows = items.orderBy("i").collect()  # bounded: KNAP_N items
+    vs = [int(r["v"]) for r in rows]
+    ws = [int(r["w"]) for r in rows]
+    best = [0] * (KNAP_CAP + 1)
+    for v, w in zip(vs, ws):
+        for c in range(KNAP_CAP, w - 1, -1):
+            best[c] = max(best[c], best[c - w] + v)
+    return spark.createDataFrame(
+        [(KNAP_N, KNAP_CAP, sum(ws), sum(vs), best[KNAP_CAP])],
+        "n_items long, capacity long, total_weight long,"
+        " total_value long, best_value_cents long",
+    )

@@ -293,6 +293,8 @@ _NLJ_ALLOWED = {
     "ext_friedman_test",
     # round-6 wave 105: 1-row Cochran-Q broadcast onto the brand rows
     "ext_cochran_q",
+    # round-6 wave 110: 1-row revenue-total broadcast onto the point scan
+    "ext_point_in_polygon",
 }
 
 
