@@ -1279,3 +1279,101 @@ def ext_optimal_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_breakpoint long, last_breakpoint_month long",
         )
     )
+
+
+def _lis_oracle() -> str:
+    return f"""
+    WITH RECURSIVE mrev AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT list(m ORDER BY m) AS mv, list(y ORDER BY m) AS yv,
+               COUNT(*) AS n
+        FROM mrev
+    ), dp AS (
+        SELECT 1 AS k, [CAST(1 AS BIGINT)] AS l FROM s
+        UNION ALL
+        SELECT dp.k + 1,
+               list_append(dp.l,
+                 CAST(1 + COALESCE(list_max(list_transform(
+                     list_filter(range(1, dp.k + 1),
+                         j -> s.yv[CAST(j AS INT)]
+                              < s.yv[CAST(dp.k + 1 AS INT)]),
+                     j2 -> dp.l[CAST(j2 AS INT)])), 0) AS BIGINT))
+        FROM dp, s WHERE dp.k < s.n
+    ), fin AS (
+        SELECT l FROM dp ORDER BY k DESC LIMIT 1
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_months,
+           CAST(list_max(fin.l) AS BIGINT) AS lis_len,
+           CAST(list_position(fin.l, list_max(fin.l)) AS BIGINT)
+               AS lis_end_rank,
+           CAST(s.mv[CAST(list_position(fin.l, list_max(fin.l))
+                          AS INT)] AS BIGINT) AS lis_end_month
+    FROM fin, s
+    """
+
+
+@query("ext_lis_patience", oracle=_lis_oracle())
+def ext_lis_patience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — longest increasing subsequence of monthly revenue: the
+    longest growth path that may SKIP bad months — where a plain
+    longest-run statistic (Nelson rule 3 territory) breaks on any
+    single dip, the LIS measures sustained-growth structure the way a
+    trend test cannot (a length near n says 'broadly rising', near
+    sqrt(n) says 'random order' — the Ulam/Hammersley baseline, checked
+    loosely in the unit test). Classic DP L[i] = 1 + max L[j] over
+    earlier smaller months, run on the calendar-bounded series in one
+    applyInPandas task; the DuckDB twin grows the L list one month per
+    recursion step (first-occurrence tiebreak for the reported end).
+
+    Shape: one month groupBy; O(n^2) integer DP on ~80 points."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year(F.col("o_orderdate")) * 100 + F.month(F.col("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("m")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+
+    def _lis(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("m")
+        ms = pdf["m"].astype("int64").tolist()
+        ys = pdf["y"].astype("int64").tolist()
+        n = len(ys)
+        lvec = []
+        for i in range(n):
+            best = 0
+            for j in range(i):
+                if ys[j] < ys[i] and lvec[j] > best:
+                    best = lvec[j]
+            lvec.append(1 + best)
+        lis = max(lvec)
+        end = lvec.index(lis) + 1  # first occurrence, 1-based
+        return pd.DataFrame(
+            [(n, lis, end, ms[end - 1])],
+            columns=["n_months", "lis_len", "lis_end_rank",
+                     "lis_end_month"],
+        )
+
+    return (
+        monthly.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            _lis,
+            "n_months long, lis_len long, lis_end_rank long,"
+            " lis_end_month long",
+        )
+    )
