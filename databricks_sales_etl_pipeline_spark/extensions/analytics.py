@@ -4252,3 +4252,140 @@ def ext_mmm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 1,
     )
+
+
+#: placebo-in-time DiD: the BUILDING-vs-rest monthly-revenue DiD
+#: estimate at the TRUE midpoint cutoff, ranked against the same
+#: estimator at DID_PLACEBOS fake cutoffs spread across the calendar —
+#: if the true estimate does not stand out among placebos, the "effect"
+#: is trend noise (the standard robustness check for any DiD readout).
+DID_PLACEBOS = 8
+
+
+@query(
+    "ext_did_placebo",
+    oracle=f"""
+    WITH seg AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treated,
+               CAST(year(o.o_orderdate) * 12
+                    + (month(o.o_orderdate) - 1) AS BIGINT) AS mi,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), ext AS (
+        SELECT MIN(mi) AS lo, MAX(mi) AS hi FROM seg
+    ), cuts AS (
+        SELECT CAST(ext.lo + 3
+                    + j.j * (ext.hi - ext.lo - 6) // {DID_PLACEBOS}
+                    AS BIGINT) AS cut,
+               j.j = {DID_PLACEBOS} // 2 AS is_true
+        FROM ext, (SELECT unnest(range(0, {DID_PLACEBOS} + 1)) AS j) j
+    ), cell AS (
+        SELECT k.cut, k.is_true, s.treated, s.mi > k.cut AS post,
+               CAST(SUM(s.v) AS BIGINT) AS sv,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seg s, cuts k
+        GROUP BY 1, 2, 3, 4
+    ), means AS (
+        SELECT cut, is_true, treated, post,
+               CAST(sv * 1000 // n AS BIGINT) AS m
+        FROM cell
+    ), est AS (
+        SELECT cut, is_true,
+               CAST(MAX(CASE WHEN treated = 1 AND post THEN m END)
+                    - MAX(CASE WHEN treated = 1 AND NOT post THEN m END)
+                    - MAX(CASE WHEN treated = 0 AND post THEN m END)
+                    + MAX(CASE WHEN treated = 0 AND NOT post THEN m END)
+                    AS BIGINT) AS did_milli
+        FROM means GROUP BY cut, is_true
+    )
+    SELECT est.*,
+           CAST(ROW_NUMBER() OVER (ORDER BY abs(did_milli) DESC, cut)
+                AS BIGINT) AS abs_rank
+    FROM est
+    """,
+)
+def ext_did_placebo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An — placebo-in-time test for difference-in-differences: the
+    BUILDING-segment DiD estimate at the true (midpoint) cutoff is
+    re-estimated at 8 fake cutoffs spread across the calendar, and its
+    |estimate| RANK among the placebos is the nonparametric robustness
+    read — a true effect should rank first; on this null fixture it
+    lands uniformly (the honest reading), which is precisely what the
+    check exists to expose in a spurious readout. Complements
+    ext_diff_in_diff (the estimator) and ext_parallel_trends (the
+    pretest) with the post-hoc falsification every DiD paper now
+    reports. Integer milli means (DIV on non-negative sums,
+    subtraction after division).
+
+    Shape: one customer join, ONE grouped pass computes every
+    cutoff x cell mean simultaneously (the cutoff explode is a
+    constant x9 fan-out), one window ranks the 9-row estimate table."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate")) * 12
+            + (F.month(F.col("o_orderdate")) - 1)
+        )
+        .cast("bigint")
+        .alias("mi"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("treated"),
+    )
+    seg = o.join(broadcast(c), "o_custkey").localCheckpoint()
+    ext = seg.agg(
+        F.min("mi").alias("lo"), F.max("mi").alias("hi")
+    ).collect()[0]  # bounded calendar scalars
+    lo, hi = int(ext["lo"]), int(ext["hi"])
+    cuts = [
+        (lo + 3 + j * (hi - lo - 6) // DID_PLACEBOS,
+         j == DID_PLACEBOS // 2)
+        for j in range(DID_PLACEBOS + 1)
+    ]
+    cuts_df = spark.createDataFrame(cuts, "cut long, is_true boolean")
+    cell = (
+        seg.join(broadcast(cuts_df))
+        .groupBy(
+            "cut", "is_true", "treated", (F.col("mi") > F.col("cut")).alias("post")
+        )
+        .agg(
+            F.sum("v").cast("bigint").alias("sv"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    means = cell.select(
+        "cut",
+        "is_true",
+        "treated",
+        "post",
+        F.expr("CAST(sv * 1000 DIV n AS BIGINT)").alias("m"),
+    )
+    est = means.groupBy("cut", "is_true").agg(
+        (
+            F.max(F.when((F.col("treated") == 1) & F.col("post"), F.col("m")))
+            - F.max(
+                F.when((F.col("treated") == 1) & ~F.col("post"), F.col("m"))
+            )
+            - F.max(
+                F.when((F.col("treated") == 0) & F.col("post"), F.col("m"))
+            )
+            + F.max(
+                F.when((F.col("treated") == 0) & ~F.col("post"), F.col("m"))
+            )
+        )
+        .cast("bigint")
+        .alias("did_milli")
+    )
+    return est.withColumn(
+        "abs_rank",
+        F.row_number()
+        .over(_W.orderBy(F.abs(F.col("did_milli")).desc(), "cut"))
+        .cast("bigint"),
+    )

@@ -295,6 +295,8 @@ _NLJ_ALLOWED = {
     "ext_cochran_q",
     # round-6 wave 110: 1-row revenue-total broadcast onto the point scan
     "ext_point_in_polygon",
+    # round-6 wave 112: 9-row placebo-cutoff broadcast fan-out
+    "ext_did_placebo",
 }
 
 
