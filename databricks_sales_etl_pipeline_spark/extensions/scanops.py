@@ -45,6 +45,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.registry import query
@@ -1376,4 +1377,144 @@ def ext_lis_patience(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_months long, lis_len long, lis_end_rank long,"
             " lis_end_month long",
         )
+    )
+
+
+#: activity selection: each lineitem is a fulfillment window
+#: [ship_day, ship_day + qty DIV 10 + 1); per supplier (the ACT_N
+#: busiest), the classic earliest-end-first greedy picks the maximum
+#: set of non-overlapping windows — optimal by the exchange argument.
+#: Greedy state (last accepted end) is sequential, so the per-supplier
+#: loop runs in applyInPandas with a per-supplier list-state recursion
+#: as the DuckDB twin.
+ACT_N = 4
+
+
+def _act_oracle() -> str:
+    return f"""
+    WITH RECURSIVE iv AS MATERIALIZED (
+        SELECT l_suppkey AS sk,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(l_shipdate AS DATE)) AS BIGINT) AS st,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(l_shipdate AS DATE))
+                    + CAST(l_quantity AS BIGINT) // 10 + 1 AS BIGINT)
+                   AS en,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), top AS MATERIALIZED (
+        SELECT sk, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, sk)
+                    AS BIGINT) AS i
+        FROM iv GROUP BY sk QUALIFY i <= {ACT_N}
+    ), lists AS MATERIALIZED (
+        SELECT iv.sk,
+               list(iv.st ORDER BY iv.en, iv.st, iv.l_orderkey,
+                    iv.l_linenumber) AS sv,
+               list(iv.en ORDER BY iv.en, iv.st, iv.l_orderkey,
+                    iv.l_linenumber) AS ev,
+               COUNT(*) AS n
+        FROM iv JOIN top ON top.sk = iv.sk
+        GROUP BY iv.sk
+    ), greedy AS (
+        SELECT sk, 0 AS k, CAST(-1 AS BIGINT) AS last_end,
+               CAST(0 AS BIGINT) AS picked
+        FROM lists
+        UNION ALL
+        SELECT g.sk, g.k + 1,
+               CASE WHEN l.sv[CAST(g.k + 1 AS INT)] >= g.last_end
+                    THEN CAST(l.ev[CAST(g.k + 1 AS INT)] AS BIGINT)
+                    ELSE g.last_end END,
+               g.picked + CASE WHEN l.sv[CAST(g.k + 1 AS INT)]
+                                    >= g.last_end
+                               THEN 1 ELSE 0 END
+        FROM greedy g JOIN lists l ON l.sk = g.sk
+        WHERE g.k < l.n
+    ), fin AS (
+        SELECT sk, picked,
+               ROW_NUMBER() OVER (PARTITION BY sk ORDER BY k DESC) AS rk
+        FROM greedy
+    )
+    SELECT t.sk AS supplier, t.n_windows, f.picked AS max_nonoverlap,
+           CAST(f.picked * 1000000 // t.n_windows AS BIGINT)
+               AS utilization_ppm
+    FROM fin f JOIN top t ON t.sk = f.sk
+    WHERE f.rk = 1
+    """
+
+
+@query("ext_activity_selection", oracle=_act_oracle())
+def ext_activity_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sc — activity selection (the canonical greedy): for each of the
+    4 busiest suppliers, the MAXIMUM number of non-overlapping
+    fulfillment windows (ship day .. ship day + qty/10 + 1), picked
+    earliest-end-first — optimal by the exchange argument, the
+    scheduling primitive under slot booking, machine allocation and
+    ad-break packing. Windows sort on (end, start, key) so the greedy
+    is fully deterministic; state (last accepted end) is inherently
+    sequential, so each supplier's loop runs in one applyInPandas
+    task — embarrassingly parallel ACROSS suppliers, which is how the
+    greedy scales.
+
+    Shape: one supplier groupBy picks the shortlist; the per-supplier
+    scan is bounded by that supplier's line count."""
+    import pandas as pd
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("sk"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("st"),
+        (
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            + F.expr("CAST(l_quantity AS BIGINT) DIV 10")
+            + 1
+        )
+        .cast("bigint")
+        .alias("en"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    top = (
+        li.groupBy("sk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"))
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.orderBy(F.col("n_windows").desc(), "sk")
+            ),
+        )
+        .where(F.col("i") <= ACT_N)
+        .localCheckpoint()
+    )
+    iv = li.join(broadcast(top.select("sk", "n_windows")), "sk")
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["en", "st", "l_orderkey", "l_linenumber"]
+        )
+        last = -1
+        picked = 0
+        for st, en in zip(pdf["st"], pdf["en"]):
+            if st >= last:
+                last = int(en)
+                picked += 1
+        n = len(pdf)
+        return pd.DataFrame(
+            [(int(pdf["sk"].iloc[0]), n, picked,
+              picked * 10**6 // n)],
+            columns=["supplier", "n_windows", "max_nonoverlap",
+                     "utilization_ppm"],
+        )
+
+    return iv.groupBy("sk").applyInPandas(
+        _greedy,
+        "supplier long, n_windows long, max_nonoverlap long,"
+        " utilization_ppm long",
     )
