@@ -4389,3 +4389,105 @@ def ext_did_placebo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(_W.orderBy(F.abs(F.col("did_milli")).desc(), "cut"))
         .cast("bigint"),
     )
+
+
+#: quantile treatment effects: BUILDING vs rest order values compared
+#: at the QTE_QS order-statistic quantiles (rank*100 >= q*n thresholds,
+#: exact, no interpolation) — effects can differ across the
+#: distribution even when means match.
+QTE_QS = (10, 25, 50, 75, 90)
+
+
+@query(
+    "ext_qte",
+    oracle=f"""
+    WITH x AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treated,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               o.o_orderkey
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), rk AS (
+        SELECT treated, v,
+               ROW_NUMBER() OVER (PARTITION BY treated
+                                  ORDER BY v, o_orderkey) AS r,
+               COUNT(*) OVER (PARTITION BY treated) AS n
+        FROM x
+    ), qv AS (
+        SELECT q.q, rk.treated,
+               CAST(MIN(CASE WHEN rk.r * 100 >= q.q * rk.n
+                             THEN rk.v END) AS BIGINT) AS quant
+        FROM rk, (VALUES {", ".join(f"({q})" for q in QTE_QS)}) q(q)
+        GROUP BY q.q, rk.treated
+    )
+    SELECT CAST(t.q AS BIGINT) AS q,
+           t.quant AS treated_cents,
+           c.quant AS control_cents,
+           CAST(t.quant - c.quant AS BIGINT) AS qte_cents
+    FROM qv t JOIN qv c ON c.q = t.q AND c.treated = 0
+    WHERE t.treated = 1
+    """,
+)
+def ext_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An — quantile treatment effects: the BUILDING-vs-rest order-value
+    gap at the 10/25/50/75/90th percentiles (exact order statistics,
+    rank·100 >= q·n, no interpolation) — the DISTRIBUTIONAL causal view
+    that mean-difference estimators (DiD, CUPED, the z/t family)
+    compress away: a treatment can fatten the right tail while leaving
+    the median untouched, and only the QTE profile shows it. On this
+    null fixture all five effects sit near zero — the honest profile,
+    bounded in the unit test.
+
+    Shape: one customer join, one per-group rank window, one
+    conditional-min aggregate across the ×5 quantile fan-out."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("treated"),
+    )
+    x = o.join(broadcast(c), "o_custkey")
+    wt = _W.partitionBy("treated")
+    rk = x.select(
+        "treated",
+        "v",
+        F.row_number().over(wt.orderBy("v", "o_orderkey")).alias("r"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in QTE_QS], "q long")
+    qv = (
+        rk.join(broadcast(qs))
+        .groupBy("q", "treated")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("r") * 100 >= F.col("q") * F.col("n"),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias("quant")
+        )
+        .localCheckpoint()
+    )
+    t = qv.where(F.col("treated") == 1).select(
+        "q", F.col("quant").alias("treated_cents")
+    )
+    ctrl = qv.where(F.col("treated") == 0).select(
+        "q", F.col("quant").alias("control_cents")
+    )
+    return t.join(ctrl, "q").select(
+        F.col("q").cast("bigint").alias("q"),
+        "treated_cents",
+        "control_cents",
+        (F.col("treated_cents") - F.col("control_cents"))
+        .cast("bigint")
+        .alias("qte_cents"),
+    )
