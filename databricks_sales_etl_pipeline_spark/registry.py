@@ -105,63 +105,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: The driver correctness-checks the FIRST 50 entries of ``queries()`` in
 #: registration order, so this list is the sampled contract surface.
-# Round-6 rotation: CORRECTNESS_r05 gave first (all-green) rows to the full
-# round-5 sample, leaving exactly 30 never-checked names — the round-5
-# additions that landed beyond slot 50. They take slots 1-30; the remaining
-# 20 slots are filled by round-6 new operators as they are built. Never
-# re-list an already-green name (it wastes a verification slot).
+# Round-7 rotation (verdict ask #1: burn the 291-name backlog, never re-list
+# an already-green name). Slots 1-11 are the verdict-named bench-proven
+# round-6 waves; slots 12-50 are the oldest never-checked names in
+# registration order. All 50 were driver-sim verified at sf0.01 (vanilla
+# session, pandas-canonicalized compare) before this rotation was committed
+# — the round-6 `ext_gini_concentration` overflow lesson.
 _DRIVER_PRIORITY = [
-    "join_runtime_bloom",
-    "join_spatial_cells",
-    "setop_union_by_name",
-    "window_distinct_running",
-    "sql_lateral_view_outer",
-    "sql_pivot_syntax",
-    "udf_grouped_agg",
-    "udf_cogrouped_reconcile",
-    "map_functions",
-    "try_functions",
-    "ext_substring_cut",
-    "ext_log_parse",
-    "mm_image_phash",
-    "mm_video_neardup",
-    "ext_pq_encode",
-    "ext_pq_search",
-    "ext_pq_ivf_search",
-    "ext_heavy_hitters",
-    "ext_ngram_novelty",
-    "ext_quantile_approx",
-    "ext_hll_union",
-    "ext_graph_triangles",
-    "ext_graph_bfs",
-    "ext_quality_classifier",
-    "ext_class_rebalance",
-    "ext_randomized_response",
-    "ext_k_anonymity",
-    "ext_url_canonicalize",
-    "ext_html_strip",
-    "ext_ewma_smooth",
-    # --- round-6 new operators (appended as built) ---
-    "ext_rfm_segmentation",
-    "ext_target_encode",
-    "ext_churn_label",
-    "ext_seasonality_dow",
-    "ext_rank_wilson",
-    "ext_countmin_sketch",
-    "ext_reservoir_sample",
-    "ext_bitmap_cohorts",
-    "ext_benford_check",
-    "ext_drift_report",
-    "ext_snapshot_diff",
-    "ext_skew_diagnose",
-    "dq_observed_metrics",
-    "ext_ngram_lm_score",
-    "ext_unicode_normalize",
-    "ext_l_diversity",
-    "ext_dedup_paragraph",
-    "ext_survivorship_merge",
-    "ext_graph_jaccard_neighbors",
-    "stream_left_outer_join",
+    "agg_listagg",
+    "sink_dynamic_overwrite",
+    "stream_chained_windows",
+    "ext_queue_wait",
+    "ext_pack_bins_greedy",
+    "ext_gbm_stump",
+    "ext_rolling_wau_bitmap",
+    "ext_session_stats",
+    "ext_lag_features",
+    "ext_scd2_build",
+    "ext_basket_rules",
+    "dq_profile_table",
+    "join_aqe_skew",
+    "sql_group_by_all",
+    "sql_distribute_by",
+    "sql_order_by_all",
+    "sql_pipe_syntax",
+    "sql_rebalance_hint",
+    "sql_keyset_pagination",
+    "sql_session_variable",
+    "sql_star_except",
+    "sql_insert_by_name",
+    "sql_named_window",
+    "sql_values_inline",
+    "sql_identifier_clause",
+    "ext_asof_nearest",
+    "sql_execute_immediate",
+    "sql_udf_create",
+    "ext_transpose",
+    "stat_crosstab",
+    "dq_na_api",
+    "udf_grouped_apply_arrow",
+    "sql_unpivot_syntax",
+    "sql_row_filter_view",
+    "agg_grouping_id",
+    "src_file_metadata",
+    "src_json_corrupt",
+    "src_python_datasource_stream",
+    "udf_scalar_iter",
+    "udtf_analyze_dynamic",
+    "stream_trending_topk",
+    "stream_session_dynamic_gap",
+    "stream_dedup_within_watermark",
+    "ext_lsh_tuning_curve",
+    "ext_dedup_agreement",
+    "ext_dedup_canonical",
+    "ext_inventory_runout",
+    "ext_sla_lag_percentiles",
+    "ext_otif_rate",
+    "ext_penny_allocation",
 ]
 
 
