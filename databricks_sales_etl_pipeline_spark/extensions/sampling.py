@@ -127,6 +127,12 @@ def ext_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Range buckets for the distributed global-order assignment below. At
+#: 100 TB raise toward the cluster's task count — each bucket is one window
+#: task; the offset table stays a bounded N-row broadcast.
+N_RANGE_BUCKETS = 64
+
+
 @query(
     "ext_shuffle_order",
     oracle=f"""
@@ -147,23 +153,48 @@ def ext_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout-independent pseudorandom sort key (md5 of the doc_id — same
     order on any cluster, any engine, any partition count; df.orderBy(rand())
     is none of those), a shard assignment for the writer, and its global
-    position. The global row_number is a range-partitioned sort at scale —
-    exactly what a tokenizer-shard writer runs once per epoch; doc_id
-    tiebreak pins hash collisions."""
+    position.
+
+    Scale posture (round-6 verdict fix): a global ``row_number`` window is a
+    SINGLE task — the classic 100 TB scale-killer. Because the sort key is
+    uniform in [0, 2^20), contiguous ranges of it ARE a range partitioning:
+    number rows per range bucket (parallel windows), then add each bucket's
+    exclusive-cumsum offset (a bounded ≤``N_RANGE_BUCKETS``-row model
+    artifact, collected and re-broadcast — the MLlib pattern). Ties on
+    sort_key never cross buckets (rb is a function of sort_key), so
+    ``offset(rb) + rank_within_rb`` is bit-identical to the global
+    ROW_NUMBER ORDER BY (sort_key, doc_id)."""
     from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
 
     d = load(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
         md5_band(F.col("doc_id"), 64, "shard:").alias("shard"),
         md5_band(F.col("doc_id"), 1048576, "ord:").alias("sort_key"),
-    )
-    w = Window.orderBy("sort_key", "doc_id")
-    return keyed.select(
-        "doc_id",
-        "shard",
-        "sort_key",
-        (F.row_number().over(w) - 1).cast("bigint").alias("global_pos"),
+    ).withColumn("rb", F.expr(f"sort_key DIV {1048576 // N_RANGE_BUCKETS}"))
+    # bounded model artifact: per-bucket counts → exclusive cumsum offsets
+    counts = {
+        r["rb"]: r["n"]
+        for r in keyed.groupBy("rb").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for rb in sorted(counts):
+        offsets.append((rb, acc))
+        acc += counts[rb]
+    offs = spark.createDataFrame(offsets, "rb long, rb_offset long")
+    w = Window.partitionBy("rb").orderBy("sort_key", "doc_id")
+    ranked = keyed.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(broadcast(offs), "rb")
+        .select(
+            "doc_id",
+            "shard",
+            "sort_key",
+            (F.col("rb_offset") + F.col("rk") - 1)
+            .cast("bigint")
+            .alias("global_pos"),
+        )
     )
 
 

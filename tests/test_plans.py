@@ -409,3 +409,15 @@ def test_runtime_bloom_filter_injected(spark):
         assert "bloom_filter_agg" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_shuffle_order_has_no_global_window(spark):
+    """ext_shuffle_order (round-6 verdict fix): the global position must be
+    computed as per-range-bucket row_number + broadcast offsets — an
+    unpartitioned row_number window funnels the whole corpus through ONE
+    task (its plan marker is `Exchange SinglePartition`)."""
+    df = QUERIES["ext_shuffle_order"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan and "rb" in plan        # bucketed window
+    assert "BroadcastHashJoin" in plan              # offsets join is broadcast
