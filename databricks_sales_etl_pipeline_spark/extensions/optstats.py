@@ -64,15 +64,54 @@ def ext_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket error bounded on skewed money distributions.
 
     The fixture computes exact boundaries (one global sort, fine at
-    fixture scale); the 100 TB build swaps the ntile for
-    approx_percentile boundaries + one scan-side CASE assignment —
-    same output contract, no global sort (the ext_length_bucketing
-    swap, documented not hand-waved)."""
+    fixture scale); the 100 TB build is
+    :func:`histogram_equiheight_by_value` — approx_percentile
+    boundaries + one scan-side CASE assignment, same output contract,
+    no global sort (the ext_length_bucketing swap, implemented below
+    and equality-pinned in tests/test_round7_scale.py)."""
     o = load(spark, sf_dir, "orders")
     v = o.select("o_orderkey", cents(F.col("o_totalprice")).alias("val"))
     w = Window.orderBy("val", "o_orderkey")
     tiled = v.select("val", F.ntile(HIST_BUCKETS).over(w).alias("bucket"))
     return tiled.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.min("val").cast("bigint").alias("lo_cents"),
+        F.max("val").cast("bigint").alias("hi_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("val").cast("bigint").alias("ndv"),
+    )
+
+
+def histogram_equiheight_by_value(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+) -> DataFrame:
+    """The 100 TB production path for :func:`ext_histogram_equiheight`:
+    equi-height histogram WITHOUT the global sort.
+
+    1. Boundaries: one ``approx_percentile`` pass (a mergeable GK
+       sketch — map-side partials, no shuffle of the data itself) at
+       the 1/K..(K-1)/K quantiles. With ``accuracy`` ≥ the row count
+       the sketch is exact, so fixture-scale tests can pin equality
+       against exact ``percentile`` boundaries.
+    2. Assignment: the collected K−1 boundaries (a bounded model
+       artifact) become a scan-side codegen'd CASE chain — bucket =
+       1 + #{boundaries strictly below val}. One scan, zero global
+       ordering.
+
+    Contract difference vs the ntile fixture path (by design): ties at
+    a boundary land in ONE bucket (value-cut semantics, the histogram
+    an optimizer actually stores) instead of being row-split, so
+    per-bucket counts may deviate from n/K by at most the tie mass."""
+    o = load(spark, sf_dir, "orders")
+    v = o.select(cents(F.col("o_totalprice")).alias("val"))
+    qs = [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
+    bounds = v.agg(
+        F.percentile_approx("val", qs, accuracy).alias("bs")
+    ).first()["bs"]
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("val") > F.lit(int(b)), 1).otherwise(0)
+    assigned = v.select("val", bucket.cast("bigint").alias("bucket"))
+    return assigned.groupBy("bucket").agg(
         F.min("val").cast("bigint").alias("lo_cents"),
         F.max("val").cast("bigint").alias("hi_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

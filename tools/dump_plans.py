@@ -164,6 +164,22 @@ COMMENTARY = {
         "exact join size comes from joining THOSE (ndv rows a side), so the "
         "plan never materializes the fact⋈fact join it is predicting."
     ),
+    "ext_shuffle_order": (
+        "Deterministic epoch shuffle (round-7 fix): the global position is "
+        "per-RANGE-BUCKET row_number (64 parallel windows — the uniform md5 "
+        "sort key makes contiguous key ranges a range partitioning) plus a "
+        "broadcast 64-row exclusive-cumsum offset join. Bit-identical to the "
+        "single-task global row_number it replaced; no Exchange "
+        "SinglePartition anywhere."
+    ),
+    "ext_peak_concurrency": (
+        "Sweep-line concurrency (round-7 fix): the running sum over the "
+        "session delta timeline is a TWO-PHASE prefix sum — per-hour-bucket "
+        "windows in parallel plus a broadcast |hours|-row carry-in table — "
+        "replacing the single-task global ordered window. The hour bucket is "
+        "monotone in t, so ties never cross buckets and the result is "
+        "bit-identical (pinned in tests/test_round7_scale.py)."
+    ),
 }
 
 
