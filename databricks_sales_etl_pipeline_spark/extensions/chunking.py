@@ -220,11 +220,14 @@ def ext_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact padding waste each bucket pays (max_len·n − Σlen) against the
     bucket-0 baseline row = ONE global batch (everything padded to the
     corpus max). waste_ppm per bucket vs baseline is the measured
-    throughput argument for length-aware batching. The NTILE here is a
-    corpus sort at fixture scale; at 100 TB the bucket boundaries come
-    from ONE approx-quantile pass instead (`ext_quantile_approx`'s
-    sketch), turning the global sort into a zero-shuffle bucket-id scan —
-    same output contract, documented swap."""
+    throughput argument for length-aware batching. The NTILE is computed
+    WITHOUT a global sort (round-7 scale fix): n_tokens is itself a
+    bounded monotone bucket of the sort order, so per-length windows
+    number rows in parallel, a broadcast exclusive-carry table turns
+    in-length positions into exact global positions, and
+    functions/prefix.py::ntile_from_pos applies Spark's row-split rule
+    in closed form — bit-identical to NTILE (pinned in
+    tests/test_round7_scale.py), no single-partition task."""
     toks = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
@@ -232,10 +235,21 @@ def ext_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
     )
     from pyspark.sql import Window as _W
+    from pyspark.sql.functions import broadcast as _bc
 
-    bucketed = toks.withColumn(
-        "bucket",
-        F.ntile(_LB_BUCKETS).over(_W.orderBy("n_tokens", "doc_id")).cast("bigint"),
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        exclusive_carry,
+        ntile_from_pos,
+    )
+
+    toks = toks.localCheckpoint()  # count + carry + window share one scan
+    n = toks.count()
+    carry = exclusive_carry(spark, toks, "n_tokens")
+    pos = F.col("carry_in") + F.row_number().over(
+        _W.partitionBy("n_tokens").orderBy("doc_id")
+    )
+    bucketed = toks.join(_bc(carry), "n_tokens").withColumn(
+        "bucket", ntile_from_pos(pos, n, _LB_BUCKETS)
     )
     per = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -305,10 +305,13 @@ def ext_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cumulative position so the marginal document — the one the next
     budget dollar buys — is visible, not just the selected set.
 
-    Shape: one token-count scan + one ordered window over the DOC-level
-    table; at 100 TB the global sort swaps for quality-band bucketing +
-    per-band prefix sums (the ext_token_shards discipline), same
-    output contract."""
+    Shape (round-7 scale fix): the running total is a TWO-PHASE prefix
+    sum — quality_permille is a bounded (0..1000) monotone bucket of the
+    sort order, so per-band windows run in parallel and a broadcast
+    ≤1001-row exclusive-carry table (functions/prefix.py) supplies each
+    band's starting total. Bit-identical to the global ordered window
+    (pinned in tests/test_round7_scale.py); no single-partition task
+    anywhere."""
     d = load(spark, sf_dir, "documents")
     tk = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     scored = d.select(
@@ -332,11 +335,23 @@ def ext_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     from pyspark.sql import Window as _W
+    from pyspark.sql.functions import broadcast as _bc
 
-    w = _W.orderBy(F.col("quality_permille").desc(), "doc_id").rowsBetween(
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        exclusive_carry,
+    )
+
+    scored = scored.localCheckpoint()  # carry pass + window pass share it
+    carry = exclusive_carry(
+        spark, scored, "quality_permille", weight=F.col("n_tokens"),
+        descending=True,
+    )
+    w = _W.partitionBy("quality_permille").orderBy("doc_id").rowsBetween(
         _W.unboundedPreceding, 0
     )
-    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    ranked = scored.join(_bc(carry), "quality_permille").withColumn(
+        "cum_tokens", F.col("carry_in") + F.sum("n_tokens").over(w)
+    )
     return ranked.select(
         "doc_id",
         "n_tokens",

@@ -4665,18 +4665,35 @@ def ext_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit test); per-group rank sums are reported so the reader sees
     which group drags.
 
-    Shape: one global rank window (the scale limit — swap in the
-    two-pass order-statistics trick at 100 TB), one group aggregate,
-    one scalar fold."""
+    Shape (round-7 scale fix): the global rank is TWO-PHASE — value
+    buckets ``v DIV width`` (monotone in v, ≤1025 of them via
+    functions/prefix.py::div_width) rank in parallel and a broadcast
+    exclusive-carry count table supplies each bucket's rank offset;
+    global rank = carry + in-bucket rank exactly (ties never cross
+    buckets). One group aggregate, one scalar fold; no single-partition
+    window (equality pinned in tests/test_round7_scale.py)."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carry,
+    )
+
     o = load(spark, sf_dir, "orders")
     x = o.select(
         F.col("o_orderpriority").alias("grp"),
         cents(F.col("o_totalprice")).cast("bigint").alias("v"),
     )
-    rk = x.select(
+    width = div_width(x.agg(F.max("v")).first()[0])
+    xb = x.withColumn("vb", F.expr(f"v DIV {width}"))
+    carry = exclusive_carry(spark, xb, "vb")
+    rk = xb.join(broadcast(carry), "vb").select(
         "grp",
         (
-            2 * (F.rank().over(Window.orderBy("v")) - 1)
+            2
+            * (
+                F.col("carry_in")
+                + F.rank().over(Window.partitionBy("vb").orderBy("v"))
+                - 1
+            )
             + F.count(F.lit(1)).over(Window.partitionBy("v"))
             + 1
         )

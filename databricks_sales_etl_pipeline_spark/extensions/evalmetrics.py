@@ -1730,11 +1730,13 @@ def ext_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine md5 band, means use truncating division on
     non-negative sums.
 
-    Shape: one group-mean aggregate on train, ONE global order
-    statistic on the calibration residuals (a single ORDER BY on the
-    ~20% slice — at 100 TB you'd swap in an approx/distributed
-    quantile; the exact rank keeps the oracle honest here), then a
-    broadcast of the 1-row q_hat onto the test scan."""
+    Shape (round-7 scale fix): one group-mean aggregate on train; the
+    calibration order statistic is TWO-PHASE — residual-value buckets
+    (``r DIV width``, ≤1025 via functions/prefix.py) rank in parallel,
+    a broadcast exclusive-carry table turns in-bucket ranks into exact
+    global ranks, and the single row with rank k_q is q_hat — then a
+    broadcast of the 1-row q_hat onto the test scan. No
+    single-partition window; bit-identical to the global ORDER BY."""
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         cents(F.col("o_totalprice")).cast("bigint").alias("y"),
@@ -1755,16 +1757,27 @@ def ext_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(mu), "grp")
         .select(F.abs(F.col("y") - F.col("mu_cents")).alias("r"))
     )
-    ranked = cal.select(
-        "r",
-        F.row_number().over(Window.orderBy("r")).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_cal"),
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carry,
     )
+
+    cal = cal.localCheckpoint()  # max + count + carry + rank share it
+    width = div_width(cal.agg(F.max("r")).first()[0])
+    cb = cal.withColumn("rb", F.expr(f"r DIV {width}"))
+    carry = exclusive_carry(spark, cb, "rb")
+    n_cal = cal.count()
     # exact integer k_q = (9*(n_cal+1)+9) DIV 10 — ceil((n_cal+1)*0.9)
-    qhat = ranked.where(
-        F.col("rk") == F.expr("CAST((9 * (n_cal + 1) + 9) DIV 10 AS BIGINT)")
-    ).select(
-        F.col("n_cal").cast("bigint").alias("n_cal"),
+    k_q = (9 * (n_cal + 1) + 9) // 10
+    ranked = cb.join(broadcast(carry), "rb").select(
+        "r",
+        (
+            F.col("carry_in")
+            + F.row_number().over(Window.partitionBy("rb").orderBy("r"))
+        ).alias("rk"),
+    )
+    qhat = ranked.where(F.col("rk") == k_q).select(
+        F.lit(n_cal).cast("bigint").alias("n_cal"),
         F.col("r").cast("bigint").alias("q_hat"),
     )
     test = (

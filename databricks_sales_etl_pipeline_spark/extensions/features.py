@@ -1258,20 +1258,35 @@ def ext_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r*N + n_s - 1) // n_s, no interpolation, deterministic under ties
     because the mapped VALUE comes from the sorted pooled sequence.
 
-    Shape: two rank windows (one global, one per source — the global
-    one is the scale limit; swap in a distributed sort-based ranking at
-    100 TB) and ONE equi-join on the mapped index."""
+    Shape (round-7 scale fix): the pooled global rank is TWO-PHASE —
+    ``n_chars DIV width`` buckets (≤1025, functions/prefix.py) number in
+    parallel and a broadcast exclusive-carry table supplies the global
+    offset; the per-source rank was already partitioned. ONE equi-join
+    on the mapped index; no single-partition window (equality pinned in
+    tests/test_round7_scale.py)."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carry,
+    )
+
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
-    )
-    w = Window.partitionBy(F.lit(1))
-    pooled = docs.select(
+    ).localCheckpoint()  # max + count + carry + two rank passes share it
+    width = div_width(docs.agg(F.max("n_chars")).first()[0])
+    db = docs.withColumn("cb", F.expr(f"n_chars DIV {width}"))
+    carry = exclusive_carry(spark, db, "cb")
+    pooled = db.join(_bc(carry), "cb").select(
         F.col("n_chars").alias("pooled_chars"),
-        F.row_number()
-        .over(w.orderBy("n_chars", "doc_id"))
+        (
+            F.col("carry_in")
+            + F.row_number().over(
+                Window.partitionBy("cb").orderBy("n_chars", "doc_id")
+            )
+        )
         .cast("bigint")
         .alias("k"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("big_n"),
     )
     ws = Window.partitionBy("source")
     ranked = docs.select(
@@ -1284,7 +1299,7 @@ def ext_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
         F.count(F.lit(1)).over(ws).cast("bigint").alias("n_s"),
     )
-    big_n = pooled.agg(F.max("big_n")).collect()[0][0]  # bounded scalar
+    big_n = docs.count()  # bounded scalar
     mapped = ranked.select(
         "doc_id",
         "source",

@@ -354,18 +354,33 @@ def ext_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stats-aware reader SKIPS; `rows_matching` inside hit zones proves
     the skipped zones lost nothing. This is the file-stats contract
     (Parquet row-group / Delta file stats) expressed as a query, and the
-    report that tells you whether a table's layout actually prunes."""
+    report that tells you whether a table's layout actually prunes.
+
+    Round-7 scale fix: the NTILE runs WITHOUT a global sort — the epoch
+    day is a bounded (|calendar|-sized) monotone bucket of the sort
+    order, so per-day windows number rows in parallel, a broadcast
+    exclusive-carry table converts to exact global positions, and
+    ntile_from_pos (functions/prefix.py) applies Spark's row-split rule
+    in closed form; bit-identical, no single-partition task."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        exclusive_carry,
+        ntile_from_pos,
+    )
+
     o = load(spark, sf_dir, "orders").select(
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias(
             "d"
         ),
         "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("od"),
+    ).localCheckpoint()  # count + carry + window share one scan
+    n = o.count()
+    carry = exclusive_carry(spark, o, "d")
+    pos = F.col("carry_in") + F.row_number().over(
+        Window.partitionBy("d").orderBy("o_orderkey")
     )
-    z = o.withColumn(
-        "zone_id",
-        F.ntile(64).over(Window.orderBy("od", "o_orderkey")).cast("bigint"),
-    )
+    z = o.join(_bc(carry), "d").withColumn("zone_id", ntile_from_pos(pos, n, 64))
     lo = F.datediff(F.lit(_ZONE_LO).cast("date"), F.lit("1970-01-01").cast("date"))
     hi = F.datediff(F.lit(_ZONE_HI).cast("date"), F.lit("1970-01-01").cast("date"))
     stats = z.groupBy("zone_id").agg(
