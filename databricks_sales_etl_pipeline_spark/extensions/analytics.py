@@ -2953,9 +2953,14 @@ def ext_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm plus the mean match distance — the match-quality caliper
     report.
 
-    Shape: one label groupBy + ONE ordered window pass — the as-of
-    machinery (ext_asof_nearest) applied to causal matching; at 100 TB
-    the sort is the only data-sized cost."""
+    Shape (round-7 scale fix): one label groupBy + the as-of LOCF pass
+    run TWO-PHASE — price buckets ``v DIV width`` (≤1025,
+    functions/prefix.py::div_width) carry nearest-below/above controls
+    in parallel windows, and a bounded per-bucket first/last-control
+    artifact (driver LOCF over ≤1025 rows) supplies each bucket's
+    cross-bucket carry-in. Ties of v never cross buckets, so
+    coalesce(in-bucket, carry) is bit-identical to the global window
+    (pinned in tests/test_round7_scale.py); no single-partition task."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
     truth = li.groupBy("l_orderkey").agg(
         F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
@@ -2977,19 +2982,69 @@ def ext_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as _W
 
-    wp = _W.orderBy("v", "t", "ok").rowsBetween(_W.unboundedPreceding, 0)
-    wf = _W.orderBy("v", "t", "ok").rowsBetween(0, _W.unboundedFollowing)
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+    )
+
+    base = base.localCheckpoint()  # max + edge artifact + main share it
+    width = div_width(base.agg(F.max("v")).first()[0])
+    bb = base.withColumn("vb", F.expr(f"v DIV {width}"))
+    okey = F.struct("v", "t", "ok")
+    # bounded artifact: each bucket's last/first CONTROL (value, outcome)
+    edges = {
+        r["vb"]: r
+        for r in bb.where(F.col("t") == 0)
+        .groupBy("vb")
+        .agg(
+            F.max_by(F.struct("v", "y"), okey).alias("lastc"),
+            F.min_by(F.struct("v", "y"), okey).alias("firstc"),
+        )
+        .collect()
+    }
+    all_vb = sorted(
+        r["vb"] for r in bb.select("vb").distinct().collect()
+    )
+    carry_rows, prev = [], (None, None)
+    nxt: dict[int, tuple] = {}
+    run = (None, None)
+    for vb in reversed(all_vb):
+        nxt[vb] = run
+        if vb in edges:
+            c = edges[vb]["firstc"]
+            run = (c["v"], c["y"])
+    for vb in all_vb:
+        carry_rows.append((vb, prev[0], prev[1], nxt[vb][0], nxt[vb][1]))
+        if vb in edges:
+            c = edges[vb]["lastc"]
+            prev = (c["v"], c["y"])
+    carry = spark.createDataFrame(
+        carry_rows, "vb long, cpv long, cpy long, cnv long, cny long"
+    )
+    wp = _W.partitionBy("vb").orderBy("v", "t", "ok").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    wf = _W.partitionBy("vb").orderBy("v", "t", "ok").rowsBetween(
+        0, _W.unboundedFollowing
+    )
     cv = F.when(F.col("t") == 0, F.col("v"))
     cy = F.when(F.col("t") == 0, F.col("y"))
-    lined = base.select(
+    lined = bb.join(broadcast(carry), "vb").select(
         "ok",
         "t",
         "v",
         "y",
-        F.last(cv, ignorenulls=True).over(wp).alias("pv"),
-        F.last(cy, ignorenulls=True).over(wp).alias("py"),
-        F.first(cv, ignorenulls=True).over(wf).alias("nv"),
-        F.first(cy, ignorenulls=True).over(wf).alias("ny"),
+        F.coalesce(
+            F.last(cv, ignorenulls=True).over(wp), F.col("cpv")
+        ).alias("pv"),
+        F.coalesce(
+            F.last(cy, ignorenulls=True).over(wp), F.col("cpy")
+        ).alias("py"),
+        F.coalesce(
+            F.first(cv, ignorenulls=True).over(wf), F.col("cnv")
+        ).alias("nv"),
+        F.coalesce(
+            F.first(cy, ignorenulls=True).over(wf), F.col("cny")
+        ).alias("ny"),
     )
     matched = lined.where(F.col("t") == 1).select(
         "ok",

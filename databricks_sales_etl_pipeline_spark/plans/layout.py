@@ -161,38 +161,73 @@ def ext_rle_runs_report(spark, sf_dir):
     under run-length encoding — the measured argument for clustered
     writes (`tbl_zorder`'s 1-D cousin): Parquet RLE/dictionary pages
     compress ∝ runs, so runs_ppm (runs per million rows) IS the
-    compression/skipping forecast a layout decision needs. Each layout
-    is one ordered window pass; at 100 TB the runs count distributes as
-    per-partition run sums minus boundary matches (associative — the
-    same two-level merge every sorted statistic uses), after a range
-    exchange that a clustered WRITE pays anyway."""
+    compression/skipping forecast a layout decision needs.
+
+    Round-7 scale fix — the docstring's promised decomposition is now
+    the implementation: runs = 1 + per-BUCKET change counts (lag windows
+    partitioned by a monotone bucket of each sort order: orderkey range
+    for natural, the 15-value (status, priority) prefix for clustered)
+    + boundary changes between adjacent buckets, read off a bounded
+    per-bucket first/last artifact (functions/prefix.py discipline).
+    Bit-identical to the global window
+    (tests/test_round7_scale.py); no single-partition task."""
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as F
 
     from databricks_sales_etl_pipeline_spark.catalog import load as _load
+    from databricks_sales_etl_pipeline_spark.functions.prefix import div_width
 
     o = _load(spark, sf_dir, "orders")
+    max_ok = o.agg(F.max("o_orderkey")).first()[0]
+    wid = div_width(max_ok)
     layouts = {
-        "natural": [F.col("o_orderkey")],
-        "clustered": [
-            F.col("o_orderstatus"),
-            F.col("o_orderpriority"),
-            F.col("o_orderdate"),
-            F.col("o_orderkey"),
-        ],
+        # bucket expr monotone in the leading sort key; within-bucket order
+        "natural": (F.expr(f"o_orderkey DIV {wid}"), [F.col("o_orderkey")]),
+        "clustered": (
+            F.expr(
+                "ascii(o_orderstatus) * 10"
+                " + CAST(substring(o_orderpriority, 1, 1) AS INT)"
+            ),
+            [F.col("o_orderdate"), F.col("o_orderkey")],
+        ),
     }
     out = None
-    for layout, order in layouts.items():
-        w = _W.orderBy(*order)
+    for layout, (bucket, within) in layouts.items():
+        b = o.withColumn("kb", bucket.cast("long"))
+        w = _W.partitionBy("kb").orderBy(*within)
+        okey = F.struct(*within)
+        # bounded artifact: each bucket's first/last value per RLE column
+        edge_rows = (
+            b.groupBy("kb")
+            .agg(
+                *[
+                    a
+                    for col in _RLE_COLS
+                    for a in (
+                        F.min_by(col, okey).alias(f"first_{col}"),
+                        F.max_by(col, okey).alias(f"last_{col}"),
+                    )
+                ]
+            )
+            .collect()
+        )
+        edges = sorted(edge_rows, key=lambda r: r["kb"])
         for col in _RLE_COLS:
+            boundary = sum(
+                1
+                for prev, cur in zip(edges, edges[1:])
+                if prev[f"last_{col}"] != cur[f"first_{col}"]
+            )
             chg = (F.col(col) != F.lag(col).over(w)).cast("bigint")
             rep = (
-                o.select(chg.alias("chg"))
+                b.select(chg.alias("chg"))
                 .agg(
                     F.lit(layout).alias("layout"),
                     F.lit(col).alias("col_name"),
                     F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                    (1 + F.sum("chg")).cast("bigint").alias("n_runs"),
+                    (1 + F.lit(boundary) + F.sum("chg"))
+                    .cast("bigint")
+                    .alias("n_runs"),
                 )
                 .select(
                     "layout",

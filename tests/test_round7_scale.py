@@ -170,3 +170,51 @@ def test_shuffle_order_positions_are_a_permutation(spark):
     by_pos = sorted(got, key=lambda r: r["global_pos"])
     keys = [(r["sort_key"], r["doc_id"]) for r in by_pos]
     assert keys == sorted(keys)
+
+
+import re
+
+import pytest
+
+
+def _window_fed_by_single_partition(plan: str) -> bool:
+    """True when some Window node's input subtree crosses an Exchange
+    SinglePartition before any repartitioning exchange — the
+    single-task-global-window signature (tools/audit_single_partition.py)."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow\b|WindowGroupLimit", ln):
+            continue
+        for child in lines[i + 1 :]:
+            if "Exchange SinglePartition" in child:
+                return True
+            if re.search(r"Exchange (hash|range)partitioning", child):
+                break
+    return False
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ext_shuffle_order",
+        "ext_peak_concurrency",
+        "ext_budget_select",
+        "ext_kruskal_wallis",
+        "ext_length_bucketing",
+        "ext_zone_map_stats",
+        "ext_quantile_normalize",
+        "ext_conformal_interval",
+        "ext_rle_runs_report",
+        "ext_nn_matching",
+    ],
+)
+def test_no_data_proportional_single_partition_window(spark, name):
+    """Round-7 fixes: these operators previously funneled raw-scan rows
+    through one global ordered window; each now buckets on a monotone
+    function of its sort key and carries offsets via a bounded broadcast
+    artifact. Values are pinned by tests/test_parity.py (the DuckDB
+    oracles still use the single global window — parity IS the
+    equality proof); this pins the plan shape."""
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not _window_fed_by_single_partition(plan), name
