@@ -75,3 +75,99 @@ def test_shingle_rows_match_python_model(spark, texts):
         for j in range(len(words) - 2):
             expected.add((i, " ".join(words[j : j + 3])))
     assert got == expected
+
+
+# --- round-7 two-phase prefix helpers (functions/prefix.py) -----------------
+
+from pyspark.sql import Window as _W  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from databricks_sales_etl_pipeline_spark.functions.prefix import (  # noqa: E402
+    div_width,
+    exclusive_carry,
+    ntile_from_pos,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=16, max_size=300),
+    st.sampled_from([2, 3, 16, 64]),
+)
+def test_ntile_from_pos_matches_spark_ntile(spark, keys, k):
+    """The closed-form row-split rule must equal F.ntile(k) over the same
+    fully-pinned order for arbitrary (tied, skewed) key multisets."""
+    rows = [(i, v) for i, v in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    want = df.select(
+        "id", F.ntile(k).over(_W.orderBy("v", "id")).cast("long").alias("t")
+    )
+    pos = F.row_number().over(_W.orderBy("v", "id"))
+    got = df.select("id", ntile_from_pos(pos, len(keys), k).alias("t"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=300))
+def test_two_phase_row_number_matches_global(spark, keys):
+    """carry + in-bucket row_number == global row_number for the
+    value-DIV-width monotone bucketing, whatever the value distribution."""
+    from pyspark.sql.functions import broadcast
+
+    rows = [(i, v) for i, v in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    want = df.select(
+        "id", F.row_number().over(_W.orderBy("v", "id")).cast("long").alias("rk")
+    )
+    width = div_width(max(keys), fanout=7)  # tiny fanout → many bucket crossings
+    b = df.withColumn("vb", F.expr(f"v DIV {width}"))
+    carry = exclusive_carry(spark, b, "vb")
+    got = b.join(broadcast(carry), "vb").select(
+        "id",
+        (
+            F.col("carry_in")
+            + F.row_number().over(_W.partitionBy("vb").orderBy("v", "id"))
+        ).alias("rk"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),  # bucketable key
+            st.integers(min_value=0, max_value=1000),  # weight
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.booleans(),
+)
+def test_two_phase_running_sum_matches_global(spark, pairs, descending):
+    """carry + in-bucket running SUM == the global ordered running SUM,
+    both ascending and descending bucket order."""
+    from pyspark.sql.functions import broadcast
+
+    rows = [(i, k, w) for i, (k, w) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, k long, w long")
+    order = [F.col("k").desc() if descending else F.col("k").asc(), F.col("id")]
+    want = df.select(
+        "id",
+        F.sum("w")
+        .over(_W.orderBy(*order).rowsBetween(_W.unboundedPreceding, 0))
+        .alias("c"),
+    )
+    carry = exclusive_carry(spark, df, "k", weight=F.col("w"), descending=descending)
+    got = df.join(broadcast(carry), "k").select(
+        "id",
+        (
+            F.col("carry_in")
+            + F.sum("w").over(
+                _W.partitionBy("k")
+                .orderBy("id")
+                .rowsBetween(_W.unboundedPreceding, 0)
+            )
+        ).alias("c"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
