@@ -70,6 +70,13 @@ HEADLINE = [
     "ext_queue_wait",
     "ext_gbm_stump",
     "ext_pack_bins_greedy",
+    # round-7: the two-phase prefix rewrites (global ordered windows →
+    # bucketed windows + broadcast exclusive-carry offsets) — benched so
+    # the fixed shapes have a perf record
+    "ext_shuffle_order",
+    "ext_peak_concurrency",
+    "ext_kruskal_wallis",
+    "ext_nn_matching",
 ]
 
 
