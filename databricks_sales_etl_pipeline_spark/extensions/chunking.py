@@ -242,7 +242,9 @@ def ext_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_from_pos,
     )
 
-    toks = toks.localCheckpoint()  # count + carry + window share one scan
+    # toks is a pure scan+project: count/carry passes recompute it from
+    # immutable parquet (deterministic) rather than materializing a
+    # corpus-scale intermediate
     n = toks.count()
     carry = exclusive_carry(spark, toks, "n_tokens")
     pos = F.col("carry_in") + F.row_number().over(

@@ -341,7 +341,10 @@ def ext_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclusive_carry,
     )
 
-    scored = scored.localCheckpoint()  # carry pass + window pass share it
+    # NOTE: scored is a pure scan+project — the carry pass recomputes it
+    # from immutable parquet (deterministic), which at 100 TB beats
+    # materializing a corpus-scale intermediate; checkpoint only
+    # shuffle-bearing subtrees (the ext_peak_concurrency pattern).
     carry = exclusive_carry(
         spark, scored, "quality_permille", weight=F.col("n_tokens"),
         descending=True,

@@ -1273,7 +1273,8 @@ def ext_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
-    ).localCheckpoint()  # max + count + carry + two rank passes share it
+    )  # pure scan+project: passes recompute it (deterministic) — cheaper
+    # at 100 TB than materializing a corpus-scale intermediate
     width = div_width(docs.agg(F.max("n_chars")).first()[0])
     db = docs.withColumn("cb", F.expr(f"n_chars DIV {width}"))
     carry = exclusive_carry(spark, db, "cb")

@@ -374,7 +374,8 @@ def ext_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d"
         ),
         "o_orderkey",
-    ).localCheckpoint()  # count + carry + window share one scan
+    )  # pure scan+project: passes recompute it (deterministic) — cheaper
+    # at 100 TB than materializing a fact-scale intermediate
     n = o.count()
     carry = exclusive_carry(spark, o, "d")
     pos = F.col("carry_in") + F.row_number().over(
