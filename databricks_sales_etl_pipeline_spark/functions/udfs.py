@@ -200,7 +200,7 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_agg",
     oracle="""
     SELECT o_orderpriority,
-           CAST(SUM(c * c) AS BIGINT) AS sumsq_cents,
+           CAST(SUM((c // 1000) * (c // 1000)) AS BIGINT) AS sumsq_kcents,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM (
         SELECT o_orderpriority,
@@ -215,11 +215,14 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 — GROUPED_AGG pandas UDF (the vectorized custom AGGREGATE — the
     remaining pandas-UDF flavor beside scalar, grouped-map and mapInArrow):
     each group's column arrives as ONE pandas Series and the UDF returns a
-    scalar. The stat (integer sum of squared cents, int64-exact in numpy)
-    is chosen to be SQL-expressible so the oracle proves the aggregation
-    path; real uses are stats built-ins can't express. Unlike grouped-map,
-    GROUPED_AGG supports partial aggregation semantics in the plan — the
-    group shuffle carries Series, not full rows re-sorted."""
+    scalar. The stat (integer sum of squared KILOcents — squared raw cents
+    silently wraps numpy int64 and overflows DuckDB's BIGINT cast already
+    at sf0.1, the round-7 sweep lesson; kilocent squares stay exact to
+    ~2.5e9 rows/group, far past any per-group fixture) is SQL-expressible
+    so the oracle proves the aggregation path; real uses are stats
+    built-ins can't express. Unlike grouped-map, GROUPED_AGG supports
+    partial aggregation semantics in the plan — the group shuffle carries
+    Series, not full rows re-sorted."""
     from pyspark.sql.functions import pandas_udf as _pudf
 
     # the Series -> scalar hint signature is what marks this as a
@@ -227,7 +230,7 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hints resolvable under `from __future__ import annotations`
     @_pudf("long")
     def sumsq(c: pd.Series) -> int:
-        a = c.to_numpy(dtype="int64")
+        a = c.to_numpy(dtype="int64") // 1000
         return int((a * a).sum())
 
     # Spark forbids mixing a GROUPED_AGG pandas UDF with JVM aggregates in
@@ -244,7 +247,7 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderpriority", cents.alias("c"))
         .groupBy("o_orderpriority")
         .agg(
-            sumsq("c").alias("sumsq_cents"),
+            sumsq("c").alias("sumsq_kcents"),
             ncount("c").alias("n"),
         )
     )

@@ -314,9 +314,14 @@ _IV_BUCKET_DAYS = 7
                o_orderdate + INTERVAL 14 DAY AS a_end
         FROM orders WHERE o_orderkey % 97 = 0
     ), b AS (
-        SELECT l_orderkey, l_linenumber, l_shipdate AS b_start,
-               l_shipdate + INTERVAL 7 DAY AS b_end
+        -- first shipment per order: l_linenumber is NOT unique within an
+        -- order (round-7 sf0.1 lesson), so aggregate to one interval/order
+        SELECT l_orderkey,
+               CAST(MIN(l_linenumber) AS BIGINT) AS l_linenumber,
+               MIN(l_shipdate) AS b_start,
+               MIN(l_shipdate) + INTERVAL 7 DAY AS b_end
         FROM lineitem WHERE l_orderkey % 89 = 0 AND l_linenumber = 1
+        GROUP BY l_orderkey
     )
     SELECT a.o_orderkey, b.l_orderkey, b.l_linenumber,
            CAST(date_diff('day',
@@ -336,7 +341,11 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact overlap predicate, and dedups. That turns O(|A|·|B|) into a hash
     join whose fan-out is the bucket occupancy — the standard time-bucket
     trick behind every production range-join accelerator. The oracle is
-    the plain theta join."""
+    the plain theta join. The B side aggregates to ONE interval per order
+    (first shipment): l_linenumber is not unique within an order, and the
+    pair-dedup after the bucket join needs a unique B key (found by the
+    round-7 sf0.1 sweep — duplicate (orderkey, linenumber=1) rows exist
+    there but not at sf0.01)."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     a = o.where(F.col("o_orderkey") % 97 == 0).select(
@@ -344,11 +353,14 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("a_start"),
         F.date_add("o_orderdate", 14).alias("a_end"),
     )
-    b = li.where((F.col("l_orderkey") % 89 == 0) & (F.col("l_linenumber") == 1)).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_shipdate").alias("b_start"),
-        F.date_add("l_shipdate", 7).alias("b_end"),
+    b = (
+        li.where((F.col("l_orderkey") % 89 == 0) & (F.col("l_linenumber") == 1))
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_linenumber").cast("bigint").alias("l_linenumber"),
+            F.min("l_shipdate").alias("b_start"),
+            F.date_add(F.min("l_shipdate"), 7).alias("b_end"),
+        )
     )
     day = lambda c: F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
     a_buck = a.withColumn(

@@ -143,13 +143,27 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-# Oracle-able: Spark 4's AvailableNow trigger commits the final watermark at
-# stream end and flushes every still-unmatched left row from join state, so
-# a single-batch run emits exactly the batch LEFT JOIN (matched + null-padded
-# rows) — verified empirically: 589/589 rows, 21/21 unmatched at sf0.001.
+# Oracle-able: AvailableNow's final commit advances the GLOBAL watermark to
+# min(max purchase_ts, max signup_ts) − delay and flushes every unmatched
+# left row OLDER than it; unmatched purchases inside the final watermark
+# hour stay in state (a match could still arrive on a longer-lived stream)
+# and are never emitted by a finite run. The oracle models exactly that
+# eviction cut: matched pairs always, null-padded rows only when
+# purchase_ts < final watermark. (Round-7 sf0.1 lesson: the earlier
+# "flushes everything" claim held at sf0.001/0.01 only because no unmatched
+# purchase fell in the final hour there; sf0.1 had two.)
 @query(
     "stream_left_outer_join",
     oracle="""
+    WITH wm AS (
+        SELECT least(
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS TIMESTAMP) END),
+                   max(CASE WHEN event_type = 'signup'
+                            THEN CAST(ts AS TIMESTAMP) END)
+               ) - INTERVAL 1 HOUR AS w
+        FROM events
+    )
     SELECT p.event_id AS purchase_id,
            p.user_id,
            CAST(p.ts AS TIMESTAMP) AS purchase_ts,
@@ -159,7 +173,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND s.event_type = 'signup'
      AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
      AND CAST(s.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 7 DAY
+    CROSS JOIN wm
     WHERE p.event_type = 'purchase'
+      AND (s.ts IS NOT NULL OR CAST(p.ts AS TIMESTAMP) < wm.w)
     """,
 )
 def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +185,9 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-eviction-driven outer emission that makes outer joins possible
     on unbounded streams: a left row is held in state only until the
     watermark passes its join-validity window, then emitted unmatched —
-    bounded state, no lost rows.
+    bounded state, no lost rows. A finite AvailableNow run therefore
+    null-pads only purchases OLDER than the final global watermark
+    (min of both sides' max ts − 1h); the oracle applies the same cut.
 
     Same interval-bounded condition as stream_stream_join (the inner
     twin); watermarks on BOTH sides are what bound state at 100 TB."""
