@@ -3479,8 +3479,8 @@ BSEG_MINLEN = 30
     WITH daily AS (
         SELECT CAST(datediff('day', DATE '1970-01-01',
                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS v
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) // 1000
+                    AS BIGINT) AS v
         FROM orders GROUP BY 1
     ), pre AS (
         SELECT d, v,
@@ -3610,8 +3610,8 @@ def _mp_win_cols(src: str, engine_lead: str) -> str:
     WITH daily AS (
         SELECT CAST(datediff('day', DATE '1970-01-01',
                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS v
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) // 1000
+                    AS BIGINT) AS v
         FROM orders GROUP BY 1
     ), idx AS (
         SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS i,
@@ -3637,7 +3637,7 @@ def _mp_win_cols(src: str, engine_lead: str) -> str:
         FROM orient GROUP BY i, di
     )
     SELECT 'motif' AS kind, CAST(i AS BIGINT) AS i, di AS day_i,
-           nn_j AS j, nn_dj AS day_j, nn_dist AS dist_sq_dollars
+           nn_j AS j, nn_dj AS day_j, nn_dist AS dist_sq_kdollars
     FROM (SELECT profile.*,
                  ROW_NUMBER() OVER (ORDER BY nn_dist, i) AS rk
           FROM profile)
@@ -3657,9 +3657,12 @@ def ext_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     top MOTIF (the week that repeats most exactly) and the window
     farthest from everything is the top DISCORD (the most anomalous
     week) — the modern time-series primitive that unifies motif
-    discovery and anomaly detection in one structure. All whole-dollar
-    integer arithmetic; nearest-neighbor ties pin to the smallest j
-    via the encoded key dist*100000 + j.
+    discovery and anomaly detection in one structure. The series is
+    daily revenue in whole KILOdollars (round-7 sf0.1 lesson: dollar
+    squared-distances times the 1e5 tie-key scale overflow int64
+    already at sf0.1; kilodollar distances keep the encoded key
+    exact past sf10); nearest-neighbor ties pin to the smallest j via
+    the encoded key dist*100000 + j.
 
     Shape: windows come from MP_W lead() columns over the
     calendar-bounded series; the quadratic pair join stays
@@ -3676,7 +3679,11 @@ def ext_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("d")
-    ).agg(F.sum(F.floor(F.col("o_totalprice")).cast("bigint")).alias("v"))
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) DIV 1000 AS BIGINT)"
+        ).alias("v")
+    )
     w = Window.partitionBy(F.lit(1)).orderBy("d")
     cols = [F.col("d"), F.row_number().over(w).alias("i"),
             F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
@@ -3741,7 +3748,7 @@ def ext_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("di").alias("day_i"),
             F.col("nn_j").alias("j"),
             F.col("nn_dj").alias("day_j"),
-            F.col("nn_dist").alias("dist_sq_dollars"),
+            F.col("nn_dist").alias("dist_sq_kdollars"),
         )
     )
     discord = (
@@ -3758,7 +3765,7 @@ def ext_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("di").alias("day_i"),
             F.col("nn_j").alias("j"),
             F.col("nn_dj").alias("day_j"),
-            F.col("nn_dist").alias("dist_sq_dollars"),
+            F.col("nn_dist").alias("dist_sq_kdollars"),
         )
     )
     return motif.unionAll(discord)
@@ -3848,8 +3855,8 @@ SAX_TOPN = 10
     WITH daily AS (
         SELECT CAST(datediff('day', DATE '1970-01-01',
                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS v
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) // 1000
+                    AS BIGINT) AS v
         FROM orders GROUP BY 1
     ), weekly AS (
         SELECT d // 7 AS wk,
@@ -3961,8 +3968,8 @@ def _haar_oracle() -> str:
         f"""daily AS MATERIALIZED (
         SELECT CAST(datediff('day', DATE '1970-01-01',
                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS v
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) // 1000
+                    AS BIGINT) AS v
         FROM orders GROUP BY 1
     )""",
         f"""lvl0 AS MATERIALIZED (

@@ -562,7 +562,10 @@ TRIPLE_PAIR_MINSUP_PPM = 2000  # pair must appear in ≥0.2% of orders
 @query(
     "ext_basket_triples",
     oracle=f"""
-    WITH b AS (
+    WITH b AS MATERIALIZED (
+        -- MATERIALIZED is load-bearing at sf0.1+: b is referenced 5x
+        -- (two self-joins + counts) and DuckDB otherwise inlines the
+        -- DISTINCT-join into every reference (192s -> 0.3s, round-7)
         SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     ), n AS (
@@ -2152,7 +2155,11 @@ def ext_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_parts"),
         F.col("i").cast("bigint").alias("knee_rank"),
         F.col("cum").cast("bigint").alias("knee_cum_cents"),
-        F.expr("CAST(i * 1000000 DIV n AS BIGINT)").alias("knee_rank_ppm"),
+        # row_number is 32-bit in Spark: i * 1e6 overflows INT at i >= 2148
+        # (round-7 sf0.1 sweep) — widen before the multiply
+        F.expr("CAST(CAST(i AS BIGINT) * 1000000 DIV n AS BIGINT)").alias(
+            "knee_rank_ppm"
+        ),
         F.expr("CAST(cum * 1000000 DIV t AS BIGINT)").alias(
             "knee_share_ppm"
         ),

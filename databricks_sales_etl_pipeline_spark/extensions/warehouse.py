@@ -1145,10 +1145,11 @@ HREC_WIN = 12
         FROM base b, top t
     ), shares AS (
         SELECT pre.*,
-               CAST(fc_brand * fc_total // base_sum AS BIGINT)
-                   AS rec_floor,
+               CAST(CAST(fc_brand AS HUGEINT) * fc_total // base_sum
+                    AS BIGINT) AS rec_floor,
                ROW_NUMBER() OVER (
-                   ORDER BY (fc_brand * fc_total) % base_sum DESC,
+                   ORDER BY CAST(CAST(fc_brand AS HUGEINT) * fc_total
+                                 % base_sum AS BIGINT) DESC,
                             brand) AS rem_rank
         FROM pre
     )
@@ -1220,13 +1221,22 @@ def ext_hier_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fc_brand").over(w).cast("bigint").alias("base_sum"),
     ).select(
         "*",
-        F.expr("CAST(fc_brand * fc_total DIV base_sum AS BIGINT)").alias(
-            "rec_floor"
-        ),
+        # fc_brand * fc_total overflows int64 at sf0.1 (round-7 sweep):
+        # stage the product through DECIMAL(38,0) — exact 128-bit — and
+        # cast the bounded quotient/remainder (< base_sum) back to BIGINT;
+        # DuckDB's twin promotes to HUGEINT automatically
+        F.expr(
+            "CAST(CAST(fc_brand AS DECIMAL(38,0)) * fc_total"
+            " DIV base_sum AS BIGINT)"
+        ).alias("rec_floor"),
         F.row_number()
         .over(
             w.orderBy(
-                F.expr("(fc_brand * fc_total) % base_sum").desc(), "brand"
+                F.expr(
+                    "CAST(CAST(fc_brand AS DECIMAL(38,0)) * fc_total"
+                    " % base_sum AS BIGINT)"
+                ).desc(),
+                "brand",
             )
         )
         .alias("rem_rank"),
