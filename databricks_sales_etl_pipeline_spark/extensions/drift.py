@@ -3479,8 +3479,8 @@ BSEG_MINLEN = 30
     WITH daily AS (
         SELECT CAST(datediff('day', DATE '1970-01-01',
                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) // 1000
-                    AS BIGINT) AS v
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+                   AS BIGINT) AS v
         FROM orders GROUP BY 1
     ), pre AS (
         SELECT d, v,
@@ -3855,8 +3855,8 @@ SAX_TOPN = 10
     WITH daily AS (
         SELECT CAST(datediff('day', DATE '1970-01-01',
                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) // 1000
-                    AS BIGINT) AS v
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+                   AS BIGINT) AS v
         FROM orders GROUP BY 1
     ), weekly AS (
         SELECT d // 7 AS wk,
@@ -3968,8 +3968,8 @@ def _haar_oracle() -> str:
         f"""daily AS MATERIALIZED (
         SELECT CAST(datediff('day', DATE '1970-01-01',
                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) // 1000
-                    AS BIGINT) AS v
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+                   AS BIGINT) AS v
         FROM orders GROUP BY 1
     )""",
         f"""lvl0 AS MATERIALIZED (

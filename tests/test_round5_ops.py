@@ -254,13 +254,18 @@ class TestRound5Semantics:
             F.col("o_orderdate").alias("a_start"),
             F.date_add("o_orderdate", 14).alias("a_end"),
         )
-        b = li.where(
-            (F.col("l_orderkey") % 89 == 0) & (F.col("l_linenumber") == 1)
-        ).select(
-            "l_orderkey",
-            "l_linenumber",
-            F.col("l_shipdate").alias("b_start"),
-            F.date_add("l_shipdate", 7).alias("b_end"),
+        # round-7: B aggregates to one first-shipment interval per order
+        # ((l_orderkey, l_linenumber) is not unique at sf0.1)
+        b = (
+            li.where(
+                (F.col("l_orderkey") % 89 == 0) & (F.col("l_linenumber") == 1)
+            )
+            .groupBy("l_orderkey")
+            .agg(
+                F.min("l_linenumber").cast("bigint").alias("l_linenumber"),
+                F.min("l_shipdate").alias("b_start"),
+                F.date_add(F.min("l_shipdate"), 7).alias("b_end"),
+            )
         )
         theta = a.crossJoin(b).where(
             (F.col("a_start") <= F.col("b_end"))

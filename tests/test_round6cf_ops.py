@@ -79,7 +79,7 @@ class TestMatrixProfile:
             f"""SELECT CAST(datediff('day', DATE '1970-01-01',
                                      CAST(o_orderdate AS DATE)) AS BIGINT),
                        CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
-                            AS BIGINT)
+                            // 1000 AS BIGINT)
                 FROM '{SF_DIR}/orders.parquet' GROUP BY 1 ORDER BY 1"""
         ).fetchall()
         ds = [int(d) for d, _ in daily]
@@ -111,10 +111,10 @@ class TestMatrixProfile:
             for r in QUERIES["ext_matrix_profile"](spark, SF_DIR).collect()
         }
         m = rows["motif"]
-        assert (m["dist_sq_dollars"], m["i"], m["day_i"], m["j"],
+        assert (m["dist_sq_kdollars"], m["i"], m["day_i"], m["j"],
                 m["day_j"]) == motif
         d = rows["discord"]
-        assert (-d["dist_sq_dollars"], d["i"], d["day_i"], d["j"],
+        assert (-d["dist_sq_kdollars"], d["i"], d["day_i"], d["j"],
                 d["day_j"]) == discord
 
     def test_motif_tighter_than_discord(self, spark):
@@ -123,7 +123,7 @@ class TestMatrixProfile:
             for r in QUERIES["ext_matrix_profile"](spark, SF_DIR).collect()
         }
         assert (
-            rows["motif"]["dist_sq_dollars"]
-            < rows["discord"]["dist_sq_dollars"]
+            rows["motif"]["dist_sq_kdollars"]
+            < rows["discord"]["dist_sq_kdollars"]
         )
         assert abs(rows["motif"]["j"] - rows["motif"]["i"]) >= MP_W
