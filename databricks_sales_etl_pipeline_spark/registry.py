@@ -105,63 +105,64 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: The driver correctness-checks the FIRST 50 entries of ``queries()`` in
 #: registration order, so this list is the sampled contract surface.
-# Round-7 rotation (verdict ask #1: burn the 291-name backlog, never re-list
-# an already-green name). Slots 1-11 are the verdict-named bench-proven
-# round-6 waves; slots 12-50 are the oldest never-checked names in
+# Round-8 rotation (verdict ask #1: burn the 241-name backlog, never re-list
+# an already-green name). Slots 1-10 are the verdict-named oldest round-6
+# "queued r8" waves; slots 11-50 are the next never-checked names in
 # registration order. All 50 were driver-sim verified at sf0.01 (vanilla
-# session, pandas-canonicalized compare) before this rotation was committed
-# — the round-6 `ext_gini_concentration` overflow lesson.
+# session, pandas-canonicalized compare) on the Aug-14 regenerated fixture
+# before this rotation was committed — the round-6 `ext_gini_concentration`
+# overflow lesson.
 _DRIVER_PRIORITY = [
-    "agg_listagg",
-    "sink_dynamic_overwrite",
-    "stream_chained_windows",
-    "ext_queue_wait",
-    "ext_pack_bins_greedy",
-    "ext_gbm_stump",
-    "ext_rolling_wau_bitmap",
-    "ext_session_stats",
-    "ext_lag_features",
-    "ext_scd2_build",
-    "ext_basket_rules",
-    "dq_profile_table",
-    "join_aqe_skew",
-    "sql_group_by_all",
-    "sql_distribute_by",
-    "sql_order_by_all",
-    "sql_pipe_syntax",
-    "sql_rebalance_hint",
-    "sql_keyset_pagination",
-    "sql_session_variable",
-    "sql_star_except",
-    "sql_insert_by_name",
-    "sql_named_window",
-    "sql_values_inline",
-    "sql_identifier_clause",
-    "ext_asof_nearest",
-    "sql_execute_immediate",
-    "sql_udf_create",
-    "ext_transpose",
-    "stat_crosstab",
-    "dq_na_api",
-    "udf_grouped_apply_arrow",
-    "sql_unpivot_syntax",
-    "sql_row_filter_view",
-    "agg_grouping_id",
-    "src_file_metadata",
-    "src_json_corrupt",
-    "src_python_datasource_stream",
-    "udf_scalar_iter",
-    "udtf_analyze_dynamic",
-    "stream_trending_topk",
-    "stream_session_dynamic_gap",
-    "stream_dedup_within_watermark",
-    "ext_lsh_tuning_curve",
-    "ext_dedup_agreement",
-    "ext_dedup_canonical",
-    "ext_inventory_runout",
-    "ext_sla_lag_percentiles",
-    "ext_otif_rate",
-    "ext_penny_allocation",
+    "ext_readability",
+    "ext_bm25_rank",
+    "ext_eval_bleu",
+    "ext_t_closeness",
+    "ext_crawl_frontier",
+    "mm_audio_silence_split",
+    "ext_dtw_distance",
+    "ext_holt_winters",
+    "ext_viterbi_path",
+    "ext_gale_shapley",
+    "ext_erlang_blocking",
+    "ext_holt_linear",
+    "ext_croston_intermittent",
+    "ext_optimal_segmentation",
+    "ext_lis_patience",
+    "ext_activity_selection",
+    "ext_keyword_rake",
+    "ext_prefix_autocomplete",
+    "ext_retrieval_rrf",
+    "ext_template_mining",
+    "ext_feature_gini_gain",
+    "ext_length_bucketing",
+    "ext_dp_geometric",
+    "ext_rendezvous_hash",
+    "ext_merkle_partition_tree",
+    "ext_cidr_lpm",
+    "ext_consistent_hash_ring",
+    "ext_shamir_shares",
+    "ext_retry_backoff",
+    "ext_point_in_polygon",
+    "ext_histogram_equiheight",
+    "ext_join_card_estimate",
+    "ext_ipf_raking",
+    "ext_median_polish",
+    "ext_banzhaf_power",
+    "ext_shapley_shubik",
+    "ext_knapsack_dp",
+    "ext_shingle_containment",
+    "ext_hard_negatives",
+    "ext_eval_ndcg",
+    "ext_eval_mrr",
+    "ext_dbscan_cells",
+    "ext_silhouette",
+    "ext_kcenter_greedy",
+    "ext_vocab_growth",
+    "mm_audio_energy",
+    "mm_pair_dataset",
+    "mm_video_scene_cut",
+    "mm_image_histogram",
+    "mm_video_keyframe",
 ]
 
 
