@@ -3116,27 +3116,45 @@ def ext_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ext_prop_ztest, ext_power_analysis) cannot give. Enrollment order
     is the user_id order; decision = whichever bound is hit first.
 
-    Shape: one user_id groupBy (the only data-sized shuffle), then a
-    single running-sum window over the user-sized walk and one scalar
-    aggregate — the whole sequential monitor is two passes however big
-    the event log."""
+    Shape (round-8 scale fix): the walk is USER-scaled, so the running
+    LLR is TWO-PHASE — bucket on ``user_id DIV width`` (monotone in the
+    enrollment order, ≤1025 buckets), row_number + running sum per
+    bucket in parallel, broadcast exclusive-carry offsets (count carry
+    for rn, increment carry for cum — one bounded collect; the carry is
+    exact because prefix sums are associative and bucket order equals
+    enrollment order). One user_id groupBy, bucket-partitioned windows,
+    one scalar aggregate; no single-partition window (plan pinned in
+    tests/test_round8_scale.py, values by the unchanged global-window
+    DuckDB oracle)."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carries,
+    )
+
     e = load(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv")
     )
-    wo = Window.orderBy("user_id")
-    walk = u.select(
+    incr = F.when(F.col("conv") == 1, SPRT_L1_MICRO).otherwise(SPRT_L0_MICRO)
+    width = div_width(u.agg(F.max("user_id")).first()[0])
+    ub = u.select(
+        "user_id", "conv", F.expr(f"user_id DIV {width}").alias("bk")
+    )
+    carry = exclusive_carries(
+        spark, ub, "bk", {"c_cnt": None, "c_sum": incr}
+    )
+    wb = Window.partitionBy("bk").orderBy("user_id")
+    walk = ub.join(broadcast(carry), "bk").select(
         "conv",
-        F.row_number().over(wo).alias("rn"),
-        F.sum(
-            F.when(F.col("conv") == 1, SPRT_L1_MICRO).otherwise(
-                SPRT_L0_MICRO
+        (F.col("c_cnt") + F.row_number().over(wb)).alias("rn"),
+        (
+            F.col("c_sum")
+            + F.sum(incr).over(
+                wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-        )
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
+        ).alias("cum"),
     )
     big = 9223372036854775807
     h1 = F.min(
@@ -4131,8 +4149,23 @@ def ext_empirical_copula(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependence lives (tail dependence vs middle). Deterministic NTILE
     with full tiebreaks; all integer.
 
-    Shape: one fact join + order groupBy, two rank windows over the
-    order-sized table, one grid aggregate."""
+    Shape (round-8 scale fix): the ranked table is ORDER-scaled (the
+    o_orderkey tiebreak means every order row would sort in ONE task),
+    so both quantile NTILEs are TWO-PHASE — bucket each margin on a
+    monotone function of its own sort key (``v DIV width`` / ``nl DIV
+    width``, ≤1025 buckets, ties never cross), row_number per bucket in
+    parallel, broadcast exclusive-carry count offsets, and
+    ``prefix.ntile_from_pos`` rebuilds NTILE bit-for-bit from the global
+    position. One fact join + order groupBy + two bucket-partitioned
+    windows + one grid aggregate; no single-partition window (plan
+    pinned in tests/test_round8_scale.py, values by the unchanged
+    global-NTILE DuckDB oracle)."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carry,
+        ntile_from_pos,
+    )
+
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
     per = (
@@ -4140,23 +4173,37 @@ def ext_empirical_copula(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", cents(F.col("o_totalprice")).alias("v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
     )
-    ranked = per.select(
-        F.ntile(COPULA_Q)
-        .over(Window.orderBy("v", "o_orderkey"))
-        .alias("qu_v"),
-        F.ntile(COPULA_Q)
-        .over(Window.orderBy("nl", "o_orderkey"))
-        .alias("qu_n"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    stats = per.agg(F.max("v"), F.max("nl"), F.count(F.lit(1))).first()
+    wv, wn = div_width(stats[0]), div_width(stats[1])
+    n = int(stats[2])
+    b = per.select(
+        "o_orderkey",
+        "v",
+        "nl",
+        F.expr(f"v DIV {wv}").alias("vb"),
+        F.expr(f"nl DIV {wn}").alias("nb"),
+    )
+    cv = exclusive_carry(spark, b, "vb").withColumnRenamed("carry_in", "cv")
+    cn = exclusive_carry(spark, b, "nb").withColumnRenamed("carry_in", "cn")
+    j = b.join(broadcast(cv), "vb").join(broadcast(cn), "nb")
+    pos_v = F.col("cv") + F.row_number().over(
+        Window.partitionBy("vb").orderBy("v", "o_orderkey")
+    )
+    pos_n = F.col("cn") + F.row_number().over(
+        Window.partitionBy("nb").orderBy("nl", "o_orderkey")
+    )
+    ranked = j.select(
+        ntile_from_pos(pos_v, n, COPULA_Q).alias("qu_v"),
+        ntile_from_pos(pos_n, n, COPULA_Q).alias("qu_n"),
     )
     return ranked.groupBy(
         F.col("qu_v").cast("bigint").alias("qu_value"),
         F.col("qu_n").cast("bigint").alias("qu_lines"),
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.max("n").cast("bigint").alias("n_total"),
+        F.lit(n).cast("bigint").alias("n_total"),
         F.expr(
-            f"CAST(count(*) * {COPULA_Q * COPULA_Q} * 1000 DIV max(n)"
+            f"CAST(count(*) * {COPULA_Q * COPULA_Q} * 1000 DIV {n}"
             " AS BIGINT)"
         ).alias("density_milli"),
     )

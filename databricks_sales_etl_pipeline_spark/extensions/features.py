@@ -62,9 +62,26 @@ from databricks_sales_etl_pipeline_spark.registry import query
 def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fe1 — RFM customer segmentation: recency / frequency / monetary
     quintiles (NTILE with full tiebreak ordering → deterministic under any
-    partitioning), reported per (R,F,M) cell. The quintile windows run on
-    the per-customer AGGREGATE — the fact table is reduced by its one
-    groupBy shuffle first, so the global sort input is dim-sized."""
+    partitioning), reported per (R,F,M) cell.
+
+    Shape (round-8 scale fix): customers grow linearly with the data
+    (~1.5e9 at 100 TB TPC-H geometry), so the three quintile NTILEs are
+    TWO-PHASE — each dimension buckets on a monotone function of its own
+    sort key (``key DIV width``, ≤1025 buckets via
+    functions/prefix.py::div_width; ties never cross buckets), computes
+    row_number per bucket in parallel, and adds a broadcast
+    exclusive-carry count offset; ``prefix.ntile_from_pos`` then
+    reproduces NTILE(5) bit-for-bit from the exact global position. One
+    custkey groupBy plus three bucket-partitioned windows; no
+    single-partition sort anywhere (plan pinned in
+    tests/test_round8_scale.py, values by the unchanged global-NTILE
+    DuckDB oracle)."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carry,
+        ntile_from_pos,
+    )
+
     o = load(spark, sf_dir, "orders")
     pc = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_dt"),
@@ -75,21 +92,52 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = pc.crossJoin(broadcast(ref)).withColumn(
         "recency_days", F.datediff("ref_dt", "last_dt").cast("bigint")
     )
-    q = rec.select(
+    stats = rec.agg(
+        F.max("recency_days"), F.max("freq"), F.max("monetary_cents"),
+        F.count(F.lit(1)),
+    ).first()
+    wr, wf, wm = (div_width(stats[0]), div_width(stats[1]),
+                  div_width(stats[2]))
+    n = stats[3]
+    b = rec.select(
         "o_custkey",
         "monetary_cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-        .cast("bigint")
-        .alias("r_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
-        .cast("bigint")
-        .alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
-        .cast("bigint")
-        .alias("m_q"),
+        "recency_days",
+        "freq",
+        F.expr(f"recency_days DIV {wr}").alias("rb"),
+        F.expr(f"freq DIV {wf}").alias("fb"),
+        F.expr(f"monetary_cents DIV {wm}").alias("mb"),
+    )
+    cr = exclusive_carry(spark, b, "rb").withColumnRenamed("carry_in", "cr")
+    cf = exclusive_carry(spark, b, "fb", descending=True).withColumnRenamed(
+        "carry_in", "cf"
+    )
+    cm = exclusive_carry(spark, b, "mb", descending=True).withColumnRenamed(
+        "carry_in", "cm"
+    )
+    j = (
+        b.join(broadcast(cr), "rb")
+        .join(broadcast(cf), "fb")
+        .join(broadcast(cm), "mb")
+    )
+    pos_r = F.col("cr") + F.row_number().over(
+        Window.partitionBy("rb").orderBy(
+            F.asc("recency_days"), F.asc("o_custkey")
+        )
+    )
+    pos_f = F.col("cf") + F.row_number().over(
+        Window.partitionBy("fb").orderBy(F.desc("freq"), F.asc("o_custkey"))
+    )
+    pos_m = F.col("cm") + F.row_number().over(
+        Window.partitionBy("mb").orderBy(
+            F.desc("monetary_cents"), F.asc("o_custkey")
+        )
+    )
+    q = j.select(
+        "monetary_cents",
+        ntile_from_pos(pos_r, n, 5).alias("r_q"),
+        ntile_from_pos(pos_f, n, 5).alias("f_q"),
+        ntile_from_pos(pos_m, n, 5).alias("m_q"),
     )
     return q.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -522,35 +522,58 @@ def ext_inventory_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary is deterministic. The inventory-policy segmentation every
     retail planner runs (count A-parts daily, C-parts quarterly).
 
-    Shape: one partkey groupBy, then windows over the PART-level
-    aggregate (dim-sized sort, never the fact table)."""
+    Shape (round-8 scale fix): parts grow linearly with the data (~2e9
+    at 100 TB TPC-H geometry), so the cumulative-revenue rank is
+    TWO-PHASE — bucket on ``rev_cents DIV width`` (monotone in the sort
+    key, ≤1025 buckets, ties never cross buckets), rank and running-sum
+    per bucket in parallel, then add broadcast exclusive-carry offsets
+    (count carry for rk, revenue carry for cum_cents — one bounded
+    collect via prefix.exclusive_carries). No single-partition window
+    (plan pinned in tests/test_round8_scale.py; values by the unchanged
+    global-window DuckDB oracle)."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carries,
+    )
+
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("bigint")
         .alias("rev_cents")
     )
-    wc = Window.orderBy(F.col("rev_cents").desc(), "part_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    stats = rev.agg(
+        F.max("rev_cents"), F.sum("rev_cents").cast("bigint")
+    ).first()
+    width = div_width(stats[0])
+    total = int(stats[1])
+    rb = rev.withColumn("bk", F.expr(f"rev_cents DIV {width}"))
+    carry = exclusive_carries(
+        spark,
+        rb,
+        "bk",
+        {"c_cnt": None, "c_sum": F.col("rev_cents")},
+        descending=True,
     )
-    wt = Window.partitionBy()
-    wr = Window.orderBy(F.col("rev_cents").desc(), "part_id")
-    ranked = rev.select(
+    w = Window.partitionBy("bk").orderBy(F.col("rev_cents").desc(), "part_id")
+    ranked = rb.join(broadcast(carry), "bk").select(
         "part_id",
         "rev_cents",
-        F.sum("rev_cents").over(wc).alias("cum_cents"),
-        F.sum("rev_cents").over(wt).alias("total_cents"),
-        F.row_number().over(wr).alias("rk"),
+        (
+            F.col("c_sum")
+            + F.sum("rev_cents").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("cum_cents"),
+        (F.col("c_cnt") + F.row_number().over(w)).alias("rk"),
     )
     return ranked.select(
         "part_id",
         "rev_cents",
         F.col("cum_cents").cast("bigint").alias("cum_cents"),
         F.col("rk").cast("bigint").alias("rk"),
-        F.when(
-            F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A"
-        )
-        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        F.when(F.col("cum_cents") * 100 <= F.lit(total) * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.lit(total) * 95, "B")
         .otherwise("C")
         .alias("abc_class"),
     )
@@ -2099,7 +2122,12 @@ def ext_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(i AS BIGINT) AS knee_rank,
            CAST(cum AS BIGINT) AS knee_cum_cents,
            CAST(i * 1000000 // n AS BIGINT) AS knee_rank_ppm,
-           CAST(cum * 1000000 // t AS BIGINT) AS knee_share_ppm,
+           -- staged 3-level long division = exact floor(cum*1e6/t)
+           -- without the cum*1e6 intermediate (int64-safe to ~sf4000)
+           CAST((cum * 100 // t) * 10000
+                + ((cum * 100 % t) * 100 // t) * 100
+                + (((cum * 100 % t) * 100 % t) * 100 // t)
+                AS BIGINT) AS knee_share_ppm,
            cross_abs AS max_cross_abs
     FROM (SELECT dist.*,
                  ROW_NUMBER() OVER (ORDER BY cross_abs DESC, i) AS rk
@@ -2118,52 +2146,74 @@ def ext_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cut ABC classification guesses at fixed 80/95% lines and
     ext_gini_concentration summarizes into one number.
 
-    Shape: identical cost to the Gini pass — one part groupBy, one
-    ordered window scan, one argmax; integer-exact to ~4e17 cum·rank
-    products (shard or rescale to dollars beyond ~1e6 parts at full
-    TPC-H prices — documented bound, not silent overflow)."""
+    Shape (round-8 scale fix): parts grow linearly with the data, so the
+    Lorenz rank/cumsum is TWO-PHASE — bucket on ``r DIV width`` (monotone
+    in the sort key, ≤1025 buckets, ties never cross), rank + running sum
+    per bucket in parallel, broadcast exclusive-carry offsets (count and
+    revenue carries in one bounded collect), and the argmax is a plain
+    ``max_by`` aggregate (map-side partial, no global sort). The share
+    ppm uses the staged 3-level long division (the
+    ext_gini_concentration pattern) so no cum·1e6 intermediate exists —
+    int64-safe to ~sf4000; cum·n cross products stay integer-exact to
+    ~4e17 (shard or rescale to dollars beyond ~1e6 parts at full TPC-H
+    prices — documented bound, not silent overflow)."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carries,
+    )
+
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("bigint")
         .alias("r")
     )
-    w = Window.partitionBy(F.lit(1))
-    wo = w.orderBy("r", "part_id")
-    curve = rev.select(
-        F.row_number().over(wo).alias("i"),
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("r")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-        F.sum("r").over(w).alias("t"),
+    stats = rev.agg(
+        F.max("r"), F.count(F.lit(1)), F.sum("r").cast("bigint")
+    ).first()
+    width = div_width(stats[0])
+    n, t = int(stats[1]), int(stats[2])
+    rb = rev.withColumn("bk", F.expr(f"r DIV {width}"))
+    carry = exclusive_carries(
+        spark, rb, "bk", {"c_cnt": None, "c_sum": F.col("r")}
+    )
+    w = Window.partitionBy("bk").orderBy("r", "part_id")
+    curve = rb.join(broadcast(carry), "bk").select(
+        (F.col("c_cnt") + F.row_number().over(w)).alias("i"),
+        (
+            F.col("c_sum")
+            + F.sum("r").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("cum"),
     )
     dist = curve.select(
         "i",
-        "n",
         "cum",
-        "t",
-        F.abs(F.col("cum") * F.col("n") - F.col("i") * F.col("t"))
+        F.abs(F.col("cum") * F.lit(n) - F.col("i") * F.lit(t))
         .cast("bigint")
         .alias("cross_abs"),
     )
-    best = dist.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.col("cross_abs").desc(), "i")),
-    ).where(F.col("rk") == 1)
+    best = dist.agg(
+        F.max_by(
+            F.struct("i", "cum", "cross_abs"),
+            F.struct(F.col("cross_abs"), (-F.col("i")).alias("neg_i")),
+        ).alias("b")
+    )
     return best.select(
-        F.col("n").cast("bigint").alias("n_parts"),
-        F.col("i").cast("bigint").alias("knee_rank"),
-        F.col("cum").cast("bigint").alias("knee_cum_cents"),
-        # row_number is 32-bit in Spark: i * 1e6 overflows INT at i >= 2148
-        # (round-7 sf0.1 sweep) — widen before the multiply
-        F.expr("CAST(CAST(i AS BIGINT) * 1000000 DIV n AS BIGINT)").alias(
+        F.lit(n).cast("bigint").alias("n_parts"),
+        F.col("b.i").cast("bigint").alias("knee_rank"),
+        F.col("b.cum").cast("bigint").alias("knee_cum_cents"),
+        F.expr(f"CAST(b.i * 1000000 DIV {n} AS BIGINT)").alias(
             "knee_rank_ppm"
         ),
-        F.expr("CAST(cum * 1000000 DIV t AS BIGINT)").alias(
-            "knee_share_ppm"
-        ),
-        F.col("cross_abs").alias("max_cross_abs"),
+        F.expr(
+            f"CAST((b.cum * 100 DIV {t}) * 10000"
+            f" + ((b.cum * 100 % {t}) * 100 DIV {t}) * 100"
+            f" + (((b.cum * 100 % {t}) * 100 % {t}) * 100 DIV {t})"
+            " AS BIGINT)"
+        ).alias("knee_share_ppm"),
+        F.col("b.cross_abs").alias("max_cross_abs"),
     )
 
 

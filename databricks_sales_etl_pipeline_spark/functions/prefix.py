@@ -43,19 +43,51 @@ def exclusive_carry(
     (row count when ``weight`` is None) of every bucket strictly BEFORE
     it in bucket order. The per-bucket totals are a bounded model
     artifact (caller bounds the fan-out), so the collect is the same
-    bounded-collect pattern as Lloyd centroids / PQ codebooks."""
-    agg = (F.count(F.lit(1)) if weight is None else F.sum(weight)).cast("long")
-    totals = {
-        r["b"]: r["t"]
-        for r in df.groupBy(F.col(bucket).cast("long").alias("b"))
-        .agg(agg.alias("t"))
-        .collect()
-    }
-    rows, acc = [], 0
+    bounded-collect pattern as Lloyd centroids / PQ codebooks.
+
+    Contract: the ``bucket`` column must be NON-NULL (a NULL key has no
+    place in a total order of buckets) — violated keys raise a clear
+    error instead of a ``sorted()`` TypeError."""
+    return exclusive_carries(
+        spark, df, bucket, {"carry_in": weight}, descending=descending
+    )
+
+
+def exclusive_carries(
+    spark: SparkSession,
+    df: DataFrame,
+    bucket: str,
+    weights: dict[str, Column | None],
+    descending: bool = False,
+) -> DataFrame:
+    """``exclusive_carry`` for SEVERAL weights in ONE bounded collect:
+    ``weights`` maps each output carry-column name to its weight Column
+    (None = row count). Used when a two-phase rewrite needs both a rank
+    offset (count carry) and a running-sum offset (value carry) over the
+    same bucketing — e.g. a Pareto/Lorenz cumulative curve. Same non-null
+    bucket contract as ``exclusive_carry``."""
+    aggs = [
+        (F.count(F.lit(1)) if c is None else F.sum(c)).cast("long").alias(k)
+        for k, c in weights.items()
+    ]
+    names = list(weights)
+    totals: dict[int, tuple] = {}
+    for r in (
+        df.groupBy(F.col(bucket).cast("long").alias("b")).agg(*aggs).collect()
+    ):
+        if r["b"] is None:
+            raise ValueError(
+                f"exclusive_carry: NULL key in bucket column {bucket!r} — "
+                "buckets must be non-null (filter or coalesce first)"
+            )
+        totals[r["b"]] = tuple(r[k] for k in names)
+    rows: list[tuple] = []
+    acc = [0] * len(names)
     for b in sorted(totals, reverse=descending):
-        rows.append((b, acc))
-        acc += totals[b]
-    return spark.createDataFrame(rows, f"{bucket} long, carry_in long")
+        rows.append((b, *acc))
+        acc = [a + t for a, t in zip(acc, totals[b])]
+    schema = f"{bucket} long, " + ", ".join(f"{k} long" for k in names)
+    return spark.createDataFrame(rows, schema)
 
 
 def div_width(max_value: int, fanout: int = 1024) -> int:

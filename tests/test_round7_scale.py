@@ -172,25 +172,14 @@ def test_shuffle_order_positions_are_a_permutation(spark):
     assert keys == sorted(keys)
 
 
-import re
-
 import pytest
 
-
-def _window_fed_by_single_partition(plan: str) -> bool:
-    """True when some Window node's input subtree crosses an Exchange
-    SinglePartition before any repartitioning exchange — the
-    single-task-global-window signature (tools/audit_single_partition.py)."""
-    lines = plan.splitlines()
-    for i, ln in enumerate(lines):
-        if not re.search(r"\bWindow\b|WindowGroupLimit", ln):
-            continue
-        for child in lines[i + 1 :]:
-            if "Exchange SinglePartition" in child:
-                return True
-            if re.search(r"Exchange (hash|range)partitioning", child):
-                break
-    return False
+# round-8 (ADVICE fix): the shared helper is a real indentation-tracked
+# tree walk — an Exchange in a sibling branch is no longer mis-attributed
+# to the Window's input
+from tools.audit_single_partition import (
+    window_fed_by_single_partition as _window_fed_by_single_partition,
+)
 
 
 @pytest.mark.parametrize(
