@@ -841,8 +841,18 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous-distribution complement of ``ext_drift_report``'s binned
     chi-square: KS needs no band choices.
 
-    Shape: one value-grid groupBy + one ordered window over distinct
-    amounts (bounded by value NDV, not rows) + a 1-row broadcast."""
+    Shape (round-8 scale fix): the value grid is NDV-scaled (the cents
+    domain is unbounded), so the cumulative counts are TWO-PHASE —
+    bucket on ``v DIV width`` (≤1025 buckets), running sums per bucket,
+    broadcast exclusive-carry offsets for both arms in one bounded
+    collect — and the global argmax is a plain ``max_by`` aggregate
+    (map-side partial, no single-partition window; plan pinned in
+    tests/test_round8_scale.py, values by the unchanged oracle)."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carries,
+    )
+
     o = load(spark, sf_dir, "orders")
     s = o.select(
         cents(F.col("o_totalprice")).alias("v"),
@@ -856,24 +866,33 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cums = per_v.select(
-        "v",
-        F.sum("c1").over(wv).alias("cum1"),
-        F.sum("c2").over(wv).alias("cum2"),
-    ).crossJoin(broadcast(tot))
+    width = div_width(per_v.agg(F.max("v")).first()[0])
+    pb = per_v.withColumn("vb", F.expr(f"v DIV {width}"))
+    carry = exclusive_carries(
+        spark, pb, "vb", {"k1": F.col("c1"), "k2": F.col("c2")}
+    )
+    wv = Window.partitionBy("vb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = (
+        pb.join(broadcast(carry), "vb")
+        .select(
+            "v",
+            (F.col("k1") + F.sum("c1").over(wv)).alias("cum1"),
+            (F.col("k2") + F.sum("c2").over(wv)).alias("cum2"),
+        )
+        .crossJoin(broadcast(tot))
+    )
     diff = cums.withColumn(
         "ad", F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
     )
-    wall = Window.partitionBy()
-    dmax = (
-        diff.withColumn("m", F.max("ad").over(wall))
-        .agg(
-            F.max("ad").cast("bigint").alias("d_num"),
-            F.min(F.when(F.col("ad") == F.col("m"), F.col("v")))
-            .cast("bigint")
-            .alias("at_value_cents"),
+    dmax = diff.agg(
+        F.max("ad").cast("bigint").alias("d_num"),
+        F.max_by(
+            F.col("v"), F.struct(F.col("ad"), (-F.col("v")).alias("nv"))
         )
+        .cast("bigint")
+        .alias("at_value_cents"),
     )
     out = dmax.crossJoin(broadcast(tot)).select(
         "n1",
@@ -1019,11 +1038,17 @@ def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     only doubles are the final z (one shared expression string, IEEE
     bit-identical in both engines) and its α=0.05 verdict.
 
-    Shape: one value-grid groupBy + one ordered window over distinct
-    amounts (bounded by value NDV, not rows) + a 1-row broadcast —
-    identical cost profile to ``ext_ks_test``. 2R₁ ≤ 2n² stays in int64
-    through ~2·10⁹ rows per test cell; beyond that, test on a hash
-    sample band (the ``ext_sample_bernoulli`` primitive)."""
+    Shape (round-8 scale fix): the value grid is NDV-scaled, so the
+    below-count prefix is TWO-PHASE — bucket on ``v DIV width``, running
+    sum per bucket, broadcast exclusive-carry offset (the ext_ks_test
+    recipe; one bounded collect). 2R₁ ≤ 2n² stays in int64 through
+    ~2·10⁹ rows per test cell; beyond that, test on a hash sample band
+    (the ``ext_sample_bernoulli`` primitive)."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carry,
+    )
+
     o = load(spark, sf_dir, "orders")
     s = o.select(
         cents(F.col("o_totalprice")).alias("v"),
@@ -1037,13 +1062,21 @@ def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cums = per_v.select(
+    width = div_width(per_v.agg(F.max("v")).first()[0])
+    pb = per_v.withColumn("vb", F.expr(f"v DIV {width}"))
+    carry = exclusive_carry(
+        spark, pb, "vb", weight=F.col("c1") + F.col("c2")
+    )
+    wv = Window.partitionBy("vb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = pb.join(broadcast(carry), "vb").select(
         "v",
         "c1",
         "c2",
         (
-            F.sum(F.col("c1") + F.col("c2")).over(wv)
+            F.col("carry_in")
+            + F.sum(F.col("c1") + F.col("c2")).over(wv)
             - (F.col("c1") + F.col("c2"))
         ).alias("below"),
     )
@@ -1653,9 +1686,17 @@ def ext_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per arm at the fixture's $500k range (cents would overflow
     100x sooner; beyond that, sample via hash bands).
 
-    Shape: the ext_ks_test scaffold exactly — one value-grid groupBy,
-    one ordered window (cumulative + lead) over distinct values, a
-    1-row total. Cost is bounded by value NDV, not rows."""
+    Shape (round-8 scale fix): the value grid is NDV-scaled, so the
+    cumulative counts are TWO-PHASE (the ext_ks_test recipe) — bucket on
+    ``v DIV width``, running sums per bucket, broadcast carry offsets —
+    and the cross-bucket ``lead(v)`` seam is closed by carrying each
+    bucket's NEXT-bucket minimum value in the same bounded carry table
+    (the per-bucket lead is null only at the bucket's last row, exactly
+    where the next bucket's min is the global lead)."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+    )
+
     o = load(spark, sf_dir, "orders")
     s = o.select(
         F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("v"),
@@ -1669,13 +1710,38 @@ def ext_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
     )
-    wv = Window.orderBy("v")
+    width = div_width(per_v.agg(F.max("v")).first()[0])
+    pb = per_v.withColumn("vb", F.expr(f"v DIV {width}"))
+    # one bounded collect (≤1025 buckets): per-bucket arm totals and min
+    # value → exclusive carries + each bucket's next-bucket-min (the
+    # cross-bucket lead seam); the same bounded-model-artifact pattern
+    # as prefix.exclusive_carries
+    per_b = sorted(
+        pb.groupBy("vb")
+        .agg(
+            F.sum("c1").cast("bigint").alias("t1"),
+            F.sum("c2").cast("bigint").alias("t2"),
+            F.min("v").alias("mn"),
+        )
+        .collect(),
+        key=lambda r: r["vb"],
+    )
+    rows, a1, a2 = [], 0, 0
+    for idx, r in enumerate(per_b):
+        nxt = per_b[idx + 1]["mn"] if idx + 1 < len(per_b) else None
+        rows.append((r["vb"], a1, a2, nxt))
+        a1 += r["t1"]
+        a2 += r["t2"]
+    carry = spark.createDataFrame(
+        rows, "vb long, k1 long, k2 long, next_min long"
+    )
+    wv = Window.partitionBy("vb").orderBy("v")
     wcum = wv.rowsBetween(Window.unboundedPreceding, 0)
-    cums = per_v.select(
+    cums = pb.join(broadcast(carry), "vb").select(
         "v",
-        F.sum("c1").over(wcum).cast("bigint").alias("cum1"),
-        F.sum("c2").over(wcum).cast("bigint").alias("cum2"),
-        F.lead("v").over(wv).alias("next_v"),
+        (F.col("k1") + F.sum("c1").over(wcum)).cast("bigint").alias("cum1"),
+        (F.col("k2") + F.sum("c2").over(wcum)).cast("bigint").alias("cum2"),
+        F.coalesce(F.lead("v").over(wv), F.col("next_min")).alias("next_v"),
     )
     seg = (
         cums.where(F.col("next_v").isNotNull())

@@ -766,7 +766,11 @@ GINI_DECILES = 10
     ), deciles AS (
         SELECT CAST((i - 1) * {GINI_DECILES} // n + 1 AS BIGINT) AS decile,
                CAST(MAX(cum) AS BIGINT) AS cum_cents,
-               CAST(MAX(cum) * 1000000 // MAX(t) AS BIGINT) AS lorenz_ppm
+               -- staged long division: no cum*1e6 intermediate
+               CAST((MAX(cum) * 100 // MAX(t)) * 10000
+                    + ((MAX(cum) * 100 % MAX(t)) * 100 // MAX(t)) * 100
+                    + (((MAX(cum) * 100 % MAX(t)) * 100 % MAX(t)) * 100
+                       // MAX(t)) AS BIGINT) AS lorenz_ppm
         FROM ranked GROUP BY 1
     )
     SELECT d.decile, d.cum_cents, d.lorenz_ppm,
@@ -783,22 +787,43 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile. The scalar complement of ``ext_inventory_abc``'s classes:
     one number to trend concentration over time.
 
-    Shape: windows over the part-level aggregate; Σ(2i−n−1)x stays in
-    int64 (i ≤ 2e5 parts × cents sums < 2^63 at any tested sf)."""
+    Shape (round-8 scale fix): parts grow linearly with the data, so the
+    Lorenz rank/cumsum is TWO-PHASE (the ext_inventory_abc recipe) —
+    bucket on ``r DIV width``, rank + running sum per bucket, broadcast
+    exclusive-carry offsets; n and t are one bounded stats collect.
+    Σ(2i−n−1)x stays in int64 (i ≤ 2e5 parts × cents sums < 2^63 at any
+    tested sf; at sf≥1 quantize r to dollars first — documented
+    switch)."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carries,
+    )
+
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("bigint")
         .alias("r")
     )
-    wo = Window.orderBy("r", "part_id")
-    wt = Window.partitionBy()
-    ranked = rev.select(
+    stats = rev.agg(
+        F.max("r"), F.count(F.lit(1)), F.sum("r").cast("bigint")
+    ).first()
+    width = div_width(stats[0])
+    n, t = int(stats[1]), int(stats[2])
+    rb = rev.withColumn("bk", F.expr(f"r DIV {width}"))
+    carry = exclusive_carries(
+        spark, rb, "bk", {"c_cnt": None, "c_sum": F.col("r")}
+    )
+    wb = Window.partitionBy("bk").orderBy("r", "part_id")
+    ranked = rb.join(broadcast(carry), "bk").select(
         "r",
-        F.row_number().over(wo).alias("i"),
-        F.count(F.lit(1)).over(wt).alias("n"),
-        F.sum("r").over(wt).alias("t"),
-        F.sum("r").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        (F.col("c_cnt") + F.row_number().over(wb)).alias("i"),
+        F.lit(n).alias("n"),
+        F.lit(t).alias("t"),
+        (
+            F.col("c_sum")
+            + F.sum("r").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("cum"),
     )
     gsums = ranked.agg(
         F.max("n").cast("bigint").alias("n_parts"),
@@ -825,9 +850,13 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).agg(
         F.max("cum").cast("bigint").alias("cum_cents"),
-        F.expr("CAST(MAX(cum) * 1000000 DIV MAX(t) AS BIGINT)").alias(
-            "lorenz_ppm"
-        ),
+        # staged long division: no cum*1e6 intermediate (int64-safe)
+        F.expr(
+            "CAST((MAX(cum) * 100 DIV MAX(t)) * 10000"
+            " + ((MAX(cum) * 100 % MAX(t)) * 100 DIV MAX(t)) * 100"
+            " + (((MAX(cum) * 100 % MAX(t)) * 100 % MAX(t)) * 100"
+            "    DIV MAX(t)) AS BIGINT)"
+        ).alias("lorenz_ppm"),
     )
     return deciles.crossJoin(broadcast(gini)).select(
         "decile",

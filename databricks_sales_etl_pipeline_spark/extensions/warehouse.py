@@ -560,9 +560,21 @@ def ext_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     preceding point's (running MAX over the preceding frame) — preceding
     points have price ≤ mine, so any with size ≥ mine dominates. The
     oracle runs the literal dominance definition, proving the window
-    rewrite exact. Scale: sort of the DISTINCT value grid (not the fact
-    table); at extreme grids the standard trick is per-partition local
-    skyline then a final merge — same window, two levels."""
+    rewrite exact.
+
+    Shape (round-8 scale fix): the distinct grid is NDV-scaled (price
+    cents are unbounded), so the running max is TWO-PHASE — bucket on
+    ``price_cents DIV width`` (price ties never cross buckets), local
+    running max per bucket, broadcast exclusive-carry MAX offsets
+    (prefix.exclusive_carry_max; max is associative so carry ∨ local ==
+    the global preceding-frame max exactly). This IS the classic
+    "per-partition local skyline + merge" — expressed as one bounded
+    carry instead of a second level."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carry_max,
+    )
+
     pts = (
         load(spark, sf_dir, "part")
         .select(
@@ -571,12 +583,19 @@ def ext_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = (
-        Window.orderBy(F.asc("price_cents"), F.desc("size"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    width = div_width(pts.agg(F.max("price_cents")).first()[0])
+    pb = pts.withColumn("bk", F.expr(f"price_cents DIV {width}"))
+    carry = exclusive_carry_max(spark, pb, "bk", F.col("size"))
+    w = Window.partitionBy("bk").orderBy(
+        F.asc("price_cents"), F.desc("size")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     return (
-        pts.withColumn("max_prev", F.max("size").over(w))
+        pb.join(broadcast(carry), "bk")
+        # greatest() skips NULLs: NULL only when both carry (first
+        # bucket) and local (first row in bucket) are absent
+        .withColumn(
+            "max_prev", F.greatest(F.max("size").over(w), F.col("carry_max"))
+        )
         .where(F.col("max_prev").isNull() | (F.col("size") > F.col("max_prev")))
         .select("price_cents", "size")
     )

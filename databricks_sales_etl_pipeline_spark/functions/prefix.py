@@ -90,6 +90,38 @@ def exclusive_carries(
     return spark.createDataFrame(rows, schema)
 
 
+def exclusive_carry_max(
+    spark: SparkSession,
+    df: DataFrame,
+    bucket: str,
+    value: Column,
+    descending: bool = False,
+) -> DataFrame:
+    """Exclusive running MAX of ``value`` over buckets strictly before
+    each bucket in bucket order (NULL carry for the first bucket) —
+    max is associative, so ``global running max = max(carry, local
+    running max)`` exactly. Same bounded-collect / non-null-bucket
+    contract as ``exclusive_carry``. Powers skyline/frontier scans."""
+    totals: dict[int, int] = {}
+    for r in (
+        df.groupBy(F.col(bucket).cast("long").alias("b"))
+        .agg(F.max(value).cast("long").alias("m"))
+        .collect()
+    ):
+        if r["b"] is None:
+            raise ValueError(
+                f"exclusive_carry_max: NULL key in bucket column {bucket!r}"
+                " — buckets must be non-null (filter or coalesce first)"
+            )
+        totals[r["b"]] = r["m"]
+    rows: list[tuple] = []
+    acc: int | None = None
+    for b in sorted(totals, reverse=descending):
+        rows.append((b, acc))
+        acc = totals[b] if acc is None else max(acc, totals[b])
+    return spark.createDataFrame(rows, f"{bucket} long, carry_max long")
+
+
 def div_width(max_value: int, fanout: int = 1024) -> int:
     """Bucket width such that ``value DIV width`` has ≤ fanout+1 buckets
     over [0, max_value] — the monotone bucketing for arbitrary

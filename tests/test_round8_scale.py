@@ -36,6 +36,13 @@ load_all()
         "ext_knee_detection",
         "ext_empirical_copula",
         "ext_sprt_sequential",
+        # found by the tightened audit (entity/NDV-keyed aggregates the
+        # old aggregate-before-scan heuristic whitelisted)
+        "ext_gini_concentration",
+        "ext_ks_test",
+        "ext_mann_whitney",
+        "ext_wasserstein_shift",
+        "ext_skyline_2d",
     ],
 )
 def test_no_entity_scaled_single_partition_window(spark, name):
