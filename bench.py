@@ -77,7 +77,30 @@ HEADLINE = [
     "ext_peak_concurrency",
     "ext_kruskal_wallis",
     "ext_nn_matching",
+    # round-8: the entity-scaled window ports (three NTILE dimensions,
+    # Pareto cumulative curve, order-scaled copula ranks, NDV-grid KS)
+    "ext_rfm_segmentation",
+    "ext_inventory_abc",
+    "ext_empirical_copula",
+    "ext_ks_test",
 ]
+
+
+def _fixture_stamp(sf_dir: str) -> dict:
+    """Identity of the testdata under measurement: newest file mtime +
+    a digest of (name, size) pairs — cheap, deterministic, and enough to
+    tell 'same code, regenerated fixture' from a real perf regression."""
+    import hashlib
+
+    names = sorted(
+        f for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    )
+    sizes = [(n, os.path.getsize(os.path.join(sf_dir, n))) for n in names]
+    mtime = max(
+        int(os.path.getmtime(os.path.join(sf_dir, n))) for n in names
+    )
+    digest = hashlib.md5(repr(sizes).encode()).hexdigest()[:12]
+    return {"dir": sf_dir, "mtime": mtime, "size_digest": digest}
 
 
 def main() -> None:
@@ -128,6 +151,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # fixture identity (round-7 verdict ask #6): the driver
+        # regenerates testdata between rounds — r6→r7 read as a phantom
+        # 23% regression until re-measured on the same fixture. Stamp
+        # the fixture so cross-round comparisons are only made
+        # like-for-like.
+        "fixture": _fixture_stamp(sf_dir),
     }
     if errors:
         result["errors"] = errors

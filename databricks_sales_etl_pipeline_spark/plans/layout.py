@@ -213,10 +213,18 @@ def ext_rle_runs_report(spark, sf_dir):
         )
         edges = sorted(edge_rows, key=lambda r: r["kb"])
         for col in _RLE_COLS:
+            # SQL null-comparison semantics (ADVICE fix): the in-bucket
+            # path `col != lag(col)` yields NULL (uncounted) when either
+            # side is NULL, so a NULL edge value must not count as a run
+            # change here either. _RLE_COLS are non-null TPC-H columns
+            # today; this keeps the two paths equivalent if a nullable
+            # column is ever added.
             boundary = sum(
                 1
                 for prev, cur in zip(edges, edges[1:])
-                if prev[f"last_{col}"] != cur[f"first_{col}"]
+                if prev[f"last_{col}"] is not None
+                and cur[f"first_{col}"] is not None
+                and prev[f"last_{col}"] != cur[f"first_{col}"]
             )
             chg = (F.col(col) != F.lag(col).over(w)).cast("bigint")
             rep = (
