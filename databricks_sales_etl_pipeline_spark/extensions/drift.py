@@ -858,15 +858,20 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("o_totalprice")).alias("v"),
         (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("g1"),
     )
-    tot = s.agg(
-        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("n1"),
-        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("n2"),
-    )
+    # the value grid feeds three consumers (stats, carry collect, final
+    # plan) and carries the arm totals — materialize once; n1/n2 fold
+    # out of it instead of re-scanning the fact table
     per_v = s.groupBy("v").agg(
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
-    )
-    width = div_width(per_v.agg(F.max("v")).first()[0])
+    ).localCheckpoint()
+    stats = per_v.agg(
+        F.max("v"),
+        F.sum("c1").cast("bigint"),
+        F.sum("c2").cast("bigint"),
+    ).first()
+    width = div_width(stats[0])
+    n1, n2 = int(stats[1]), int(stats[2])
     pb = per_v.withColumn("vb", F.expr(f"v DIV {width}"))
     carry = exclusive_carries(
         spark, pb, "vb", {"k1": F.col("c1"), "k2": F.col("c2")}
@@ -874,17 +879,13 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     wv = Window.partitionBy("vb").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cums = (
-        pb.join(broadcast(carry), "vb")
-        .select(
-            "v",
-            (F.col("k1") + F.sum("c1").over(wv)).alias("cum1"),
-            (F.col("k2") + F.sum("c2").over(wv)).alias("cum2"),
-        )
-        .crossJoin(broadcast(tot))
+    cums = pb.join(broadcast(carry), "vb").select(
+        "v",
+        (F.col("k1") + F.sum("c1").over(wv)).alias("cum1"),
+        (F.col("k2") + F.sum("c2").over(wv)).alias("cum2"),
     )
     diff = cums.withColumn(
-        "ad", F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        "ad", F.abs(F.col("cum1") * F.lit(n2) - F.col("cum2") * F.lit(n1))
     )
     dmax = diff.agg(
         F.max("ad").cast("bigint").alias("d_num"),
@@ -894,13 +895,19 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("at_value_cents"),
     )
-    out = dmax.crossJoin(broadcast(tot)).select(
-        "n1",
-        "n2",
-        "d_num",
-        "at_value_cents",
-        F.expr("CAST(d_num * 1000000 DIV (n1 * n2) AS BIGINT)").alias("ks_ppm"),
-        F.expr(_KS_FLAG).alias("reject_h0"),
+    out = (
+        dmax.withColumn("n1", F.lit(n1).cast("bigint"))
+        .withColumn("n2", F.lit(n2).cast("bigint"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            "at_value_cents",
+            F.expr("CAST(d_num * 1000000 DIV (n1 * n2) AS BIGINT)").alias(
+                "ks_ppm"
+            ),
+            F.expr(_KS_FLAG).alias("reject_h0"),
+        )
     )
     return out
 
@@ -1054,15 +1061,19 @@ def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("o_totalprice")).alias("v"),
         (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("g1"),
     )
-    tot = s.agg(
-        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("n1"),
-        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("n2"),
-    )
+    # materialize the grid once (stats, carry collect, final plan); the
+    # arm totals n1/n2 fold out of it instead of re-scanning the facts
     per_v = s.groupBy("v").agg(
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
-    )
-    width = div_width(per_v.agg(F.max("v")).first()[0])
+    ).localCheckpoint()
+    stats = per_v.agg(
+        F.max("v"),
+        F.sum("c1").cast("bigint"),
+        F.sum("c2").cast("bigint"),
+    ).first()
+    width = div_width(stats[0])
+    n1, n2 = int(stats[1]), int(stats[2])
     pb = per_v.withColumn("vb", F.expr(f"v DIV {width}"))
     carry = exclusive_carry(
         spark, pb, "vb", weight=F.col("c1") + F.col("c2")
@@ -1087,14 +1098,18 @@ def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("two_r1"),
         F.sum(t * t * t - t).cast("bigint").alias("tie_sum"),
     )
-    u = agg.crossJoin(broadcast(tot)).select(
-        "n1",
-        "n2",
-        "two_r1",
-        "tie_sum",
-        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
-        .cast("bigint")
-        .alias("two_u1"),
+    u = (
+        agg.withColumn("n1", F.lit(n1).cast("bigint"))
+        .withColumn("n2", F.lit(n2).cast("bigint"))
+        .select(
+            "n1",
+            "n2",
+            "two_r1",
+            "tie_sum",
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+            .cast("bigint")
+            .alias("two_u1"),
+        )
     )
     return u.select(
         "n1",
@@ -1702,14 +1717,12 @@ def ext_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("v"),
         (F.month(F.col("o_orderdate").cast("date")) <= 6).alias("g1"),
     )
-    tot = s.agg(
-        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("n1"),
-        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("n2"),
-    )
+    # materialize the grid once (max collect, bucket collect, final
+    # plan); the arm totals fold out of the bucket collect below
     per_v = s.groupBy("v").agg(
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
-    )
+    ).localCheckpoint()
     width = div_width(per_v.agg(F.max("v")).first()[0])
     pb = per_v.withColumn("vb", F.expr(f"v DIV {width}"))
     # one bounded collect (≤1025 buckets): per-bucket arm totals and min
@@ -1732,6 +1745,7 @@ def ext_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((r["vb"], a1, a2, nxt))
         a1 += r["t1"]
         a2 += r["t2"]
+    n1, n2 = a1, a2  # the arm totals ARE the carry fold's final state
     carry = spark.createDataFrame(
         rows, "vb long, k1 long, k2 long, next_min long"
     )
@@ -1743,25 +1757,25 @@ def ext_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k2") + F.sum("c2").over(wcum)).cast("bigint").alias("cum2"),
         F.coalesce(F.lead("v").over(wv), F.col("next_min")).alias("next_v"),
     )
-    seg = (
-        cums.where(F.col("next_v").isNotNull())
-        .crossJoin(broadcast(tot))
-        .agg(
-            F.sum(
-                F.abs(
-                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
-                )
-                * (F.col("next_v") - F.col("v"))
-            )
-            .cast("bigint")
-            .alias("d_sum")
+    seg = cums.where(F.col("next_v").isNotNull()).agg(
+        F.sum(
+            F.abs(F.col("cum1") * F.lit(n2) - F.col("cum2") * F.lit(n1))
+            * (F.col("next_v") - F.col("v"))
         )
+        .cast("bigint")
+        .alias("d_sum")
     )
-    return seg.crossJoin(broadcast(tot)).select(
-        "n1",
-        "n2",
-        "d_sum",
-        F.expr("CAST(d_sum DIV (n1 * n2) AS BIGINT)").alias("w1_dollars"),
+    return (
+        seg.withColumn("n1", F.lit(n1).cast("bigint"))
+        .withColumn("n2", F.lit(n2).cast("bigint"))
+        .select(
+            "n1",
+            "n2",
+            "d_sum",
+            F.expr("CAST(d_sum DIV (n1 * n2) AS BIGINT)").alias(
+                "w1_dollars"
+            ),
+        )
     )
 
 
@@ -3198,11 +3212,13 @@ def ext_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "events")
+    # the per-user aggregate feeds three consumers (max collect, carry
+    # collect, walk) — materialize once
     u = e.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv")
-    )
+    ).localCheckpoint()
     incr = F.when(F.col("conv") == 1, SPRT_L1_MICRO).otherwise(SPRT_L0_MICRO)
     width = div_width(u.agg(F.max("user_id")).first()[0])
     ub = u.select(
@@ -4234,11 +4250,14 @@ def ext_empirical_copula(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    # the per-order aggregate feeds four consumers (stats, two carry
+    # collects, final plan) — materialize once instead of re-running the
+    # fact join per consumer
     per = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderkey", cents(F.col("o_totalprice")).alias("v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
-    )
+    ).localCheckpoint()
     stats = per.agg(F.max("v"), F.max("nl"), F.count(F.lit(1))).first()
     wv, wn = div_width(stats[0]), div_width(stats[1])
     n = int(stats[2])

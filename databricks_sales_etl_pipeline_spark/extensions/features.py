@@ -89,9 +89,14 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents("o_totalprice")).cast("bigint").alias("monetary_cents"),
     )
     ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_dt"))
+    # the per-customer aggregate feeds FIVE consumers (stats collect,
+    # three carry collects, final plan) — materialize it once instead of
+    # re-running the fact groupBy per consumer (entity-scaled, far
+    # smaller than the fact table; the itemcf/HITS localCheckpoint
+    # pattern)
     rec = pc.crossJoin(broadcast(ref)).withColumn(
         "recency_days", F.datediff("ref_dt", "last_dt").cast("bigint")
-    )
+    ).localCheckpoint()
     stats = rec.agg(
         F.max("recency_days"), F.max("freq"), F.max("monetary_cents"),
         F.count(F.lit(1)),

@@ -541,7 +541,7 @@ def ext_inventory_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("bigint")
         .alias("rev_cents")
-    )
+    ).localCheckpoint()  # 3 consumers: stats, carry collect, final plan
     stats = rev.agg(
         F.max("rev_cents"), F.sum("rev_cents").cast("bigint")
     ).first()
@@ -804,7 +804,7 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("bigint")
         .alias("r")
-    )
+    ).localCheckpoint()  # 3 consumers: stats, carry collect, final plan
     stats = rev.agg(
         F.max("r"), F.count(F.lit(1)), F.sum("r").cast("bigint")
     ).first()
@@ -2196,7 +2196,7 @@ def ext_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("bigint")
         .alias("r")
-    )
+    ).localCheckpoint()  # 3 consumers: stats, carry collect, final plan
     stats = rev.agg(
         F.max("r"), F.count(F.lit(1)), F.sum("r").cast("bigint")
     ).first()

@@ -582,6 +582,8 @@ def ext_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("bigint").alias("size"),
         )
         .distinct()
+        # three consumers (max collect, carry collect, final plan)
+        .localCheckpoint()
     )
     width = div_width(pts.agg(F.max("price_cents")).first()[0])
     pb = pts.withColumn("bk", F.expr(f"price_cents DIV {width}"))
