@@ -1729,16 +1729,19 @@ def ext_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value → exclusive carries + each bucket's next-bucket-min (the
     # cross-bucket lead seam); the same bounded-model-artifact pattern
     # as prefix.exclusive_carries
-    per_b = sorted(
+    per_b_rows = (
         pb.groupBy("vb")
         .agg(
             F.sum("c1").cast("bigint").alias("t1"),
             F.sum("c2").cast("bigint").alias("t2"),
             F.min("v").alias("mn"),
         )
-        .collect(),
-        key=lambda r: r["vb"],
+        .collect()
     )
+    if any(r["vb"] is None for r in per_b_rows):
+        # same contract as prefix.exclusive_carries
+        raise ValueError("wasserstein: NULL value bucket (null amount?)")
+    per_b = sorted(per_b_rows, key=lambda r: r["vb"])
     rows, a1, a2 = [], 0, 0
     for idx, r in enumerate(per_b):
         nxt = per_b[idx + 1]["mn"] if idx + 1 < len(per_b) else None
