@@ -63,16 +63,38 @@ def ext_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND b` costing, where equi-height (not equi-width) is what keeps
     per-bucket error bounded on skewed money distributions.
 
-    The fixture computes exact boundaries (one global sort, fine at
-    fixture scale); the 100 TB build is
-    :func:`histogram_equiheight_by_value` — approx_percentile
-    boundaries + one scan-side CASE assignment, same output contract,
-    no global sort (the ext_length_bucketing swap, implemented below
-    and equality-pinned in tests/test_round7_scale.py)."""
+    Shape (round-8): the exact NTILE is TWO-PHASE (the
+    ext_empirical_copula recipe) — bucket on ``val DIV width`` (ties
+    never cross), row_number per bucket + broadcast exclusive-carry
+    count offsets, ``prefix.ntile_from_pos`` rebuilds NTILE bit-for-bit
+    from the global position — so even the EXACT path has no
+    single-partition window (this was the audit's last accepted flag).
+    The sketch twin :func:`histogram_equiheight_by_value`
+    (approx_percentile boundaries + scan-side CASE, equality-pinned in
+    tests/test_round7_scale.py) remains the cheaper 100 TB build when
+    one-pass beats the extra scan."""
+    from databricks_sales_etl_pipeline_spark.functions.prefix import (
+        div_width,
+        exclusive_carry,
+        ntile_from_pos,
+    )
+
     o = load(spark, sf_dir, "orders")
+    # pure scan+project: the stats/carry passes recompute it from
+    # immutable parquet (2 pruned columns) rather than materializing a
+    # row-scaled intermediate — the ext_length_bucketing convention
     v = o.select("o_orderkey", cents(F.col("o_totalprice")).alias("val"))
-    w = Window.orderBy("val", "o_orderkey")
-    tiled = v.select("val", F.ntile(HIST_BUCKETS).over(w).alias("bucket"))
+    stats = v.agg(F.max("val"), F.count(F.lit(1))).first()
+    width = div_width(stats[0])
+    n = int(stats[1])
+    vb = v.withColumn("vb", F.expr(f"val DIV {width}"))
+    carry = exclusive_carry(spark, vb, "vb")
+    pos = F.col("carry_in") + F.row_number().over(
+        Window.partitionBy("vb").orderBy("val", "o_orderkey")
+    )
+    tiled = vb.join(broadcast(carry), "vb").select(
+        "val", ntile_from_pos(pos, n, HIST_BUCKETS).alias("bucket")
+    )
     return tiled.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
         F.min("val").cast("bigint").alias("lo_cents"),
         F.max("val").cast("bigint").alias("hi_cents"),

@@ -43,6 +43,9 @@ load_all()
         "ext_mann_whitney",
         "ext_wasserstein_shift",
         "ext_skyline_2d",
+        # the audit's last accepted flag, now also ported (exact NTILE
+        # via ntile_from_pos — oracle unchanged)
+        "ext_histogram_equiheight",
     ],
 )
 def test_no_entity_scaled_single_partition_window(spark, name):
