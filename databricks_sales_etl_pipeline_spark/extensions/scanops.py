@@ -89,14 +89,14 @@ def _jobs_sql() -> str:
                SUM(svc_s) OVER w AS p
         FROM jobs
         WINDOW w AS (PARTITION BY server_id
-                     ORDER BY arr_s, l_orderkey, l_linenumber
+                     ORDER BY arr_s, l_orderkey, l_linenumber, svc_s
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), scan AS (
         SELECT server_id, arr_s, svc_s, p,
                MAX(arr_s - (p - svc_s)) OVER w AS m
         FROM pref
         WINDOW w AS (PARTITION BY server_id
-                     ORDER BY arr_s, l_orderkey, l_linenumber
+                     ORDER BY arr_s, l_orderkey, l_linenumber, svc_s
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), per_job AS (
         SELECT server_id, arr_s, svc_s,
@@ -150,9 +150,14 @@ def ext_queue_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
+    # svc_s completes the ordering: duplicate (l_orderkey, l_linenumber)
+    # pairs exist at sf0.1+ (round-7 lesson) and can collide on the same
+    # supplier/arrival second with DIFFERENT service times — without the
+    # value tiebreak the ROWS-frame running sums are tie-order-dependent
+    # (simultaneous arrivals serve shortest-first, a deterministic policy)
     w = (
         Window.partitionBy("server_id")
-        .orderBy("arr_s", "l_orderkey", "l_linenumber")
+        .orderBy("arr_s", "l_orderkey", "l_linenumber", "svc_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pref = jobs.withColumn("p", F.sum("svc_s").over(w))
