@@ -80,11 +80,12 @@ def run(mode: str, out_path: str) -> None:
             .appName("ds-baseline")
         )
     else:  # perturbed: different core count, hash fan-out, scan splits
+        split = int(os.environ.get("DS_SPLIT_BYTES", str(1 << 20)))
         b = (
             SparkSession.builder.master("local[5]")
             .appName("ds-perturbed")
             .config("spark.sql.shuffle.partitions", "7")
-            .config("spark.sql.files.maxPartitionBytes", str(1 << 20))
+            .config("spark.sql.files.maxPartitionBytes", str(split))
             .config("spark.default.parallelism", "5")
         )
     spark = b.config("spark.ui.enabled", "false").getOrCreate()
