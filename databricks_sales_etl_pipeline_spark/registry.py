@@ -113,56 +113,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # before this rotation was committed — the round-6 `ext_gini_concentration`
 # overflow lesson.
 _DRIVER_PRIORITY = [
-    "ext_readability",
-    "ext_bm25_rank",
-    "ext_eval_bleu",
-    "ext_t_closeness",
-    "ext_crawl_frontier",
-    "mm_audio_silence_split",
-    "ext_dtw_distance",
-    "ext_holt_winters",
-    "ext_viterbi_path",
-    "ext_gale_shapley",
-    "ext_erlang_blocking",
-    "ext_holt_linear",
-    "ext_croston_intermittent",
-    "ext_optimal_segmentation",
-    "ext_lis_patience",
-    "ext_activity_selection",
-    "ext_keyword_rake",
-    "ext_prefix_autocomplete",
-    "ext_retrieval_rrf",
-    "ext_template_mining",
-    "ext_feature_gini_gain",
-    "ext_length_bucketing",
-    "ext_dp_geometric",
-    "ext_rendezvous_hash",
-    "ext_merkle_partition_tree",
-    "ext_cidr_lpm",
-    "ext_consistent_hash_ring",
-    "ext_shamir_shares",
-    "ext_retry_backoff",
-    "ext_point_in_polygon",
-    "ext_histogram_equiheight",
-    "ext_join_card_estimate",
-    "ext_ipf_raking",
-    "ext_median_polish",
-    "ext_banzhaf_power",
-    "ext_shapley_shubik",
-    "ext_knapsack_dp",
-    "ext_shingle_containment",
-    "ext_hard_negatives",
-    "ext_eval_ndcg",
-    "ext_eval_mrr",
-    "ext_dbscan_cells",
-    "ext_silhouette",
-    "ext_kcenter_greedy",
-    "ext_vocab_growth",
-    "mm_audio_energy",
-    "mm_pair_dataset",
-    "mm_video_scene_cut",
-    "mm_image_histogram",
-    "mm_video_keyframe",
+    "ext_pca_power_step",
+    "ext_capture_recapture",
+    "ext_median_twopass",
+    "ext_kmv_sketch",
+    "ext_graph_label_prop",
+    "ext_graph_sssp",
+    "ext_hits_bipartite",
+    "ext_degree_distribution",
+    "ext_assortativity",
+    "ext_modularity",
+    "ext_graph_kcore",
+    "ext_active_learning",
+    "ext_fairness_report",
+    "ext_neyman_allocation",
+    "ext_effective_sample_size",
+    "ext_german_tank",
+    "ext_hash_collision_audit",
+    "ext_pseudonymize",
+    "ext_quality_composite",
+    "ext_secrets_scan",
+    "ext_compression_ratio",
+    "ext_mojibake_detect",
+    "ext_luhn_check",
+    "ext_mixture_temperature",
+    "ext_budget_select",
+    "ext_wordpiece_train",
+    "window_session_batch",
+    "ext_interval_merge",
+    "ext_session_paths",
+    "ext_late_data_audit",
+    "ext_session_gap_sensitivity",
+    "ext_peak_concurrency",
+    "ext_attribution_shapley",
+    "ext_hazard_lifetable",
+    "ext_diff_in_diff",
+    "ext_uplift_qini",
+    "ext_covariate_balance",
+    "ext_repurchase_cycle",
+    "ext_bot_regularity",
+    "ext_segment_migration",
+    "ext_prop_ztest",
+    "ext_post_stratification",
+    "ext_iv_wald",
+    "ext_reg_discontinuity",
+    "ext_process_mining_ef",
+    "ext_simpson_check",
+    "ext_growth_accounting",
+    "ext_parallel_trends",
+    "ext_cross_correlation",
+    "ext_nn_matching",
 ]
 
 
