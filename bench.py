@@ -95,6 +95,8 @@ def _fixture_stamp(sf_dir: str) -> dict:
     names = sorted(
         f for f in os.listdir(sf_dir) if f.endswith(".parquet")
     )
+    if not names:
+        return {"dir": sf_dir, "error": "no parquet files"}
     sizes = [(n, os.path.getsize(os.path.join(sf_dir, n))) for n in names]
     mtime = max(
         int(os.path.getmtime(os.path.join(sf_dir, n))) for n in names

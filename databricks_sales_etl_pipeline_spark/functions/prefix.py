@@ -80,7 +80,15 @@ def exclusive_carries(
                 f"exclusive_carry: NULL key in bucket column {bucket!r} — "
                 "buckets must be non-null (filter or coalesce first)"
             )
-        totals[r["b"]] = tuple(r[k] for k in names)
+        vals = tuple(r[k] for k in names)
+        for k, v in zip(names, vals):
+            if v is None:
+                raise ValueError(
+                    f"exclusive_carry: bucket {r['b']} has NULL total for "
+                    f"carry {k!r} (all-NULL weight column) — coalesce the "
+                    "weight to 0 or filter NULL rows first"
+                )
+        totals[r["b"]] = vals
     rows: list[tuple] = []
     acc = [0] * len(names)
     for b in sorted(totals, reverse=descending):
@@ -112,6 +120,11 @@ def exclusive_carry_max(
             raise ValueError(
                 f"exclusive_carry_max: NULL key in bucket column {bucket!r}"
                 " — buckets must be non-null (filter or coalesce first)"
+            )
+        if r["m"] is None:
+            raise ValueError(
+                f"exclusive_carry_max: bucket {r['b']} has NULL max "
+                "(all-NULL value column) — filter NULL rows first"
             )
         totals[r["b"]] = r["m"]
     rows: list[tuple] = []

@@ -39,8 +39,12 @@ _AGG = re.compile(
     r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[([^\]]*)\]"
 )
 _BOUNDED = re.compile(
-    r"CollectLimit|TakeOrderedAndProject|Scan ExistingRDD|LocalTableScan"
+    r"CollectLimit|TakeOrderedAndProject|LocalTableScan"
 )
+#: a localCheckpoint scan hides its provenance — round-8 ports checkpoint
+#: ENTITY-scaled aggregates, so "Scan ExistingRDD" must NOT read as
+#: bounded: surface it as its own verdict for a human to verify.
+_CHECKPOINT = re.compile(r"Scan ExistingRDD")
 _RAW_SCAN = re.compile(r"Scan parquet|FileScan|Range \(")
 #: grouping keys that scale with the data: TPC-H entity ids (NOT
 #: nation/region — those are 25/5 rows at any sf) and unbounded value
@@ -104,6 +108,11 @@ def _classify_below(nodes: list[tuple[int, str]], i: int) -> str:
             return
         if _BOUNDED.search(text):
             verdicts.append("bounded (limit/model table below)")
+            return
+        if _CHECKPOINT.search(text):
+            verdicts.append(
+                "unknown provenance (checkpointed — verify manually)"
+            )
             return
         if _RAW_SCAN.search(text):
             verdicts.append("feeds-from-UNAGGREGATED-scan (data-proportional!)")

@@ -114,6 +114,15 @@ _APPROX_LAYOUT_OK = {"ext_hll_union"}
 def compare(a_path: str, b_path: str) -> int:
     a = json.load(open(a_path))
     b = json.load(open(b_path))
+    # coverage guard (round-8 ADVICE): a query present in only one run
+    # (added/removed/renamed between baseline and perturbed) must FAIL
+    # the sweep — a stale baseline must not masquerade as green.
+    only = sorted(set(a) ^ set(b))
+    if only:
+        print(f"COVERAGE MISMATCH ({len(only)} names in only one run):")
+        for n in only:
+            side = "baseline-only" if n in a else "perturbed-only"
+            print(f"  {side}: {n}")
     allowed = sorted(
         n for n in a if n in b and a[n] != b[n] and n in _APPROX_LAYOUT_OK
     )
@@ -129,12 +138,15 @@ def compare(a_path: str, b_path: str) -> int:
         if str(a.get(n, "")).startswith("ERROR")
         or str(b.get(n, "")).startswith("ERROR")
     )
-    print(f"{len(a)} queries; layout-dependent: {len(diffs)}; errors: {len(errs)}")
+    print(
+        f"{len(a)} queries; layout-dependent: {len(diffs)}; "
+        f"errors: {len(errs)}; coverage-mismatched: {len(only)}"
+    )
     for n in diffs:
         print(f"  DIFF {n}")
     for n in errs:
         print(f"  ERR  {n}: A={a.get(n)!r} B={b.get(n)!r}")
-    return 1 if diffs or errs else 0
+    return 1 if diffs or errs or only else 0
 
 
 if __name__ == "__main__":
