@@ -198,29 +198,55 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate quantiles --------------------------------------------------
 
 
-@query("ext_quantile_approx")  # rows-only: GK-sketch estimates have no SQL twin
+#: GK-sketch accuracy for ext_quantile_approx. The sketch is the 100 TB
+#: posture (mergeable, bounded ~O(accuracy·log(εn)) memory, one pass);
+#: 1e6 keeps that bound cluster-trivial while making the sketch EXACT at
+#: every test scale (group n < 1e6 through sf0.1, where GK never
+#: compresses), so the query is hash-oracle-checkable (round-8 verdict
+#: ask #3). Beyond n = 1e6 rows/group the answer degrades gracefully to
+#: rank error ≤ n·1e-6.
+QUANTILE_SKETCH_ACCURACY = 1_000_000
+
+
+@query(
+    "ext_quantile_approx",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)            AS n,
+           CAST(quantile_disc(c, 0.5) AS BIGINT)  AS p50_approx,
+           CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_approx,
+           quantile_cont(c, 0.5)                AS p50_exact,
+           quantile_cont(c, 0.99)               AS p99_exact
+    FROM (SELECT o_orderpriority,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
 def ext_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sk3 — approx_percentile (Greenwald–Khanna sketch) beside the exact
     interpolated percentile, per order priority, on integer cents. The
-    sketch is the 100 TB posture (mergeable, bounded memory, one pass);
-    the exact twin rides the same shuffle so the row carries its own
-    ground truth. accuracy = 10000 → rank error ≤ n/10000; the unit test
-    asserts the bound. Rows-only driver check (sketch internals are
-    engine-specific); the exact columns are the oracle-of-record."""
+    exact twin rides the same shuffle so the row carries its own ground
+    truth. With accuracy ≥ n the sketch is EXACT under its own quantile
+    definition — the value at 1-based rank max(1, ceil(q·n)) (probed
+    empirically, no interpolation) — which DuckDB's ``quantile_disc``
+    implements verbatim, so this is hash-green rather than rows-only;
+    ``quantile_cont`` ↔ ``percentile`` on integer cents is bit-exact
+    (midpoint interpolation of ints < 2^52). The round-5 unit test still
+    pins the rank-error bound independently of the oracle."""
     o = load(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
-        "long"
-    )
+    c = cents(F.col("o_totalprice")).cast("long")
+    acc = QUANTILE_SKETCH_ACCURACY
     return (
-        o.select("o_orderpriority", cents.alias("c"))
+        o.select("o_orderpriority", c.alias("c"))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.expr(
-                "CAST(approx_percentile(c, 0.5, 10000) AS BIGINT)"
+                f"CAST(approx_percentile(c, 0.5, {acc}) AS BIGINT)"
             ).alias("p50_approx"),
             F.expr(
-                "CAST(approx_percentile(c, 0.99, 10000) AS BIGINT)"
+                f"CAST(approx_percentile(c, 0.99, {acc}) AS BIGINT)"
             ).alias("p99_approx"),
             F.expr("percentile(c, 0.5)").alias("p50_exact"),
             F.expr("percentile(c, 0.99)").alias("p99_exact"),
