@@ -178,15 +178,34 @@ def events_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a batch read (a FileStreamSource cannot infer it), then normalized
     through the same :func:`normalize_events_ts` as the batch path — so the
     stream and its batch twin always agree, whatever the testdata vintage.
-    FileStreamSource needs a directory path; glob-filter to the events file
-    (a production stream points at an arriving-files dir)."""
+
+    Two source layouts (a production stream points at an arriving-files
+    dir, the fixture is one immutable file):
+
+    - ``{sf_dir}/events.parquet`` is a FILE → glob-filter the sf_dir;
+    - it is a DIRECTORY of part files → stream the directory itself, and
+      honor ``DSEP_STREAM_MAX_FILES_PER_TRIGGER`` (oldest file first) so a
+      test can drive REAL multi-micro-batch execution — the round-8
+      verdict's multi-batch evidence seam. The real driver never sets the
+      env var, so fixture runs keep the single-batch AvailableNow shape.
+    """
+    import os
+
     ensure_runtime_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(raw_schema)
+    mfpt = os.environ.get("DSEP_STREAM_MAX_FILES_PER_TRIGGER")
+    if mfpt:
+        reader = reader.option("maxFilesPerTrigger", int(mfpt)).option(
+            "latestFirst", "false"
+        )
+    if os.path.isdir(src):
+        stream = reader.parquet(src)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
     return normalize_events_ts(stream)
 
 
