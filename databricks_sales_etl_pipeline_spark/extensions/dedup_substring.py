@@ -92,6 +92,60 @@ _SUBSTRING_ORACLE = f"""
 """
 
 
+def gram_table(d: DataFrame, k: int = SUB_K) -> DataFrame:
+    """(doc_id, pos, gid) for every full token k-gram of `text`, md5-
+    fingerprinted. posexplode + lead window — whole-stage codegen, no
+    higher-order lambdas. Callers should localCheckpoint the result once
+    when it feeds multiple consumers (eligibility count + both join sides)."""
+    words = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", j).over(win) for j in range(1, k)]
+    return (
+        words.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.md5(F.concat_ws(" ", F.col("w"), *leads)).alias("gid"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .drop("_full")
+    )
+
+
+def eligible_grams(grams: DataFrame, max_df: int = MAX_GRAM_DF) -> DataFrame:
+    """gids repeated across 2..max_df distinct documents — the skew guard
+    that bounds the pair join's per-gram fan-out (a boilerplate gram in
+    |docs| documents would otherwise contribute |docs|² hits)."""
+    return (
+        grams.groupBy("gid")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df").between(2, max_df))
+        .select("gid")
+    )
+
+
+def gram_hits(grams: DataFrame, elig: DataFrame) -> DataFrame:
+    """Cross-document per-position hits (doc_a, doc_b, pa, pb) over the
+    eligible-gram set. The eligible set scales WITH the corpus (a filtered
+    aggregate the optimizer under-estimates): left to itself Spark
+    broadcast-collects it and trips maxResultSize at ~500 k docs (measured,
+    tools/bench_scale_docs.py) — hint the shuffle join, which also reuses
+    the groupBy's gid partitioning on the build side."""
+    kept = grams.join(elig.hint("shuffle_hash"), "gid")
+    a = kept.select(
+        F.col("gid"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = kept.select(
+        F.col("gid"), F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return a.join(b, "gid").where(F.col("doc_a") < F.col("doc_b"))
+
+
 @query("ext_dedup_substring", oracle=_SUBSTRING_ORACLE)
 def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2e — exact substring-level dedup: every maximal cross-document
@@ -107,48 +161,13 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     L - K + 1 consecutive diagonal hits, so len_tokens = hits + K - 1.
     """
     d = load(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-        ).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("w", j).over(win) for j in range(1, SUB_K)]
-    grams = (
-        words.select(
-            "doc_id",
-            F.col("pos").cast("bigint").alias("pos"),
-            F.md5(F.concat_ws(" ", F.col("w"), *leads)).alias("gid"),
-            leads[-1].isNotNull().alias("_full"),
-        )
-        .where("_full")
-        .drop("_full")
-        # materialize the gram table once: it feeds the eligibility count
-        # AND both sides of the pair join — without truncation the 13-lead
-        # window + md5 re-runs three times (this is the Spark analogue of
-        # materializing the suffix/gram table in Lee et al.'s pipeline)
-        .localCheckpoint()
-    )
-    elig = (
-        grams.groupBy("gid")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df").between(2, MAX_GRAM_DF))
-        .select("gid")
-    )
-    # the eligible-gram set scales WITH the corpus (a filtered aggregate the
-    # optimizer under-estimates): left to itself Spark broadcast-collects it
-    # and trips maxResultSize at ~500 k docs (measured, tools/
-    # bench_scale_docs.py) — hint the shuffle join, which also reuses the
-    # groupBy's gid partitioning on the build side
-    kept = grams.join(elig.hint("shuffle_hash"), "gid")
-    a = kept.select(
-        F.col("gid"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
-    )
-    b = kept.select(
-        F.col("gid"), F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
-    )
-    hits = a.join(b, "gid").where(F.col("doc_a") < F.col("doc_b"))
+    # materialize the gram table once: it feeds the eligibility count
+    # AND both sides of the pair join — without truncation the 13-lead
+    # window + md5 re-runs three times (this is the Spark analogue of
+    # materializing the suffix/gram table in Lee et al.'s pipeline)
+    grams = gram_table(d).localCheckpoint()
+    elig = eligible_grams(grams)
+    hits = gram_hits(grams, elig)
     dwin = Window.partitionBy(
         "doc_a", "doc_b", F.col("pa") - F.col("pb")
     ).orderBy("pa")

@@ -1,0 +1,94 @@
+"""Round-9 verdict ask #5: the MAX_GRAM_DF skew guard's effect on the
+substring-dedup gram self-join is MEASURED (tools/bench_scale_gramdf.py →
+SCALE.md), and its fan-out contract is pinned here.
+
+Corpus under test: 40 documents share an identical 20-token boilerplate
+header (df = 40 > MAX_GRAM_DF = 32 — the shared-banner hazard), 5 exact
+duplicate pairs carry the TRUE duplication, and the rest are fully unique.
+The guard must drop every boilerplate gram while keeping every true-dup
+gram, bounding per-gram join fan-out at C(cap, 2) instead of C(|docs|, 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_sales_etl_pipeline_spark.extensions.dedup_substring import (
+    MAX_GRAM_DF,
+    SUB_K,
+    eligible_grams,
+    gram_hits,
+    gram_table,
+)
+
+N_BP_DOCS = 40      # boilerplate carriers; df = 40 > MAX_GRAM_DF
+BP_TOKENS = 20      # pure-boilerplate grams per doc = BP_TOKENS - SUB_K + 1
+N_DUP_PAIRS = 5
+DUP_TOKENS = 20     # grams per dup doc = DUP_TOKENS - SUB_K + 1, each df = 2
+
+
+def _corpus(spark):
+    bp = " ".join(f"bp{j}" for j in range(BP_TOKENS))
+    rows = []
+    for i in range(N_BP_DOCS):
+        tail = " ".join(f"u{i}w{j}" for j in range(10))
+        rows.append((i, f"{bp} {tail}"))
+    for i in range(40, 100):  # unique filler docs
+        rows.append((i, " ".join(f"q{i}w{j}" for j in range(DUP_TOKENS))))
+    for p in range(N_DUP_PAIRS):  # true duplication: exact pairs
+        text = " ".join(f"d{p}w{j}" for j in range(DUP_TOKENS))
+        rows.append((100 + 2 * p, text))
+        rows.append((101 + 2 * p, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cap_drops_boilerplate_keeps_true_duplication(spark):
+    grams = gram_table(_corpus(spark)).localCheckpoint()
+    elig = eligible_grams(grams, MAX_GRAM_DF)
+
+    n_bp_grams = BP_TOKENS - SUB_K + 1
+    n_dup_grams = DUP_TOKENS - SUB_K + 1
+
+    # every boilerplate gram (df = 40) is dropped; every true-dup gram
+    # (df = 2) survives — the guard removes the hazard, not the signal
+    assert elig.count() == N_DUP_PAIRS * n_dup_grams
+
+    capped = gram_hits(grams, elig)
+    uncapped = gram_hits(grams, eligible_grams(grams, max_df=10**9))
+
+    capped_n = capped.count()
+    assert capped_n == N_DUP_PAIRS * n_dup_grams  # one hit per gid per pair
+
+    # uncapped, each boilerplate gram alone contributes C(40, 2) hit rows —
+    # the |docs|-quadratic blowup the cap exists to prevent
+    bp_pairs = N_BP_DOCS * (N_BP_DOCS - 1) // 2
+    assert uncapped.count() == capped_n + n_bp_grams * bp_pairs
+
+    # per-gram fan-out bound under the cap: no gid may contribute more than
+    # C(MAX_GRAM_DF, 2) doc pairs (single-occurrence grams)
+    max_per_gid = (
+        capped.groupBy("gid").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_per_gid <= MAX_GRAM_DF * (MAX_GRAM_DF - 1) // 2
+
+
+def test_analytic_fanout_formula_matches_join(spark):
+    """The bench tool's analytic projection — pairs per gid =
+    (S^2 - sum(occ^2)) / 2 over per-doc occurrence counts — must equal the
+    actual self-join row count (it gates which configs get materialized)."""
+    grams = gram_table(_corpus(spark)).localCheckpoint()
+    for cap in (MAX_GRAM_DF, 10**9):
+        occ = grams.groupBy("gid", "doc_id").count()
+        analytic = (
+            occ.groupBy("gid")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("count").cast("bigint").alias("s"),
+                F.sum(F.col("count") * F.col("count")).cast("bigint").alias("q"),
+            )
+            .where(F.col("df").between(2, cap))
+            .agg(F.sum((F.col("s") * F.col("s") - F.col("q")) / F.lit(2)))
+            .collect()[0][0]
+        )
+        measured = gram_hits(grams, eligible_grams(grams, cap)).count()
+        assert int(analytic) == measured
