@@ -7,11 +7,18 @@ detection (gram table -> df-capped self-join -> diagonal islands) at
 10th doc a planted near-copy, nonlinear xxhash64 word mix).
 
     PYTHONPATH=. python tools/bench_scale_dedup10m.py [n_docs ...]
+
+Env DSEP_SCALE_SHAPES=minhash|substring|both (default both): the substring
+self-join spills ~3 gram-table copies to local disk; past ~5 M docs on one
+box that exceeds local scratch, so the two shapes are measured at their own
+per-box ceilings (a cluster distributes the spill — the bound is DISK, not
+the plan).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,6 +39,7 @@ from tools.bench_scale_docs import gen_documents
 
 def main() -> None:
     sizes = [int(float(a)) for a in sys.argv[1:]] or [2_000_000, 10_000_000]
+    shapes = os.environ.get("DSEP_SCALE_SHAPES", "both")
     spark = get_spark(
         "dsep-scale-dedup10m", **{"spark.ui.showConsoleProgress": "false"}
     )
@@ -40,72 +48,73 @@ def main() -> None:
         tune_shuffle_partitions(spark, input_bytes=n * 500)
         d = gen_documents(spark, n).localCheckpoint(eager=True)
         t = {}
+        rec = {"docs": n}
 
-        t0 = time.perf_counter()
-        # no checkpoint: the shingle table is consumed exactly once here,
-        # and caching 780 M exploded rows at 10 M docs squeezes the
-        # execution pool into AGGREGATE_OUT_OF_MEMORY
-        sh = shingle_rows(d)
-        sig = sh.groupBy("doc_id").agg(
-            *[
-                F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
-                for j in range(8)
-            ]
-        )
-        bands = sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(j).alias("band"), F.col(f"h{j}").alias("h"))
-                        for j in range(8)
-                    ]
-                )
-            ).alias("bh"),
-        )
-        a, b = bands.alias("a"), bands.alias("b")
-        n_cand = (
-            a.join(
-                b,
-                (F.col("a.bh.band") == F.col("b.bh.band"))
-                & (F.col("a.bh.h") == F.col("b.bh.h"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+        if shapes in ("both", "minhash"):
+            t0 = time.perf_counter()
+            # no checkpoint: the shingle table is consumed exactly once
+            # here, and caching 780 M exploded rows at 10 M docs squeezes
+            # the execution pool into AGGREGATE_OUT_OF_MEMORY
+            sh = shingle_rows(d)
+            sig = sh.groupBy("doc_id").agg(
+                *[
+                    F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+                    for j in range(8)
+                ]
             )
-            .select("a.doc_id", "b.doc_id")
-            .distinct()
-            .count()
-        )
-        t["minhash_sig_candidates"] = round(time.perf_counter() - t0, 2)
-
-        t0 = time.perf_counter()
-        # the gram table is ~8x the raw text bytes (one row per token
-        # position, 32-char gid) — retune the shuffle for ITS size, not the
-        # corpus's, or 10 M docs sorts ~1 GB per partition and OOMs
-        tune_shuffle_partitions(spark, input_bytes=n * 4000)
-        grams = gram_table(d)
-        if n <= 2_000_000:
-            # the production query checkpoints the gram table (3 consumers,
-            # 13-lead window recomputed otherwise); past ~2 M docs on one
-            # box the checkpoint file alone is ~50 GB and exhausts local
-            # disk on top of the shuffle spills — recompute + Spark's
-            # ReusedExchange is the single-node trade (a real cluster has
-            # cluster-wide disk and keeps the checkpoint)
-            grams = grams.localCheckpoint()
-        n_hits = gram_hits(grams, eligible_grams(grams)).count()
-        t["substring_gram_hits"] = round(time.perf_counter() - t0, 2)
-
-        rec = {
-            "docs": n,
-            "candidates": n_cand,
-            "gram_hits": n_hits,
-            "timings_sec": t,
-            "minhash_kdocs_per_sec": round(
+            bands = sig.select(
+                "doc_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("band"), F.col(f"h{j}").alias("h")
+                            )
+                            for j in range(8)
+                        ]
+                    )
+                ).alias("bh"),
+            )
+            a, b = bands.alias("a"), bands.alias("b")
+            rec["candidates"] = (
+                a.join(
+                    b,
+                    (F.col("a.bh.band") == F.col("b.bh.band"))
+                    & (F.col("a.bh.h") == F.col("b.bh.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select("a.doc_id", "b.doc_id")
+                .distinct()
+                .count()
+            )
+            t["minhash_sig_candidates"] = round(time.perf_counter() - t0, 2)
+            rec["minhash_kdocs_per_sec"] = round(
                 n / t["minhash_sig_candidates"] / 1e3, 1
-            ),
-            "substring_kdocs_per_sec": round(
+            )
+
+        if shapes in ("both", "substring"):
+            t0 = time.perf_counter()
+            # the gram table is ~8x the raw text bytes (one row per token
+            # position, 32-char gid) — retune the shuffle for ITS size, not
+            # the corpus's, or 10 M docs sorts ~1 GB per partition and OOMs
+            tune_shuffle_partitions(spark, input_bytes=n * 4000)
+            grams = gram_table(d)
+            if n <= 2_000_000:
+                # the production query checkpoints the gram table (3
+                # consumers, 13-lead window recomputed otherwise); past
+                # ~2 M docs on one box the checkpoint file alone is ~50 GB
+                # and exhausts local disk on top of the shuffle spills —
+                # recompute + Spark's ReusedExchange is the single-node
+                # trade (a real cluster has cluster-wide disk and keeps
+                # the checkpoint)
+                grams = grams.localCheckpoint()
+            rec["gram_hits"] = gram_hits(grams, eligible_grams(grams)).count()
+            t["substring_gram_hits"] = round(time.perf_counter() - t0, 2)
+            rec["substring_kdocs_per_sec"] = round(
                 n / t["substring_gram_hits"] / 1e3, 1
-            ),
-        }
+            )
+
+        rec["timings_sec"] = t
         out.append(rec)
         print(json.dumps(rec))
     print(json.dumps({"dedup10m_results": out}))
