@@ -97,6 +97,8 @@ def gram_table(d: DataFrame, k: int = SUB_K) -> DataFrame:
     fingerprinted. posexplode + lead window — whole-stage codegen, no
     higher-order lambdas. Callers should localCheckpoint the result once
     when it feeds multiple consumers (eligibility count + both join sides)."""
+    if k < 2:
+        raise ValueError(f"gram_table requires k >= 2 (a 1-gram has no lead window), got {k}")
     words = d.select(
         "doc_id",
         F.posexplode(

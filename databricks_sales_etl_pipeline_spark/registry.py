@@ -105,64 +105,64 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: The driver correctness-checks the FIRST 50 entries of ``queries()`` in
 #: registration order, so this list is the sampled contract surface.
-# Round-8 rotation (verdict ask #1: burn the 241-name backlog, never re-list
-# an already-green name). Slots 1-10 are the verdict-named oldest round-6
-# "queued r8" waves; slots 11-50 are the next never-checked names in
-# registration order. All 50 were driver-sim verified at sf0.01 (vanilla
-# session, pandas-canonicalized compare) on the Aug-14 regenerated fixture
-# before this rotation was committed — the round-6 `ext_gini_concentration`
-# overflow lesson.
+# Round-10 rotation (verdict ask #1: burn the 141-name backlog to 91, never
+# re-list an already-green name). All 50 slots are the next never-checked
+# names in registration order (retail/causal wave, then the stats/timeseries
+# wave). All 50 were driver-sim verified at sf0.01 (vanilla session,
+# pandas-canonicalized compare) on the Aug-16 regenerated fixture before this
+# rotation was committed — the round-6 `ext_gini_concentration` overflow
+# lesson.
 _DRIVER_PRIORITY = [
-    "ext_pca_power_step",
-    "ext_capture_recapture",
-    "ext_median_twopass",
-    "ext_kmv_sketch",
-    "ext_graph_label_prop",
-    "ext_graph_sssp",
-    "ext_hits_bipartite",
-    "ext_degree_distribution",
-    "ext_assortativity",
-    "ext_modularity",
-    "ext_graph_kcore",
-    "ext_active_learning",
-    "ext_fairness_report",
-    "ext_neyman_allocation",
-    "ext_effective_sample_size",
-    "ext_german_tank",
-    "ext_hash_collision_audit",
-    "ext_pseudonymize",
-    "ext_quality_composite",
-    "ext_secrets_scan",
-    "ext_compression_ratio",
-    "ext_mojibake_detect",
-    "ext_luhn_check",
-    "ext_mixture_temperature",
-    "ext_budget_select",
-    "ext_wordpiece_train",
-    "window_session_batch",
-    "ext_interval_merge",
-    "ext_session_paths",
-    "ext_late_data_audit",
-    "ext_session_gap_sensitivity",
-    "ext_peak_concurrency",
-    "ext_attribution_shapley",
-    "ext_hazard_lifetable",
-    "ext_diff_in_diff",
-    "ext_uplift_qini",
-    "ext_covariate_balance",
-    "ext_repurchase_cycle",
-    "ext_bot_regularity",
-    "ext_segment_migration",
-    "ext_prop_ztest",
-    "ext_post_stratification",
-    "ext_iv_wald",
-    "ext_reg_discontinuity",
-    "ext_process_mining_ef",
-    "ext_simpson_check",
-    "ext_growth_accounting",
-    "ext_parallel_trends",
-    "ext_cross_correlation",
-    "ext_nn_matching",
+    "ext_bgnbd_inputs",
+    "ext_cart_abandonment",
+    "ext_interrupted_ts",
+    "ext_quantile_ratios",
+    "ext_subseq_triples",
+    "ext_attribution_timedecay",
+    "ext_markov_absorption",
+    "ext_switchback",
+    "ext_markov_removal",
+    "ext_mmm_grid",
+    "ext_did_placebo",
+    "ext_qte",
+    "ext_boilerplate_lines",
+    "ext_inverted_index",
+    "ext_source_overlap",
+    "ext_term_trends",
+    "ext_robust_scale",
+    "ext_feature_impute",
+    "pipeline_feature_store",
+    "ext_forecast_backtest",
+    "ext_winsorize",
+    "ext_regress_slope",
+    "ext_ols_two_factor",
+    "ext_nzv_filter",
+    "ext_eb_shrinkage",
+    "ext_returns_abuse",
+    "ext_weighted_quantiles",
+    "ext_quantile_normalize",
+    "ext_tukey_fences",
+    "ext_anomaly_days",
+    "ext_changepoint_cusum",
+    "ext_acf_daily",
+    "ext_seasonal_decompose",
+    "ext_theilsen_slope",
+    "ext_rolling_median_band",
+    "ext_ks_test",
+    "ext_dispersion_index",
+    "ext_mann_whitney",
+    "ext_chi2_independence",
+    "ext_control_chart_c",
+    "ext_runs_test",
+    "ext_granger_causality",
+    "ext_tv_distance",
+    "ext_wasserstein_shift",
+    "ext_cvar_tail",
+    "ext_qq_table",
+    "ext_mahalanobis_2d",
+    "ext_process_capability",
+    "ext_rolling_corr",
+    "ext_pattern_match",
 ]
 
 

@@ -42,6 +42,14 @@ def _corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_gram_table_rejects_k_below_2(spark):
+    """k=1 has no lead window — a contract error, not an IndexError."""
+    import pytest
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        gram_table(_corpus(spark), k=1)
+
+
 def test_cap_drops_boilerplate_keeps_true_duplication(spark):
     grams = gram_table(_corpus(spark)).localCheckpoint()
     elig = eligible_grams(grams, MAX_GRAM_DF)
@@ -75,20 +83,37 @@ def test_cap_drops_boilerplate_keeps_true_duplication(spark):
 def test_analytic_fanout_formula_matches_join(spark):
     """The bench tool's analytic projection — pairs per gid =
     (S^2 - sum(occ^2)) / 2 over per-doc occurrence counts — must equal the
-    actual self-join row count (it gates which configs get materialized)."""
-    grams = gram_table(_corpus(spark)).localCheckpoint()
+    actual self-join row count (it gates which configs get materialized).
+
+    The base corpus has occ == 1 for every (gid, doc_id), which degenerates
+    the sum(occ^2) term (q == s == df) — so add a doc carrying the same
+    13-gram TWICE (the tokens repeated back-to-back: positions 0 and 13)
+    plus a second doc with it once: that gid has df=2, s=3, q=5, and both
+    the formula ((9-5)/2 = 2) and gram_hits' positional fan-out (2 cross-doc
+    position pairs) must take the occ>1 path."""
+    rep = " ".join(f"r{j}" for j in range(SUB_K))
+    extra = spark.createDataFrame(
+        [(200, f"{rep} {rep}"), (201, rep)], "doc_id long, text string"
+    )
+    grams = gram_table(_corpus(spark).unionByName(extra)).localCheckpoint()
+    occ = grams.groupBy("gid", "doc_id").count()
+    stats = occ.groupBy("gid").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("count").cast("bigint").alias("s"),
+        F.sum(F.col("count") * F.col("count")).cast("bigint").alias("q"),
+    )
+    # the planted repeat must actually produce an eligible occ>1 gid
+    # (guards against a future corpus edit re-degenerating this test)
+    assert (
+        stats.where((F.col("q") > F.col("s")) & (F.col("df") >= 2)).count() == 1
+    )
     for cap in (MAX_GRAM_DF, 10**9):
-        occ = grams.groupBy("gid", "doc_id").count()
-        analytic = (
-            occ.groupBy("gid")
-            .agg(
-                F.count(F.lit(1)).alias("df"),
-                F.sum("count").cast("bigint").alias("s"),
-                F.sum(F.col("count") * F.col("count")).cast("bigint").alias("q"),
-            )
-            .where(F.col("df").between(2, cap))
-            .agg(F.sum((F.col("s") * F.col("s") - F.col("q")) / F.lit(2)))
+        # integral form, mirroring tools/bench_scale_gramdf.py: sum the even
+        # quantity (s^2 - q) as int64 and halve after — never via a double
+        analytic2 = (
+            stats.where(F.col("df").between(2, cap))
+            .agg(F.sum(F.col("s") * F.col("s") - F.col("q")).cast("bigint"))
             .collect()[0][0]
         )
         measured = gram_hits(grams, eligible_grams(grams, cap)).count()
-        assert int(analytic) == measured
+        assert int(analytic2) // 2 == measured

@@ -80,14 +80,17 @@ def main() -> None:
             F.sum("count").cast("bigint").alias("s"),
             F.sum(F.col("count") * F.col("count")).cast("bigint").alias("q"),
         )
+        # sum (s^2 - q) as pure int64 and halve AFTER (each term is even, so
+        # the sum is too) — double division before the cast is exact only
+        # while per-df pair sums stay under 2^53, silently lossy beyond
         hist = {
-            int(r["df"]): (int(r["grams"]), int(r["pairs"]))
+            int(r["df"]): (int(r["grams"]), int(r["pairs2"]) // 2)
             for r in stats.groupBy("df")
             .agg(
                 F.count(F.lit(1)).alias("grams"),
                 F.sum(
-                    (F.col("s") * F.col("s") - F.col("q")) / F.lit(2)
-                ).cast("bigint").alias("pairs"),
+                    F.col("s") * F.col("s") - F.col("q")
+                ).cast("bigint").alias("pairs2"),
             )
             .collect()
         }
