@@ -130,6 +130,28 @@ def main() -> None:
     QUERIES["agg_count_star"](spark, sf_dir).count()
     QUERIES["agg_count_star"](spark, sf_dir).count()
 
+    # host-speed probes (round-9/10 lesson: two consecutive rounds read
+    # 1.2-1.4x uniformly slower on IDENTICAL fixture digests with unchanged
+    # per-query ranking — host-level drift, not plan regressions, but
+    # undiagnosable without an in-JSON normalizer). Two fixed pure-JVM
+    # workloads, timed after warmup: all-core xxhash64 over range(400M) and
+    # one-core over range(20M). Future cross-round comparisons should read
+    # query ratios AGAINST the probe ratio before calling anything a
+    # regression.
+    from pyspark.sql import functions as F
+
+    probe_df = spark.range(400_000_000).select(F.sum(F.xxhash64("id")))
+    probe_df.collect()  # warm the probe's own codegen
+    t0 = time.perf_counter()
+    probe_df.collect()
+    probe_all = round(time.perf_counter() - t0, 3)
+    probe1_df = spark.range(0, 20_000_000, 1, 1).select(
+        F.sum(F.xxhash64("id"))
+    )
+    t0 = time.perf_counter()
+    probe1_df.collect()
+    probe_one = round(time.perf_counter() - t0, 3)
+
     # one failing query must not void the whole round's bench (round-3
     # lesson: the sessionize crash left NO numbers on record) — time every
     # query, report failures in the JSON, and exit nonzero only at the end
@@ -159,6 +181,7 @@ def main() -> None:
         # the fixture so cross-round comparisons are only made
         # like-for-like.
         "fixture": _fixture_stamp(sf_dir),
+        "host_probe_sec": {"all_core": probe_all, "one_core": probe_one},
     }
     if errors:
         result["errors"] = errors

@@ -29,8 +29,8 @@ reference's 3 notebooks contain no dedup at all):
 
 Scale posture of the substring pipeline: token k-grams are built with
 posexplode + lead windows (whole-stage codegen, no higher-order lambdas);
-grams travel as 32-char md5 fingerprints (128-bit — collision-negligible),
-never as raw text; the gram self-join is bounded by the per-gram document
+grams travel as 16-byte binary md5 fingerprints (128-bit —
+collision-negligible), never as raw text or hex strings; the gram self-join is bounded by the per-gram document
 cap, so candidate volume is ∝ true duplication, not corpus²; span merging
 is one window over (doc pair, diagonal) — gaps-and-islands, no iteration.
 """
@@ -95,8 +95,16 @@ _SUBSTRING_ORACLE = f"""
 def gram_table(d: DataFrame, k: int = SUB_K) -> DataFrame:
     """(doc_id, pos, gid) for every full token k-gram of `text`, md5-
     fingerprinted. posexplode + lead window — whole-stage codegen, no
-    higher-order lambdas. Callers should localCheckpoint the result once
-    when it feeds multiple consumers (eligibility count + both join sides)."""
+    higher-order lambdas. Callers should materialize the result once when it
+    feeds multiple consumers (eligibility count + both join sides) — use
+    ``materialize_grams`` for the size-keyed checkpoint-vs-recompute trade.
+
+    gid is the 16-BYTE BINARY md5 (``unhex``), not the 32-char hex string:
+    the gram table is the pipeline's dominant shuffle payload (one row per
+    token position), and the fingerprint is pure join/groupBy key — halving
+    its bytes halves every gram shuffle and checkpoint. Same 128-bit
+    fingerprint, so collision math and the hex-string DuckDB oracle are
+    unchanged (gid never appears in output)."""
     if k < 2:
         raise ValueError(f"gram_table requires k >= 2 (a 1-gram has no lead window), got {k}")
     words = d.select(
@@ -111,12 +119,41 @@ def gram_table(d: DataFrame, k: int = SUB_K) -> DataFrame:
         words.select(
             "doc_id",
             F.col("pos").cast("bigint").alias("pos"),
-            F.md5(F.concat_ws(" ", F.col("w"), *leads)).alias("gid"),
+            F.unhex(F.md5(F.concat_ws(" ", F.col("w"), *leads))).alias("gid"),
             leads[-1].isNotNull().alias("_full"),
         )
         .where("_full")
         .drop("_full")
     )
+
+
+#: Above this many estimated gram rows (≈ total tokens), the single-box
+#: localCheckpoint of the gram table costs more local scratch than
+#: recomputing it per consumer and letting ReusedExchange share the shuffle:
+#: measured in SCALE.md round-9 — ~50 GB checkpoint at 2 M docs (~130 M gram
+#: rows, hex gids) was the last size that fit this box beside the join's own
+#: ~3 gram-table shuffle copies; 5 M+ exhausted the ~80 GB scratch. On a
+#: real cluster the trade flips back (checkpoint and spill distribute across
+#: executors' disks, per-executor volume falls as 1/N) — raise it there.
+GRAM_CHECKPOINT_MAX_ROWS = 150_000_000
+
+
+def materialize_grams(
+    d: DataFrame, k: int = SUB_K, max_rows: int = GRAM_CHECKPOINT_MAX_ROWS
+) -> DataFrame:
+    """gram_table + the size-keyed materialization strategy (round-9 10 M-doc
+    lesson, applied by hand in the bench then promoted here): one cheap
+    counting pass over the token column estimates the gram-table size, and
+    only corpora under ``max_rows`` grams get the localCheckpoint — larger
+    ones return the lazy plan (recompute per consumer + ReusedExchange),
+    trading CPU for the scratch disk the checkpoint would exhaust."""
+    est = d.select(
+        F.sum(
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+        )
+    ).first()[0] or 0
+    grams = gram_table(d, k)
+    return grams.localCheckpoint() if est <= max_rows else grams
 
 
 def eligible_grams(grams: DataFrame, max_df: int = MAX_GRAM_DF) -> DataFrame:
@@ -166,8 +203,10 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the gram table once: it feeds the eligibility count
     # AND both sides of the pair join — without truncation the 13-lead
     # window + md5 re-runs three times (this is the Spark analogue of
-    # materializing the suffix/gram table in Lee et al.'s pipeline)
-    grams = gram_table(d).localCheckpoint()
+    # materializing the suffix/gram table in Lee et al.'s pipeline).
+    # Size-keyed: past GRAM_CHECKPOINT_MAX_ROWS grams the checkpoint's
+    # scratch cost exceeds the recompute (SCALE.md, 10 M-doc runs).
+    grams = materialize_grams(d)
     elig = eligible_grams(grams)
     hits = gram_hits(grams, elig)
     dwin = Window.partitionBy(

@@ -19,6 +19,7 @@ from databricks_sales_etl_pipeline_spark.extensions.dedup_substring import (
     eligible_grams,
     gram_hits,
     gram_table,
+    materialize_grams,
 )
 
 N_BP_DOCS = 40      # boilerplate carriers; df = 40 > MAX_GRAM_DF
@@ -40,6 +41,22 @@ def _corpus(spark):
         rows.append((100 + 2 * p, text))
         rows.append((101 + 2 * p, text))
     return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_materialize_grams_size_keyed_switch(spark):
+    """Under the row budget the gram table is localCheckpoint'd (plan
+    collapses to an RDD scan); over it the lazy plan is returned so the
+    three consumers recompute + ReusedExchange instead of exhausting
+    single-box scratch (the round-9 10 M-doc lesson, now a code path)."""
+    d = _corpus(spark)
+    # the checkpointed plan collapses past the lead Window; the lazy one
+    # keeps it (the corpus itself scans an ExistingRDD, so Window is the
+    # discriminating operator, not the scan node)
+    small = materialize_grams(d)  # default budget: far above this corpus
+    assert "Window" not in small._jdf.queryExecution().executedPlan().toString()
+    big = materialize_grams(d, max_rows=0)  # force the over-budget branch
+    assert "Window" in big._jdf.queryExecution().executedPlan().toString()
+    assert small.count() == big.count()
 
 
 def test_gram_table_rejects_k_below_2(spark):

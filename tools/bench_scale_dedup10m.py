@@ -28,7 +28,7 @@ from databricks_sales_etl_pipeline_spark.extensions.dedup import shingle_rows
 from databricks_sales_etl_pipeline_spark.extensions.dedup_substring import (
     eligible_grams,
     gram_hits,
-    gram_table,
+    materialize_grams,
 )
 from databricks_sales_etl_pipeline_spark.session import (
     get_spark,
@@ -98,16 +98,10 @@ def main() -> None:
             # position, 32-char gid) — retune the shuffle for ITS size, not
             # the corpus's, or 10 M docs sorts ~1 GB per partition and OOMs
             tune_shuffle_partitions(spark, input_bytes=n * 4000)
-            grams = gram_table(d)
-            if n <= 2_000_000:
-                # the production query checkpoints the gram table (3
-                # consumers, 13-lead window recomputed otherwise); past
-                # ~2 M docs on one box the checkpoint file alone is ~50 GB
-                # and exhausts local disk on top of the shuffle spills —
-                # recompute + Spark's ReusedExchange is the single-node
-                # trade (a real cluster has cluster-wide disk and keeps
-                # the checkpoint)
-                grams = grams.localCheckpoint()
+            # the size-keyed checkpoint-vs-recompute trade is now the
+            # PRODUCTION code path (materialize_grams) — round-9 applied it
+            # by hand here; this run exercises the real switch
+            grams = materialize_grams(d)
             rec["gram_hits"] = gram_hits(grams, eligible_grams(grams)).count()
             t["substring_gram_hits"] = round(time.perf_counter() - t0, 2)
             rec["substring_kdocs_per_sec"] = round(
