@@ -140,16 +140,22 @@ def main() -> None:
     # regression.
     from pyspark.sql import functions as F
 
-    probe_df = spark.range(400_000_000).select(F.sum(F.xxhash64("id")))
-    probe_df.collect()  # warm the probe's own codegen
+    # pmod bounds the sum (raw 64-bit hash sums overflow ANSI int64); the
+    # xxhash64 stays the dominant per-row cost. The warm-up uses DIFFERENT
+    # range bounds than the timed run: a bit-identical plan gets its result
+    # reused (measured 0.97 s fresh vs 0.06 s repeated), which would time
+    # the cache, not the host.
+    def _probe(lo: int, n: int, slices: int) -> None:
+        spark.range(lo, lo + n, 1, slices).select(
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1000)))
+        ).collect()
+
+    _probe(1, 400_000_000, 32)  # warm codegen/JIT for the shape
     t0 = time.perf_counter()
-    probe_df.collect()
+    _probe(0, 400_000_000, 32)
     probe_all = round(time.perf_counter() - t0, 3)
-    probe1_df = spark.range(0, 20_000_000, 1, 1).select(
-        F.sum(F.xxhash64("id"))
-    )
     t0 = time.perf_counter()
-    probe1_df.collect()
+    _probe(0, 20_000_000, 1)
     probe_one = round(time.perf_counter() - t0, 3)
 
     # one failing query must not void the whole round's bench (round-3
