@@ -21,16 +21,24 @@ def await_finished(q: StreamingQuery, timeout_s: int) -> None:
 
 
 def scratch_checkpoint(tag: str) -> str:
-    """Deterministic per-tag checkpoint dir, wiped before reuse — memory-sink
-    demo queries re-process everything each invocation anyway, and the
-    uuid-per-invocation form leaked tempdir without bound (the round-2
-    advisor's versioned-table finding, same class). Durable pipelines pass
+    """Deterministic per-(process, tag) checkpoint dir, wiped before reuse —
+    memory-sink demo queries re-process everything each invocation anyway,
+    and the uuid-per-invocation form leaked tempdir without bound (the
+    round-2 advisor's versioned-table finding, same class). PID-keyed
+    (round-10 lesson): a bare per-tag path is SHARED across concurrent
+    engine processes on one box, so instance A's wipe-before-reuse rmtree's
+    instance B's LIVE checkpoint mid-commit (observed as STREAM_FAILED /
+    'Directory not empty' when two verification sessions ran the same
+    streaming query simultaneously). Within one process the tag still
+    reuses its dir, so the leak stays bounded. Durable pipelines pass
     their own stable checkpoint path instead (plans/incremental.py)."""
     import os
     import shutil
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), f"dsep_ckpt_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"dsep_ckpt_{os.getpid()}_{tag}"
+    )
     if os.path.exists(path):
         shutil.rmtree(path)
     return path
