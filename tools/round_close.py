@@ -44,6 +44,21 @@ def check_rotation() -> int:
     if overflow:
         print(f"next-round rotation candidates ({len(overflow)}, beyond the "
               f"current sample): {overflow}")
+    # stale-row report (round-9 verdict ask #5): a name whose registry
+    # status is STRONGER than its latest driver row — it has an oracle now
+    # but its only driver check predates it ('no_oracle') or wasn't a hash
+    # pass. Once `never` is empty these are the re-check queue.
+    latest: dict[str, dict] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        latest.update(json.loads(f.read_text()))
+    stale = sorted(
+        n for n, row in latest.items()
+        if n in registry.ORACLES and row.get("hash_match") is not True
+    )
+    if stale:
+        print(f"stale driver rows (oracled in registry, never hash-green "
+              f"with the driver; queue for re-check once the never-checked "
+              f"backlog empties): {stale}")
     return 0
 
 
