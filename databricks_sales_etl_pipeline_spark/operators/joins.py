@@ -426,7 +426,11 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databricks_sales_etl_pipeline_spark.functions.money import cents
 
     o = load(spark, sf_dir, "orders")
-    path = os.path.join(tempfile.gettempdir(), "dsep_dpp_orders")
+    # PID-keyed (round-10 scratch_checkpoint lesson): concurrent engine
+    # processes must not wipe each other's live partitioned table mid-scan
+    path = os.path.join(
+        tempfile.gettempdir(), f"dsep_dpp_orders_{os.getpid()}"
+    )
     if os.path.exists(path):
         shutil.rmtree(path)
     o.withColumn(

@@ -287,10 +287,15 @@ from databricks_sales_etl_pipeline_spark.registry import query  # noqa: E402
 
 
 def _tmp_table(tag: str) -> str:
-    """Deterministic per-tag scratch path, wiped before reuse so repeated
-    bench/driver runs keep at most one copy on disk (round-2 advisor: the
-    uuid-per-invocation form leaked without bound)."""
-    path = os.path.join(tempfile.gettempdir(), f"dsep_vtbl_{tag}")
+    """Deterministic per-(process, tag) scratch path, wiped before reuse so
+    repeated bench/driver runs keep at most one copy on disk (round-2
+    advisor: the uuid-per-invocation form leaked without bound). PID-keyed
+    (round-10 scratch_checkpoint lesson): a bare per-tag path is shared
+    across concurrent engine processes, so one instance's wipe-before-reuse
+    rmtree's another's LIVE table mid-read."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"dsep_vtbl_{os.getpid()}_{tag}"
+    )
     if os.path.exists(path):
         shutil.rmtree(path)
     return path

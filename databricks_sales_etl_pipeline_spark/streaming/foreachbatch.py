@@ -66,9 +66,13 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     its per-user latest with the previous snapshot, recomputes the window
     winner, and writes a NEW versioned directory (atomic swap by pointer,
     never in-place overwrite of files a lazy plan may still read)."""
-    # deterministic per-tag dir wiped before reuse (same discipline as
-    # scratch_checkpoint: no unbounded tempdir leak, no mid-read deletion)
-    base = os.path.join(tempfile.gettempdir(), "dsep_febatch_state")
+    # deterministic per-(process, tag) dir wiped before reuse (same
+    # discipline as scratch_checkpoint: no unbounded tempdir leak, no
+    # mid-read deletion; PID-keyed so concurrent engine processes never
+    # rmtree each other's live state — the round-10 sweep lesson)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dsep_febatch_state_{os.getpid()}"
+    )
     if os.path.exists(base):
         shutil.rmtree(base)
     os.makedirs(base)

@@ -161,7 +161,12 @@ def _ensure_worker_protobuf(spark: SparkSession) -> None:
     os.makedirs(shim_dir, exist_ok=True)
     shim = os.path.join(shim_dir, "sitecustomize.py")
     if not os.path.exists(shim):
-        with open(shim, "w") as f:
+        # write-tmp + atomic rename: the shim dir is shared across
+        # concurrent engine processes (content is identical and immutable,
+        # so sharing is fine) but a worker must never import a half-written
+        # file (round-10 concurrency audit)
+        tmp = f"{shim}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             f.write(
                 "try:\n"
                 "    from google.protobuf import runtime_version as _rv\n"
@@ -169,6 +174,7 @@ def _ensure_worker_protobuf(spark: SparkSession) -> None:
                 "except Exception:\n"
                 "    pass\n"
             )
+        os.replace(tmp, shim)
     env = spark.sparkContext.environment
     extra = f"{shim_dir}:{_PROTO_FALLBACK}"
     current = env.get("PYTHONPATH", "")
