@@ -105,64 +105,64 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: The driver correctness-checks the FIRST 50 entries of ``queries()`` in
 #: registration order, so this list is the sampled contract surface.
-# Round-10 rotation (verdict ask #1: burn the 141-name backlog to 91, never
-# re-list an already-green name). All 50 slots are the next never-checked
-# names in registration order (retail/causal wave, then the stats/timeseries
-# wave). All 50 were driver-sim verified at sf0.01 (vanilla session,
-# pandas-canonicalized compare) on the Aug-16 regenerated fixture before this
-# rotation was committed — the round-6 `ext_gini_concentration` overflow
-# lesson.
+# Round-11 rotation (r10 verdict ask #1: backlog 91→41, never re-list an
+# already-green name). All 50 slots are the next never-checked names in
+# registration order (the eval/stats wave: rank correlations, hypothesis
+# tests, changepoints, eval metrics, through `tbl_analyze_stats`). All 50
+# were driver-sim verified at sf0.01 (vanilla session, pandas-canonicalized
+# compare) on the Aug-16 fixture during round 10, before this rotation was
+# committed — the round-6 `ext_gini_concentration` overflow lesson.
 _DRIVER_PRIORITY = [
-    "ext_bgnbd_inputs",
-    "ext_cart_abandonment",
-    "ext_interrupted_ts",
-    "ext_quantile_ratios",
-    "ext_subseq_triples",
-    "ext_attribution_timedecay",
-    "ext_markov_absorption",
-    "ext_switchback",
-    "ext_markov_removal",
-    "ext_mmm_grid",
-    "ext_did_placebo",
-    "ext_qte",
-    "ext_boilerplate_lines",
-    "ext_inverted_index",
-    "ext_source_overlap",
-    "ext_term_trends",
-    "ext_robust_scale",
-    "ext_feature_impute",
-    "pipeline_feature_store",
-    "ext_forecast_backtest",
-    "ext_winsorize",
-    "ext_regress_slope",
-    "ext_ols_two_factor",
-    "ext_nzv_filter",
-    "ext_eb_shrinkage",
-    "ext_returns_abuse",
-    "ext_weighted_quantiles",
-    "ext_quantile_normalize",
-    "ext_tukey_fences",
-    "ext_anomaly_days",
-    "ext_changepoint_cusum",
-    "ext_acf_daily",
-    "ext_seasonal_decompose",
-    "ext_theilsen_slope",
-    "ext_rolling_median_band",
-    "ext_ks_test",
-    "ext_dispersion_index",
-    "ext_mann_whitney",
-    "ext_chi2_independence",
-    "ext_control_chart_c",
-    "ext_runs_test",
-    "ext_granger_causality",
-    "ext_tv_distance",
-    "ext_wasserstein_shift",
-    "ext_cvar_tail",
-    "ext_qq_table",
-    "ext_mahalanobis_2d",
-    "ext_process_capability",
-    "ext_rolling_corr",
-    "ext_pattern_match",
+    "ext_kendall_tau",
+    "ext_spearman_rho",
+    "ext_robust_location",
+    "ext_mann_kendall",
+    "ext_anomaly_ensemble",
+    "ext_permutation_test",
+    "ext_fdr_bh",
+    "ext_sprt_sequential",
+    "ext_ransac_line",
+    "ext_anova_oneway",
+    "ext_binary_segmentation",
+    "ext_matrix_profile",
+    "ext_inspection_paradox",
+    "ext_sax_symbolic",
+    "ext_haar_transform",
+    "ext_empirical_copula",
+    "ext_delta_method",
+    "ext_jackknife_ratio",
+    "ext_xbar_r_chart",
+    "ext_nelson_rules",
+    "ext_kruskal_wallis",
+    "ext_friedman_test",
+    "ext_cochran_q",
+    "ext_wilcoxon_signed_rank",
+    "ext_zipf_check",
+    "ext_mlm_masking",
+    "ext_good_turing",
+    "ext_chao1_richness",
+    "ext_huffman_code",
+    "ext_cdc_apply",
+    "ext_fellegi_weights",
+    "ext_eval_confusion",
+    "ext_eval_auc",
+    "ext_calibration_report",
+    "ext_eval_pr_at_k",
+    "ext_eval_token_f1",
+    "ext_bootstrap_ci",
+    "ext_mcnemar_test",
+    "ext_isotonic_calibration",
+    "ext_power_analysis",
+    "ext_brier_score",
+    "ext_ece",
+    "ext_cronbach_alpha",
+    "ext_cohens_kappa",
+    "ext_youden_threshold",
+    "ext_gains_table",
+    "ext_fleiss_kappa",
+    "ext_rouge_lcs",
+    "ext_conformal_interval",
+    "tbl_analyze_stats",
 ]
 
 
