@@ -105,7 +105,82 @@ def _fixture_stamp(sf_dir: str) -> dict:
     return {"dir": sf_dir, "mtime": mtime, "size_digest": digest}
 
 
+#: Idle-box host-probe reference (round-11, best of 3 with no other load):
+#: normalized totals = raw × (anchor / measured all-core probe). Future
+#: rounds compare the NORMALIZED number; a query is only a regression if it
+#: moves after the host-speed ratio is divided out (rounds 9–10 lesson:
+#: ±17% run-to-run on identical fixture digests, ranking unchanged).
+PROBE_ANCHOR_ALL_CORE = 0.537
+
+
+def _one_run() -> dict:
+    """A single child bench run: its JSON payload, parsed from main()'s
+    stdout contract when spawned, or computed in-process."""
+    import subprocess
+
+    env = {**os.environ, "BENCH_BEST_OF": "1"}
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, stdout=subprocess.PIPE, text=True,
+    )
+    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+    payload = json.loads(line)
+    payload["_rc"] = r.returncode
+    return payload
+
+
+def _best_of(n: int) -> None:
+    """Best-of-N protocol (round-10 verdict ask #3): N independent child
+    processes (fresh JVM each — a bit-identical plan re-collected IN-session
+    gets its result reused, so in-session repeats would time the cache, not
+    the query), per-query MIN across runs, plus a host-probe-normalized
+    total so cross-round comparisons divide out host-speed drift before
+    calling anything a regression."""
+    runs = [_one_run() for _ in range(n)]
+    ok = [r for r in runs if r.get("queries")]
+    if not ok:
+        print(json.dumps({"metric": "headline_total_runtime", "error":
+                          "all bench runs failed", "runs": runs}))
+        sys.exit(1)
+    names = set().union(*(r["queries"] for r in ok))
+    best = {
+        q: min(r["queries"][q] for r in ok if q in r["queries"])
+        for q in sorted(names)
+    }
+    total = round(sum(best.values()), 3)
+    probe_best = min(r["host_probe_sec"]["all_core"] for r in ok)
+    result = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": best,
+        "sf": ok[0].get("sf"),
+        "fixture": ok[0].get("fixture"),
+        "best_of": n,
+        "run_totals": [r.get("value") for r in runs],
+        "host_probe_sec": {
+            "all_core": probe_best,
+            "one_core": min(r["host_probe_sec"]["one_core"] for r in ok),
+            "per_run": [r.get("host_probe_sec") for r in runs],
+            "anchor_all_core": PROBE_ANCHOR_ALL_CORE,
+        },
+        "value_normalized": round(
+            total * PROBE_ANCHOR_ALL_CORE / probe_best, 3
+        ),
+    }
+    errors = {k: v for r in runs for k, v in (r.get("errors") or {}).items()}
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    if any(r.get("_rc") for r in runs):
+        sys.exit(1)
+
+
 def main() -> None:
+    best_of = int(os.environ.get("BENCH_BEST_OF", "3"))
+    if best_of > 1:
+        _best_of(best_of)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     load_all()
@@ -154,6 +229,11 @@ def main() -> None:
     t0 = time.perf_counter()
     _probe(0, 400_000_000, 32)
     probe_all = round(time.perf_counter() - t0, 3)
+    # the one-core probe needs its own warm-up at its own (bounds, slices)
+    # shape — the 32-slice warm-up doesn't cover its first-execution
+    # codegen/JIT cost, which otherwise lands inside the number meant to
+    # normalize noise (round-10 advisor finding)
+    _probe(1, 20_000_000, 1)
     t0 = time.perf_counter()
     _probe(0, 20_000_000, 1)
     probe_one = round(time.perf_counter() - t0, 3)

@@ -127,7 +127,7 @@ def gram_table(d: DataFrame, k: int = SUB_K) -> DataFrame:
     )
 
 
-#: Above this many estimated gram rows (≈ total tokens), the single-box
+#: Above this many gram rows (exact: Σ_docs max(0, tokens−k+1)), the single-box
 #: localCheckpoint of the gram table costs more local scratch than
 #: recomputing it per consumer and letting ReusedExchange share the shuffle:
 #: measured in SCALE.md round-9 — ~50 GB checkpoint at 2 M docs (~130 M gram
@@ -139,21 +139,35 @@ GRAM_CHECKPOINT_MAX_ROWS = 150_000_000
 
 
 def materialize_grams(
-    d: DataFrame, k: int = SUB_K, max_rows: int = GRAM_CHECKPOINT_MAX_ROWS
+    d: DataFrame,
+    k: int = SUB_K,
+    max_rows: int = GRAM_CHECKPOINT_MAX_ROWS,
+    n_grams: int | None = None,
 ) -> DataFrame:
     """gram_table + the size-keyed materialization strategy (round-9 10 M-doc
     lesson, applied by hand in the bench then promoted here): one cheap
-    counting pass over the token column estimates the gram-table size, and
-    only corpora under ``max_rows`` grams get the localCheckpoint — larger
-    ones return the lazy plan (recompute per consumer + ReusedExchange),
-    trading CPU for the scratch disk the checkpoint would exhaust."""
-    est = d.select(
-        F.sum(
-            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
-        )
-    ).first()[0] or 0
+    counting pass over the token column computes the EXACT gram-table size —
+    Σ_docs max(0, tokens − k + 1), matching ``gram_table``'s _full filter
+    per document (round-10 advisor: the raw token total overstates grams by
+    (k−1)·docs) — and only corpora under ``max_rows`` grams get the
+    localCheckpoint; larger ones return the lazy plan (recompute per
+    consumer + ReusedExchange), trading CPU for the scratch disk the
+    checkpoint would exhaust. Callers that already know the gram count
+    (e.g. the scale harness, which counts tokens anyway) pass ``n_grams``
+    and skip the counting scan entirely."""
+    if n_grams is None:
+        n_grams = d.select(
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.size(
+                        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+                    ) - (k - 1),
+                )
+            )
+        ).first()[0] or 0
     grams = gram_table(d, k)
-    return grams.localCheckpoint() if est <= max_rows else grams
+    return grams.localCheckpoint() if n_grams <= max_rows else grams
 
 
 def eligible_grams(grams: DataFrame, max_df: int = MAX_GRAM_DF) -> DataFrame:

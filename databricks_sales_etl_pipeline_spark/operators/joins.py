@@ -21,6 +21,7 @@ from pyspark.sql.functions import broadcast
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
+from databricks_sales_etl_pipeline_spark.streaming.util import sweep_dead_scratch
 
 _REV_CENTS = cents_sql("l_extendedprice * (1 - l_discount)")
 
@@ -427,7 +428,9 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     # PID-keyed (round-10 scratch_checkpoint lesson): concurrent engine
-    # processes must not wipe each other's live partitioned table mid-scan
+    # processes must not wipe each other's live partitioned table mid-scan;
+    # dead owners' leftovers are swept on the way in (round-10 advisor)
+    sweep_dead_scratch("dsep_dpp_orders_")
     path = os.path.join(
         tempfile.gettempdir(), f"dsep_dpp_orders_{os.getpid()}"
     )

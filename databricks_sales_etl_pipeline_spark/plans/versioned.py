@@ -284,6 +284,7 @@ import tempfile  # noqa: E402
 
 from databricks_sales_etl_pipeline_spark.catalog import load  # noqa: E402
 from databricks_sales_etl_pipeline_spark.registry import query  # noqa: E402
+from databricks_sales_etl_pipeline_spark.streaming.util import sweep_dead_scratch  # noqa: E402
 
 
 def _tmp_table(tag: str) -> str:
@@ -292,7 +293,9 @@ def _tmp_table(tag: str) -> str:
     advisor: the uuid-per-invocation form leaked without bound). PID-keyed
     (round-10 scratch_checkpoint lesson): a bare per-tag path is shared
     across concurrent engine processes, so one instance's wipe-before-reuse
-    rmtree's another's LIVE table mid-read."""
+    rmtree's another's LIVE table mid-read. Dead owners' leftovers are
+    swept on the way in (round-10 advisor)."""
+    sweep_dead_scratch("dsep_vtbl_")
     path = os.path.join(
         tempfile.gettempdir(), f"dsep_vtbl_{os.getpid()}_{tag}"
     )

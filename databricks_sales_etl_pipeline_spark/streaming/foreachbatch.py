@@ -30,6 +30,7 @@ from databricks_sales_etl_pipeline_spark.registry import query
 from databricks_sales_etl_pipeline_spark.streaming.util import (
     await_finished,
     scratch_checkpoint,
+    sweep_dead_scratch,
 )
 
 
@@ -70,6 +71,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline as scratch_checkpoint: no unbounded tempdir leak, no
     # mid-read deletion; PID-keyed so concurrent engine processes never
     # rmtree each other's live state — the round-10 sweep lesson)
+    sweep_dead_scratch("dsep_febatch_state_")
     base = os.path.join(
         tempfile.gettempdir(), f"dsep_febatch_state_{os.getpid()}"
     )

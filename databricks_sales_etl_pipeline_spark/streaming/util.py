@@ -20,6 +20,37 @@ def await_finished(q: StreamingQuery, timeout_s: int) -> None:
         )
 
 
+def sweep_dead_scratch(prefix: str) -> None:
+    """Best-effort removal of sibling ``{prefix}<pid>...`` scratch dirs whose
+    owning process is gone. PID-keying (round-10 fix) stopped concurrent
+    processes rmtree-ing each other's LIVE dirs, but left every dead
+    process's dirs to the OS tmp reaper — repeated driver/bench invocations
+    accumulate copies (round-10 advisor finding). Only dirs whose embedded
+    PID no longer exists are removed, so a concurrent live process is never
+    touched; our own PID is skipped (the caller wipes its own dir itself)."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    pat = re.compile(re.escape(prefix) + r"(\d+)")
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    for name in names:
+        m = pat.match(name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        except (PermissionError, OSError):
+            pass  # alive (other user) or unprobeable — leave it
+
+
 def scratch_checkpoint(tag: str) -> str:
     """Deterministic per-(process, tag) checkpoint dir, wiped before reuse —
     memory-sink demo queries re-process everything each invocation anyway,
@@ -36,6 +67,7 @@ def scratch_checkpoint(tag: str) -> str:
     import shutil
     import tempfile
 
+    sweep_dead_scratch("dsep_ckpt_")
     path = os.path.join(
         tempfile.gettempdir(), f"dsep_ckpt_{os.getpid()}_{tag}"
     )

@@ -59,6 +59,26 @@ def test_materialize_grams_size_keyed_switch(spark):
     assert small.count() == big.count()
 
 
+def test_materialize_grams_count_is_exact(spark):
+    """The size switch counts EXACT gram rows — Σ_docs max(0, tokens−k+1) —
+    not raw tokens (round-10 advisor: the token total overstates grams by
+    (k−1)·docs and flips the switch early). Pinned by thresholding at the
+    true gram count ± 1: at max_rows == n_grams it must checkpoint, at
+    n_grams − 1 it must not. A sub-k doc (0 grams, would drive a naive
+    per-doc difference negative) is included, and the explicit ``n_grams``
+    bypass must honor the caller's number without rescanning."""
+    d = _corpus(spark).unionAll(
+        spark.createDataFrame([(999, "only three tokens")], "doc_id long, text string")
+    )
+    n = gram_table(d).count()
+    at = materialize_grams(d, max_rows=n)
+    below = materialize_grams(d, max_rows=n - 1)
+    assert "Window" not in at._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in below._jdf.queryExecution().executedPlan().toString()
+    forced = materialize_grams(d, max_rows=n, n_grams=n + 1)  # caller claims bigger
+    assert "Window" in forced._jdf.queryExecution().executedPlan().toString()
+
+
 def test_gram_table_rejects_k_below_2(spark):
     """k=1 has no lead window — a contract error, not an IndexError."""
     import pytest

@@ -4,8 +4,11 @@ not end with stale bookkeeping). Runs, in order:
 
 1. rotation check — every ``_DRIVER_PRIORITY`` slot is spent on a query
    without a prior driver row (mirrors tests/test_contract.py);
-2. PLANS.md regeneration (tools/dump_plans.py);
-3. the full bench (bench.py) and rc check.
+2. the two-process concurrency check over every scratch-dir query
+   (tools/concurrency_check.py — the round-10 shared-tempdir bug class
+   recurs exactly when a new scratch path forgets the PID key);
+3. PLANS.md regeneration (tools/dump_plans.py);
+4. the full bench (bench.py) and rc check.
 
 Usage:  PYTHONPATH=. python tools/round_close.py [--skip-bench]
 Exit code 0 = everything green and regenerated.
@@ -15,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -22,12 +26,23 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _correctness_files() -> list[Path]:
+    """CORRECTNESS_r*.json oldest-round-first BY PARSED ROUND NUMBER —
+    lexicographic glob order only works while filenames stay zero-padded
+    (r01..r99); an r100 would silently let older rows overwrite newer ones
+    in the 'latest row per name' merge (round-10 advisor finding)."""
+    return sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda f: int(re.search(r"r(\d+)", f.name).group(1)),
+    )
+
+
 def check_rotation() -> int:
     from databricks_sales_etl_pipeline_spark import registry
 
     registry.load_all()
     checked: set[str] = set()
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    for f in _correctness_files():
         checked |= set(json.loads(f.read_text()))
     never = [n for n in registry.QUERIES if n not in checked]
     wasted = [n for n in registry._DRIVER_PRIORITY if n in checked]
@@ -49,7 +64,7 @@ def check_rotation() -> int:
     # but its only driver check predates it ('no_oracle') or wasn't a hash
     # pass. Once `never` is empty these are the re-check queue.
     latest: dict[str, dict] = {}
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    for f in _correctness_files():
         latest.update(json.loads(f.read_text()))
     stale = sorted(
         n for n, row in latest.items()
@@ -60,6 +75,15 @@ def check_rotation() -> int:
               f"with the driver; queue for re-check once the never-checked "
               f"backlog empties): {stale}")
     return 0
+
+
+def run_concurrency_check() -> int:
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "concurrency_check.py")],
+        cwd=REPO, env={**os.environ, "PYTHONPATH": str(REPO)},
+    )
+    print(f"concurrency check rc={r.returncode}")
+    return r.returncode
 
 
 def regen_plans() -> int:
@@ -79,6 +103,7 @@ def run_bench() -> int:
 
 def main() -> None:
     rc = check_rotation()
+    rc |= run_concurrency_check()
     rc |= regen_plans()
     if "--skip-bench" not in sys.argv:
         rc |= run_bench()
