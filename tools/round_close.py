@@ -46,9 +46,14 @@ def check_rotation() -> int:
         checked |= set(json.loads(f.read_text()))
     never = [n for n in registry.QUERIES if n not in checked]
     wasted = [n for n in registry._DRIVER_PRIORITY if n in checked]
-    if never and wasted:
-        print(f"ROTATION STALE: {len(never)} queries lack a driver row but "
-              f"the sample re-checks green ones: {wasted[:10]}")
+    # a re-check slot is only STALE when it DISPLACES a never-checked name
+    # (mirrors tests/test_contract.py): once the backlog fits inside the 50
+    # slots, spare ones legally go to the re-check queue.
+    displaced = [n for n in never if n not in registry._DRIVER_PRIORITY]
+    if displaced and wasted:
+        print(f"ROTATION STALE: {len(displaced)} queries lack a driver row "
+              f"and are not sampled, but the sample re-checks green ones: "
+              f"{wasted[:10]}")
         return 1
     print(f"rotation ok: {len(never)} never-checked, {len(wasted)} re-checked "
           f"(sample slots: {len(registry._DRIVER_PRIORITY)})")
