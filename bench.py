@@ -129,19 +129,14 @@ def _one_run() -> dict:
     return payload
 
 
-def _best_of(n: int) -> None:
-    """Best-of-N protocol (round-10 verdict ask #3): N independent child
-    processes (fresh JVM each — a bit-identical plan re-collected IN-session
-    gets its result reused, so in-session repeats would time the cache, not
-    the query), per-query MIN across runs, plus a host-probe-normalized
-    total so cross-round comparisons divide out host-speed drift before
-    calling anything a regression."""
-    runs = [_one_run() for _ in range(n)]
+def combine_runs(runs: list[dict], n: int) -> dict | None:
+    """Fold N child-run payloads into the best-of result: per-query MIN,
+    fastest probes, and the probe-normalized total. Pure (no I/O) so the
+    combination rules are unit-testable without spawning JVMs. Returns
+    None when no run produced timings."""
     ok = [r for r in runs if r.get("queries")]
     if not ok:
-        print(json.dumps({"metric": "headline_total_runtime", "error":
-                          "all bench runs failed", "runs": runs}))
-        sys.exit(1)
+        return None
     names = set().union(*(r["queries"] for r in ok))
     best = {
         q: min(r["queries"][q] for r in ok if q in r["queries"])
@@ -171,6 +166,22 @@ def _best_of(n: int) -> None:
     errors = {k: v for r in runs for k, v in (r.get("errors") or {}).items()}
     if errors:
         result["errors"] = errors
+    return result
+
+
+def _best_of(n: int) -> None:
+    """Best-of-N protocol (round-10 verdict ask #3): N independent child
+    processes (fresh JVM each — a bit-identical plan re-collected IN-session
+    gets its result reused, so in-session repeats would time the cache, not
+    the query), per-query MIN across runs, plus a host-probe-normalized
+    total so cross-round comparisons divide out host-speed drift before
+    calling anything a regression."""
+    runs = [_one_run() for _ in range(n)]
+    result = combine_runs(runs, n)
+    if result is None:
+        print(json.dumps({"metric": "headline_total_runtime", "error":
+                          "all bench runs failed", "runs": runs}))
+        sys.exit(1)
     print(json.dumps(result))
     if any(r.get("_rc") for r in runs):
         sys.exit(1)
