@@ -35,11 +35,11 @@ from tools.bench_scale_docs import gen_documents
 N_TABLES = 8
 
 
-def main() -> None:
-    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
-    spark = get_spark(
-        "minhash-extras-probe", **{"spark.ui.showConsoleProgress": "false"}
-    )
+def classify(spark, n: int) -> dict:
+    """Classify every banded-MinHash candidate on an n-doc synthetic corpus
+    and report the band-bucket population distribution (the second probe:
+    diffuse pop-2 buckets vs concentrated boilerplate buckets). Returns the
+    JSON-able dict main() prints."""
     tune_shuffle_partitions(spark, input_bytes=n * 500)
     d = gen_documents(spark, n).localCheckpoint(eager=True)
     sh = shingle_rows(d).select("doc_id", "shingle").localCheckpoint(eager=True)
@@ -93,14 +93,31 @@ def main() -> None:
         .count()
     )
     collisions = total - planted - sharing
-    print(json.dumps({
+    pop = bands.groupBy(F.col("bh.band"), F.col("bh.h")).agg(
+        F.count(F.lit(1)).alias("p")
+    )
+    dist = {
+        int(r["p"]): int(r["buckets"])
+        for r in pop.groupBy("p").agg(F.count(F.lit(1)).alias("buckets")).collect()
+    }
+    return {
         "docs": n,
         "candidates": total,
         "planted": planted,
         "extras_sharing_real_shingle": sharing,
         "pure_hash_collisions": collisions,
-    }))
-    if collisions:
+        "bucket_pop_distribution": dict(sorted(dist.items())),
+    }
+
+
+def main() -> None:
+    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
+    spark = get_spark(
+        "minhash-extras-probe", **{"spark.ui.showConsoleProgress": "false"}
+    )
+    out = classify(spark, n)
+    print(json.dumps(out))
+    if out["pure_hash_collisions"]:
         sys.exit(1)
 
 
