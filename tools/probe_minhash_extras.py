@@ -42,8 +42,15 @@ def classify(spark, n: int) -> dict:
     JSON-able dict main() prints."""
     tune_shuffle_partitions(spark, input_bytes=n * 500)
     d = gen_documents(spark, n).localCheckpoint(eager=True)
-    sh = shingle_rows(d).select("doc_id", "shingle").localCheckpoint(eager=True)
-    sig = sh.groupBy("doc_id").agg(
+    # the signature aggregation reads the shingles UNCACHED (round-9
+    # lesson, re-learned here at 2 M docs: an eager checkpoint of the
+    # exploded shingle table occupies the unified pool and starves the
+    # very aggregation that follows — AGGREGATE_OUT_OF_MEMORY); only the
+    # classification joins below, which run after the agg released its
+    # memory, read a lazily-checkpointed copy
+    sh_raw = shingle_rows(d)
+    sh = sh_raw.select("doc_id", "shingle").localCheckpoint(eager=False)
+    sig = sh_raw.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
             for j in range(N_TABLES)
