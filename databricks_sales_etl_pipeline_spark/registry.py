@@ -105,64 +105,64 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: The driver correctness-checks the FIRST 50 entries of ``queries()`` in
 #: registration order, so this list is the sampled contract surface.
-# Round-11 rotation (r10 verdict ask #1: backlog 91→41, never re-list an
-# already-green name). All 50 slots are the next never-checked names in
-# registration order (the eval/stats wave: rank correlations, hypothesis
-# tests, changepoints, eval metrics, through `tbl_analyze_stats`). All 50
-# were driver-sim verified at sf0.01 (vanilla session, pandas-canonicalized
-# compare) on the Aug-16 fixture during round 10, before this rotation was
-# committed — the round-6 `ext_gini_concentration` overflow lesson.
+# Round-12 rotation (r11 verdict ask #1): the final 41 never-checked names
+# (retail/causal/ops waves), the one STALE row (`ext_quantile_approx`, whose
+# oracle postdates its r06 driver row), and the 8 oldest r01-era rows as the
+# first re-check slots (displacement semantics — the backlog now fits the
+# sample). All 50 pre-verified driver-faithfully at sf0.01 AND sf0.1 on the
+# Aug-16 fixture (tools/r12_rotation_candidates.json), re-verified on this
+# tree before commit — the round-6 `ext_gini_concentration` overflow lesson.
 _DRIVER_PRIORITY = [
-    "ext_kendall_tau",
-    "ext_spearman_rho",
-    "ext_robust_location",
-    "ext_mann_kendall",
-    "ext_anomaly_ensemble",
-    "ext_permutation_test",
-    "ext_fdr_bh",
-    "ext_sprt_sequential",
-    "ext_ransac_line",
-    "ext_anova_oneway",
-    "ext_binary_segmentation",
-    "ext_matrix_profile",
-    "ext_inspection_paradox",
-    "ext_sax_symbolic",
-    "ext_haar_transform",
-    "ext_empirical_copula",
-    "ext_delta_method",
-    "ext_jackknife_ratio",
-    "ext_xbar_r_chart",
-    "ext_nelson_rules",
-    "ext_kruskal_wallis",
-    "ext_friedman_test",
-    "ext_cochran_q",
-    "ext_wilcoxon_signed_rank",
-    "ext_zipf_check",
-    "ext_mlm_masking",
-    "ext_good_turing",
-    "ext_chao1_richness",
-    "ext_huffman_code",
-    "ext_cdc_apply",
-    "ext_fellegi_weights",
-    "ext_eval_confusion",
-    "ext_eval_auc",
-    "ext_calibration_report",
-    "ext_eval_pr_at_k",
-    "ext_eval_token_f1",
-    "ext_bootstrap_ci",
-    "ext_mcnemar_test",
-    "ext_isotonic_calibration",
-    "ext_power_analysis",
-    "ext_brier_score",
-    "ext_ece",
-    "ext_cronbach_alpha",
-    "ext_cohens_kappa",
-    "ext_youden_threshold",
-    "ext_gains_table",
-    "ext_fleiss_kappa",
-    "ext_rouge_lcs",
-    "ext_conformal_interval",
-    "tbl_analyze_stats",
+    "dq_referential_integrity",
+    "ext_gap_fill_ffill",
+    "ext_zone_map_stats",
+    "ext_pit_join",
+    "pipeline_incremental_rollup",
+    "ext_skyline_2d",
+    "ext_audit_hash_chain",
+    "ext_gdpr_erasure",
+    "ext_write_plan_report",
+    "ext_inferred_members",
+    "ext_double_billing",
+    "ext_rev_recognition",
+    "ext_amortization",
+    "ext_hier_reconcile",
+    "ext_cohort_ltv",
+    "ext_ab_srm_check",
+    "ext_funnel_windowed",
+    "ext_ab_cuped",
+    "ext_inventory_abc",
+    "ext_basket_triples",
+    "ext_gini_concentration",
+    "ext_arc_elasticity",
+    "ext_twap",
+    "ext_recsys_itemcf",
+    "ext_adstock_decay",
+    "ext_hhi_concentration",
+    "ext_chain_ladder",
+    "ext_newsvendor_stock",
+    "ext_price_index",
+    "ext_price_dispersion",
+    "ext_inventory_xyz",
+    "ext_npv_ltv",
+    "ext_min_variance_portfolio",
+    "ext_price_volume_mix",
+    "ext_cannibalization",
+    "ext_knee_detection",
+    "ext_eoq_policy",
+    "ext_elo_ratings",
+    "ext_borda_condorcet",
+    "ext_tiered_pricing",
+    "ext_rle_runs_report",
+    "ext_quantile_approx",
+    "agg_count_distinct",
+    "agg_count_star",
+    "agg_distinct",
+    "agg_group_city",
+    "agg_histogram",
+    "agg_kpi_unpivot",
+    "agg_max_extracted_id",
+    "agg_median_cents",
 ]
 
 
