@@ -126,9 +126,22 @@ def _one_run() -> dict:
         [sys.executable, os.path.abspath(__file__)],
         env=env, stdout=subprocess.PIPE, text=True,
     )
-    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-    payload = json.loads(line)
-    payload["_rc"] = r.returncode
+    return parse_child_payload(r.stdout, r.returncode)
+
+
+def parse_child_payload(stdout: str, returncode: int) -> dict:
+    """Parse one child run's final stdout line. A child killed mid-print
+    (OOM, signal) leaves a partial final line; degrade that to a skipped
+    run (`{"_rc": 1}`) so best-of-N still emits JSON instead of the parent
+    dying on JSONDecodeError (round-3 'no numbers on record' lesson)."""
+    line = stdout.strip().splitlines()[-1] if stdout.strip() else "{}"
+    try:
+        payload = json.loads(line)
+        if not isinstance(payload, dict):
+            raise ValueError("non-object payload")
+    except (json.JSONDecodeError, ValueError):
+        payload = {}
+    payload["_rc"] = returncode or (0 if payload else 1)
     return payload
 
 

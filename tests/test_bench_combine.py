@@ -60,6 +60,27 @@ def test_all_failed_returns_none():
     assert bench.combine_runs([{"_rc": 1}, {}], 2) is None
 
 
+def test_corrupt_child_stdout_degrades_to_skipped_run():
+    # A child killed mid-print leaves a partial final JSON line; the parent
+    # must degrade it to {"_rc": 1}, not die on JSONDecodeError.
+    assert bench.parse_child_payload('{"queries": {"q1": 1.0, "q2', 0) == {
+        "_rc": 1
+    }
+    assert bench.parse_child_payload("", 0) == {"_rc": 1}
+    assert bench.parse_child_payload("[1,2]", 0) == {"_rc": 1}
+    good = bench.parse_child_payload('{"queries": {"q1": 1.0}}', 0)
+    assert good == {"queries": {"q1": 1.0}, "_rc": 0}
+    # OOM-killed child: nonzero rc propagates even when the line parsed
+    assert bench.parse_child_payload('{"queries": {"q1": 1.0}}', 137)[
+        "_rc"
+    ] == 137
+    # corrupt payload + failed run still combine to a usable best-of result
+    out = bench.combine_runs(
+        [bench.parse_child_payload('{"queries": {"q', 0),
+         _run({"q1": 1.0}, all_core=0.6)], 2)
+    assert out["queries"] == {"q1": 1.0}
+
+
 def test_query_present_in_only_one_run_still_counts():
     runs = [
         _run({"q1": 1.0}, all_core=0.6),

@@ -65,7 +65,7 @@ def test_rotation_covers_never_checked_queries():
     Files merge by parsed round number, not glob order (r100 > r99)."""
     checked: set[str] = set()
     for f in sorted(
-        REPO.glob("CORRECTNESS_r*.json"),
+        REPO.glob("CORRECTNESS_r[0-9]*.json"),
         key=lambda f: int(re.search(r"r(\d+)", f.name).group(1)),
     ):
         checked |= set(json.loads(f.read_text()))

@@ -32,7 +32,7 @@ def _correctness_files() -> list[Path]:
     (r01..r99); an r100 would silently let older rows overwrite newer ones
     in the 'latest row per name' merge (round-10 advisor finding)."""
     return sorted(
-        REPO.glob("CORRECTNESS_r*.json"),
+        REPO.glob("CORRECTNESS_r[0-9]*.json"),
         key=lambda f: int(re.search(r"r(\d+)", f.name).group(1)),
     )
 
