@@ -36,16 +36,28 @@ def ext_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_sample_bernoulli")  # rows-only: xxhash64 has no DuckDB twin
+_BERN_SALT = "bern-r12"
+
+
+@query(
+    "ext_sample_bernoulli",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE {md5_band_sql("CAST(o_orderkey AS VARCHAR)", 100, _BERN_SALT)} < 5
+    """,
+)
 def ext_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-Bernoulli 5% sample: keep rows whose seeded key-hash falls in
     the acceptance band. Unlike df.sample() — whose RNG is seeded PER
     PARTITION, so results change with the split layout — this is a pure
     function of the key: identical on any cluster, any partitioning, any
     engine with the same hash. That reproducibility is what makes sampled
-    pipelines debuggable at 100 TB."""
+    pipelines debuggable at 100 TB. The hash is the cross-engine md5 band
+    (round-12: replaced xxhash64, which has no DuckDB twin, so the sample
+    is now fully hash-oracled rather than rows-only)."""
     o = load(spark, sf_dir, "orders")
-    accept = F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(42)), F.lit(100)) < 5
+    accept = md5_band(F.col("o_orderkey"), 100, _BERN_SALT) < 5
     return o.where(accept).select("o_orderkey", "o_totalprice")
 
 
