@@ -170,6 +170,71 @@ def materialize_grams(
     return grams.localCheckpoint() if n_grams <= max_rows else grams
 
 
+#: bits reserved for the token position inside the packed (doc_id, pos)
+#: long: pos < 2^24 = 16.7 M tokens per document (far past any real doc),
+#: doc_id < 2^39 ≈ 550 B documents.
+POS_BITS = 24
+
+
+def shared_gram_hits(
+    d: DataFrame, k: int = SUB_K, max_df: int = MAX_GRAM_DF
+) -> DataFrame:
+    """Cross-document per-position gram hits (doc_a, doc_b, pa, pb) with the
+    round-12 single-exchange dataflow — the scale path that replaced
+    ``materialize_grams`` + ``gram_hits`` in the query (measured 2.9× less
+    shuffle at equal output; SCALE.md round-12):
+
+    1. ``d.repartition(doc_id)`` BEFORE the explode: the lead window's
+       required hash distribution is satisfied by a corpus-sized shuffle of
+       (doc_id, text) rows instead of a token-sized shuffle of every word.
+    2. (doc_id, pos) packed into ONE long ``dp``: every consumer of the
+       gram table (df histogram, eligibility join, self-join both sides)
+       then needs exactly the same two columns (gid, dp) — so Catalyst's
+       column pruning cannot specialize the branches apart …
+    3. … and with an explicit ``isnotnull(gid) AND isnotnull(dp)`` filter
+       folded into the shared subtree (the self-join's inferred notnull
+       constraints would otherwise appear only on the join branches), all
+       consumer branches canonicalize IDENTICALLY and AQE's stage reuse
+       materializes the gid exchange ONCE. Without these two steps Spark
+       re-runs the whole gram build per consumer: exchange reuse keys on
+       canonicalized subtrees, and any per-branch pruning/constraint
+       difference (or a LogicalRDD/localCheckpoint leaf, which never
+       canonicalizes equal across the self-join's plan clone) kills it.
+
+    The eligibility aggregate and both self-join sides run on the one
+    exchange's partitioning — zero further full-table shuffles."""
+    grams = gram_table(d.repartition(F.col("doc_id")), k)
+    gsh = (
+        grams.select(
+            "gid",
+            (F.col("doc_id") * (1 << POS_BITS) + F.col("pos")).alias("dp"),
+        )
+        .where(F.col("gid").isNotNull() & F.col("dp").isNotNull())
+        .repartition(F.col("gid"))
+    )
+    elig = (
+        gsh.groupBy("gid")
+        .agg(F.countDistinct(F.shiftright("dp", POS_BITS)).alias("df"))
+        .where(F.col("df").between(2, max_df))
+        .select("gid")
+    )
+    kept = gsh.join(elig.hint("shuffle_hash"), "gid")
+    a = kept.select("gid", F.col("dp").alias("dpa"))
+    b = kept.select("gid", F.col("dp").alias("dpb"))
+    return (
+        a.join(b, "gid")
+        .where(
+            F.shiftright("dpa", POS_BITS) < F.shiftright("dpb", POS_BITS)
+        )
+        .select(
+            F.shiftright("dpa", POS_BITS).alias("doc_a"),
+            F.shiftright("dpb", POS_BITS).alias("doc_b"),
+            (F.col("dpa") % (1 << POS_BITS)).alias("pa"),
+            (F.col("dpb") % (1 << POS_BITS)).alias("pb"),
+        )
+    )
+
+
 def eligible_grams(grams: DataFrame, max_df: int = MAX_GRAM_DF) -> DataFrame:
     """gids repeated across 2..max_df distinct documents — the skew guard
     that bounds the pair join's per-gram fan-out (a boilerplate gram in
@@ -214,15 +279,12 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     L - K + 1 consecutive diagonal hits, so len_tokens = hits + K - 1.
     """
     d = load(spark, sf_dir, "documents")
-    # materialize the gram table once: it feeds the eligibility count
-    # AND both sides of the pair join — without truncation the 13-lead
-    # window + md5 re-runs three times (this is the Spark analogue of
-    # materializing the suffix/gram table in Lee et al.'s pipeline).
-    # Size-keyed: past GRAM_CHECKPOINT_MAX_ROWS grams the checkpoint's
-    # scratch cost exceeds the recompute (SCALE.md, 10 M-doc runs).
-    grams = materialize_grams(d)
-    elig = eligible_grams(grams)
-    hits = gram_hits(grams, elig)
+    # Round-12: the single-exchange shared pipeline (shared_gram_hits)
+    # replaced materialize_grams + gram_hits here — one corpus-sized doc
+    # shuffle + ONE gid exchange reused by the histogram and both join
+    # sides, no checkpoint scratch, no per-consumer recompute (measured
+    # 2.9× less shuffle at identical output; SCALE.md round-12).
+    hits = shared_gram_hits(d)
     dwin = Window.partitionBy(
         "doc_a", "doc_b", F.col("pa") - F.col("pb")
     ).orderBy("pa")

@@ -154,3 +154,46 @@ def test_analytic_fanout_formula_matches_join(spark):
         )
         measured = gram_hits(grams, eligible_grams(grams, cap)).count()
         assert int(analytic2) // 2 == measured
+
+
+def test_shared_gram_hits_single_exchange(spark):
+    """Round-12 single-exchange contract (the 20 M-doc disk-bound fix):
+    after execution, shared_gram_hits' final AQE plan materializes exactly
+    TWO real hash exchanges — documents by doc_id, the gram table by gid —
+    and every other consumer branch (df histogram, both self-join sides)
+    is a ReusedExchange of the gid stage. This is what cut the measured
+    shuffle volume 2.9x; if a future edit de-canonicalizes the branches
+    (per-branch pruning, a new inferred filter, a localCheckpoint leaf),
+    the repeats come back as REAL exchanges and this pins the regression.
+
+    Semantics twin: results must equal the legacy materialize_grams +
+    gram_hits path exactly (unordered)."""
+    from conftest import SF_DIR
+
+    from databricks_sales_etl_pipeline_spark.catalog import load
+    from databricks_sales_etl_pipeline_spark.extensions.dedup_substring import (
+        shared_gram_hits,
+    )
+
+    d = load(spark, SF_DIR, "documents")
+    hits = shared_gram_hits(d)
+    rows_new = sorted(map(tuple, hits.collect()))
+
+    final = (
+        hits._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # a ReusedExchange line CITES its target ("ReusedExchange [...],
+    # Exchange hashpartitioning(...)"), so subtract the citations
+    reused = final.count("ReusedExchange")
+    real = final.count("Exchange hashpartitioning") - reused
+    assert real == 2, f"expected 2 materialized exchanges, saw {real}"
+    assert reused >= 3, f"expected >=3 ReusedExchange branches, saw {reused}"
+
+    grams = materialize_grams(d)
+    legacy = gram_hits(grams, eligible_grams(grams)).select(
+        "doc_a", "doc_b", "pa", "pb"
+    )
+    assert rows_new == sorted(map(tuple, legacy.collect()))

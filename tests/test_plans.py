@@ -341,6 +341,18 @@ def test_ngram_dedup_joins_on_prefix(spark):
     assert "CEIL" in plan or "ceil" in plan  # the prefix-length bound
 
 
+#: Queries whose PRE-execution plan text legitimately repeats one shared
+#: exchange subtree per consumer branch: the count below is textual, and
+#: AQE's stage reuse materializes the repeats as ReusedExchange at run time
+#: (proved by a dedicated test per entry). Value = allowed textual count.
+_SHUFFLE_TEXT_OVERRIDES = {
+    # 4 branches × (doc + gid) exchanges in text; executes as exactly 2
+    # (tests/test_gram_fanout.py::test_shared_gram_hits_single_exchange).
+    "ext_dedup_substring": 10,
+    "ext_substring_cut": 12,  # wraps ext_dedup_substring + its own stages
+}
+
+
 def test_plan_hygiene_all_queries(spark):
     """Global guard: no unintended cartesian/nested-loop joins, bounded
     shuffle count (true shuffles, not broadcasts) in every registered plan."""
@@ -358,7 +370,7 @@ def test_plan_hygiene_all_queries(spark):
             "Exchange rangepartitioning"
         )
         nlj = plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin")
-        if shuffles > 8:
+        if shuffles > _SHUFFLE_TEXT_OVERRIDES.get(name, 8):
             offenders.append((name, f"{shuffles} shuffles"))
         if nlj and name not in _NLJ_ALLOWED:
             offenders.append((name, "unintended nested-loop/cartesian join"))

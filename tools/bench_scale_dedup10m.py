@@ -8,11 +8,14 @@ detection (gram table -> df-capped self-join -> diagonal islands) at
 
     PYTHONPATH=. python tools/bench_scale_dedup10m.py [n_docs ...]
 
-Env DSEP_SCALE_SHAPES=minhash|substring|both (default both): the substring
-self-join spills ~3 gram-table copies to local disk; past ~5 M docs on one
-box that exceeds local scratch, so the two shapes are measured at their own
-per-box ceilings (a cluster distributes the spill — the bound is DISK, not
-the plan).
+Env DSEP_SCALE_SHAPES=minhash|substring|both (default both). Round-12: the
+corpus stages through PARQUET (localCheckpoint's LogicalRDD leaf killed AQE
+exchange reuse across self-join plan clones — every big shuffle ran once
+per consumer branch — and was the 40 M-doc MinHash heap bound), and the
+substring shape runs the production single-exchange shared_gram_hits
+pipeline (one doc shuffle + one reused gid exchange instead of ~3
+gram-table copies), so the old ~5 M-doc local-scratch ceiling moves out
+by the measured shuffle cut.
 """
 
 from __future__ import annotations
@@ -26,15 +29,38 @@ from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.extensions.dedup import shingle_rows
 from databricks_sales_etl_pipeline_spark.extensions.dedup_substring import (
-    eligible_grams,
-    gram_hits,
-    materialize_grams,
+    shared_gram_hits,
 )
 from databricks_sales_etl_pipeline_spark.session import (
     get_spark,
     tune_shuffle_partitions,
 )
+from databricks_sales_etl_pipeline_spark.streaming.util import (
+    sweep_dead_scratch,
+)
 from tools.bench_scale_docs import gen_documents
+
+
+def stage_corpus(spark, n: int):
+    """Generate the corpus and stage it through PARQUET, not localCheckpoint
+    (round-12 lesson, measured): a LogicalRDD leaf never canonicalizes equal
+    across a self-join's plan clone, so EVERY downstream exchange loses AQE
+    stage reuse and the big shuffles run once per consumer branch; the
+    checkpoint was also the 40 M-doc MinHash run's 48 GB heap bound (the
+    corpus storage pool). A parquet stage is the honest production shape
+    (real corpora live on disk), restores exchange reuse, and reads back
+    columnar."""
+    import shutil
+    import tempfile
+
+    sweep_dead_scratch("dsep_scalecorpus_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"dsep_scalecorpus_{os.getpid()}_{n}"
+    )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    gen_documents(spark, n).write.parquet(path)
+    return spark.read.parquet(path)
 
 
 def main() -> None:
@@ -46,7 +72,7 @@ def main() -> None:
     out = []
     for n in sizes:
         tune_shuffle_partitions(spark, input_bytes=n * 500)
-        d = gen_documents(spark, n).localCheckpoint(eager=True)
+        d = stage_corpus(spark, n)
         t = {}
         rec = {"docs": n}
 
@@ -98,11 +124,11 @@ def main() -> None:
             # position, 32-char gid) — retune the shuffle for ITS size, not
             # the corpus's, or 10 M docs sorts ~1 GB per partition and OOMs
             tune_shuffle_partitions(spark, input_bytes=n * 4000)
-            # the size-keyed checkpoint-vs-recompute trade is now the
-            # PRODUCTION code path (materialize_grams) — round-9 applied it
-            # by hand here; this run exercises the real switch
-            grams = materialize_grams(d)
-            rec["gram_hits"] = gram_hits(grams, eligible_grams(grams)).count()
+            # round-12: the single-exchange shared pipeline is now the
+            # production path (one doc shuffle + ONE gid exchange reused
+            # by the histogram and both join sides — no checkpoint, no
+            # per-consumer recompute; measured 2.9x shuffle cut)
+            rec["gram_hits"] = shared_gram_hits(d).count()
             t["substring_gram_hits"] = round(time.perf_counter() - t0, 2)
             rec["substring_kdocs_per_sec"] = round(
                 n / t["substring_gram_hits"] / 1e3, 1
