@@ -348,8 +348,9 @@ def test_ngram_dedup_joins_on_prefix(spark):
 _SHUFFLE_TEXT_OVERRIDES = {
     # 4 branches × (doc + gid) exchanges in text; executes as exactly 2
     # (tests/test_gram_fanout.py::test_shared_gram_hits_single_exchange).
+    # ext_substring_cut needs no entry: it localCheckpoints the spans, so
+    # its own plan text holds only 2 exchanges (measured).
     "ext_dedup_substring": 10,
-    "ext_substring_cut": 12,  # wraps ext_dedup_substring + its own stages
 }
 
 
