@@ -124,7 +124,16 @@ def exact_topk(vecs, queries):
 def main() -> None:
     sizes = [int(float(a)) for a in sys.argv[1:]] or [1_000_000, 10_000_000]
     spark = get_spark(
-        "dsep-scale-ann", **{"spark.ui.showConsoleProgress": "false"}
+        "dsep-scale-ann",
+        **{
+            "spark.ui.showConsoleProgress": "false",
+            # batch geometry bound (SCALE.md round-12, measured at 30 M
+            # vectors): the assignment UDF's distance block is
+            # rows_per_batch × K × 8 B per worker; at the 10 k default and
+            # K = 5477 that is ~440 MB × 32 workers — allocator thrash
+            # (~95% system CPU). 2048 rows → ~90 MB blocks at K ≈ 5500.
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        },
     )
     out = []
     for n in sizes:
