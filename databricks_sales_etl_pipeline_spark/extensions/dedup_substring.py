@@ -204,10 +204,30 @@ def shared_gram_hits(
     The eligibility aggregate and both self-join sides run on the one
     exchange's partitioning — zero further full-table shuffles."""
     grams = gram_table(d.repartition(F.col("doc_id")), k)
+    # Packing guard (round-12 advice): a doc with >= 2^24 tokens or a
+    # doc_id >= 2^39 would silently bleed pos bits into doc_id and emit
+    # wrong pairs — fail loudly instead. The when() lives in the shared
+    # subtree BEFORE the gid exchange, so every consumer branch still
+    # canonicalizes identically (exchange reuse intact — pinned in
+    # tests/test_gram_fanout.py).
+    dp_ok = (F.col("pos") < F.lit(1 << POS_BITS)) & (
+        F.col("doc_id") < F.lit(1 << (63 - POS_BITS))
+    )
     gsh = (
         grams.select(
             "gid",
-            (F.col("doc_id") * (1 << POS_BITS) + F.col("pos")).alias("dp"),
+            F.when(
+                dp_ok, F.col("doc_id") * (1 << POS_BITS) + F.col("pos")
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "dp packing overflow: pos >= 2^24 or "
+                        "doc_id >= 2^39 (dedup_substring.POS_BITS)"
+                    )
+                )
+            )
+            .alias("dp"),
         )
         .where(F.col("gid").isNotNull() & F.col("dp").isNotNull())
         .repartition(F.col("gid"))

@@ -1,8 +1,12 @@
 """Sampling operators (100 TB posture: debugging/profiling slices).
 
-Systematic (modulo-key) sampling is deterministic and oracle-checkable;
-Bernoulli sampling (df.sample) is seed-stable within Spark but not across
-engines, so it's exposed as a library fn + rows-only query.
+Systematic (modulo-key) sampling is deterministic and oracle-checkable.
+Bernoulli sampling is implemented as a seeded key-hash acceptance band
+(the cross-engine md5 band from ``chunking.py``), NOT ``df.sample`` —
+df.sample's RNG is seeded per partition, so its output changes with the
+split layout and has no cross-engine twin. The md5-band form is a pure
+function of the key, so ``ext_sample_bernoulli`` is fully hash-oracled
+against DuckDB (round-12; previously rows-only).
 """
 
 from __future__ import annotations

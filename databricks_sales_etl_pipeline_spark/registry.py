@@ -105,64 +105,65 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: The driver correctness-checks the FIRST 50 entries of ``queries()`` in
 #: registration order, so this list is the sampled contract surface.
-# Round-12 rotation (r11 verdict ask #1): the final 41 never-checked names
-# (retail/causal/ops waves), the one STALE row (`ext_quantile_approx`, whose
-# oracle postdates its r06 driver row), and the 8 oldest r01-era rows as the
-# first re-check slots (displacement semantics — the backlog now fits the
-# sample). All 50 pre-verified driver-faithfully at sf0.01 AND sf0.1 on the
-# Aug-16 fixture (tools/r12_rotation_candidates.json), re-verified on this
-# tree before commit — the round-6 `ext_gini_concentration` overflow lesson.
+# Round-13 rotation (r12 verdict ask #1): the never-checked backlog is ZERO,
+# so this is the first pure re-check sample — `ext_sample_bernoulli` leads
+# (the one STALE row: its md5-band oracle postdates its r01 driver row),
+# then the 49 oldest-round rows from the re-check queue
+# (tools/make_next_rotation.py displacement semantics). Installed verbatim
+# from tools/r13_rotation_candidates.json (pre-verified on the r12 tree),
+# re-verified driver-faithfully at sf0.01 on THIS tree before commit —
+# the fixture regenerates between rounds (r3/r9 lesson).
 _DRIVER_PRIORITY = [
-    "dq_referential_integrity",
-    "ext_gap_fill_ffill",
-    "ext_zone_map_stats",
-    "ext_pit_join",
-    "pipeline_incremental_rollup",
-    "ext_skyline_2d",
-    "ext_audit_hash_chain",
-    "ext_gdpr_erasure",
-    "ext_write_plan_report",
-    "ext_inferred_members",
-    "ext_double_billing",
-    "ext_rev_recognition",
-    "ext_amortization",
-    "ext_hier_reconcile",
-    "ext_cohort_ltv",
-    "ext_ab_srm_check",
-    "ext_funnel_windowed",
-    "ext_ab_cuped",
-    "ext_inventory_abc",
-    "ext_basket_triples",
-    "ext_gini_concentration",
-    "ext_arc_elasticity",
-    "ext_twap",
-    "ext_recsys_itemcf",
-    "ext_adstock_decay",
-    "ext_hhi_concentration",
-    "ext_chain_ladder",
-    "ext_newsvendor_stock",
-    "ext_price_index",
-    "ext_price_dispersion",
-    "ext_inventory_xyz",
-    "ext_npv_ltv",
-    "ext_min_variance_portfolio",
-    "ext_price_volume_mix",
-    "ext_cannibalization",
-    "ext_knee_detection",
-    "ext_eoq_policy",
-    "ext_elo_ratings",
-    "ext_borda_condorcet",
-    "ext_tiered_pricing",
-    "ext_rle_runs_report",
-    "ext_quantile_approx",
-    "agg_count_distinct",
-    "agg_count_star",
-    "agg_distinct",
-    "agg_group_city",
-    "agg_histogram",
-    "agg_kpi_unpivot",
-    "agg_max_extracted_id",
-    "agg_median_cents",
+    "ext_sample_bernoulli",
+    "cast_to_date",
+    "conditional_expr",
+    "derive_total_amount",
+    "dq_cardinality",
+    "dq_null_counts",
+    "dq_range",
+    "filter_expr_string",
+    "filter_range",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_hint_shuffle_hash",
+    "join_left_outer",
+    "join_null_safe",
+    "join_semi",
+    "setop_except",
+    "setop_intersect",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q4",
+    "tpch_q6",
+    "window_topn_per_group",
+    "agg_collect_list",
+    "agg_cube",
+    "agg_group_category",
+    "agg_grouping_sets",
+    "agg_max_by",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_scalar_kpis",
+    "date_arithmetic",
+    "dq_duplicates",
+    "ext_asof_join",
+    "ext_dedup_embedding",
+    "ext_dedup_exact",
+    "ext_dedup_minhash_native",
+    "ext_dedup_ngram",
+    "ext_embedding_centroids",
+    "ext_fingerprint",
+    "ext_lang_id",
+    "ext_salted_agg",
+    "ext_similarity_ivf",
+    "ext_similarity_topk",
+    "join_fact_fact",
+    "join_range_bands",
+    "join_star_revenue",
+    "json_extract_props",
+    "mm_binary_meta",
+    "pipeline_llm_corpus",
+    "project_select",
 ]
 
 

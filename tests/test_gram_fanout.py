@@ -197,3 +197,21 @@ def test_shared_gram_hits_single_exchange(spark):
         "doc_a", "doc_b", "pa", "pb"
     )
     assert rows_new == sorted(map(tuple, legacy.collect()))
+
+
+def test_dp_packing_guard_raises(spark):
+    """Round-12 advice item: the (doc_id, pos) packing dp = doc_id*2^24+pos
+    must fail LOUDLY when doc_id >= 2^39 (or pos >= 2^24) instead of
+    silently bleeding pos bits into doc_id and emitting wrong pairs."""
+    import pytest
+
+    from databricks_sales_etl_pipeline_spark.extensions.dedup_substring import (
+        shared_gram_hits,
+    )
+
+    text = " ".join(f"t{j}" for j in range(SUB_K))
+    d = spark.createDataFrame(
+        [(1 << 40, text), ((1 << 40) + 1, text)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="dp packing overflow"):
+        shared_gram_hits(d).collect()

@@ -60,10 +60,13 @@ def test_slot_cap(tmp_path):
     assert got == sorted(qs)[:50]
 
 
-def test_matches_committed_r13_candidates():
-    """The committed r13 file must be exactly what the tool derives from
-    the repo's real state (guards against the file rotting if CORRECTNESS
-    artifacts or the registry change before round 13 opens)."""
+def test_matches_committed_next_candidates():
+    """The committed next-round file must be exactly what the tool derives
+    from the repo's real state (guards against the file rotting if
+    CORRECTNESS artifacts or the registry change before the round opens).
+    Path is REPO-anchored, not cwd-relative (round-12 advice)."""
+    from pathlib import Path
+
     from databricks_sales_etl_pipeline_spark import registry
 
     registry.load_all()
@@ -72,7 +75,8 @@ def test_matches_committed_r13_candidates():
         set(registry.ORACLES),
         registry._DRIVER_PRIORITY,
     )
+    repo = Path(__file__).resolve().parent.parent
     committed = json.loads(
-        open("tools/r13_rotation_candidates.json").read()
+        (repo / "tools" / "r14_rotation_candidates.json").read_text()
     )
     assert committed == expect

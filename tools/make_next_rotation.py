@@ -8,7 +8,10 @@ tests/test_contract.py and tools/round_close.py):
   1. never-checked names (no row in any CORRECTNESS_r[0-9]*.json),
      in registration order — these MUST fill slots first;
   2. stale rows (oracled in the registry but the latest driver row is
-     not hash-green — e.g. a rows-only row that predates a new oracle);
+     not hash-green — e.g. a rows-only row that predates a new oracle),
+     ordered ALPHABETICALLY (explicit tiebreak: stale rows are rare and
+     round-less, so name order is the stable deterministic choice —
+     round-12 advice asked this be stated);
   3. the re-check queue: oldest latest-round first, name as tiebreak.
 
 Names assumed freshly checked this round (the CURRENT _DRIVER_PRIORITY)
