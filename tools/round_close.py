@@ -25,6 +25,23 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+#: the 11 queries that are rows-only BY DESIGN (SURVEY §2.7's floor table:
+#: engine-specific hash bits / sketch binaries / iterative argmax training,
+#: each verified by an oracled twin or a python-reference unit test).
+ROWS_ONLY_FLOOR = {
+    "ext_dedup_minhash",
+    "ext_dedup_minhash_native",
+    "ext_fingerprint_winnow",
+    "ext_dedup_simhash",
+    "ext_dup_clusters",
+    "ext_approx_distinct",
+    "ext_hll_union",
+    "ext_compression_ratio",
+    "ext_bpe_train",
+    "ext_bpe_encode",
+    "ext_wordpiece_train",
+}
+
 
 def _correctness_files() -> list[Path]:
     """CORRECTNESS_r*.json oldest-round-first BY PARSED ROUND NUMBER —
@@ -79,6 +96,19 @@ def check_rotation() -> int:
         print(f"stale driver rows (oracled in registry, never hash-green "
               f"with the driver; queue for re-check once the never-checked "
               f"backlog empties): {stale}")
+    # rows-only floor guard (round-13, SURVEY §2.7 table): exactly these 11
+    # are structurally un-oracle-able BY DESIGN; any growth is a regression
+    # (a new rows-only query must gain a twin or amend the SURVEY table).
+    rows_only = sorted(n for n in registry.QUERIES if n not in registry.ORACLES)
+    print(f"rows-only queries: {len(rows_only)} "
+          f"(documented floor: {len(ROWS_ONLY_FLOOR)})")
+    if set(rows_only) != ROWS_ONLY_FLOOR:
+        grew = set(rows_only) - ROWS_ONLY_FLOOR
+        shrank = ROWS_ONLY_FLOOR - set(rows_only)
+        print(f"ROWS-ONLY FLOOR CHANGED: new={sorted(grew)} "
+              f"twinned={sorted(shrank)} — update SURVEY §2.7's floor table "
+              f"and ROWS_ONLY_FLOOR here in the same commit")
+        return 1
     return 0
 
 
