@@ -68,7 +68,7 @@ def _assign_all_fn(cent_sets):
     return assign_all
 
 
-def _train_codebooks(vecs):
+def _train_codebooks(vecs, k: int = PQ_K):
     """All S codebooks trained JOINTLY: the subspace Lloyd problems are
     independent, so one corpus scan per iteration serves every subspace —
     assign all S cids in one Arrow pass, posexplode to (si, cid) rows
@@ -78,11 +78,11 @@ def _train_codebooks(vecs):
     bit-exact centroids as ``similarity.train_kmeans`` per 16-dim slice
     (the per-subspace oracle chains pin this)."""
     seed_rows = (
-        vecs.where(F.col("vec_id") < PQ_K).select("vec_id", "v").collect()
+        vecs.where(F.col("vec_id") < k).select("vec_id", "v").collect()
     )
     if not seed_rows:
         raise ValueError(
-            f"_train_codebooks: no seed vectors with vec_id < {PQ_K}; the "
+            f"_train_codebooks: no seed vectors with vec_id < {k}; the "
             "seeding contract requires ids starting at 0"
         )
     dim = len(seed_rows[0]["v"])
@@ -421,7 +421,10 @@ def _adc_pair_fn(cent_sets, queries):
     from pyspark.sql.functions import pandas_udf
 
     qpos = {q: idx for idx, (q, _) in enumerate(queries)}
-    lut = np.zeros((len(queries), PQ_SUB, PQ_K), dtype=np.int64)
+    # table width = the codebook's actual code range (cid labels are seed
+    # ids 0..k-1), so the fn serves any PQ_K the caller trained with
+    kmax = 1 + max(cid for cents in cent_sets for cid, _ in cents)
+    lut = np.zeros((len(queries), PQ_SUB, kmax), dtype=np.int64)
     for qi, (_, qv) in enumerate(queries):
         qarr = np.array(qv, dtype=np.int64)
         for si, cents in enumerate(cent_sets):

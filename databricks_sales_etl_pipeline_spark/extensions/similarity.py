@@ -478,6 +478,51 @@ def _sqdists(v_series, C):
     return d.astype(np.int64)
 
 
+#: Distance-matrix memory budget per worker: the n×K float64 intermediate
+#: in ``_sqdists`` costs rows × K × 8 B. At the session's 10 k-row Arrow
+#: default and a √n-sized coarse quantizer (K = 5477 at 30 M vectors) that
+#: is ~440 MB of allocator churn PER BATCH PER WORKER — the round-12
+#: 30 M-vector run pinned 95% system CPU on exactly this (SCALE.md).
+#: Round-13 (r12 verdict ask #4): the fix is promoted from the harness's
+#: session-conf override into the library — the UDFs below slice each
+#: Arrow batch into K-derived row chunks, so the bound holds for ANY
+#: caller and ANY session batch size.
+MATMUL_BUDGET_BYTES = 64 << 20
+MATMUL_CHUNK_MIN = 256
+
+
+def matmul_chunk_rows(
+    k: int,
+    budget_bytes: int = MATMUL_BUDGET_BYTES,
+    lo: int = MATMUL_CHUNK_MIN,
+    hi: int = 10_000,
+) -> int:
+    """Rows per distance-matmul chunk: budget // (K · 8 B), clamped to
+    [lo, hi]. Pure and unit-tested (K=5477 geometry pinned)."""
+    if k <= 0:
+        raise ValueError(f"matmul_chunk_rows: k must be positive, got {k}")
+    return max(lo, min(hi, budget_bytes // (k * 8)))
+
+
+def _chunked_sqdists(v_series, C, reduce_fn, step=None):
+    """Apply ``reduce_fn`` (an n×K → n×… reducer like argmin/argsort-top-N)
+    over ``_sqdists`` in row chunks of ``matmul_chunk_rows(K)`` and
+    concatenate — peak memory ≈ chunk × K regardless of the Arrow batch
+    geometry. The reducer sees exactly the same per-row distance rows, so
+    results are bit-identical to the unchunked form. ``step`` overrides the
+    derived chunk size (tests)."""
+    import numpy as np
+
+    if step is None:
+        step = matmul_chunk_rows(C.shape[0])
+    return np.concatenate(
+        [
+            reduce_fn(_sqdists(v_series.iloc[i : i + step], C))
+            for i in range(0, len(v_series), step)
+        ]
+    )
+
+
 def _assign_cells(vectors: DataFrame, centroids: list[Centroid]) -> DataFrame:
     """Nearest-centroid assignment as a zero-shuffle vectorized map.
     ``centroids`` is sorted by cid, so numpy argmin's first-minimum rule IS
@@ -495,7 +540,9 @@ def _assign_cells(vectors: DataFrame, centroids: list[Centroid]) -> DataFrame:
     def nearest(v):
         if v.empty:
             return pd.Series([], dtype="int64")
-        return pd.Series(cids[_sqdists(v, C).argmin(axis=1)])
+        return pd.Series(
+            cids[_chunked_sqdists(v, C, lambda d: d.argmin(axis=1))]
+        )
 
     return vectors.withColumn("cid", nearest("v"))
 
@@ -512,7 +559,9 @@ def _probe_cells(vectors: DataFrame, centroids: list[Centroid]) -> DataFrame:
     def probe(v):
         if v.empty:
             return pd.Series([], dtype="object")
-        order = _sqdists(v, C).argsort(axis=1, kind="stable")[:, :NPROBE]
+        order = _chunked_sqdists(
+            v, C, lambda d: d.argsort(axis=1, kind="stable")[:, :NPROBE]
+        )
         return pd.Series([cids[o] for o in order])
 
     return vectors.withColumn("probe_cids", probe("v"))

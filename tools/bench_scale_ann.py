@@ -132,6 +132,11 @@ def main() -> None:
             # rows_per_batch × K × 8 B per worker; at the 10 k default and
             # K = 5477 that is ~440 MB × 32 workers — allocator thrash
             # (~95% system CPU). 2048 rows → ~90 MB blocks at K ≈ 5500.
+            # Round-13: the LIBRARY now enforces this itself
+            # (similarity.matmul_chunk_rows slices inside the UDFs), so
+            # this override is belt-and-braces: it additionally bounds the
+            # Arrow TRANSFER batch (vectors themselves), not just the
+            # distance intermediate.
             "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
         },
     )
