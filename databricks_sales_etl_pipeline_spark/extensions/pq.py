@@ -32,6 +32,12 @@ PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-dim)
 PQ_K = 8  # codes per subspace
 PQ_QUERIES = 10  # ADC search: first N vectors double as the query set
 PQ_TOPK = 5
+#: refine stage: exact re-rank shortlist = PQ_REFINE_MULT x PQ_TOPK rows
+#: per query (round-13 measured curve, SCALE.md: at 1 M vectors ADC-only
+#: recall@10 saturates ~0.16 regardless of code count, while exact re-rank
+#: recovers 0.39 at a 100-row shortlist and 0.75 at 1000 — the shortlist,
+#: not the code count, is the serving-quality lever)
+PQ_REFINE_MULT = 3
 
 
 def _assign_all_fn(cent_sets):
@@ -446,13 +452,13 @@ def _adc_pair_fn(cent_sets, queries):
     return adc
 
 
-def _pq_ivf_oracle() -> str:
+def _pq_search_ctes() -> str:
+    """The WITH-prefix shared by the plain ADC search oracle and the
+    refined one: quantized vectors → coarse Lloyd chain → per-subspace PQ
+    chains → probes → the `adc` candidate CTE (query_id, neighbor_id,
+    adc_dist). Callers append their final SELECT (and extra CTEs)."""
     from .similarity import _kmeans_cte_prefix, NPROBE, _SQD
 
-    qv = (
-        "list_transform(embedding,"
-        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
-    )
     pq_chains = ",\n    ".join(_pq_chain(si) for si in range(PQ_SUB))
     joins, terms = [], []
     for si in range(PQ_SUB):
@@ -487,7 +493,11 @@ def _pq_ivf_oracle() -> str:
         JOIN qvecs q ON q.vec_id = p.query_id
         {" ".join(joins)}
         WHERE fa.vec_id <> p.query_id
-    )
+    )"""
+
+
+def _pq_ivf_oracle() -> str:
+    return f"""{_pq_search_ctes()}
     SELECT query_id, neighbor_id, adc_dist, rank FROM (
         SELECT query_id, neighbor_id, adc_dist,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -497,19 +507,39 @@ def _pq_ivf_oracle() -> str:
     ) WHERE rank <= {PQ_TOPK}"""
 
 
-@query("ext_pq_ivf_search", oracle=_pq_ivf_oracle())
-def ext_pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3i — the full IVF-PQ read path (the FAISS IndexIVFPQ shape): a
-    coarse K=8 Lloyd quantizer routes each query to its nprobe=2 nearest
-    cells, and ADC lookup tables score ONLY the codes stored in those
-    cells — compressed storage (PQ) and pruned scan (IVF) composed, which
-    is how a 100 TB ANN index actually serves queries. Coarse training,
-    cell assignment, codebooks, codes, probes, ADC distances and the final
-    top-k are ALL integer-exact and hash-checked in one oracle.
+def _pq_refine_oracle() -> str:
+    return f"""{_pq_search_ctes()},
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC, neighbor_id ASC)
+                       AS rn
+            FROM adc
+        ) WHERE rn <= {PQ_REFINE_MULT * PQ_TOPK}
+    ),
+    refined AS (
+        SELECT s.query_id, s.neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(nv.v) + 1),
+                    i -> (nv.v[i] - q.v[i]) * (nv.v[i] - q.v[i])))
+                    AS BIGINT) AS d2
+        FROM shortlist s
+        JOIN qvecs nv ON nv.vec_id = s.neighbor_id
+        JOIN qvecs q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, d2, rank FROM (
+        SELECT query_id, neighbor_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, neighbor_id ASC) AS rank
+        FROM refined
+    ) WHERE rank <= {PQ_TOPK}"""
 
-    Scale: the scan touches nprobe/K of the corpus at 4 ints/vector —
-    ~120× less I/O than brute force over raw vectors; the only shuffle is
-    the per-query top-k window."""
+
+def _ivf_scored(spark: SparkSession, sf_dir: str):
+    """Shared IVF-PQ read-path prefix: build the index (coarse quantizer,
+    cells, codebooks, codes), probe the first PQ_QUERIES vectors, ADC-score
+    every code in the probed cells. Returns (vecs, scored, w) — the plain
+    ADC search and the refined search both finish from here."""
     from pyspark.sql import Window
 
     from .similarity import _assign_cells, _probe_cells, train_kmeans
@@ -558,6 +588,79 @@ def ext_pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
+    return vecs, scored, w
+
+
+@query("ext_pq_ivf_search", oracle=_pq_ivf_oracle())
+def ext_pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3i — the full IVF-PQ read path (the FAISS IndexIVFPQ shape): a
+    coarse K=8 Lloyd quantizer routes each query to its nprobe=2 nearest
+    cells, and ADC lookup tables score ONLY the codes stored in those
+    cells — compressed storage (PQ) and pruned scan (IVF) composed, which
+    is how a 100 TB ANN index actually serves queries. Coarse training,
+    cell assignment, codebooks, codes, probes, ADC distances and the final
+    top-k are ALL integer-exact and hash-checked in one oracle.
+
+    Scale: the scan touches nprobe/K of the corpus at 4 ints/vector —
+    ~120× less I/O than brute force over raw vectors; the only shuffle is
+    the per-query top-k window."""
+    from pyspark.sql import Window  # noqa: F401  (kept for parity of shape)
+
+    vecs, scored, w = _ivf_scored(spark, sf_dir)
     return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= PQ_TOPK
+    )
+
+
+@query("ext_pq_refine_search", oracle=_pq_refine_oracle())
+def ext_pq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3j — IVF-PQ + exact re-rank (the FAISS ``IndexRefineFlat`` shape),
+    round-13's answer to the measured ADC ranking floor: the ADC scan
+    ranks a shortlist of PQ_REFINE_MULT × PQ_TOPK candidates per query,
+    then EXACT integer squared-L2 distances on just those rows pick the
+    final top-k. The 100 TB economics are unchanged — the corpus-wide scan
+    still touches only nprobe/K of the index at 4 ints/vector; the refine
+    join touches shortlist-sized rows of the raw vectors (tens per query).
+    Measured at 1 M vectors (tools/bench_ann_pqk.py, SCALE.md round-13):
+    ADC-only recall@10 saturates at 0.105→0.155 across PQ_K=8→256 on
+    structure-free synthetic neighbors, while this refine shape recovers
+    0.15→0.39 (100-row shortlist) and 0.75 (1000-row) — the shortlist is
+    the quality lever, so it is a first-class operator.
+
+    The exact distance runs through zip_with/aggregate (CodegenFallback is
+    fine here: the input is shortlist-sized — bounded rows per query — not
+    corpus-sized; the corpus-proportional work all happened in the ADC
+    stage). Both broadcast sides are bounded (shortlist, query vectors)."""
+    from pyspark.sql import Window
+
+    vecs, scored, w = _ivf_scored(spark, sf_dir)
+    short = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_REFINE_MULT * PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    qv = vecs.where(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    )
+    refined = (
+        nv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("nv", "qv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    return refined.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= PQ_TOPK
     )

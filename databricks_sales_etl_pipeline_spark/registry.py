@@ -108,12 +108,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Round-13 rotation (r12 verdict ask #1): the never-checked backlog is ZERO,
 # so this is the first pure re-check sample — `ext_sample_bernoulli` leads
 # (the one STALE row: its md5-band oracle postdates its r01 driver row),
-# then the 49 oldest-round rows from the re-check queue
+# then the oldest-round rows from the re-check queue
 # (tools/make_next_rotation.py displacement semantics). Installed verbatim
 # from tools/r13_rotation_candidates.json (pre-verified on the r12 tree),
 # re-verified driver-faithfully at sf0.01 on THIS tree before commit —
-# the fixture regenerates between rounds (r3/r9 lesson).
+# the fixture regenerates between rounds (r3/r9 lesson). Mid-round-13:
+# `ext_pq_refine_search` (the round's new operator) takes the head slot —
+# never-checked names outrank re-checks — displacing the last re-check
+# (`project_select`, returned to the r14 queue).
 _DRIVER_PRIORITY = [
+    "ext_pq_refine_search",
     "ext_sample_bernoulli",
     "cast_to_date",
     "conditional_expr",
@@ -163,7 +167,6 @@ _DRIVER_PRIORITY = [
     "json_extract_props",
     "mm_binary_meta",
     "pipeline_llm_corpus",
-    "project_select",
 ]
 
 

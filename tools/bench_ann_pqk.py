@@ -18,6 +18,7 @@ probe machinery so numbers are directly comparable to SCALE.md round-12.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -45,6 +46,9 @@ from tools.bench_scale_ann import NQ, TOPK, exact_topk, stage_parquet
 from tools.bench_scale_embed import DIM, gen_embeddings
 
 NPROBE = 32  # high probe: candidate recall ~1.0, so end recall is ADC-limited
+REFINE_MULT = int(
+    os.environ.get("PQK_REFINE_MULT", "10")
+)  # exact re-rank shortlist = REFINE_MULT x TOPK per query
 
 
 def main() -> None:
@@ -161,6 +165,63 @@ def main() -> None:
         )
         r_k["planted_partner_found"] = sum(
             1 for r in got if r["neighbor_id"] == r["query_id"] - 1
+        )
+
+        # REFINE stage (the production IVF-PQ serving shape): ADC ranks a
+        # shortlist of REFINE_MULT x TOPK, then exact integer distances on
+        # just those rows re-rank the final top-k. The shortlist join
+        # touches shortlist-size rows of the full vectors — the ADC scan
+        # still did the 100 TB I/O cut.
+        t0 = time.perf_counter()
+        short = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= REFINE_MULT * TOPK)
+            .select("query_id", "neighbor_id")
+        )
+        qmap = {q: np.array(v, dtype=np.float64) for q, v in queries}
+        vjoin = short.join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("v")
+            ),
+            "neighbor_id",
+        )
+
+        def _exact(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                Qm = np.array(
+                    [qmap[q] for q in pdf["query_id"]], dtype=np.float64
+                )
+                dd = ((V - Qm) ** 2).sum(axis=1).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "d2": dd,
+                    }
+                )
+
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.asc("d2"), F.asc("neighbor_id")
+        )
+        refined = (
+            vjoin.mapInPandas(
+                _exact, "query_id long, neighbor_id long, d2 long"
+            )
+            .withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= TOPK)
+            .collect()
+        )
+        r_k["t_refine_s"] = round(time.perf_counter() - t0, 2)
+        rhits = sum(
+            1
+            for r in refined
+            if r["neighbor_id"] in truth_sets.get(r["query_id"], set())
+        )
+        r_k["recall_refine_at_10_milli"] = int(
+            rhits * 1000 // (len(queries) * TOPK)
         )
         rec["pqk"][pqk] = r_k
         print(json.dumps({"pqk": pqk, **r_k}))
