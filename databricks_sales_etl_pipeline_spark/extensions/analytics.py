@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.registry import query
 
@@ -1087,7 +1088,7 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     for hb in sorted(totals):
         carry.append((hb, acc))
         acc += totals[hb]
-    offs = spark.createDataFrame(carry, "hour_bucket long, carry_in long")
+    offs = local_df(spark, carry, "hour_bucket long, carry_in long")
     # phase A: running sum within each hour bucket, in parallel
     wt = Window.partitionBy("hour_bucket").orderBy(
         "t", F.col("delta").desc(), "user_id", "sid"
@@ -1200,7 +1201,7 @@ def ext_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_users"),
         )
     )
-    channels = spark.createDataFrame(
+    channels = local_df(spark, 
         [(i, ch) for i, ch in enumerate(SHAP_CHANNELS)], "c int, channel string"
     )
     r0 = rates.alias("r0")
@@ -2986,7 +2987,7 @@ def ext_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         div_width,
     )
 
-    base = base.localCheckpoint()  # max + edge artifact + main share it
+    base = base.localCheckpoint(eager=False)  # max collect materializes it
     width = div_width(base.agg(F.max("v")).first()[0])
     bb = base.withColumn("vb", F.expr(f"v DIV {width}"))
     okey = F.struct("v", "t", "ok")
@@ -3017,7 +3018,7 @@ def ext_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         if vb in edges:
             c = edges[vb]["lastc"]
             prev = (c["v"], c["y"])
-    carry = spark.createDataFrame(
+    carry = local_df(spark, 
         carry_rows, "vb long, cpv long, cpy long, cnv long, cny long"
     )
     wp = _W.partitionBy("vb").orderBy("v", "t", "ok").rowsBetween(
@@ -3767,7 +3768,7 @@ def ext_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             else sum(tm.get((s, t), 0) * p[t] for t in states) // 10**6
             for s in states
         }
-    pdf = spark.createDataFrame(
+    pdf = local_df(spark, 
         [(s, p[s]) for s in states], "state string, p_hit_ppm long"
     )
     deg = pairs.groupBy(F.col("s").alias("state")).agg(
@@ -3895,7 +3896,7 @@ def ext_viterbi_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             prv[t] = best[1]
         delta = nxt
         rows.extend((k, t, delta[t], prv[t]) for t in states)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "step long, state string, delta_ppm long, prev_state string"
     )
 
@@ -4181,7 +4182,7 @@ def ext_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _REMOVAL_CHANNELS
     }
     total = max(sum(v[2] for v in effects.values()), 1)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (c, v[0], v[1], v[2], v[2] * 10**6 // total)
             for c, v in effects.items()
@@ -4431,7 +4432,7 @@ def ext_did_placebo(spark: SparkSession, sf_dir: str) -> DataFrame:
          j == DID_PLACEBOS // 2)
         for j in range(DID_PLACEBOS + 1)
     ]
-    cuts_df = spark.createDataFrame(cuts, "cut long, is_true boolean")
+    cuts_df = local_df(spark, cuts, "cut long, is_true boolean")
     cell = (
         seg.join(broadcast(cuts_df))
         .groupBy(
@@ -4543,7 +4544,7 @@ def ext_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wt.orderBy("v", "o_orderkey")).alias("r"),
         F.count(F.lit(1)).over(wt).alias("n"),
     )
-    qs = spark.createDataFrame([(q,) for q in QTE_QS], "q long")
+    qs = local_df(spark, [(q,) for q in QTE_QS], "q long")
     qv = (
         rk.join(broadcast(qs))
         .groupBy("q", "treated")

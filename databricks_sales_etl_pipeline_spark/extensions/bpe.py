@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.registry import query
 
@@ -118,7 +119,7 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents corpus, with deterministic tiebreaks (count DESC, pair ASC).
     Verified against a pure-Python BPE reference in tests."""
     d = load(spark, sf_dir, "documents")
-    return spark.createDataFrame(
+    return local_df(spark, 
         train_bpe(d),
         "step int, left string, right string, merged string, pair_count bigint",
     )
@@ -232,7 +233,7 @@ def ext_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ext_bpe_train``: all statistics live on the distinct-word table,
     one groupBy per iteration, a 1-row argmax artifact on the driver."""
     d = load(spark, sf_dir, "documents")
-    return spark.createDataFrame(
+    return local_df(spark, 
         train_wordpiece(d),
         "step int, left string, right string, merged string, "
         "pair_count bigint, score_e12 bigint",

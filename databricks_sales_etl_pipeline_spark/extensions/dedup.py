@@ -208,12 +208,16 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(d).localCheckpoint(eager=False)
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare_first = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # checkpoint the prefix relation (round-13): its a/b self-join clones
+    # the plan and LogicalRDD leaves don't canonicalize equal across clones
+    # (round-12 facts) — without it the df-join + rare-first window ran
+    # once per branch
     prefix = (
         sh.join(doc_freq, "shingle")
         .withColumn("rnk", F.row_number().over(rare_first))
         .where(F.col("rnk") <= F.col("n_sh") - F.ceil(F.col("n_sh") * t) + 1)
         .select("doc_id", "n_sh", "shingle")
-    )
+    ).localCheckpoint(eager=False)
     a = prefix.alias("a")
     b = prefix.alias("b")
     candidates = (
@@ -314,12 +318,18 @@ def ext_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared by signature build + both sides of the verify join — checkpoint
     # the codegen'd long-format shingle pipeline once
     sh = shingle_rows(d).localCheckpoint(eager=False)
+    # checkpoint the signature table too (round-13): the bands self-join
+    # clones the plan, and a LogicalRDD leaf never canonicalizes equal
+    # across the clone (round-12 exchange-reuse facts) — without this the
+    # 8×min-xxhash64 aggregation over every shingle ran TWICE, once per
+    # branch (profiled as two ~equal sig-agg stages). Signatures are 9
+    # longs per doc — the bounded-artifact scale class, cheap to hold.
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
             for j in range(N_TABLES)
         ]
-    )
+    ).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -418,9 +428,11 @@ def ext_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("bigint")
 
+    # same sig checkpoint as the native variant: the bands self-join would
+    # otherwise run the 8×min-md5 aggregation once per branch
     sig = sh.groupBy("doc_id").agg(
         *[F.min(band_hash(j)).alias(f"h{j}") for j in range(n_bands)]
-    )
+    ).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1077,6 +1089,8 @@ def ext_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signatures in one aggregation pass; candidates band-bucketed;
     the exact side touches candidates only (same bound as the dedup path).
     """
+    from pyspark.sql.functions import broadcast
+
     n_bands = 8
     d = load(spark, sf_dir, "documents")
     sh = shingle_rows(d).localCheckpoint(eager=False)
@@ -1088,9 +1102,12 @@ def ext_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("bigint")
 
+    # sig checkpoint (round-13): FOUR consumers (bands self-join ×2, sig_a,
+    # sig_b) and a LogicalRDD leaf never canonicalizes equal across plan
+    # clones — without it the 8×min-md5 aggregation ran once per consumer
     sig = sh.groupBy("doc_id").agg(
         *[F.min(band_hash(j)).alias(f"h{j}") for j in range(n_bands)]
-    )
+    ).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1138,9 +1155,11 @@ def ext_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"), "shingle"
     )
+    # broadcast the candidate side, not the corpus-proportional shingle
+    # relation (round-13, same rationale as exact_jaccard_on_candidates)
+    cand_a = broadcast(candidates).join(ra, "doc_a")
     common = (
-        candidates.join(ra, "doc_a")
-        .join(rb, ["doc_b", "shingle"])
+        rb.join(broadcast(cand_a), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

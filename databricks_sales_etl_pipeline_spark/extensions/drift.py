@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.extensions.chunking import (
     md5_band,
@@ -1749,7 +1750,7 @@ def ext_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         a1 += r["t1"]
         a2 += r["t2"]
     n1, n2 = a1, a2  # the arm totals ARE the carry fold's final state
-    carry = spark.createDataFrame(
+    carry = local_df(spark, 
         rows, "vb long, k1 long, k2 long, next_min long"
     )
     wv = Window.partitionBy("vb").orderBy("v")
@@ -4247,20 +4248,22 @@ def ext_empirical_copula(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-NTILE DuckDB oracle)."""
     from databricks_sales_etl_pipeline_spark.functions.prefix import (
         div_width,
-        exclusive_carry,
+        exclusive_carry_multi,
         ntile_from_pos,
     )
 
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
-    # the per-order aggregate feeds four consumers (stats, two carry
-    # collects, final plan) — materialize once instead of re-running the
-    # fact join per consumer
+    # the per-order aggregate feeds several consumers (stats, carry
+    # collect, final plan) — materialize once instead of re-running the
+    # fact join per consumer. Lazy checkpoint (round-13): the stats
+    # collect is a full-partition pass, so it populates the checkpoint as
+    # a side effect instead of paying a dedicated materialization pass.
     per = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderkey", cents(F.col("o_totalprice")).alias("v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     stats = per.agg(F.max("v"), F.max("nl"), F.count(F.lit(1))).first()
     wv, wn = div_width(stats[0]), div_width(stats[1])
     n = int(stats[2])
@@ -4271,8 +4274,12 @@ def ext_empirical_copula(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"v DIV {wv}").alias("vb"),
         F.expr(f"nl DIV {wn}").alias("nb"),
     )
-    cv = exclusive_carry(spark, b, "vb").withColumnRenamed("carry_in", "cv")
-    cn = exclusive_carry(spark, b, "nb").withColumnRenamed("carry_in", "cn")
+    # ONE grouping-sets pass for both margins' carries (round-13): this
+    # was two separate full scans of per, one per exclusive_carry
+    carries = exclusive_carry_multi(
+        spark, b, {"cv": ("vb", False), "cn": ("nb", False)}
+    )
+    cv, cn = carries["cv"], carries["cn"]
     j = b.join(broadcast(cv), "vb").join(broadcast(cn), "nb")
     pos_v = F.col("cv") + F.row_number().over(
         Window.partitionBy("vb").orderBy("v", "o_orderkey")

@@ -1762,11 +1762,12 @@ def ext_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclusive_carry,
     )
 
-    cal = cal.localCheckpoint()  # max + count + carry + rank share it
-    width = div_width(cal.agg(F.max("r")).first()[0])
+    cal = cal.localCheckpoint(eager=False)  # max+count collect materializes it
+    # one pass for max AND count (round-13: these were two separate actions)
+    _mx, n_cal = cal.agg(F.max("r"), F.count(F.lit(1))).first()
+    width = div_width(_mx)
     cb = cal.withColumn("rb", F.expr(f"r DIV {width}"))
     carry = exclusive_carry(spark, cb, "rb")
-    n_cal = cal.count()
     # exact integer k_q = (9*(n_cal+1)+9) DIV 10 — ceil((n_cal+1)*0.9)
     k_q = (9 * (n_cal + 1) + 9) // 10
     ranked = cb.join(broadcast(carry), "rb").select(

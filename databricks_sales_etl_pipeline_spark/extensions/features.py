@@ -78,7 +78,7 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle)."""
     from databricks_sales_etl_pipeline_spark.functions.prefix import (
         div_width,
-        exclusive_carry,
+        exclusive_carry_multi,
         ntile_from_pos,
     )
 
@@ -89,14 +89,16 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents("o_totalprice")).cast("bigint").alias("monetary_cents"),
     )
     ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_dt"))
-    # the per-customer aggregate feeds FIVE consumers (stats collect,
-    # three carry collects, final plan) — materialize it once instead of
+    # the per-customer aggregate feeds several consumers (stats collect,
+    # carry collect, final plan) — materialize it once instead of
     # re-running the fact groupBy per consumer (entity-scaled, far
     # smaller than the fact table; the itemcf/HITS localCheckpoint
-    # pattern)
+    # pattern). Lazy (round-13): the stats collect right below is a
+    # full-partition pass anyway, so it materializes the checkpoint as a
+    # side effect — the eager form paid one extra pass just to populate it.
     rec = pc.crossJoin(broadcast(ref)).withColumn(
         "recency_days", F.datediff("ref_dt", "last_dt").cast("bigint")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     stats = rec.agg(
         F.max("recency_days"), F.max("freq"), F.max("monetary_cents"),
         F.count(F.lit(1)),
@@ -113,13 +115,12 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"freq DIV {wf}").alias("fb"),
         F.expr(f"monetary_cents DIV {wm}").alias("mb"),
     )
-    cr = exclusive_carry(spark, b, "rb").withColumnRenamed("carry_in", "cr")
-    cf = exclusive_carry(spark, b, "fb", descending=True).withColumnRenamed(
-        "carry_in", "cf"
+    # ONE grouping-sets pass for all three carry dimensions (round-13):
+    # this was three separate full scans of rec, one per exclusive_carry
+    carries = exclusive_carry_multi(
+        spark, b, {"cr": ("rb", False), "cf": ("fb", True), "cm": ("mb", True)}
     )
-    cm = exclusive_carry(spark, b, "mb", descending=True).withColumnRenamed(
-        "carry_in", "cm"
-    )
+    cr, cf, cm = carries["cr"], carries["cf"], carries["cm"]
     j = (
         b.join(broadcast(cr), "rb")
         .join(broadcast(cf), "fb")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.localrel import local_df
 from ..registry import query
 
 
@@ -197,7 +198,7 @@ def ext_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
     src = eu.agg(F.min("a")).collect()[0][0]  # bounded 1-value artifact
-    dist = spark.createDataFrame([(int(src), 0)], "v long, d long")
+    dist = local_df(spark, [(int(src), 0)], "v long, d long")
     for it in range(1, BFS_DEPTH + 1):
         frontier = dist.where(F.col("d") == it - 1)
         nxt = frontier.join(eu, frontier["v"] == eu["a"]).select(
@@ -502,7 +503,7 @@ def ext_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     src = edges.agg(F.min("src")).collect()[0][0]  # bounded 1-value artifact
-    dist = spark.createDataFrame([(src, 0)], "v string, dist long")
+    dist = local_df(spark, [(src, 0)], "v string, dist long")
     for _ in range(SSSP_HOPS):
         relax = (
             F.broadcast(dist)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band_sql
 from databricks_sales_etl_pipeline_spark.registry import query
@@ -660,7 +661,7 @@ def ext_huffman_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = {int(r["id"]): depth(int(r["id"])) for r in leaves}
     total_bits = sum(int(r["f"]) * lens[int(r["id"])] for r in leaves)
     fixed_bits = sum(int(r["f"]) * 4 for r in leaves)
-    ldf = spark.createDataFrame(
+    ldf = local_df(spark, 
         [(i, l) for i, l in lens.items()], "id long, code_len long"
     )
     return freq.join(broadcast(ldf), "id").select(

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
@@ -527,7 +528,7 @@ def ext_gale_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             fiance[b] = s
             free.remove(s)
             free.append(cur)
-    match = spark.createDataFrame(
+    match = local_df(spark, 
         [
             (
                 fiance[b],
@@ -792,7 +793,7 @@ def ext_banzhaf_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(
             (name, w, quota, swings, swings * 10**6 // 2 ** (BZ_N - 1))
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         out,
         "player string, weight_mcents long, quota long, swings long,"
         " banzhaf_ppm long",
@@ -922,7 +923,7 @@ def ext_shapley_shubik(spark: SparkSession, sf_dir: str) -> DataFrame:
             if sw < quota <= sw + w:
                 piv += SS_WEIGHTS[s]
         out.append((name, w, quota, piv, piv * 10**6 // SS_FACT_N))
-    return spark.createDataFrame(
+    return local_df(spark, 
         out,
         "player string, weight_mcents long, quota long,"
         " pivotal_orderings long, shapley_shubik_ppm long",
@@ -1021,7 +1022,7 @@ def ext_knapsack_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v, w in zip(vs, ws):
         for c in range(KNAP_CAP, w - 1, -1):
             best[c] = max(best[c], best[c - w] + v)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(KNAP_N, KNAP_CAP, sum(ws), sum(vs), best[KNAP_CAP])],
         "n_items long, capacity long, total_weight long,"
         " total_value long, best_value_cents long",

@@ -265,7 +265,7 @@ def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", quantize(F.col("embedding")).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # the seed collect is a full pass anyway
     cent_sets = _train_codebooks(vecs)
     enc = _pq_encode_fn(cent_sets)
     out = vecs.select("vec_id", enc("v").alias("ce"))
@@ -386,7 +386,7 @@ def ext_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", quantize(F.col("embedding")).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # the seed collect is a full pass anyway
     cent_sets = _train_codebooks(vecs)
     enc = _pq_encode_fn(cent_sets)
     codes = vecs.select("vec_id", enc("v").alias("ce")).select(
@@ -547,7 +547,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str):
     e = load(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", quantize(F.col("embedding")).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # the seed collect is a full pass anyway
     coarse = train_kmeans(vecs)
     cells = _assign_cells(vecs, coarse).select("vec_id", "cid")
     cent_sets = _train_codebooks(vecs)

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band, md5_band_sql
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
@@ -541,7 +542,7 @@ def ext_inventory_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("bigint")
         .alias("rev_cents")
-    ).localCheckpoint()  # 3 consumers: stats, carry collect, final plan
+    ).localCheckpoint(eager=False)  # 3 consumers: stats (materializes it), carry, final
     stats = rev.agg(
         F.max("rev_cents"), F.sum("rev_cents").cast("bigint")
     ).first()
@@ -804,7 +805,7 @@ def ext_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("bigint")
         .alias("r")
-    ).localCheckpoint()  # 3 consumers: stats, carry collect, final plan
+    ).localCheckpoint(eager=False)  # 3 consumers: stats (materializes it), carry, final
     stats = rev.agg(
         F.max("r"), F.count(F.lit(1)), F.sum("r").cast("bigint")
     ).first()
@@ -2196,7 +2197,7 @@ def ext_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("bigint")
         .alias("r")
-    ).localCheckpoint()  # 3 consumers: stats, carry collect, final plan
+    ).localCheckpoint(eager=False)  # 3 consumers: stats (materializes it), carry, final
     stats = rev.agg(
         F.max("r"), F.count(F.lit(1)), F.sum("r").cast("bigint")
     ).first()
@@ -2522,7 +2523,7 @@ def ext_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = (ELO_K * (10**6 - _elo_e_py(dgap))) // 10**6
         rating[wb] += delta
         rating[lb] -= delta
-    rdf = spark.createDataFrame(
+    rdf = local_df(spark, 
         [(b, rating[b]) for b in brands], "brand string, rating long"
     )
     wins = matches.groupBy(F.col("wb").alias("brand")).agg(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.extensions.chunking import (
     md5_band,
@@ -198,7 +199,7 @@ def ext_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rb in sorted(counts):
         offsets.append((rb, acc))
         acc += counts[rb]
-    offs = spark.createDataFrame(offsets, "rb long, rb_offset long")
+    offs = local_df(spark, offsets, "rb long, rb_offset long")
     w = Window.partitionBy("rb").orderBy("sort_key", "doc_id")
     ranked = keyed.withColumn("rk", F.row_number().over(w))
     return (

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.registry import query
 
@@ -760,7 +761,7 @@ def ext_erlang_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(
             (c, a_milli, b_micro, 1 if b_micro <= 10_000 else 0)
         )
-    return spark.createDataFrame(
+    return local_df(spark, 
         out,
         "n_servers long, offered_load_milli long, blocking_ppm_x long,"
         " meets_1pct_sla long",

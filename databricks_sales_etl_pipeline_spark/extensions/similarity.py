@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.registry import query
 
@@ -713,7 +714,9 @@ def ext_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the quantized vectors once: training takes ITERS+1 actions over
     # them and the final plan re-reads them — one materialization, K·D longs
     # per row, beats re-scanning + re-quantizing parquet per action
-    vecs = e.select("vec_id", quantize(F.col("embedding")).alias("v")).localCheckpoint()
+    vecs = e.select("vec_id", quantize(F.col("embedding")).alias("v")).localCheckpoint(
+        eager=False  # the training seed collect right after is a full pass
+    )
     centroids = train_kmeans(vecs)
 
     cells = _assign_cells(vecs, centroids)
@@ -831,7 +834,9 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     e = load(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", quantize(F.col("embedding")).alias("v")).localCheckpoint()
+    vecs = e.select("vec_id", quantize(F.col("embedding")).alias("v")).localCheckpoint(
+        eager=False  # the training seed collect right after is a full pass
+    )
     centroids = train_kmeans(vecs)
     cells = _assign_cells(vecs, centroids)
 
@@ -1743,7 +1748,7 @@ def ext_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
         F.max("d").cast("bigint").alias("cell_radius"),
     )
-    cdf = spark.createDataFrame(
+    cdf = local_df(spark, 
         [(c[0], c[1], c[3]) for c in centers],
         "step long, center_id long, radius_when_added long",
     )

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
+
 
 def exclusive_carry(
     spark: SparkSession,
@@ -95,7 +97,74 @@ def exclusive_carries(
         rows.append((b, *acc))
         acc = [a + t for a, t in zip(acc, totals[b])]
     schema = f"{bucket} long, " + ", ".join(f"{k} long" for k in names)
-    return spark.createDataFrame(rows, schema)
+    # Arrow local relation: the carry table is consumed as a broadcast side
+    # by every caller — the list form would launch a 32-task Python-RDD job
+    # per consumption just to rebuild these ≤~1k rows (localrel.py numbers)
+    return local_df(spark, rows, schema)
+
+
+def exclusive_carry_multi(
+    spark: SparkSession,
+    df: DataFrame,
+    buckets: dict[str, tuple[str, bool]],
+) -> dict[str, DataFrame]:
+    """COUNT carries for SEVERAL independent bucketings in ONE aggregation
+    pass (round-13 optimization): ``buckets`` maps each output carry-column
+    name to ``(bucket_col, descending)``. Result is per name a broadcastable
+    frame ``(bucket_col long, name long)`` with exactly the rows
+    ``exclusive_carry(spark, df, bucket_col, descending=d)`` would produce —
+    but the input is scanned ONCE via GROUPING SETS ((b1), (b2), …) instead
+    of once per dimension (ext_rfm_segmentation's three quintile dimensions
+    were three full passes over the per-customer aggregate; the copula's two
+    margins were two). Same non-null bucket contract."""
+    names = list(buckets)
+    cols = [buckets[k][0] for k in names]
+    k = len(cols)
+    # grouping_id bitmask: bit (k-1-i) CLEAR ⇔ column i is grouped
+    want_gid = {
+        name: (2**k - 1) & ~(1 << (k - 1 - i))
+        for i, name in enumerate(names)
+    }
+    rows = (
+        df.groupingSets(
+            [[F.col(c)] for c in cols], *[F.col(c) for c in cols]
+        )
+        # grouping_id() must be an aggregate expression — it loses its
+        # grouping context in a post-agg projection
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            "gid",
+            *[F.col(c).cast("long").alias(f"_b{i}") for i, c in enumerate(cols)],
+            "cnt",
+        )
+        .collect()
+    )
+    out: dict[str, DataFrame] = {}
+    for i, name in enumerate(names):
+        bucket, descending = buckets[name]
+        totals: dict[int, int] = {}
+        for r in rows:
+            if r["gid"] != want_gid[name]:
+                continue
+            b = r[f"_b{i}"]
+            if b is None:
+                raise ValueError(
+                    f"exclusive_carry: NULL key in bucket column {bucket!r}"
+                    " — buckets must be non-null (filter or coalesce first)"
+                )
+            totals[b] = r["cnt"]
+        carry_rows: list[tuple] = []
+        acc = 0
+        for b in sorted(totals, reverse=descending):
+            carry_rows.append((b, acc))
+            acc += totals[b]
+        out[name] = local_df(
+            spark, carry_rows, f"{bucket} long, {name} long"
+        )
+    return out
 
 
 def exclusive_carry_max(
@@ -132,7 +201,7 @@ def exclusive_carry_max(
     for b in sorted(totals, reverse=descending):
         rows.append((b, acc))
         acc = totals[b] if acc is None else max(acc, totals[b])
-    return spark.createDataFrame(rows, f"{bucket} long, carry_max long")
+    return local_df(spark, rows, f"{bucket} long, carry_max long")
 
 
 def div_width(max_value: int, fanout: int = 1024) -> int:

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.registry import query
 
 
@@ -448,7 +449,7 @@ def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("null_prices", LongType()),
         ]
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(m["n_rows"]),

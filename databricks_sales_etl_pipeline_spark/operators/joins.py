@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.functions.money import cents, cents_sql
 from databricks_sales_etl_pipeline_spark.registry import query
 from databricks_sales_etl_pipeline_spark.streaming.util import sweep_dead_scratch
@@ -688,7 +689,7 @@ def join_aqe_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(row["n_rows"], row["checksum"], skew_applied)],
         "n_rows bigint, checksum bigint, skew_applied boolean",
     )

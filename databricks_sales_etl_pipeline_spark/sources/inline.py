@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from databricks_sales_etl_pipeline_spark.registry import query
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 
 _PAYMENT_SCHEMA = T.StructType(
     [
@@ -34,7 +35,7 @@ def inline_rows(
     spark: SparkSession, rows: list[tuple], schema: T.StructType
 ) -> DataFrame:
     """S1 — dict/tuple list → DataFrame with an explicit schema."""
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @query(

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
 from databricks_sales_etl_pipeline_spark.io import read_table, write_table
 from databricks_sales_etl_pipeline_spark.registry import query
 
@@ -72,7 +73,7 @@ def schema_drift_report(spark: SparkSession, before, after) -> DataFrame:
         + [(n, "removed", b[n], None) for n in d.missing]
         + [(n, "type_changed", w, g) for n, w, g in d.retyped]
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "column_name string, change string, before_type string, after_type string"
     )
 

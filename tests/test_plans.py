@@ -327,10 +327,20 @@ def test_partitioned_read_prunes_at_planning_time(spark):
     assert "order_month" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
-def test_ngram_dedup_joins_on_prefix(spark):
+def test_ngram_dedup_joins_on_prefix(spark, monkeypatch):
     """ext_dedup_ngram's candidate join must consume the PPJoin prefix
     pipeline (row_number over rare-first order, rnk <= n - ceil(t*n) + 1),
-    not the full inverted index — hot shingles must never enter the join."""
+    not the full inverted index — hot shingles must never enter the join.
+
+    Round 13 checkpoints the prefix relation (its a/b self-join would
+    otherwise compute the df-join + rare-first window once per branch), so
+    the final plan ends at a LogicalRDD leaf; to assert the pipeline SHAPE,
+    build the query with checkpointing disabled via monkeypatch."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     plan = (
         QUERIES["ext_dedup_ngram"](spark, SF_DIR)
         ._jdf.queryExecution()
@@ -339,6 +349,21 @@ def test_ngram_dedup_joins_on_prefix(spark):
     )
     assert "row_number" in plan and "rnk" in plan
     assert "CEIL" in plan or "ceil" in plan  # the prefix-length bound
+
+
+def test_ngram_dedup_prefix_is_checkpointed(spark):
+    """Regression guard for the round-13 fix: the production plan must scan
+    the prefix relation as a materialized RDD leaf (computed once), not
+    re-derive the rare-first window per self-join branch."""
+    plan = (
+        QUERIES["ext_dedup_ngram"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ExistingRDD" in plan
+    # the window must NOT appear inline (it would mean per-branch recompute)
+    assert "row_number" not in plan
 
 
 #: Queries whose PRE-execution plan text legitimately repeats one shared

@@ -85,6 +85,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from databricks_sales_etl_pipeline_spark.functions.prefix import (  # noqa: E402
     div_width,
     exclusive_carry,
+    exclusive_carry_multi,
     ntile_from_pos,
 )
 
@@ -171,3 +172,37 @@ def test_two_phase_running_sum_matches_global(spark, pairs, descending):
         ).alias("c"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_exclusive_carry_multi_matches_per_dimension(spark, triples, d1, d2):
+    """The fused grouping-sets form (one input pass for N bucketings) must
+    reproduce exclusive_carry per dimension exactly — rows, types,
+    ascending AND descending bucket orders."""
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(triples)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    fused = exclusive_carry_multi(
+        spark, df, {"ca": ("a", d1), "cb": ("b", d2), "cc": ("c", False)}
+    )
+    for name, (bucket, desc) in {
+        "ca": ("a", d1), "cb": ("b", d2), "cc": ("c", False)
+    }.items():
+        ref = exclusive_carry(spark, df, bucket, descending=desc)
+        got = fused[name]
+        assert got.schema.fieldNames() == [bucket, name]
+        assert sorted(map(tuple, got.collect())) == sorted(
+            (r[bucket], r["carry_in"]) for r in ref.collect()
+        )
