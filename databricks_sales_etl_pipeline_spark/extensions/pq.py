@@ -106,28 +106,38 @@ def _train_codebooks(vecs, k: int = PQ_K):
     ]
     for _ in range(LLOYD_ITERS):
         assign_all = _assign_all_fn(cent_sets)
+        # long-format update (round-13, same rationale as
+        # similarity.train_kmeans): the wide form built D getItem SUMs per
+        # iteration — heavy driver-side expression chatter — and computed
+        # all D sums for every (si, cid) group although each subspace only
+        # uses its own subdim slice. posexplode v to (d, val), recover the
+        # subspace as d DIV subdim and its cid from the assignment array:
+        # 3 Column objects, K·D groups after partial aggregation, and only
+        # the sums that are actually used. Identical exact integers.
         stats = (
-            vecs.select(
-                F.posexplode(assign_all("v")).alias("si", "cid"), "v"
+            vecs.select(assign_all("v").alias("cids"), "v")
+            .select("cids", F.posexplode("v").alias("d", "val"))
+            .select(
+                "d",
+                "val",
+                F.element_at(
+                    "cids", F.expr(f"CAST(d DIV {PQ_SUBDIM} AS INT) + 1")
+                ).alias("cid"),
             )
-            .groupBy("si", "cid")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.col("v").getItem(d)).alias(f"s{d}")
-                    for d in range(dim)
-                ],
-            )
+            .groupBy("d", "cid")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
             .collect()
         )
-        new_sets: list[list] = [[] for _ in range(PQ_SUB)]
+        acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
         for r in stats:
-            si, lo, n = int(r["si"]), int(r["si"]) * PQ_SUBDIM, int(r["n"])
+            d = int(r["d"])
+            acc.setdefault((d // PQ_SUBDIM, int(r["cid"])), {})[
+                d % PQ_SUBDIM
+            ] = (int(r["s"]), int(r["n"]))
+        new_sets: list[list] = [[] for _ in range(PQ_SUB)]
+        for (si, cid), dims in acc.items():
             new_sets[si].append(
-                (
-                    int(r["cid"]),
-                    [int(r[f"s{lo + d}"]) // n for d in range(PQ_SUBDIM)],
-                )
+                (cid, [dims[dl][0] // dims[dl][1] for dl in range(PQ_SUBDIM)])
             )
         cent_sets = [sorted(s) for s in new_sets]
     return cent_sets

@@ -586,18 +586,29 @@ def train_kmeans(
         )
     dim = len(centroids[0][1])
     for _ in range(iters):
+        # long-format update (round-13): the wide form built D per-dim
+        # getItem SUM expressions per iteration — ~200 py4j round trips of
+        # pure driver chatter (measured ~1.1 s/iteration at D=64) and a
+        # D+1-column shuffle row. posexplode to (cid, d, val) keeps the
+        # whole aggregate at 3 Column objects; map-side partial aggregation
+        # still collapses to K·D groups before the shuffle, and the SUMs
+        # are the identical exact integers.
         stats = (
             _assign_cells(vectors, centroids)
-            .groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("v").getItem(d)).alias(f"s{d}") for d in range(dim)],
-            )
+            .select("cid", F.posexplode("v").alias("d", "val"))
+            .groupBy("cid", "d")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
             .collect()
         )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["d"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
         centroids = sorted(
-            (int(r["cid"]), [int(r[f"s{d}"]) // int(r["n"]) for d in range(dim)])
-            for r in stats
+            (cid, [dims[d][0] // dims[d][1] for d in range(dim)])
+            for cid, dims in by_cid.items()
         )
     return centroids
 
