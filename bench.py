@@ -167,6 +167,7 @@ def combine_runs(runs: list[dict], n: int) -> dict | None:
         "queries": best,
         "sf": ok[0].get("sf"),
         "fixture": ok[0].get("fixture"),
+        "parallelism": ok[0].get("parallelism"),
         "best_of": n,
         "run_totals": [r.get("value") for r in runs],
         "host_probe_sec": {
@@ -294,6 +295,17 @@ def main() -> None:
         # the fixture so cross-round comparisons are only made
         # like-for-like.
         "fixture": _fixture_stamp(sf_dir),
+        # r13 verdict ask #1b: the bench honors $SPARK_GRAFT_CPUS (session.py
+        # builds local[$SPARK_GRAFT_CPUS]) but the JSON never said so, making
+        # "honored but overhead-bound" indistinguishable from "ignored" at the
+        # grading layer. Stamp the actually-running parallelism.
+        "parallelism": {
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+            "shuffle_partitions": int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            ),
+            "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        },
         "host_probe_sec": {"all_core": probe_all, "one_core": probe_one},
     }
     if errors:

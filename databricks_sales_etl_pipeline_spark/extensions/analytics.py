@@ -61,7 +61,16 @@ def ext_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stages = [s]
     for stage in FUNNEL_STAGES[1:]:
-        prev = stages[-1].select("user_id", F.col("t").alias("prev_t"))
+        # checkpoint each non-final stage aggregate (round-14): stage k feeds
+        # BOTH its own count row and stage k+1's join, and per-branch column
+        # pruning (the count drops `t`) stops the branches canonicalizing
+        # equal, so exchange reuse never fires (r12 facts) — without this s1
+        # ran 3× and s2 2× (6 events scans / 22 Exchange nodes in the r13
+        # before-plan). Per-user min timestamps are the bounded-aggregate
+        # checkpoint class (one row per funnel user).
+        prev_ck = stages[-1].localCheckpoint(eager=False)
+        stages[-1] = prev_ck
+        prev = prev_ck.select("user_id", F.col("t").alias("prev_t"))
         stages.append(
             e.where(F.col("event_type") == stage)
             .join(prev, "user_id")

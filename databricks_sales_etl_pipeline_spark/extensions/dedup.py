@@ -1155,11 +1155,14 @@ def ext_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"), "shingle"
     )
-    # broadcast the candidate side, not the corpus-proportional shingle
-    # relation (round-13, same rationale as exact_jaccard_on_candidates)
+    # broadcast ONLY the bounded candidate list into the first join; cand_a
+    # (candidate pairs × doc_a's full shingle set) is corpus-proportional, so
+    # the second join's strategy is left to the planner/AQE — a forced
+    # broadcast there bypasses autoBroadcastJoinThreshold and is a driver OOM
+    # at production corpus scale (r13 verdict "What's wrong" #1)
     cand_a = broadcast(candidates).join(ra, "doc_a")
     common = (
-        rb.join(broadcast(cand_a), ["doc_b", "shingle"])
+        rb.join(cand_a, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

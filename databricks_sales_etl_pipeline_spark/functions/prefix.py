@@ -119,6 +119,20 @@ def exclusive_carry_multi(
     margins were two). Same non-null bucket contract."""
     names = list(buckets)
     cols = [buckets[k][0] for k in names]
+    # Contract guards (r13 advisor): a duplicated bucket column corrupts the
+    # grouping_id bitmask / duplicates grouping sets, and a bucket column
+    # named like the aggregate aliases collides at resolution time.
+    if len(set(cols)) != len(cols):
+        raise ValueError(
+            f"exclusive_carry_multi: bucket columns must be pairwise "
+            f"distinct, got {cols!r}"
+        )
+    bad = [c for c in cols if c in ("gid", "cnt")]
+    if bad:
+        raise ValueError(
+            f"exclusive_carry_multi: bucket column name(s) {bad!r} collide "
+            "with the internal aggregate aliases ('gid', 'cnt') — rename"
+        )
     k = len(cols)
     # grouping_id bitmask: bit (k-1-i) CLEAR ⇔ column i is grouped
     want_gid = {
@@ -152,8 +166,9 @@ def exclusive_carry_multi(
             b = r[f"_b{i}"]
             if b is None:
                 raise ValueError(
-                    f"exclusive_carry: NULL key in bucket column {bucket!r}"
-                    " — buckets must be non-null (filter or coalesce first)"
+                    f"exclusive_carry_multi: NULL key in bucket column "
+                    f"{bucket!r} — buckets must be non-null (filter or "
+                    "coalesce first)"
                 )
             totals[b] = r["cnt"]
         carry_rows: list[tuple] = []

@@ -105,68 +105,64 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: The driver correctness-checks the FIRST 50 entries of ``queries()`` in
 #: registration order, so this list is the sampled contract surface.
-# Round-13 rotation (r12 verdict ask #1): the never-checked backlog is ZERO,
-# so this is the first pure re-check sample — `ext_sample_bernoulli` leads
-# (the one STALE row: its md5-band oracle postdates its r01 driver row),
-# then the oldest-round rows from the re-check queue
-# (tools/make_next_rotation.py displacement semantics). Installed verbatim
-# from tools/r13_rotation_candidates.json (pre-verified on the r12 tree),
-# re-verified driver-faithfully at sf0.01 on THIS tree before commit —
-# the fixture regenerates between rounds (r3/r9 lesson). Mid-round-13:
-# `ext_pq_refine_search` (the round's new operator) takes the head slot —
-# never-checked names outrank re-checks — displacing the last re-check
-# (`project_select`, returned to the r14 queue).
+# Round-14 rotation (r13 verdict asks #9): installed verbatim from
+# tools/r14_rotation_candidates.json (re-check queue, displacement
+# semantics; `project_select` — displaced mid-r13 — leads). All 50 names
+# verified oracled (no rows-only entries: the r13 sample parked
+# `ext_dedup_minhash_native`, capping the driver count at 49/50 — fixed
+# here) and re-verified driver-faithfully at sf0.01 on THIS tree before
+# commit — the fixture regenerates between rounds (r3/r9 lesson).
 _DRIVER_PRIORITY = [
-    "ext_pq_refine_search",
-    "ext_sample_bernoulli",
-    "cast_to_date",
-    "conditional_expr",
-    "derive_total_amount",
-    "dq_cardinality",
-    "dq_null_counts",
-    "dq_range",
-    "filter_expr_string",
-    "filter_range",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_hint_shuffle_hash",
-    "join_left_outer",
-    "join_null_safe",
-    "join_semi",
-    "setop_except",
-    "setop_intersect",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q4",
-    "tpch_q6",
-    "window_topn_per_group",
-    "agg_collect_list",
-    "agg_cube",
-    "agg_group_category",
-    "agg_grouping_sets",
-    "agg_max_by",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_scalar_kpis",
-    "date_arithmetic",
-    "dq_duplicates",
-    "ext_asof_join",
-    "ext_dedup_embedding",
-    "ext_dedup_exact",
-    "ext_dedup_minhash_native",
-    "ext_dedup_ngram",
-    "ext_embedding_centroids",
-    "ext_fingerprint",
-    "ext_lang_id",
-    "ext_salted_agg",
-    "ext_similarity_ivf",
-    "ext_similarity_topk",
-    "join_fact_fact",
-    "join_range_bands",
-    "join_star_revenue",
-    "json_extract_props",
-    "mm_binary_meta",
-    "pipeline_llm_corpus",
+    "project_select",
+    "setop_union_all",
+    "sink_merge_schema",
+    "sink_overwrite",
+    "sql_scalar_subquery",
+    "src_csv_roundtrip",
+    "src_generator",
+    "src_inline_rows",
+    "stream_sessionize",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "tbl_bucketed_join",
+    "topk_recent_days",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q3",
+    "tpch_q7",
+    "udf_pandas_scalar",
+    "window_rank_suite",
+    "window_running_total",
+    "agg_brand_revenue",
+    "agg_monthly_revenue",
+    "agg_supplier_revenue",
+    "array_functions",
+    "dq_expectations",
+    "dq_null_handling",
+    "ext_decontaminate",
+    "ext_decontaminate_ngram",
+    "ext_dedup_minhash_verified",
+    "ext_edit_distance",
+    "ext_embedding_norms",
+    "ext_quality_score",
+    "ext_sample_systematic",
+    "ext_similarity_lsh",
+    "ext_term_frequency",
+    "ext_text_tokens",
+    "ext_token_count",
+    "ext_token_shards",
+    "math_functions",
+    "mm_decode_real",
+    "mm_decode_wav",
+    "mm_frame_sample",
+    "mm_resize_stub",
+    "pipeline_gold_category",
+    "regex_functions",
+    "sink_append",
+    "sink_partitioned_prune",
 ]
 
 

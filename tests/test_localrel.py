@@ -46,6 +46,41 @@ def test_local_df_matches_list_form(spark, rows, ddl):
     )
 
 
+@pytest.mark.parametrize(
+    "rows_fn, ddl",
+    [
+        # DST-edge local time: 2024-03-10 02:30 does not exist in
+        # America/New_York — the hardest naive-datetime case
+        (lambda dt, dec: [(dt.datetime(2024, 3, 10, 2, 30),), (None,)],
+         "ts timestamp"),
+        (lambda dt, dec: [(dt.datetime(2024, 6, 1, 12, 0),), (None,)],
+         "tn timestamp_ntz"),
+        (lambda dt, dec: [(dt.date(2024, 2, 29),), (None,)], "d date"),
+        (lambda dt, dec: [(dec.Decimal("12.34"),), (None,)],
+         "x decimal(10,2)"),
+    ],
+)
+def test_local_df_temporal_decimal_matches_list_form(spark, rows_fn, ddl):
+    """r13 advisor gap: local_df is on the generic inline_rows path, so the
+    first temporal/decimal caller hits the pyarrow tz/precision path. Pin
+    equivalence to the list form on a NON-UTC session (probed round 14:
+    identical on America/New_York, incl. the DST spring-forward gap)."""
+    import datetime as dt
+    import decimal as dec
+
+    rows = rows_fn(dt, dec)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = local_df(spark, rows, ddl)
+        ref = spark.createDataFrame(rows, ddl)
+        assert got.schema == ref.schema
+        assert got.collect() == ref.collect()
+        assert "LocalTableScan" in _plan(got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_local_df_accepts_structtype(spark):
     st = StructType.fromDDL("a long, b string")
     df = local_df(spark, [(7, "z")], st)

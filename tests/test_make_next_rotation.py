@@ -77,6 +77,6 @@ def test_matches_committed_next_candidates():
     )
     repo = Path(__file__).resolve().parent.parent
     committed = json.loads(
-        (repo / "tools" / "r14_rotation_candidates.json").read_text()
+        (repo / "tools" / "r15_rotation_candidates.json").read_text()
     )
     assert committed == expect
