@@ -269,9 +269,13 @@ def main() -> None:
     # one failing query must not void the whole round's bench (round-3
     # lesson: the sessionize crash left NO numbers on record) — time every
     # query, report failures in the JSON, and exit nonzero only at the end
+    # Dev-only subset filter for A/B measurement (round 14): unset in the
+    # driver's invocation, so the default timed set is byte-identical.
+    only = os.environ.get("BENCH_ONLY")
+    headline = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         t0 = time.perf_counter()
         try:
             n = QUERIES[name](spark, sf_dir).count()

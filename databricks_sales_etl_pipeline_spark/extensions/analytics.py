@@ -1087,7 +1087,11 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("hour_bucket", F.expr("t DIV 3600000000").cast("bigint"))
     )
-    deltas = deltas.localCheckpoint()  # phases A+B share it; sessionize once
+    # phases A+B share it; sessionize once. Lazy (round-14): the totals
+    # collect right below is a full-partition pass and materializes the
+    # checkpoint as a side effect — the eager form paid a dedicated
+    # sessionize job first (r13 mechanism #3, missed at this site).
+    deltas = deltas.localCheckpoint(eager=False)
     # phase B model artifact: per-bucket delta totals -> exclusive cumsum
     totals = {
         r["hour_bucket"]: r["d"]
@@ -3000,20 +3004,24 @@ def ext_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = div_width(base.agg(F.max("v")).first()[0])
     bb = base.withColumn("vb", F.expr(f"v DIV {width}"))
     okey = F.struct("v", "t", "ok")
-    # bounded artifact: each bucket's last/first CONTROL (value, outcome)
-    edges = {
-        r["vb"]: r
-        for r in bb.where(F.col("t") == 0)
-        .groupBy("vb")
+    # bounded artifact: each bucket's last/first CONTROL (value, outcome).
+    # ONE groupBy(vb) pass covers BOTH the control edges and the full
+    # bucket list (round-14: this was two full scans of base — a control-
+    # filtered edges groupBy plus a distinct() just for the bucket ids).
+    # max_by/min_by skip NULL ordering keys in both engines (CLAUDE.md),
+    # so gating the KEY on t=0 yields the control-only edge or NULL for
+    # control-free buckets — identical to the filtered two-pass form.
+    ckey = F.when(F.col("t") == 0, okey)
+    edge_rows = (
+        bb.groupBy("vb")
         .agg(
-            F.max_by(F.struct("v", "y"), okey).alias("lastc"),
-            F.min_by(F.struct("v", "y"), okey).alias("firstc"),
+            F.max_by(F.struct("v", "y"), ckey).alias("lastc"),
+            F.min_by(F.struct("v", "y"), ckey).alias("firstc"),
         )
         .collect()
-    }
-    all_vb = sorted(
-        r["vb"] for r in bb.select("vb").distinct().collect()
     )
+    edges = {r["vb"]: r for r in edge_rows if r["lastc"] is not None}
+    all_vb = sorted(r["vb"] for r in edge_rows)
     carry_rows, prev = [], (None, None)
     nxt: dict[int, tuple] = {}
     run = (None, None)

@@ -865,7 +865,9 @@ def ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = s.groupBy("v").agg(
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
-    ).localCheckpoint()
+        # lazy (round-14): the full-pass collect right below materializes
+        # the checkpoint as a side effect — eager paid a dedicated job
+    ).localCheckpoint(eager=False)
     stats = per_v.agg(
         F.max("v"),
         F.sum("c1").cast("bigint"),
@@ -1067,7 +1069,9 @@ def ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = s.groupBy("v").agg(
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
-    ).localCheckpoint()
+        # lazy (round-14): the full-pass collect right below materializes
+        # the checkpoint as a side effect — eager paid a dedicated job
+    ).localCheckpoint(eager=False)
     stats = per_v.agg(
         F.max("v"),
         F.sum("c1").cast("bigint"),
@@ -1723,7 +1727,9 @@ def ext_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = s.groupBy("v").agg(
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
-    ).localCheckpoint()
+        # lazy (round-14): the full-pass collect right below materializes
+        # the checkpoint as a side effect — eager paid a dedicated job
+    ).localCheckpoint(eager=False)
     width = div_width(per_v.agg(F.max("v")).first()[0])
     pb = per_v.withColumn("vb", F.expr(f"v DIV {width}"))
     # one bounded collect (≤1025 buckets): per-bucket arm totals and min
@@ -4259,10 +4265,18 @@ def ext_empirical_copula(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact join per consumer. Lazy checkpoint (round-13): the stats
     # collect is a full-partition pass, so it populates the checkpoint as
     # a side effect instead of paying a dedicated materialization pass.
+    # Aggregate BEFORE the join (round-14, guide §2.3): counting lines per
+    # order needs only lineitem — the partial (map-side) aggregate shrinks
+    # 4x before any exchange, and the join then attaches v to ONE row per
+    # order instead of shuffling every joined line row into a groupBy.
+    # o_orderkey is unique in orders, so inner-join-then-group and
+    # group-then-inner-join produce identical rows.
+    per_li = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl")
+    )
     per = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderkey", cents(F.col("o_totalprice")).alias("v"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
+        o.select("o_orderkey", cents(F.col("o_totalprice")).alias("v"))
+        .join(per_li, "o_orderkey")
     ).localCheckpoint(eager=False)
     stats = per.agg(F.max("v"), F.max("nl"), F.count(F.lit(1))).first()
     wv, wn = div_width(stats[0]), div_width(stats[1])

@@ -97,7 +97,60 @@ def _canon(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, sorted(rows, key=repr)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+#: Parity cases individually >= 2 s at sf0.001 (streaming AvailableNow runs,
+#: unrolled recursive-CTE oracles, dedup verify joins — measured round 14,
+#: 224 s of the suite's 27 min). They run in the `slow` tier; the default
+#: run still value-checks the other ~530 oracles, and round_close runs all.
+_SLOW_PARITY = {
+    "ext_activity_selection",
+    "ext_audit_hash_chain",
+    "ext_contamination_score",
+    "ext_dbscan_cells",
+    "ext_decontaminate_ngram",
+    "ext_dedup_agreement",
+    "ext_dedup_canonical",
+    "ext_dedup_embedding",
+    "ext_dedup_minhash_guarded",
+    "ext_dedup_minhash_verified",
+    "ext_dedup_ngram",
+    "ext_dtw_distance",
+    "ext_dup_clusters_verified",
+    "ext_elo_ratings",
+    "ext_embedding_project",
+    "ext_minhash_calibration",
+    "ext_pagerank_step",
+    "ext_pq_ivf_search",
+    "ext_pq_refine_search",
+    "ext_shingle_containment",
+    "join_dpp_prune",
+    "sink_partitioned_prune",
+    "sql_recursive_cte",
+    "sql_scalar_subquery",
+    "src_python_datasource",
+    "src_python_datasource_stream",
+    "stream_chained_windows",
+    "stream_dedup",
+    "stream_dedup_within_watermark",
+    "stream_left_outer_join",
+    "stream_state_inspect",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_transform_state",
+    "stream_trending_topk",
+    "stream_watermark_agg",
+    "tbl_analyze_stats",
+    "udf_cogrouped_reconcile",
+    "udtf_analyze_dynamic",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+        for n in sorted(ORACLES)
+    ],
+)
 def test_oracle_parity(name, spark, duck):
     s_pdf = QUERIES[name](spark, SF_DIR).toPandas()
     d_pdf = duck.execute(ORACLES[name]).df()

@@ -392,11 +392,9 @@ _SHUFFLE_TEXT_OVERRIDES = {
 }
 
 
-def test_plan_hygiene_all_queries(spark):
-    """Global guard: no unintended cartesian/nested-loop joins, bounded
-    shuffle count (true shuffles, not broadcasts) in every registered plan."""
+def _plan_hygiene(spark, names) -> list:
     offenders = []
-    for name in sorted(QUERIES):
+    for name in names:
         if name in _PLAN_AUDIT_SKIP:
             continue
         plan = (
@@ -413,6 +411,24 @@ def test_plan_hygiene_all_queries(spark):
             offenders.append((name, f"{shuffles} shuffles"))
         if nlj and name not in _NLJ_ALLOWED:
             offenders.append((name, "unintended nested-loop/cartesian join"))
+    return offenders
+
+
+def test_plan_hygiene_headline(spark):
+    """Default-tier sample of the global hygiene walk: the 44 bench headline
+    plans (round 14 — the full 571-query walk takes ~4.3 min alone and runs
+    in the slow tier / round_close)."""
+    import bench
+
+    offenders = _plan_hygiene(spark, sorted(bench.HEADLINE))
+    assert not offenders, offenders
+
+
+@pytest.mark.slow
+def test_plan_hygiene_all_queries(spark):
+    """Global guard: no unintended cartesian/nested-loop joins, bounded
+    shuffle count (true shuffles, not broadcasts) in every registered plan."""
+    offenders = _plan_hygiene(spark, sorted(QUERIES))
     assert not offenders, offenders
 
 

@@ -77,3 +77,12 @@ class TestKeysetPagination:
         # the page is internally ordered by the pagination key
         keys = [(r["o_orderdate"], r["o_orderkey"]) for r in page]
         assert keys == sorted(keys)
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -142,3 +142,12 @@ class TestWassersteinShift:
         assert r["w1_dollars"] == d_sum // (n1 * n2)
         # sanity: W1 is within the value range
         assert 0 <= r["w1_dollars"] <= grid[-1] - grid[0]
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -83,3 +83,12 @@ class TestDedupAgreement:
             assert all(r["agree_share_ppm"] == share for r in out)
         # verified dups exist at this sf, so the audit is non-vacuous
         assert out
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -160,3 +160,12 @@ class TestFunnelWindowed:
         for s in (2, 3):
             if out[s]["conv_from_prev_ppm"] is not None:
                 assert 0 <= out[s]["conv_from_prev_ppm"] <= 1_000_000
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -83,3 +83,12 @@ class TestSpearmanRho:
         rho = QUERIES["ext_spearman_rho"](spark, SF_DIR).collect()[0]["rho"]
         if abs(tau) > 50:  # away from zero, the two must agree in sign
             assert (tau > 0) == (rho > 0)
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

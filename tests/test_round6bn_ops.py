@@ -93,3 +93,12 @@ class TestErlangBlocking:
         # blocking decreases monotonically with more servers
         bs = [b for _, _, b, _ in want]
         assert bs == sorted(bs, reverse=True)
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

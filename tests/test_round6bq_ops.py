@@ -77,3 +77,12 @@ class TestEffectiveSampleSize:
         assert r["n_eff_share_milli"] == sw * sw * 1000 // (n * sw2)
         # Kish bound: 1 <= n_eff <= n
         assert 1 <= r["n_eff"] <= n
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

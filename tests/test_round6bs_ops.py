@@ -116,3 +116,12 @@ class TestPermutationTest:
         r = QUERIES["ext_permutation_test"](spark, SF_DIR).collect()[0]
         assert 0 < r["n_a"] < r["n_units"]
         assert r["max_abs_null_milli"] > 0
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -100,3 +100,12 @@ class TestSprtSequential:
         assert SPRT_L1_MICRO == round(1e6 * math.log(0.90 / 0.85))
         assert SPRT_L0_MICRO == round(1e6 * math.log(0.10 / 0.15))
         assert SPRT_BOUND_MICRO == round(1e6 * math.log(19))
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

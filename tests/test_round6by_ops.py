@@ -106,3 +106,12 @@ class TestWeightedQuantiles:
     def test_monotone(self, spark):
         for r in QUERIES["ext_weighted_quantiles"](spark, SF_DIR).collect():
             assert r["wq25_cents"] <= r["wmedian_cents"] <= r["wq75_cents"]
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -98,3 +98,12 @@ class TestCrostonIntermittent:
         gaps = [r["gap"] for r in rows if r["t"] > 1]
         assert gaps and max(gaps) > 1  # zero-demand days exist
         assert all(r["p_interval"] >= 1 for r in rows)
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

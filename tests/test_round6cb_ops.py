@@ -115,3 +115,12 @@ class TestIpfRaking:
             assert abs(r["row_sum_milli"] - r["t_row_milli"]) <= (
                 r["t_row_milli"] // 100
             )
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

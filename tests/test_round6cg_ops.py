@@ -121,3 +121,12 @@ class TestInspectionParadox:
         for r in QUERIES["ext_inspection_paradox"](spark, SF_DIR).collect():
             assert r["sizebiased_mean_s"] >= r["mean_gap_s"]
             assert r["paradox_ratio_milli"] >= 1000
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -127,3 +127,12 @@ class TestSaxSymbolic:
         rows = QUERIES["ext_sax_symbolic"](spark, SF_DIR).collect()
         letters = set("".join(r["gram"] for r in rows))
         assert letters <= set("abcd") and len(letters) >= 2
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -89,3 +89,12 @@ class TestKmvSketch:
         # KMV with K=64: relative error ~ 1/sqrt(K) ~ 12.5%; allow 3x
         for r in QUERIES["ext_kmv_sketch"](spark, SF_DIR).collect():
             assert r["err_ppm"] < 375_000
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

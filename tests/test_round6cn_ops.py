@@ -114,3 +114,12 @@ class TestMarkovRemoval:
             assert r["effect_ppm"] >= 0
         # removing the start state kills every conversion
         assert rows[_REMOVAL_START]["p_without_ppm"] == 0
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -115,3 +115,12 @@ class TestDeltaMethod:
         row = QUERIES["ext_delta_method"](spark, SF_DIR).collect()[0]
         # clustered-by-user data: the honest SE is at least ~the naive one
         assert row["se_delta"] > 0.5 * naive_se
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

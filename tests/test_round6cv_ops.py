@@ -67,3 +67,12 @@ class TestKruskalWallis:
         # lands well under the 0.001 tail (~18.5)
         r = QUERIES["ext_kruskal_wallis"](spark, SF_DIR).collect()[0]
         assert 0 <= r["h_milli"] < 18_500
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

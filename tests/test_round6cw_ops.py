@@ -70,3 +70,12 @@ class TestFriedmanTest:
             FRIED_K + 1
         ) // 2
         assert rows[0]["q_milli"] >= -1000  # Q >= 0 up to milli flooring
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -61,3 +61,12 @@ class TestCochranQ:
         rows = QUERIES["ext_cochran_q"](spark, SF_DIR).collect()
         assert len(rows) == COCHRAN_K
         assert all(r["q_milli"] >= 0 for r in rows)
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -112,3 +112,12 @@ class TestCuped:
         adj = raw - theta * (r["sum_x_t"] / r["n_t"] - r["sum_x_c"] / r["n_c"])
         assert abs(r["raw_lift_cents"] - raw) < 1e-9
         assert abs(r["cuped_lift_cents"] - adj) < 1e-9
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

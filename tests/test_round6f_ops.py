@@ -55,3 +55,12 @@ class TestNdcg:
             if idcg > 0:
                 assert abs(r["ndcg"] - dcg / idcg) < 1e-12
                 assert 0.0 <= r["ndcg"] <= 1.0
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

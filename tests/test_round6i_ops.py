@@ -59,3 +59,12 @@ class TestGapSensitivity:
         stats = QUERIES["ext_session_stats"](spark, SF_DIR).collect()
         n_sessions = sum(r["n_sessions"] for r in stats)
         assert out[1800]["n_sessions"] == n_sessions
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -169,3 +169,12 @@ class TestPackBinsGreedy:
             for b, ns in fills.items():
                 if len(ns) > 1:
                     assert sum(ns) <= PACK_CAP, (bucket, b, ns)
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

@@ -110,3 +110,12 @@ class TestWritePlanReport:
             assert r["small_partition"] == (1 if eb < SMALL_PART_BYTES else 0)
             assert r["bytes_per_file"] == eb // nf
             assert r["bytes_per_file"] <= TARGET_FILE_BYTES
+
+
+# Round-14 gate tier: this file's queries are value-checked by
+# tests/test_parity.py in the DEFAULT run; the planted-corpus/unit tests
+# here run in the `slow` tier (round_close / -m "slow or not slow") so the
+# driver's verification window fits (r13 verdict ask #1a).
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow

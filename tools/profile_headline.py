@@ -32,7 +32,9 @@ def _rest(base: str, path: str):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all()
-    spark = get_spark("dsep-profile")
+    spark = get_spark(
+        "dsep-profile", **{"spark.ui.enabled": "true", "spark.ui.port": "4099"}
+    )
     sc = spark.sparkContext
     base = sc.uiWebUrl + "/api/v1/applications/" + sc.applicationId
     names = sys.argv[1:] or [

@@ -8,9 +8,12 @@ not end with stale bookkeeping). Runs, in order:
    (tools/concurrency_check.py — the round-10 shared-tempdir bug class
    recurs exactly when a new scratch path forgets the PID key);
 3. PLANS.md regeneration (tools/dump_plans.py);
-4. the full bench (bench.py) and rc check.
+4. the FULL test suite including the `slow` tier (round-14: the default
+   ``pytest tests/ -q`` gates out slow tests so the driver's verification
+   window fits — round close must still prove the whole suite green);
+5. the full bench (bench.py) and rc check.
 
-Usage:  PYTHONPATH=. python tools/round_close.py [--skip-bench]
+Usage:  PYTHONPATH=. python tools/round_close.py [--skip-bench] [--skip-slow]
 Exit code 0 = everything green and regenerated.
 """
 
@@ -136,10 +139,24 @@ def run_bench() -> int:
     return r.returncode
 
 
+def run_full_suite() -> int:
+    """The whole suite, slow tier included — the CLI -m overrides
+    pytest.ini's default `-m "not slow"` (last -m wins)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q",
+         "-m", "slow or not slow"],
+        cwd=REPO, env={**os.environ, "PYTHONPATH": str(REPO)},
+    )
+    print(f"full suite (incl. slow) rc={r.returncode}")
+    return r.returncode
+
+
 def main() -> None:
     rc = check_rotation()
     rc |= run_concurrency_check()
     rc |= regen_plans()
+    if "--skip-slow" not in sys.argv:
+        rc |= run_full_suite()
     if "--skip-bench" not in sys.argv:
         rc |= run_bench()
     sys.exit(rc)
