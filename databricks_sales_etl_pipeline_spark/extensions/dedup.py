@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions import par
 from databricks_sales_etl_pipeline_spark.registry import query
 
 
@@ -91,10 +92,17 @@ def shingle_rows(df: DataFrame, col: str = "text", k: int = 3) -> DataFrame:
     pipeline used by the similarity joins. posexplode + lead-window +
     concat_ws stays entirely inside whole-stage codegen (higher-order
     functions are CodegenFallback: interpreted per element, measured 2.6×
-    slower warm); dedup + per-doc count ride the same doc_id shuffle."""
+    slower warm); dedup + per-doc count ride the same doc_id shuffle.
+
+    Round-14: the doc_id exchange moved BEFORE the explode (par.by_key) —
+    the shuffle carries one (doc_id, text) row per document instead of one
+    row per word (fewer bytes, guide §2.3), and the split/explode/window
+    CPU runs at core parallelism instead of inside the single scan task of
+    a one-row-group input (guide §2.5). The window, dedup and n_sh count
+    are all satisfied by this one exchange — exchange count unchanged."""
     from pyspark.sql import Window
 
-    words = df.select(
+    words = par.by_key(df.select("doc_id", F.col(col)), "doc_id").select(
         "doc_id", F.posexplode(F.split(F.lower(F.col(col)), r"\s+")).alias("pos", "w")
     )
     win = Window.partitionBy("doc_id").orderBy("pos")

@@ -45,6 +45,7 @@ from databricks_sales_etl_pipeline_spark.extensions.dedup import (
     exact_jaccard_on_candidates,
     shingle_rows,
 )
+from databricks_sales_etl_pipeline_spark.functions import par
 from databricks_sales_etl_pipeline_spark.registry import query
 
 #: token k-gram length for substring matching: a repeated span must be at
@@ -203,7 +204,10 @@ def shared_gram_hits(
 
     The eligibility aggregate and both self-join sides run on the one
     exchange's partitioning — zero further full-table shuffles."""
-    grams = gram_table(d.repartition(F.col("doc_id")), k)
+    # round-14: explicit core-count partitioning (par.by_key) — the bare
+    # repartition(col) was AQE byte-coalesced to ~2 tasks on the 1.5 MB doc
+    # table, serializing the CPU-heavy explode+lead-window gram build
+    grams = gram_table(par.by_key(d.select("doc_id", "text"), "doc_id"), k)
     # Packing guard (round-12 advice): a doc with >= 2^24 tokens or a
     # doc_id >= 2^39 would silently bleed pos bits into doc_id and emit
     # wrong pairs — fail loudly instead. The when() lives in the shared

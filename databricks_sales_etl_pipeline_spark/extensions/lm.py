@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from databricks_sales_etl_pipeline_spark.functions.localrel import local_df
+from databricks_sales_etl_pipeline_spark.functions import par
 from databricks_sales_etl_pipeline_spark.catalog import load
 from databricks_sales_etl_pipeline_spark.extensions.chunking import md5_band_sql
 from databricks_sales_etl_pipeline_spark.registry import query
@@ -73,7 +74,15 @@ def ext_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. Self-scoring here; scoring a held-out corpus is the same
     plan with the model table persisted and re-joined."""
     d = load(spark, sf_dir, "documents")
-    words = d.select(
+    # round-14: (a) par.by_key moves the doc_id exchange BEFORE the explode
+    # (compact doc rows shuffle instead of word rows; split/explode/lead run
+    # at core parallelism instead of inside the single scan task — guide
+    # §2.3/§2.5); (b) the bigram relation feeds THREE consumers (c1, model,
+    # the scoring join) whose differing column pruning defeats exchange
+    # reuse (round-12 facts), so it recomputed per branch — one lazy
+    # localCheckpoint materializes it once. Corpus-proportional scratch
+    # (one row per bigram occurrence), the documented single-box trade.
+    words = par.by_key(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.posexplode(
             F.filter(F.split(F.lower("text"), _WS), lambda x: x != "")
@@ -87,7 +96,7 @@ def ext_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("w", 1).over(win).alias("w2"),
         )
         .where(F.col("w2").isNotNull())
-    )
+    ).localCheckpoint(eager=False)
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
     model = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n2")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_sales_etl_pipeline_spark.catalog import load
+from databricks_sales_etl_pipeline_spark.functions import par
 from databricks_sales_etl_pipeline_spark.registry import query
 
 _WS = r"\s+"
@@ -40,8 +41,15 @@ def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # long format: explode + count/countDistinct stays in whole-stage codegen
     # (array_distinct is a CodegenFallback higher-order path — measured
-    # slower); the group key shuffle is on doc_id with map-side combine
-    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), _WS)).alias("token"))
+    # slower). Round-14: par.by_key moves the doc_id exchange BEFORE the
+    # explode — the shuffle carries compact doc rows instead of token rows,
+    # and split/explode/aggregate run at core parallelism instead of inside
+    # the single scan task (guide §2.3/§2.5); both the (doc_id, token)
+    # distinct phase and the doc_id aggregate are satisfied by this one
+    # exchange, so no further shuffle remains.
+    toks = par.by_key(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(F.split(F.lower("text"), _WS)).alias("token")
+    )
     counted = (
         toks.where(F.col("token") != "")
         .groupBy("doc_id")
